@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Config choices (scale rationale in README §Scale):
+  *   - `spark.sql.shuffle.partitions` defaults to 32 to match local[32];
+  *     on a real cluster this is overridden (or left to AQE coalescing).
+  *   - AQE on: runtime re-plan (skew-join splitting, partition coalescing,
+  *     broadcast demotion/promotion) is the main defense at 100 TB where
+  *     static stats lie.
+  *   - `spark.sql.ansi.enabled=false`: the reference ingests raw CSV as
+  *     all-VARCHAR and applies CAST in queries; a malformed value becomes
+  *     NULL, not an error (reference dags/pipeline.py:331-360,410-418).
+  *     Non-ANSI CAST reproduces that cast-to-null contract.
+  *   - UTC session timezone so date/timestamp functions match the oracle.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cpus: String = defaultCpus): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft configs to an externally-created session (Verify/Bench or
+    * tests own the lifecycle; queries only rely on these runtime confs). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+}

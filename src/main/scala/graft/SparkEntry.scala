@@ -21,12 +21,22 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg_orders" -> ((s, dir) => { GraftSession.tune(s); AggregateOrders.fromDir(s, dir) })
+    "q1_agg_orders" -> ((s, dir) => { GraftSession.tune(s); AggregateOrders.fromDir(s, dir) }),
+    "q2_net_demand" -> ((s, dir) => { GraftSession.tune(s); NetDemand.fromDir(s, dir) }),
+    "q3_supplier_orders" -> ((s, dir) => { GraftSession.tune(s); SupplierOrders.fromDir(s, dir) }),
+    "s5_row_counts" -> ((s, dir) => { GraftSession.tune(s); MiscOps.rowCounts(s, dir) }),
+    "s7_snapshot_scan" -> ((s, dir) => { GraftSession.tune(s); MiscOps.eventsOnDay(s, dir) }),
+    "o20_summary" -> ((s, dir) => { GraftSession.tune(s); MiscOps.pipelineSummary(s, dir) })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q1_agg_orders" -> AggregateOrders.oracle
+    "q1_agg_orders" -> AggregateOrders.oracle,
+    "q2_net_demand" -> NetDemand.oracle,
+    "q3_supplier_orders" -> SupplierOrders.oracle,
+    "s5_row_counts" -> MiscOps.s5Oracle,
+    "s7_snapshot_scan" -> MiscOps.s7Oracle(),
+    "o20_summary" -> MiscOps.o20Oracle
   )
 }

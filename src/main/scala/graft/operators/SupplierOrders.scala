@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q3 of the reference — "generate_supplier_orders" (reference
+  * dags/pipeline.py:616-687): net demand (Q2) joined to the cheapest active
+  * supplier per SKU picked with ROW_NUMBER() OVER (PARTITION BY sku ORDER BY
+  * unit_price) (O9), joined on rank=1 (O6), then order sizing
+  *   order_quantity = GREATEST(min_order_qty, CEIL(net_demand / pack_size) * pack_size)
+  * (O14/O15, double result per Trino's CEILING(double) — SURVEY §2.4 O15),
+  * cost arithmetic, delivery date via DATE_ADD (O16), and the Python-side
+  * post-processing reproduced *inside the plan*: PO ids assigned by position
+  * in the total_cost-DESC order (O17/O18) plus constant status/order_date
+  * columns (O19). Tie-breaks follow SURVEY §2.4(2-3): supplier rank ties
+  * break on supplier id; the global sort ties break on (sku, warehouse).
+  *
+  * Re-expressed over the test corpus: the supplier price list derives from
+  * lineitem (min observed unit price per (supplier, sku)); pack size /
+  * min-order quantity / lead time are deterministic functions of the part
+  * and supplier keys (stand-ins for the reference's supplier_products
+  * columns, init.sql:40-55).
+  *
+  * Scale design: the price list is an aggregation of the fact table —
+  * partial-aggregated before shuffling on (supplier, sku); the rank window
+  * partitions by sku (parallel, no global window). The only global window is
+  * the final PO-id assignment, which runs over the already-tiny result
+  * (≤ |sku|×|warehouse|). For truly unbounded results use
+  * [[graft.operators.ScalableIds.withGlobalRowNumbers]] instead — same
+  * output, no single-partition window.
+  */
+object SupplierOrders {
+  import NetDemand.runDate
+
+  /** Best (cheapest) supplier per SKU, price_rank = 1 rows only. */
+  def rankedSuppliers(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
+    val prices = lineitem
+      .groupBy(col("l_suppkey").as("po_suppkey"), col("l_partkey").as("po_partkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val activeSuppliers = supplier.filter(col("s_acctbal") >= 0) // is_active analog (O10)
+      .select(col("s_suppkey").as("po_s_suppkey"), col("s_name").as("supplier_name"))
+    val w = Window.partitionBy(col("po_partkey"))
+      .orderBy(col("unit_price").asc, col("po_suppkey").asc)
+    prices
+      .join(activeSuppliers, col("po_suppkey") === col("po_s_suppkey"))
+      .withColumn("price_rank", row_number().over(w))
+      .filter(col("price_rank") === 1)
+      .drop("po_s_suppkey")
+  }
+
+  def apply(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
+    val nd = NetDemand(lineitem, part, supplier).filter(col("net_demand") > 0)
+    val best = rankedSuppliers(lineitem, supplier)
+    val packCols = part.select(
+      col("p_partkey").as("pk_partkey"),
+      ((col("p_size") % 7) + 1).cast("int").as("pack_size"),
+      ((col("p_size") % 11) * 5).cast("int").as("min_order_qty"))
+
+    val packed = ceil(col("net_demand").cast("double") / col("pack_size")) * col("pack_size")
+    val orderQty = greatest(col("min_order_qty").cast("long"), packed).cast("double")
+
+    val sized = nd
+      .join(best, nd("sku_id") === best("po_partkey"))
+      .join(broadcast(packCols), nd("sku_id") === packCols("pk_partkey"))
+      .withColumn("lead_time_days", ((col("sku_id") + col("po_suppkey")) % 14 + 1).cast("int"))
+      .withColumn("order_quantity", orderQty)
+      .withColumn("total_cost", col("order_quantity") * col("unit_price"))
+      .withColumn("expected_delivery_date",
+        date_format(date_add(lit(runDate).cast("date"), col("lead_time_days")), "yyyy-MM-dd"))
+
+    val byCost = Window.orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
+    sized
+      .withColumn("order_id",
+        format_string("PO-%s-%05d", lit(runDate.replace("-", "")),
+          row_number().over(byCost)))
+      .select(
+        col("sku_id"), col("product_name"), col("category"),
+        col("warehouse_id"), col("warehouse_name"),
+        col("po_suppkey").as("supplier_id"), col("supplier_name"),
+        col("net_demand"), col("pack_size"), col("min_order_qty"),
+        col("unit_price"), col("lead_time_days"),
+        col("order_quantity"), col("total_cost"),
+        col("expected_delivery_date"), col("order_id"),
+        lit(runDate).as("order_date"), lit("PENDING").as("status"))
+      .orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
+  }
+
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    apply(Tables.lineitem(spark, dir), Tables.part(spark, dir), Tables.supplier(spark, dir))
+
+  val oracle: String = {
+    val nd = NetDemand.oracle
+      .replace("ORDER BY net_demand DESC, sku_id, warehouse_id", "")
+    s"""WITH net_demand_calc AS (
+       |$nd
+       |), prices AS (
+       |  SELECT l_suppkey AS po_suppkey, l_partkey AS po_partkey,
+       |         MIN(l_extendedprice / l_quantity) AS unit_price
+       |  FROM lineitem GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT pr.*, s.s_name AS supplier_name,
+       |         ROW_NUMBER() OVER (PARTITION BY pr.po_partkey
+       |                            ORDER BY pr.unit_price ASC, pr.po_suppkey ASC) AS price_rank
+       |  FROM prices pr JOIN supplier s ON pr.po_suppkey = s.s_suppkey
+       |  WHERE s.s_acctbal >= 0
+       |), sized AS (
+       |  SELECT nd.sku_id, nd.product_name, nd.category, nd.warehouse_id, nd.warehouse_name,
+       |         r.po_suppkey AS supplier_id, r.supplier_name, nd.net_demand,
+       |         CAST((p.p_size % 7) + 1 AS INTEGER) AS pack_size,
+       |         CAST((p.p_size % 11) * 5 AS INTEGER) AS min_order_qty,
+       |         r.unit_price,
+       |         CAST((nd.sku_id + r.po_suppkey) % 14 + 1 AS INTEGER) AS lead_time_days,
+       |         CAST(GREATEST(CAST(CAST((p.p_size % 11) * 5 AS INTEGER) AS BIGINT),
+       |              CAST(CEILING(CAST(nd.net_demand AS DOUBLE) / (CAST((p.p_size % 7) + 1 AS INTEGER))) AS BIGINT)
+       |                * (CAST((p.p_size % 7) + 1 AS INTEGER))) AS DOUBLE) AS order_quantity
+       |  FROM net_demand_calc nd
+       |  JOIN ranked r ON nd.sku_id = r.po_partkey AND r.price_rank = 1
+       |  JOIN part p ON nd.sku_id = p.p_partkey
+       |  WHERE nd.net_demand > 0
+       |), costed AS (
+       |  SELECT sized.*, order_quantity * unit_price AS total_cost,
+       |         strftime(CAST('$runDate' AS DATE) + lead_time_days, '%Y-%m-%d') AS expected_delivery_date
+       |  FROM sized
+       |)
+       |SELECT sku_id, product_name, category, warehouse_id, warehouse_name,
+       |       supplier_id, supplier_name, net_demand, pack_size, min_order_qty,
+       |       unit_price, lead_time_days, order_quantity, total_cost,
+       |       expected_delivery_date,
+       |       printf('PO-%s-%05d', '${runDate.replace("-", "")}',
+       |              ROW_NUMBER() OVER (ORDER BY total_cost DESC, sku_id, warehouse_id)) AS order_id,
+       |       '$runDate' AS order_date, 'PENDING' AS status
+       |FROM costed
+       |ORDER BY total_cost DESC, sku_id, warehouse_id""".stripMargin
+  }
+}

@@ -23,7 +23,17 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long that we
+    * floor-truncate to microseconds (integer DIV — double division would
+    * lose precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

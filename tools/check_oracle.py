@@ -49,10 +49,14 @@ def main(sf_dir, out_dir):
         oracles = json.load(f)
 
     failures = 0
-    for name in sorted(os.listdir(out_dir)):
+    produced = {n for n in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, n))}
+    from_entry = set(oracles)
+    for missing in sorted(from_entry - produced):
+        print(f"  {missing}: MISSING OUTPUT (query failed in Verify)")
+        failures += 1
+    for name in sorted(produced):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         rel = con.execute(
             "SELECT * FROM read_parquet(" + json.dumps(files) + ")")

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** S3 — the inventory-snapshot store (replaces the reference's Cassandra
+  * table `procurement.inventory_snapshots`, init-scripts/cassandra/init.cql:7-17,
+  * loaded row-by-row at dags/pipeline.py:275-289).
+  *
+  * Cassandra INSERT is an upsert: repeated writes of the same primary key
+  * ((sku_code), snapshot_date, warehouse_code) last-write-win. Reproduced
+  * Spark-natively as: append-only parquet batches carrying a monotonically
+  * increasing `batch_seq`, and a read path that keeps, per key, only the row
+  * from the highest batch (ROW_NUMBER over the key ordered by batch_seq
+  * DESC — SURVEY §2.4(5)).
+  *
+  * Scale design: the store is written partitioned by `snapshot_date`, so the
+  * reference's `WHERE snapshot_date = DATE '...'` scan (S7) becomes partition
+  * pruning — the 100 TB history is never touched for a single-day read. The
+  * dedup window partitions by the full key, so it parallelizes across keys;
+  * there is no global window. Compaction (`compact`) rewrites a date
+  * partition to its deduped form so hot dates pay the window once.
+  */
+object SnapshotStore {
+
+  val keyCols: Seq[String] = Seq("sku_code", "snapshot_date", "warehouse_code")
+
+  /** Append one load batch. `batchSeq` orders re-loads: later batches win. */
+  def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit =
+    snapshots
+      .withColumn("batch_seq", lit(batchSeq))
+      .write.mode("append").partitionBy("snapshot_date").parquet(storeDir)
+
+  /** Read with upsert semantics: per key, latest batch wins. */
+  def read(spark: SparkSession, storeDir: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_seq").desc)
+    spark.read.parquet(storeDir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "batch_seq")
+  }
+
+  /** Date-pruned read — the `snapshot_date = DATE '...'` scan. The filter
+    * lands on the partition column, so only one directory is listed/read. */
+  def readDay(spark: SparkSession, storeDir: String, day: String): DataFrame =
+    read(spark, storeDir).filter(col("snapshot_date") === lit(day))
+
+  /** Rewrite one date partition to its deduped form (idempotent). */
+  def compact(spark: SparkSession, storeDir: String, day: String): Unit = {
+    val deduped = readDay(spark, storeDir, day)
+      .withColumn("batch_seq", lit(0L))
+      .drop("snapshot_date") // supplied by the partition directory
+    val tmp = s"$storeDir/.compact_tmp_$day"
+    deduped.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(storeDir), conf)
+    val dest = new org.apache.hadoop.fs.Path(s"$storeDir/snapshot_date=$day")
+    fs.delete(dest, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dest)
+  }
+}

@@ -26,7 +26,23 @@ object SparkEntry {
     "q3_supplier_orders" -> ((s, dir) => { GraftSession.tune(s); SupplierOrders.fromDir(s, dir) }),
     "s5_row_counts" -> ((s, dir) => { GraftSession.tune(s); MiscOps.rowCounts(s, dir) }),
     "s7_snapshot_scan" -> ((s, dir) => { GraftSession.tune(s); MiscOps.eventsOnDay(s, dir) }),
-    "o20_summary" -> ((s, dir) => { GraftSession.tune(s); MiscOps.pipelineSummary(s, dir) })
+    "o20_summary" -> ((s, dir) => { GraftSession.tune(s); MiscOps.pipelineSummary(s, dir) }),
+    // ---- training-data pipeline extensions ----
+    "dedup_exact" -> ((s, dir) => { GraftSession.tune(s); Dedup.exactFromDir(s, dir) }),
+    "dedup_ngram_jaccard" -> ((s, dir) => { GraftSession.tune(s); Dedup.ngramFromDir(s, dir) }),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      { GraftSession.tune(s); Dedup.minhashLsh(graft.sources.Tables.documents(s, dir)) }),
+    "dedup_simhash" -> ((s, dir) =>
+      { GraftSession.tune(s); Dedup.simhashNearDups(graft.sources.Tables.documents(s, dir)) }),
+    "dedup_embedding_cosine" -> ((s, dir) => { GraftSession.tune(s); Dedup.embeddingFromDir(s, dir) }),
+    "knn_cosine_topk" -> ((s, dir) => { GraftSession.tune(s); Similarity.knnFromDir(s, dir) }),
+    "text_token_stats" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.tokenStatsFromDir(s, dir) }),
+    "text_quality" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.qualityFromDir(s, dir) }),
+    "text_langid" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.langIdFromDir(s, dir) }),
+    "text_fingerprint" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.fingerprintsFromDir(s, dir) }),
+    "multimodal_meta" -> ((s, dir) => { GraftSession.tune(s); Multimodal.metaFromDir(s, dir) }),
+    "events_hourly" -> ((s, dir) =>
+      { GraftSession.tune(s); graft.streaming.EventStreams.hourlyBatch(s, dir) })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,6 +53,17 @@ object SparkEntry {
     "q3_supplier_orders" -> SupplierOrders.oracle,
     "s5_row_counts" -> MiscOps.s5Oracle,
     "s7_snapshot_scan" -> MiscOps.s7Oracle(),
-    "o20_summary" -> MiscOps.o20Oracle
+    "o20_summary" -> MiscOps.o20Oracle,
+    "dedup_exact" -> Dedup.exactOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
+    // dedup_minhash_lsh / dedup_simhash / text_langid / text_fingerprint:
+    // hash-family internals aren't SQL-expressible → rows-only check;
+    // semantics verified in ScalaTest against exact-Jaccard / reference impls
+    "dedup_embedding_cosine" -> Dedup.embeddingNearDupsOracle(),
+    "knn_cosine_topk" -> Similarity.knnOracle(),
+    "text_token_stats" -> TextAnalysis.tokenStatsOracle,
+    "text_quality" -> TextAnalysis.qualityOracle,
+    "multimodal_meta" -> Multimodal.payloadMetaOracle,
+    "events_hourly" -> graft.streaming.EventStreams.hourlyOracle
   )
 }

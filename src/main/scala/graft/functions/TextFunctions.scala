@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline — all
+  * built from codegen'd `org.apache.spark.sql.functions` (no UDFs), so they
+  * stay inside whole-stage codegen and scale to 100 TB document tables.
+  */
+object TextFunctions {
+
+  /** Tokenize on single spaces (matching DuckDB string_split for oracle
+    * parity), dropping empty tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles: join of each n-length sliding window. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(lit(0), size(toks) - lit(n - 1))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+  }
+
+  /** Count of characters matching a regex character class. */
+  def charClassCount(text: Column, clazz: String): Column =
+    length(text) - length(regexp_replace(text, clazz, ""))
+
+  def punctRatio(text: Column): Column =
+    charClassCount(text, "[.,!?;:]") / greatest(length(text), lit(1))
+
+  def upperRatio(text: Column): Column =
+    charClassCount(text, "[A-Z]") / greatest(length(text), lit(1))
+
+  def digitRatio(text: Column): Column =
+    charClassCount(text, "[0-9]") / greatest(length(text), lit(1))
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that", "be")
+
+  /** Fraction of tokens that are stopwords — a fluency proxy. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val toks = tokens(text)
+    size(array_intersect_keepdup(toks, stopwords)) / greatest(size(toks), lit(1))
+  }
+
+  /** Count tokens ∈ vocabulary, keeping duplicates (array_intersect dedups,
+    * which would undercount repeated stopwords). */
+  private def array_intersect_keepdup(toks: Column, vocab: Seq[String]): Column =
+    filter(toks, t => t.isInCollection(vocab))
+
+  /** Composite quality score in [0,1]: length sweet-spot, punctuation
+    * presence, stopword fluency, low digit noise. Heuristic mirror of the
+    * standard pretraining-corpus quality filters. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text) / lit(500.0), lit(1.0))
+    val fluency = least(stopwordRatio(text) * 4, lit(1.0))
+    val noise = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 5)
+    round((lenScore + fluency + noise) / 3, 6)
+  }
+
+  /** Per-language stopword lexicons for the n-gram/lexicon language-ID
+    * heuristic. Deliberately small: language ID at corpus scale is a
+    * scoring pass, not a model. */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "auf"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "que"))
+
+  def langScore(text: Column, lexicon: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(lexicon)))
+
+  /** Predicted language: highest lexicon hit-count; CJK codepoint presence
+    * short-circuits to zh; all-zero scores → "und". Ties resolve in
+    * lexicon declaration order (deterministic). */
+  def langId(text: Column): Column = {
+    val scores = langLexicons.map { case (lang, lex) => (lang, langScore(text, lex)) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    val best = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    when(charClassCount(text, "[\\u4e00-\\u9fff]") > 0, lit("zh")).otherwise(best)
+  }
+}

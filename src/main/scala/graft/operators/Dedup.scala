@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * Scale design notes (the point of each variant):
+  *   - exact: one hash-shuffle on the text (or fingerprint) key; at 100 TB
+  *     group on a 64-bit fingerprint instead of the raw text to keep shuffle
+  *     rows narrow, with an optional in-group equality re-check.
+  *   - n-gram Jaccard: the candidate generation is a self-join on SHARED
+  *     SHINGLES, never an all-pairs product — cost is Σ|bucket|², bounded by
+  *     shingle selectivity. The exact Jaccard is integer set math, so it
+  *     cross-checks bit-exactly against the DuckDB oracle.
+  *   - MinHash+LSH: replaces the shingle join's worst case with fixed-width
+  *     signatures; candidate pairs only form inside an LSH band bucket.
+  *     Probability a pair with Jaccard j collides: 1-(1-j^r)^b.
+  *   - SimHash: 64-bit near-dup sketch; Hamming-close pairs found by
+  *     exact-match blocking on bit-chunks (pigeonhole: d ≤ k differences ⇒
+  *     some chunk of k+1 is identical), again never all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by content: canonical id = min doc_id per distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+      .select(col("canonical_id"), col("dup_count"), length(col("text")).as("text_len"))
+      .orderBy(col("canonical_id"))
+
+  val exactOracle: String =
+    """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count,
+      |       LENGTH(text) AS text_len
+      |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
+
+  /** Distinct word-n-gram shingles per doc. */
+  def shingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
+    * shingle; similarity = |∩|/|∪| in integer math). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("id1"), col("shingle"))
+    val b = sh.select(col("doc_id").as("id2"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(card.select(col("doc_id").as("id1"), col("n_shingles").as("n1")), Seq("id1"))
+      .join(card.select(col("doc_id").as("id2"), col("n_shingles").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def ngramJaccardOracle(n: Int = 5, threshold: Double = 0.5): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT id1, id2, n_common,
+       |       CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
+       |FROM inter
+       |JOIN card ca ON id1 = ca.doc_id
+       |JOIN card cb ON id2 = cb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic universal-hash parameters for MinHash signatures. */
+  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((math.abs(rnd.nextLong() % 2147483647L) + 1,
+      math.abs(rnd.nextLong() % 2147483647L)))
+  }
+
+  /** MinHash signatures: per doc, the min of (a·h(shingle)+b mod p) per hash
+    * function — one shuffle (the groupBy), signature width fixed. */
+  def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    val params = hashParams(numHashes, seed)
+    val sh = shingles(docs, n)
+      .withColumn("h", abs(xxhash64(col("shingle"))))
+    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") % p * a + b, lit(p))).as(s"mh_$i")
+    }
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH banding: docs whose signature agrees on ALL rows of some band land
+    * in the same bucket; bucket-mates are candidate pairs. */
+  def minhashLshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh_"))
+    val rows = mhCols.length / bands
+    val bandExprs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(mhCols.slice(b * rows, (b + 1) * rows).map(col): _*).as("bucket"))
+    }
+    val banded = signatures
+      .select(col("doc_id"), explode(array(bandExprs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
+    * with exact Jaccard on shingle sets (verification only touches
+    * candidate pairs, not the corpus product). */
+  def minhashLsh(docs: DataFrame, n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val cands = minhashLshCandidates(minhashSignatures(docs, n, numHashes, seed), bands)
+    val exact = ngramJaccardPairs(docs, n, threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+    cands.join(exact, Seq("id1", "id2")) // verify candidates
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over tokens: bit_i = sign(Σ_tokens ±1 on hash bit i). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("token"))
+      .withColumn("th", xxhash64(col("token")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs via pigeonhole blocking: split the 64
+    * bits into (maxDistance+1) chunks; pairs within distance must share at
+    * least one exact chunk — candidates only form inside chunk buckets. */
+  def simhashNearDups(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val sigs = simhash(docs).cache()
+    val chunkExprs = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * bits)
+          .bitwiseAND((1L << bits) - 1).as("key"))
+    }
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(chunkExprs: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
+    val l = blocked.select(col("chunk"), col("key"),
+      col("doc_id").as("id1"), col("simhash").as("sig1"))
+    val r = blocked.select(col("chunk"), col("key"),
+      col("doc_id").as("id2"), col("simhash").as("sig2"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  // ------------------------------------------------------- embedding cosine
+
+  /** Pairwise cosine near-dups over the embeddings table. Brute-force
+    * O(n²/2) pairs — the oracle-checkable baseline; the LSH-bucketed scale
+    * path is [[Similarity.lshCosineCandidates]]. */
+  def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = embeddings.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.crossJoin(b)
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", Similarity.cosine(col("e1"), col("e2")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), round(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def embeddingNearDupsOracle(threshold: Double = 0.4): String =
+    s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                                    CAST(b.embedding AS DOUBLE[])), 8) AS cosine_r
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+
+  def exactFromDir(spark: SparkSession, dir: String): DataFrame =
+    exact(Tables.documents(spark, dir))
+  def ngramFromDir(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir))
+  def embeddingFromDir(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(Tables.embeddings(spark, dir))
+}

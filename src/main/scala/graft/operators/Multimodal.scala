@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata; decode / feature-extraction runs
+  * per-partition over batches.
+  *
+  * The Spark-side contract is real and tested — schema, partitioning, batch
+  * shape, deterministic output — while the actual media decode is STUBBED
+  * (this container has no image/audio codecs): `fakeDecodeFeatures`
+  * produces a deterministic per-payload feature vector derived from the
+  * bytes. Swapping in a real decoder changes ONE function, not the plan.
+  *
+  * Scale design: payloads never pass through a shuffle — metadata extraction
+  * is expression-level on the scan, and feature extraction is mapPartitions
+  * (tier (d), justified: imperative batch decode over opaque bytes is
+  * exactly its use case). Downstream joins/dedup run on the narrow
+  * metadata/feature columns, never on the blobs.
+  */
+object Multimodal {
+
+  /** Treat document text as an opaque payload (the container has no real
+    * media files; byte semantics are identical). */
+  def asBinaryPayloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      col("source"),
+      lit("application/octet-stream").as("mime"))
+
+  /** Expression-level metadata over binary payloads — md5, byte length,
+    * a 16-byte prefix — no decode, no shuffle, codegen'd. */
+  def payloadMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"),
+      length(col("payload")).as("byte_length"),
+      md5(col("payload")).as("content_md5"),
+      hex(substring(col("payload"), 1, 8)).as("magic_prefix"),
+      col("mime"), col("source"))
+      .orderBy(col("media_id"))
+
+  val payloadMetaOracle: String =
+    """SELECT doc_id AS media_id,
+      |       LENGTH(text) AS byte_length,
+      |       md5(text) AS content_md5,
+      |       upper(hex(substr(text, 1, 8))) AS magic_prefix,
+      |       'application/octet-stream' AS mime, source
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  val featureDim = 16
+
+  /** STUB decode: deterministic pseudo-features from payload bytes (stands
+    * in for image resize / audio spectrogram / frame sampling). Replace the
+    * body with a real codec call to productionize; the signature — bytes in,
+    * fixed-width float vector out — is the real contract. */
+  def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % featureDim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** Per-partition batched "decode" → fixed-width feature vectors. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), fakeDecodeFeatures(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+
+  /** End-to-end: payloads → features → cosine near-dup candidates among
+    * payload features (reuses the embedding-column operators). */
+  def featureNearDups(docs: DataFrame, threshold: Double = 0.99): DataFrame = {
+    val feats = extractFeatures(asBinaryPayloads(docs))
+      .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+    Dedup.embeddingNearDups(feats, threshold)
+  }
+
+  def metaFromDir(spark: SparkSession, dir: String): DataFrame =
+    payloadMeta(asBinaryPayloads(Tables.documents(spark, dir)))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.functions.{Fingerprint, TextFunctions => TF}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table: token statistics,
+  * quality scoring, language ID, and content fingerprinting. All
+  * expression-level (no shuffles) — they run inside the scan's
+  * whole-stage-codegen stage and cost one pass regardless of corpus size.
+  */
+object TextAnalysis {
+
+  /** Token / character statistics per document. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("chars"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      size(array_distinct(TF.tokens(col("text")))).as("n_distinct_tokens"),
+      round(length(col("text")).cast("double") /
+        greatest(TF.tokenCount(col("text")), lit(1)), 6).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id, LENGTH(text) AS chars,
+      |       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+      |       len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct_tokens,
+      |       ROUND(CAST(LENGTH(text) AS DOUBLE) /
+      |             GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length/punct/stopword/digit components + composite. */
+  def quality(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
+      TF.qualityScore(col("text")).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  val qualityOracle: String = {
+    val sw = TF.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+       |         GREATEST(LENGTH(text), 1) AS len1
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, text, len1,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / len1 AS punct_ratio,
+       |         CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE)
+       |           / GREATEST(len(toks), 1) AS stopword_ratio,
+       |         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len1 AS digit_ratio
+       |  FROM t
+       |)
+       |SELECT doc_id, ROUND(punct_ratio, 6) AS punct_ratio,
+       |       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       |       ROUND(digit_ratio, 6) AS digit_ratio,
+       |       ROUND((LEAST(LENGTH(text) / 500.0, 1.0)
+       |              + LEAST(stopword_ratio * 4, 1.0)
+       |              + GREATEST(0.0, 1.0 - digit_ratio * 5)) / 3, 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language ID (lexicon heuristic) — see TextFunctions.langId. */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+      TF.langId(col("text")).as("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash content fingerprint (custom codegen'd Expression). */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      Fingerprint.docFingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  def tokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
+    tokenStats(Tables.documents(spark, dir))
+  def qualityFromDir(spark: SparkSession, dir: String): DataFrame =
+    quality(Tables.documents(spark, dir))
+  def langIdFromDir(spark: SparkSession, dir: String): DataFrame =
+    langId(Tables.documents(spark, dir))
+  def fingerprintsFromDir(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(Tables.documents(spark, dir))
+}

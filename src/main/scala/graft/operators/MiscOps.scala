@@ -54,7 +54,10 @@ object MiscOps {
       count(when(col("l_returnflag") === "R", lit(1))).as("returned_lines"),
       countDistinct(col("l_partkey")).as("distinct_skus"),
       countDistinct(col("l_suppkey")).as("distinct_warehouses"),
-      max(date_format(col("l_shipdate"), "yyyy-MM-dd")).as("last_ship_date"))
+      // timestamp max + post-format (primitive agg buffer; see AggregateOrders)
+      max(col("l_shipdate")).as("last_ship_ts"))
+      .withColumn("last_ship_date", date_format(col("last_ship_ts"), "yyyy-MM-dd"))
+      .drop("last_ship_ts")
   }
 
   val o20Oracle: String =

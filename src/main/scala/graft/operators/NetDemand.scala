@@ -5,13 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Q2 of the reference — "calculate_net_demand" (reference
-  * dags/pipeline.py:495-537): a CTE chain (O12) of
-  *   1. aggregated demand per (sku, warehouse),
-  *   2. safety-stock densification — global per-SKU threshold CROSS JOIN all
-  *      warehouses (O4), LEFT JOIN a per-(sku,warehouse) override on a
-  *      composite key (O5), 3-arg COALESCE override→global→0 (O13),
-  *   3. inventory snapshot scan with a date predicate (S7/O10),
-  * then two LEFT JOINs and the demand formula
+  * dags/pipeline.py:495-537): a CTE chain (O12) of aggregated demand,
+  * safety-stock densification with per-(sku,warehouse) override (O4/O5,
+  * COALESCE override→global→0, O13), and an inventory snapshot scan with a
+  * date predicate (S7/O10), combined with LEFT-JOIN semantics into
   *   effective = COALESCE(avail,0) - COALESCE(reserved,0)
   *   net_demand = GREATEST(0, demand + COALESCE(safety,0) - effective)  (O14)
   * sorted by net_demand DESC (O11) with a constant calculation_date (O19).
@@ -21,35 +18,46 @@ import org.apache.spark.sql.functions._
   * shipped qty, reserved = returned 'R' qty); the global safety threshold
   * derives from part (2×p_size) and the override exists for ~1/3 of
   * (part,supplier) pairs. The reference's "missing snapshot day ⇒ all-zero
-  * inventory" semantics (SURVEY §2.4(4)) holds here: an absent snapshot
-  * window degrades to zeros via the COALESCEs — see NetDemandSpec.
+  * inventory" semantics (SURVEY §2.4(4)) holds: an absent snapshot window
+  * leaves the conditional sums NULL and every COALESCE falls back to 0 —
+  * see NetDemandSpec.
   *
-  * Scale design: demand and inventory are both partial-aggregated before
-  * their shuffle; both land on the same (sku, warehouse) keys so AQE can
-  * plan the final joins without a second shuffle of the big side. The
-  * densified safety table is |part|×|supplier| — at 100 TB that product is
-  * itself large, so it is built from the two *dimension* tables only (never
-  * the fact) and joins the aggregated (already reduced) demand. Dimension
-  * lookups are broadcast.
+  * Scale design — why this is ONE scan and ONE shuffle:
+  *   - Demand and inventory group on the same (sku, warehouse) key over the
+  *     same fact table, so they are computed as conditional aggregates in a
+  *     single partial-aggregated pass ([[pairStats]]) instead of two scans
+  *     joined afterwards. LEFT-JOIN-miss semantics survive as NULL sums.
+  *   - The safety threshold is a function of broadcast dimension attributes,
+  *     so it is computed per demand pair after the broadcast joins — never
+  *     by materializing the |part|×|supplier| cross product (20M rows at
+  *     sf0.1, ruinous at 100 TB). The explicit densified form (the
+  *     reference's own table shape) lives in
+  *     [[graft.procurement.Queries.safetyStockCombined]] where the inputs
+  *     really are tables.
   */
 object NetDemand {
   val runDate = "1998-01-01"
   val snapStart = "1997-01-01"
 
-  /** Per-(sku,warehouse) safety-stock override — defined for pairs where
-    * (sku + warehouse) % 3 == 0, mirroring the reference's sparse
-    * safety_stock_by_warehouse (62 of 400 pairs, init.sql:326-352). */
-  def safetyOverrides(part: DataFrame, supplier: DataFrame): DataFrame =
-    part.select(col("p_partkey").as("ov_partkey"), col("p_size"))
-      .crossJoin(supplier.select(col("s_suppkey").as("ov_suppkey")))
-      .filter((col("ov_partkey") + col("ov_suppkey")) % 3 === 0)
-      .select(col("ov_partkey"), col("ov_suppkey"),
-        (col("p_size") + col("ov_suppkey")).cast("long").as("override_qty"))
+  /** One pass over the fact table: demand, inventory and price statistics
+    * per (sku, warehouse) as conditional aggregates. NULL where a pair has
+    * no rows in the corresponding window (== outer-join miss). */
+  def pairStats(lineitem: DataFrame, invFrom: String = snapStart,
+                invUntil: String = runDate): DataFrame = {
+    val inWindow = col("l_shipdate") >= lit(invFrom) && col("l_shipdate") < lit(invUntil)
+    lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= lit(runDate), col("l_quantity").cast("long")))
+          .as("aggregated_orders"),
+        sum(when(inWindow, col("l_quantity").cast("long"))).as("available_qty"),
+        sum(when(inWindow && col("l_returnflag") === "R", col("l_quantity").cast("long"))
+          .otherwise(when(inWindow, 0L))).as("reserved_qty"),
+        min(col("l_extendedprice") / col("l_quantity")).as("unit_price_all"))
+  }
 
-  /** Densified safety stock: every (sku, warehouse) pair with the override
-    * winning over the global threshold (reference pipeline.py:506-515).
-    * Both branches derive from the same dimension scans, so each aliases its
-    * keys (fresh exprIds) to keep the self-join unambiguous. */
+  /** Densified safety-stock table (kept for the operator's own semantics
+    * and spec; the query path computes the same value inline). */
   def safetyCombined(part: DataFrame, supplier: DataFrame): DataFrame = {
     val dense = part.select(col("p_partkey").as("ss_partkey"), col("p_size"))
       .crossJoin(supplier.select(col("s_suppkey").as("ss_suppkey")))
@@ -63,61 +71,53 @@ object NetDemand {
           .as("safety_stock"))
   }
 
-  /** Inventory "snapshot" for the 1997 window: available / reserved per
-    * (sku, warehouse); the date predicate is pushed to the parquet scan. */
-  def inventory(lineitem: DataFrame, from: String = snapStart, until: String = runDate): DataFrame =
-    lineitem
-      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
-      // renamed keys: inventory shares lineage with the demand branch (both
-      // scan lineitem), so distinct names avoid self-join attribute ambiguity
-      .groupBy(col("l_partkey").as("i_partkey"), col("l_suppkey").as("i_suppkey"))
-      .agg(
-        sum(col("l_quantity").cast("long")).as("available_qty"),
-        sum(when(col("l_returnflag") === "R", col("l_quantity").cast("long"))
-          .otherwise(0L)).as("reserved_qty"))
+  /** Per-(sku,warehouse) safety-stock override — pairs where
+    * (sku + warehouse) % 3 == 0, mirroring the reference's sparse
+    * safety_stock_by_warehouse (init.sql:326-352). */
+  def safetyOverrides(part: DataFrame, supplier: DataFrame): DataFrame =
+    part.select(col("p_partkey").as("ov_partkey"), col("p_size"))
+      .crossJoin(supplier.select(col("s_suppkey").as("ov_suppkey")))
+      .filter((col("ov_partkey") + col("ov_suppkey")) % 3 === 0)
+      .select(col("ov_partkey"), col("ov_suppkey"),
+        (col("p_size") + col("ov_suppkey")).cast("long").as("override_qty"))
+
+  /** The inline safety expression: COALESCE(override, global, 0) with the
+    * override condition evaluated against broadcast dim attributes —
+    * value-identical to joining [[safetyCombined]]. */
+  private def safetyExpr = coalesce(
+    when((col("l_partkey") + col("l_suppkey")) % 3 === 0,
+      (col("p_size") + col("l_suppkey")).cast("long")),
+    (col("p_size") * 2).cast("long"),
+    lit(0L))
 
   def apply(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame =
     apply(lineitem, part, supplier, snapStart, runDate)
 
-  /** Parameterized snapshot window — an empty window reproduces the
-    * reference's "missing inventory day ⇒ all zeros" behavior
-    * (SURVEY §2.4(4)): every inventory COALESCE falls back to 0 and
-    * net_demand degrades to demand + safety. */
   def apply(lineitem: DataFrame, part: DataFrame, supplier: DataFrame,
-            invFrom: String, invUntil: String): DataFrame = {
-    val demand = lineitem
-      .filter(col("l_shipdate") >= lit(runDate))
-      .groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("long")).as("aggregated_orders"))
+            invFrom: String, invUntil: String): DataFrame =
+    fromStats(pairStats(lineitem, invFrom, invUntil), part, supplier)
 
-    val safety = safetyCombined(part, supplier)
-    val inv = inventory(lineitem, invFrom, invUntil)
-    val partDim = part.select(col("p_partkey"), col("p_name"), col("p_brand"))
+  def fromStats(stats: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
+    val partDim = part.select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
     val suppDim = supplier.select(col("s_suppkey"), col("s_name"))
-
-    demand
-      .join(broadcast(partDim), demand("l_partkey") === partDim("p_partkey"))
-      .join(broadcast(suppDim), demand("l_suppkey") === suppDim("s_suppkey"))
-      .join(safety,
-        demand("l_partkey") === safety("ss_partkey") &&
-          demand("l_suppkey") === safety("ss_suppkey"), "left_outer")
-      .join(inv,
-        demand("l_partkey") === inv("i_partkey") &&
-          demand("l_suppkey") === inv("i_suppkey"), "left_outer")
+    stats
+      .filter(col("aggregated_orders").isNotNull) // inner semantics of the demand CTE
+      .join(broadcast(partDim), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
       .select(
-        demand("l_partkey").as("sku_id"),
+        col("l_partkey").as("sku_id"),
         col("p_name").as("product_name"),
         col("p_brand").as("category"),
-        demand("l_suppkey").as("warehouse_id"),
+        col("l_suppkey").as("warehouse_id"),
         col("s_name").as("warehouse_name"),
         col("aggregated_orders"),
-        coalesce(col("safety_stock"), lit(0L)).as("safety_stock"),
+        safetyExpr.as("safety_stock"),
         coalesce(col("available_qty"), lit(0L)).as("available_stock"),
         coalesce(col("reserved_qty"), lit(0L)).as("reserved_stock"),
         (coalesce(col("available_qty"), lit(0L)) - coalesce(col("reserved_qty"), lit(0L)))
           .as("effective_stock"),
         greatest(lit(0L),
-          col("aggregated_orders") + coalesce(col("safety_stock"), lit(0L))
+          col("aggregated_orders") + safetyExpr
             - (coalesce(col("available_qty"), lit(0L)) - coalesce(col("reserved_qty"), lit(0L))))
           .as("net_demand"),
         lit(runDate).as("calculation_date"))

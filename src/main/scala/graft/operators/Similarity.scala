@@ -24,26 +24,32 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  /** Cosine similarity of two float-array columns, computed in double via
+    * the fused codegen'd dot product ([[graft.functions.FloatVecDot]] —
+    * identical operation order to `aggregate(zip_with(...))`, so values are
+    * bit-stable against the composed-builtin form and the DuckDB oracle). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
+    val dot = graft.functions.FloatVecDot.dot(a, b)
+    dot / (sqrt(graft.functions.FloatVecDot.dot(a, a)) *
+      sqrt(graft.functions.FloatVecDot.dot(b, b)))
   }
+
+  /** L2 norm column for precomputing per-row (norms are per-vector; compute
+    * them |N| times before a pairwise join, not |N|² times inside it). */
+  def l2norm(e: Column): Column = sqrt(graft.functions.FloatVecDot.dot(e, e))
 
   /** Exact top-k neighbors for each query vector (excluding self). */
   def bruteForceKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val n = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      l2norm(col("embedding")).as("qn"))
+    val n = embeddings.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+      l2norm(col("embedding")).as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(q).crossJoin(n)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .withColumn("cosine",
+        graft.functions.FloatVecDot.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

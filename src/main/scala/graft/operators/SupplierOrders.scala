@@ -34,25 +34,29 @@ import org.apache.spark.sql.functions._
 object SupplierOrders {
   import NetDemand.runDate
 
-  /** Best (cheapest) supplier per SKU, price_rank = 1 rows only. */
-  def rankedSuppliers(lineitem: DataFrame, supplier: DataFrame): DataFrame = {
-    val prices = lineitem
-      .groupBy(col("l_suppkey").as("po_suppkey"), col("l_partkey").as("po_partkey"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+  /** Best (cheapest) supplier per SKU, price_rank = 1 rows only.
+    * `prices` is per-(supplier, sku) min unit price — from
+    * [[NetDemand.pairStats]] so the fact-table scan+shuffle is shared with
+    * the demand branch (Spark's ReuseExchange dedups the exchange). */
+  def rankedSuppliers(prices: DataFrame, supplier: DataFrame): DataFrame = {
     val activeSuppliers = supplier.filter(col("s_acctbal") >= 0) // is_active analog (O10)
       .select(col("s_suppkey").as("po_s_suppkey"), col("s_name").as("supplier_name"))
     val w = Window.partitionBy(col("po_partkey"))
       .orderBy(col("unit_price").asc, col("po_suppkey").asc)
     prices
-      .join(activeSuppliers, col("po_suppkey") === col("po_s_suppkey"))
+      .join(broadcast(activeSuppliers), col("po_suppkey") === col("po_s_suppkey"))
       .withColumn("price_rank", row_number().over(w))
       .filter(col("price_rank") === 1)
       .drop("po_s_suppkey")
   }
 
   def apply(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
-    val nd = NetDemand(lineitem, part, supplier).filter(col("net_demand") > 0)
-    val best = rankedSuppliers(lineitem, supplier)
+    val stats = NetDemand.pairStats(lineitem)
+    val nd = NetDemand.fromStats(stats, part, supplier).filter(col("net_demand") > 0)
+    val best = rankedSuppliers(
+      stats.select(col("l_suppkey").as("po_suppkey"), col("l_partkey").as("po_partkey"),
+        col("unit_price_all").as("unit_price")),
+      supplier)
     val packCols = part.select(
       col("p_partkey").as("pk_partkey"),
       ((col("p_size") % 7) + 1).cast("int").as("pack_size"),

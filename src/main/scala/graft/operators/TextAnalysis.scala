@@ -12,15 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Token / character statistics per document. */
+  /** Token / character statistics per document. The token array is
+    * materialized once per row (explicit projection boundary) — inlining it
+    * into every stat would re-split the text per statistic. */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      length(col("text")).as("chars"),
-      TF.tokenCount(col("text")).as("n_tokens"),
-      size(array_distinct(TF.tokens(col("text")))).as("n_distinct_tokens"),
-      round(length(col("text")).cast("double") /
-        greatest(TF.tokenCount(col("text")), lit(1)), 6).as("avg_token_len"))
+    docs.select(col("doc_id"), length(col("text")).as("chars"),
+      TF.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        round(col("chars").cast("double") /
+          greatest(size(col("toks")), lit(1)), 6).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
   val tokenStatsOracle: String =

@@ -42,7 +42,15 @@ object Queries {
       .agg(
         sum(orders("quantity").cast("long")).as("total_quantity"),
         count(lit(1)).as("order_count"),
-        max(orders("order_date")).as("order_date")) // string max; ISO-safe
+        // The reference takes MAX over the VARCHAR order_date
+        // (pipeline.py:420) — lexicographic == chronological for ISO dates
+        // (SURVEY §2.4(6)). Aggregating the *cast date* and formatting back
+        // is value-identical for ISO input but keeps the agg buffer
+        // primitive (HashAggregate, not SortAggregate); non-ISO garbage
+        // becomes NULL here vs. sorting lexicographically there — the same
+        // cast-to-null contract every other column already follows.
+        max(orders("order_date").cast("date")).as("max_order_date"))
+      .withColumn("order_date", date_format(col("max_order_date"), "yyyy-MM-dd"))
       .select(
         products("sku_id"), col("sku_code"), col("product_name"), col("category"),
         warehouses("warehouse_id"), col("warehouse_code"), col("warehouse_name"),

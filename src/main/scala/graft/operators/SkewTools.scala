@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffled equi-joins.
+  *
+  * AQE's skew-join splitting (on by default in GraftSession) handles most
+  * skew at runtime; explicit salting remains necessary when one build-side
+  * key is hot enough that even a split partition overwhelms a task, or when
+  * AQE is unavailable (streaming joins). Classic scheme:
+  *
+  *   left (large, skewed):  salt = pmod(rand-ish hash, S)  — one row keeps
+  *                          one salt
+  *   right (smaller):       exploded ×S, one copy per salt value
+  *
+  * so the hot key's rows spread across S tasks. The salt derives from a
+  * deterministic hash of non-key columns (not `rand()` — retries/AQE replays
+  * must see stable salts).
+  */
+object SkewTools {
+
+  /** Salted inner equi-join of `left` and `right` on `key`. `salts` spreads
+    * each key across that many shuffle partitions; `saltSource` picks the
+    * deterministic per-row entropy on the left (default: the whole row). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
+                 saltSource: Option[Column] = None): DataFrame = {
+    val entropy = saltSource.getOrElse(struct(left.columns.map(col).toIndexedSeq: _*))
+    val saltedLeft = left.withColumn("__salt", pmod(xxhash64(entropy), lit(salts)))
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -83,10 +83,53 @@ object EventStreams {
     q
   }
 
-  /** Stateful per-user sessionization: events within `gapMinutes` of each
-    * other belong to one session (flatMapGroupsWithState is the scale-proof
-    * state machine; this batch twin computes identical sessions with a
-    * window-gap pattern for verification). */
+  // ------------------------------------------------------- sessionization
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,
+                          n: Long, value: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long,
+                     session_value: Double)
+
+  /** Stateful streaming sessionization: `flatMapGroupsWithState` keeps one
+    * open session per user; an event past the gap closes-and-emits the
+    * previous session. State is O(|active users|), independent of stream
+    * length — the scale-proof pattern for custom state. (Emission on group
+    * completion uses the batch-over-stream property in tests; in a live
+    * stream, event-time timeouts flush idle sessions.) */
+  def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
+                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val gapSec = gapMinutes * 60L
+    // gap measured in floor-seconds, matching the batch twin's
+    // ts.cast("long") semantics (timestamp→long truncates to seconds)
+    def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+        var cur = state.getOption.orNull
+        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          if (cur == null) cur = SessionState(e.ts, e.ts, 1, e.value)
+          else if (sec(e.ts) - sec(cur.last) > gapSec) {
+            out += Session(user, cur.start, cur.last, cur.n, cur.value)
+            cur = SessionState(e.ts, e.ts, 1, e.value)
+          } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.value + e.value)
+        }
+        if (cur != null) {
+          // batch-over-static-data: the group is complete, emit the tail
+          out += Session(user, cur.start, cur.last, cur.n, cur.value)
+          state.remove()
+        }
+        out.iterator
+      })
+  }
+
+  /** Batch twin of sessionization via the window-gap pattern — verifies
+    * [[sessionizeStateful]] on static data. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))

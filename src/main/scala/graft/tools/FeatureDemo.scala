@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft.{GraftExtensions, GraftSession}
+import graft.operators.SkewTools
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Runnable tour of the extension surface: SQL-registered custom
+  * expressions, skew-salted joins, stateful sessionization.
+  *
+  * Usage: runMain graft.tools.FeatureDemo [sfDir]
+  */
+object FeatureDemo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.builder("graft-features")
+      .withExtensions(new GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    Tables.registerViews(spark, dir)
+    println("-- SQL: doc_fingerprint + float_vec_dot (registered via GraftExtensions)")
+    spark.sql(
+      """SELECT d.doc_id, doc_fingerprint(d.text) AS fp,
+        |       float_vec_dot(e.embedding, e.embedding) AS self_dot
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id LIMIT 5""".stripMargin).show(truncate = false)
+
+    println("-- salted join on a synthetic hot key (50% of rows on key=1)")
+    val left = spark.range(100000)
+      .select(when(col("id") % 2 === 0, 1L).otherwise(col("id") % 100).as("k"),
+        col("id").as("v"))
+    val right = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("name"))
+    val plain = left.join(right, Seq("k")).count()
+    val salted = SkewTools.saltedJoin(left, right, "k", salts = 8).count()
+    println(s"plain=$plain salted=$salted equal=${plain == salted}")
+
+    println("-- stateful sessionization (flatMapGroupsWithState) vs batch twin")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value")).as[EventStreams.SessionEvent]
+    val stateful = EventStreams.sessionizeStateful(ev)
+    val batch = EventStreams.sessionizeBatch(Tables.events(spark, dir))
+    println(s"stateful sessions=${stateful.count()} batch sessions=${batch.count()}")
+    stateful.orderBy("user_id", "session_start").show(5)
+
+    spark.stop()
+  }
+}

@@ -42,7 +42,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.fingerprintsFromDir(s, dir) }),
     "multimodal_meta" -> ((s, dir) => { GraftSession.tune(s); Multimodal.metaFromDir(s, dir) }),
     "events_hourly" -> ((s, dir) =>
-      { GraftSession.tune(s); graft.streaming.EventStreams.hourlyBatch(s, dir) })
+      { GraftSession.tune(s); graft.streaming.EventStreams.hourlyBatch(s, dir) }),
+    "pricing_summary" -> ((s, dir) => { GraftSession.tune(s); PricingSummary.fromDir(s, dir) })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,14 +57,16 @@ object SparkEntry {
     "o20_summary" -> MiscOps.o20Oracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
-    // dedup_minhash_lsh / dedup_simhash / text_langid / text_fingerprint:
-    // hash-family internals aren't SQL-expressible → rows-only check;
-    // semantics verified in ScalaTest against exact-Jaccard / reference impls
+    // dedup_minhash_lsh / dedup_simhash / text_fingerprint: hash-family
+    // internals aren't SQL-expressible → rows-only check; semantics
+    // verified in ScalaTest against exact-Jaccard / reference impls
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsOracle(),
     "knn_cosine_topk" -> Similarity.knnOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
     "text_quality" -> TextAnalysis.qualityOracle,
     "multimodal_meta" -> Multimodal.payloadMetaOracle,
-    "events_hourly" -> graft.streaming.EventStreams.hourlyOracle
+    "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
+    "text_langid" -> TextAnalysis.langIdOracle,
+    "pricing_summary" -> PricingSummary.oracle
   )
 }

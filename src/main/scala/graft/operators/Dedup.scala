@@ -46,7 +46,10 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
     * shingle; similarity = |∩|/|∪| in integer math). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    // no .cache(): the three uses of `sh` share one canonical subtree, so
+    // ReuseExchange dedups the shuffle; caching here would leak storage in
+    // long-lived sessions
+    val sh = shingles(docs, n)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("id1"), col("shingle"))
     val b = sh.select(col("doc_id").as("id2"), col("shingle"))

@@ -75,6 +75,33 @@ object TextAnalysis {
       TF.langId(col("text")).as("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** DuckDB twin of the langId scoring: per-language lexicon hit-counts,
+    * earlier-declared language wins score ties, CJK short-circuit. */
+  val langIdOracle: String = {
+    def lex(lang: String): String =
+      TF.langLexicons.find(_._1 == lang).get._2.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS labeled_lang, text,
+       |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, labeled_lang, text,
+       |         len(list_filter(toks, x -> list_contains(${lex("en")}, x))) AS sc_en,
+       |         len(list_filter(toks, x -> list_contains(${lex("fr")}, x))) AS sc_fr,
+       |         len(list_filter(toks, x -> list_contains(${lex("de")}, x))) AS sc_de,
+       |         len(list_filter(toks, x -> list_contains(${lex("es")}, x))) AS sc_es
+       |  FROM t
+       |)
+       |SELECT doc_id, labeled_lang,
+       |       CASE WHEN LENGTH(text) - LENGTH(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+       |            WHEN GREATEST(sc_en, sc_fr, sc_de, sc_es) = 0 THEN 'und'
+       |            WHEN sc_en = GREATEST(sc_en, sc_fr, sc_de, sc_es) THEN 'en'
+       |            WHEN sc_fr = GREATEST(sc_en, sc_fr, sc_de, sc_es) THEN 'fr'
+       |            WHEN sc_de = GREATEST(sc_en, sc_fr, sc_de, sc_es) THEN 'de'
+       |            ELSE 'es' END AS predicted_lang
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** Rolling-hash content fingerprint (custom codegen'd Expression). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

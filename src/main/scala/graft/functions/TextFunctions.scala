@@ -16,12 +16,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles: join of each n-length sliding window. */
+  /** Word n-gram shingles: join of each n-length sliding window.
+    * Guarded: Spark's sequence(1, k) with k < 1 yields a DESCENDING
+    * sequence (e.g. [1,0]), not an empty array. */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = split(text, " ")
-    transform(
-      sequence(lit(1), greatest(lit(0), size(toks) - lit(n - 1))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    val count = size(toks) - lit(n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), count),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Count of characters matching a regex character class. */

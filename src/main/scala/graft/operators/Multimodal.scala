@@ -82,6 +82,27 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  /** Frame sampling over a binary payload — the video/audio "every Nth
+    * frame" access pattern as pure expressions: fixed-size windows at a
+    * stride, each with its own hash. No decode needed for the plumbing;
+    * a real codec replaces the byte-slice with a frame extractor. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 128): DataFrame = {
+    val nFrames = greatest(lit(0),
+      floor((length(col("payload")) - frameSize) / stride) + 1).cast("int")
+    // sequence(1, 0) yields a DESCENDING [1,0] in Spark, not empty — guard
+    val idx = when(nFrames >= 1, sequence(lit(1), nFrames))
+      .otherwise(array().cast("array<int>"))
+    media
+      .select(col("media_id"),
+        explode(transform(idx,
+          i => struct(i.as("frame_idx"),
+            substring(col("payload"), (i - 1) * stride + 1, lit(frameSize)).as("frame"))))
+          .as("f"))
+      .select(col("media_id"), col("f.frame_idx"),
+        length(col("f.frame")).as("frame_bytes"),
+        md5(col("f.frame")).as("frame_md5"))
+  }
+
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */
   def featureNearDups(docs: DataFrame, threshold: Double = 0.99): DataFrame = {

@@ -79,6 +79,89 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, ROUND(cosine, 8) AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------------------------------ IVF
+
+  /** IVF coarse quantizer trained with Lloyd iterations expressed as
+    * DataFrame ops (assign = broadcast-centroid argmin, update = groupBy
+    * mean) — no MLlib, no driver-side loops over data. Returns the final
+    * centroids (id, vector) collected to the driver (|centroids| is tiny
+    * by design — that is what makes IVF a coarse quantizer). */
+  def trainCentroids(embeddings: DataFrame, k: Int, iterations: Int = 2,
+                     dim: Int = 64, seed: Long = 11L): Array[(Int, Array[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    var centroids: Array[(Int, Array[Double])] =
+      Array.tabulate(k)(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    for (_ <- 1 to iterations) {
+      val assigned = assignToCentroids(embeddings, centroids)
+      val sums = assigned
+        .select(col("centroid_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("e"), i + 1))): _*).as("s"))
+        .collect()
+      val updated = sums.map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        (r.getAs[Int]("centroid_id"), r.getAs[Seq[Double]]("s").map(_ / n).toArray)
+      }.toMap
+      // keep un-hit centroids where they are
+      centroids = centroids.map { case (id, c) => (id, updated.getOrElse(id, c)) }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: centroids ship as plan literals (they are
+    * the broadcast side by construction); argmin over dot-distance. */
+  def assignToCentroids(embeddings: DataFrame,
+                        centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val dists = centroids.map { case (id, c) =>
+      val cCol = array(c.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(col("embedding"), cCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot / (l2norm(col("embedding")) * lit(cNorm))).as("sim"), lit(id).as("id"))
+    }
+    embeddings.withColumn("centroid_id",
+      greatest(dists.toIndexedSeq: _*).getField("id"))
+  }
+
+  /** IVF ANN top-k: score only vectors in the query's `nProbe` nearest
+    * cells. At 100 TB the embedding table is stored bucketed/partitioned by
+    * centroid_id, so a probe reads |probed cells| of data, not the corpus. */
+  def ivfKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+             numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 11L): DataFrame = {
+    val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
+    val n = assignToCentroids(embeddings, centroids)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    // per query: its nProbe closest centroids
+    val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probeSims = centroids.map { case (id, c) =>
+      val cCol = array(c.map(lit).toIndexedSeq: _*)
+      val dot = aggregate(zip_with(col("qe"), cCol, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      val cNorm = math.sqrt(c.map(x => x * x).sum)
+      struct((dot / (l2norm(col("qe")) * lit(cNorm))).as("sim"), lit(id).as("centroid_id"))
+    }
+    val probes = qAssign
+      .withColumn("probe", explode(sortArrayDesc(array(probeSims.toIndexedSeq: _*))))
+      .withColumn("probe_rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("probe.sim").desc)))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qe"), col("probe.centroid_id").as("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(n, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def sortArrayDesc(a: Column): Column = reverse(array_sort(a))
+
   /** Seeded random unit-ish hyperplanes: `tables` independent LSH tables of
     * `bitsPerTable` planes each, as literal nested arrays (broadcast with
     * the plan — no closure capture). */

@@ -37,6 +37,24 @@ object FeatureDemo {
     val salted = SkewTools.saltedJoin(left, right, "k", salts = 8).count()
     println(s"plain=$plain salted=$salted equal=${plain == salted}")
 
+    println("-- IVF ANN vs brute force (recall@10)")
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 8)
+    val brute = graft.operators.Similarity.bruteForceKnn(emb, qs, 10)
+      .select("query_id", "neighbor_id")
+    val ivf = graft.operators.Similarity.ivfKnn(emb, qs, 10, numCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id")
+    println(s"recall@10 = ${brute.intersect(ivf).count().toDouble / brute.count()}")
+
+    println("-- frame sampling over binary payloads")
+    val media = graft.operators.Multimodal.asBinaryPayloads(Tables.documents(spark, dir))
+    graft.operators.Multimodal.sampleFrames(media).groupBy()
+      .agg(count(lit(1)).as("frames"), countDistinct(col("media_id")).as("docs")).show()
+
+    println("-- shingles of a 3-token doc (must be empty, not [1,0]-bogus)")
+    val short = Seq((1L, "one two three")).toDF("doc_id", "text")
+    println(s"shingle rows = ${graft.operators.Dedup.shingles(short, 5).count()}")
+
     println("-- stateful sessionization (flatMapGroupsWithState) vs batch twin")
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value")).as[EventStreams.SessionEvent]

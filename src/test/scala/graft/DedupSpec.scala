@@ -64,6 +64,17 @@ class DedupSpec extends SparkSpec {
     assert(fp.select("fp").distinct().count() === fp.select("text").distinct().count())
   }
 
+  test("shingles of a doc shorter than n tokens are empty, not bogus") {
+    val short = Seq((1L, "one two three", "x", "x", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(graft.operators.Dedup.shingles(short, n = 5).count() === 0)
+    // and exactly-n tokens yields exactly one shingle
+    val exact = Seq((2L, "a b c d e", "x", "x", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.operators.Dedup.shingles(exact, n = 5).collect()
+    assert(got.length === 1 && got(0).getString(1) === "a b c d e")
+  }
+
   test("embedding near-dups: cosine of a vector with itself is 1") {
     val e = Tables.embeddings(spark, sf).limit(10)
     val selfSim = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

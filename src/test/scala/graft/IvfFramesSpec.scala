@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class IvfFramesSpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sf).cache()
+  lazy val queries = emb.filter(col("vec_id") < 8)
+
+  test("IVF assignment covers every vector with a valid centroid id") {
+    val centroids = Similarity.trainCentroids(emb, k = 8, iterations = 2)
+    val assigned = Similarity.assignToCentroids(emb, centroids)
+    assert(assigned.filter(col("centroid_id").isNull).count() === 0)
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+    assert(assigned.count() === emb.count())
+  }
+
+  test("IVF ANN recall@10 vs brute force is reasonable; scores are exact") {
+    val brute = Similarity.bruteForceKnn(emb, queries, k = 10)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.ivfKnn(emb, queries, k = 10, numCentroids = 8, nProbe = 4)
+    val hit = brute.intersect(ivf.select("query_id", "neighbor_id")).count()
+    val recall = hit.toDouble / brute.count()
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.3, s"recall $recall too low")
+    // returned cosines are true cosines (re-score check on a sample)
+    val sample = ivf.limit(20)
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), Seq("query_id"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), Seq("neighbor_id"))
+      .withColumn("check", round(Similarity.cosine(col("qe"), col("ne")), 8))
+    assert(sample.filter(col("check") =!= col("cosine_r")).count() === 0)
+  }
+
+  test("frame sampling: count and size formula hold") {
+    val media = Multimodal.asBinaryPayloads(Tables.documents(spark, sf))
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 128).cache()
+    val perDoc = frames.groupBy("media_id").agg(count(lit(1)).as("n"))
+      .join(media.select(col("media_id"), length(col("payload")).as("len")), Seq("media_id"))
+    val bad = perDoc.filter(
+      col("n") =!= greatest(lit(0), floor((col("len") - 64) / 128) + 1))
+    assert(bad.count() === 0)
+    // every full frame is exactly frameSize bytes except possibly none (stride fits)
+    assert(frames.filter(col("frame_bytes") > 64).count() === 0)
+    assert(frames.filter(length(col("frame_md5")) =!= 32).count() === 0)
+  }
+}

@@ -43,6 +43,17 @@ object Dedup {
     docs.select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
       .distinct()
 
+  /** Distinct 64-bit-hashed shingles per doc — the MinHash/LSH internal
+    * representation: every downstream shuffle and join moves an 8-byte key
+    * instead of a ~30-byte string. xxhash64 collisions (~n²/2⁶⁴) are
+    * negligible against MinHash's own approximation error; the
+    * oracle-checked [[ngramJaccardPairs]] stays string-exact. */
+  def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
     * shingle; similarity = |∩|/|∪| in integer math). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
@@ -98,10 +109,9 @@ object Dedup {
                         seed: Long = 42L): DataFrame = {
     val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
     val params = hashParams(numHashes, seed)
-    val sh = shingles(docs, n)
-      .withColumn("h", abs(xxhash64(col("shingle"))))
+    val sh = hashedShingles(docs, n).withColumn("ha", abs(col("h")))
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") % p * a + b, lit(p))).as(s"mh_$i")
+      min(pmod(col("ha") % p * a + b, lit(p))).as(s"mh_$i")
     }
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
@@ -130,11 +140,11 @@ object Dedup {
     * O(|candidates| · shingles-per-doc) — never the shared-shingle
     * self-join of the full corpus. */
   def candidateJaccard(docs: DataFrame, candidates: DataFrame, n: Int): DataFrame = {
-    val sh = shingles(docs, n)
+    val sh = hashedShingles(docs, n)
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
-      .join(sh.select(col("doc_id").as("id1"), col("shingle")), Seq("id1"))
-      .join(sh.select(col("doc_id").as("id2"), col("shingle")), Seq("id2", "shingle"))
+      .join(sh.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
+      .join(sh.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_common"))
     inter

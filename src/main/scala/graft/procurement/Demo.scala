@@ -19,10 +19,24 @@ object Demo {
     val spark = GraftSession.get("graft-procurement-demo")
     val gen = new DataGenerator()
     Pipeline.writeRawDay(spark, gen, s"$workDir/raw", runDate, numOrders, snapDate)
+    val master = gen.masterFrames(spark)
     val summary = Pipeline.run(spark, s"$workDir/raw", s"$workDir/store",
-      s"$workDir/out", runDate, gen.masterFrames(spark))
+      s"$workDir/out", runDate, master)
     println(s"SUMMARY $summary")
     println(s"outputs under $workDir/out")
+
+    // ad-hoc SQL surface (§3.3): the reference README's example query
+    Views.register(spark, master, storeDir = Some(s"$workDir/store"))
+    println("-- ad-hoc SQL: inventory by product (reference README example)")
+    Views.inventoryByProduct(spark, snapDate.toString).show(5)
+
+    // streaming ingest path: watch dir → micro-batch upsert into a store
+    val ddMMyyyy = runDate.format(java.time.format.DateTimeFormatter.ofPattern("dd-MM-yyyy"))
+    val q = graft.sources.SnapshotStore.streamAppend(
+      spark, s"$workDir/raw/snapshots/$ddMMyyyy", s"$workDir/stream_store")
+    q.processAllAvailable(); q.stop()
+    println(s"-- streaming ingest: store rows = " +
+      graft.sources.SnapshotStore.read(spark, s"$workDir/stream_store").count())
     spark.stop()
   }
 }

@@ -46,6 +46,33 @@ object SnapshotStore {
   def readDay(spark: SparkSession, storeDir: String, day: String): DataFrame =
     read(spark, storeDir).filter(col("snapshot_date") === lit(day))
 
+  /** Streaming ingest: watch a directory of snapshot JSON files and append
+    * each micro-batch to the store with the batch id as the upsert
+    * sequence — later micro-batches win, which is exactly the Cassandra
+    * last-write-wins contract under continuous arrival. */
+  def streamAppend(spark: SparkSession, watchDir: String,
+                   storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sku_code",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("snapshot_date",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warehouse_code",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("available_qty",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("reserved_qty",
+        org.apache.spark.sql.types.IntegerType)))
+    spark.readStream.schema(schema)
+      .option("multiLine", "true").json(watchDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        append(batch, storeDir, batchId)
+      }
+      .option("checkpointLocation", s"$storeDir/.stream_checkpoint")
+      .start()
+  }
+
   /** Rewrite one date partition to its deduped form (idempotent). */
   def compact(spark: SparkSession, storeDir: String, day: String): Unit = {
     val deduped = readDay(spark, storeDir, day)

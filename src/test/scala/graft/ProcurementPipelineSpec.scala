@@ -78,6 +78,22 @@ class ProcurementPipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("order_count") === 2L)    // but COUNT(*) keeps the row
   }
 
+  test("ad-hoc SQL surface answers the reference README's example query") {
+    summary // pipeline ran; snapshot store populated
+    graft.procurement.Views.register(spark, master, storeDir = Some(s"$tmp/store"),
+      outputs = Map(
+        "supplier_orders" -> spark.read.json(s"$tmp/out/supplier_orders/14-01-2026/json")))
+    val inv = graft.procurement.Views.inventoryByProduct(spark, "2026-01-14")
+    assert(inv.count() > 0)
+    assert(inv.filter(col("effective_qty") =!=
+      col("available_qty") - col("reserved_qty")).count() === 0)
+    // reference "key tables" queryable by name
+    assert(spark.sql("SELECT count(*) FROM supplier_orders").first().getLong(0) > 0)
+    assert(spark.sql(
+      "SELECT count(*) FROM products p JOIN safety_stock s ON p.sku_id = s.sku_id")
+      .first().getLong(0) === 40)
+  }
+
   test("Q3 PO ids are positional in cost order and pack-aligned") {
     summary
     val po = spark.read.json(s"$tmp/out/supplier_orders/14-01-2026/json")

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.{Fingerprint, TextFunctions}
+import graft.procurement.{DataGenerator, Queries}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests (SURVEY §5 item 4): the order-sizing and demand
+  * invariants over generated inputs, plus expression-level properties
+  * checked against Scala reference computations through Spark. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("order sizing: qty >= max(min_order, net) and pack-aligned or min (property)") {
+    check(Prop.forAll(Gen.choose(1L, 10000L), Gen.choose(1, 50), Gen.choose(0, 500)) {
+      (net: Long, pack: Int, minQ: Int) =>
+        val packed = math.ceil(net.toDouble / pack).toLong * pack
+        val qty = math.max(minQ.toLong, packed).toDouble
+        qty >= minQ && qty >= net && (qty % pack == 0.0 || qty == minQ.toDouble)
+    })
+  }
+
+  test("net demand formula is non-negative and monotone in demand (property)") {
+    check(Prop.forAll(Gen.choose(0L, 100000L), Gen.choose(0L, 5000L),
+      Gen.choose(-10000L, 100000L)) { (demand: Long, safety: Long, effective: Long) =>
+      val nd = math.max(0L, demand + safety - effective)
+      nd >= 0 && math.max(0L, (demand + 1) + safety - effective) >= nd
+    })
+  }
+
+  test("fingerprint expression == reference impl on arbitrary strings (via Spark)") {
+    val strs = Gen.listOfN(200, Gen.asciiPrintableStr.map(_.take(60))).sample.get
+    val rows = strs.toDF("text")
+      .select(col("text"), Fingerprint.docFingerprint(col("text")).as("fp"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) === Fingerprint.reference(r.getString(0)))
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 1000000007L)
+    }
+  }
+
+  test("shingle count == max(0, tokens - n + 1) across sizes (via Spark)") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val cases = (for {
+      k <- 0 to 12; n <- 2 to 6
+    } yield (Gen.listOfN(k, word).sample.get, n)).toSeq
+    val df = cases.zipWithIndex
+      .map { case ((ws, n), i) => (i, ws.mkString(" "), n) }
+      .toDF("id", "text", "n")
+    for (n <- 2 to 6) {
+      val got = df.filter(col("n") === n)
+        .select(col("id"), size(TextFunctions.wordShingles(col("text"), n)).as("c"),
+          size(TextFunctions.tokens(col("text"))).as("t"))
+        .collect()
+      got.foreach(r => assert(r.getInt(1) === math.max(0, r.getInt(2) - n + 1),
+        s"n=$n tokens=${r.getInt(2)}"))
+    }
+  }
+
+  test("generated pipeline days preserve the aggregation invariant at any size") {
+    for (orders <- Seq(10, 500)) {
+      val gen = new DataGenerator(seed = orders)
+      val raw = gen.rawOrders(java.time.LocalDate.of(2026, 2, 1), orders).toDF()
+      val master = gen.masterFrames(spark)
+      val agg = Queries.aggregateOrders(raw, master("products"), master("warehouses"))
+      assert(agg.agg(sum("total_quantity")).first().getLong(0) ===
+        raw.select(sum(col("quantity").cast("long"))).first().getLong(0))
+      assert(agg.agg(sum("order_count")).first().getLong(0) === orders.toLong)
+    }
+  }
+}

@@ -43,7 +43,8 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) => { GraftSession.tune(s); Multimodal.metaFromDir(s, dir) }),
     "events_hourly" -> ((s, dir) =>
       { GraftSession.tune(s); graft.streaming.EventStreams.hourlyBatch(s, dir) }),
-    "pricing_summary" -> ((s, dir) => { GraftSession.tune(s); PricingSummary.fromDir(s, dir) })
+    "pricing_summary" -> ((s, dir) => { GraftSession.tune(s); PricingSummary.fromDir(s, dir) }),
+    "corpus_clean" -> ((s, dir) => { GraftSession.tune(s); CorpusClean.fromDir(s, dir) })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,6 +68,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.payloadMetaOracle,
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
-    "pricing_summary" -> PricingSummary.oracle
+    "pricing_summary" -> PricingSummary.oracle,
+    "corpus_clean" -> CorpusClean.oracle()
   )
 }

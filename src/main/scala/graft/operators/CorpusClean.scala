@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composite training-corpus cleaning pipeline as ONE declarative plan:
+  *
+  *   1. quality gate   — drop documents below a quality-score threshold,
+  *   2. exact dedup    — keep the min-doc_id canonical per distinct text,
+  *   3. near-dup prune — among survivors, drop the higher id of every
+  *                       n-gram-Jaccard pair over the threshold.
+  *
+  * Output: the surviving doc ids with their quality score — what a
+  * pretraining-data curator ships downstream. Everything is composed from
+  * the already-verified operators, so Catalyst sees one tree: the quality
+  * expressions fuse into the scan, the dedup group-by and the shingle join
+  * only ever see quality survivors (filter pushed below both), and nothing
+  * is materialized between stages.
+  */
+object CorpusClean {
+
+  def apply(docs: DataFrame, qualityMin: Double = 0.5, n: Int = 5,
+            jaccardThreshold: Double = 0.5): DataFrame = {
+    val scored = docs
+      .withColumn("quality_score", TF.qualityScore(col("text")))
+      .filter(col("quality_score") >= qualityMin)
+    val canonical = scored
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("quality_score")).as("quality_score"))
+    val nearDupLosers = Dedup
+      .ngramJaccardPairs(canonical.select(col("doc_id"), col("text")), n, jaccardThreshold)
+      .select(col("id2").as("doc_id")).distinct()
+    canonical
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    apply(Tables.documents(spark, dir))
+
+  def oracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |         ROUND((LEAST(LENGTH(text) / 500.0, 1.0)
+       |                + LEAST(CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+       |                         x -> list_contains(${TF.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
+       |                      / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) * 4, 1.0)
+       |                + GREATEST(0.0, 1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |                      / GREATEST(LENGTH(text), 1) * 5)) / 3, 6) AS quality_score
+       |  FROM documents
+       |), surviving AS (
+       |  SELECT * FROM scored WHERE quality_score >= $qualityMin
+       |), canon AS (
+       |  SELECT MIN(doc_id) AS doc_id, text,
+       |         FIRST(quality_score) AS quality_score
+       |  FROM surviving GROUP BY text
+       |), toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS a FROM canon
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |  FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)
+       |), card AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), losers AS (
+       |  SELECT DISTINCT p.id2 AS doc_id FROM pairs p
+       |  JOIN card ca ON p.id1 = ca.doc_id
+       |  JOIN card cb ON p.id2 = cb.doc_id
+       |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= $thr
+       |)
+       |SELECT c.doc_id, c.quality_score FROM canon c
+       |LEFT JOIN losers l ON c.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL
+       |ORDER BY c.doc_id""".stripMargin
+}

@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpec {
     assert(fp.select("fp").distinct().count() === fp.select("text").distinct().count())
   }
 
+  test("corpus_clean: survivors pass quality gate, are canonical, and non-near-dup") {
+    val cleaned = graft.operators.CorpusClean(docs).cache()
+    assert(cleaned.count() > 0 && cleaned.count() <= docs.count())
+    assert(cleaned.filter(col("quality_score") < 0.5).count() === 0)
+    // no surviving near-dup pairs among the survivors
+    val survivors = docs.join(cleaned.select("doc_id"), Seq("doc_id"))
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(survivors, 5, 0.5)
+    assert(pairs.count() === 0)
+  }
+
   test("shingles of a doc shorter than n tokens are empty, not bogus") {
     val short = Seq((1L, "one two three", "x", "x", 13L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

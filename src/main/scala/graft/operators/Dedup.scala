@@ -107,11 +107,15 @@ object Dedup {
     * function — one shuffle (the groupBy), signature width fixed. */
   def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 64,
                         seed: Long = 42L): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1, Mersenne prime
+    // p = 2^31-1 (Mersenne) with a,b < 2^31: the product (h mod p)·a stays
+    // below 2^62, so (a·h+b) mod p is computed EXACTLY in Long arithmetic —
+    // a 61-bit modulus would silently wrap the multiply and void the
+    // universal-hash family behind the 1-(1-j^r)^b collision model
+    val p = 2147483647L
     val params = hashParams(numHashes, seed)
-    val sh = hashedShingles(docs, n).withColumn("ha", abs(col("h")))
+    val sh = hashedShingles(docs, n).withColumn("ha", pmod(col("h"), lit(p)))
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("ha") % p * a + b, lit(p))).as(s"mh_$i")
+      min(pmod(col("ha") * (a % p) + (b % p), lit(p))).as(s"mh_$i")
     }
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
@@ -190,11 +194,15 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
     val bits = 64 / chunks
-    val sigs = simhash(docs).cache()
+    // Scala shifts are mod 64: (1L << 64) - 1 == 0, which would collapse
+    // every row into bucket 0 for maxDistance=0 — use -1L (all bits) there
+    val mask = if (bits >= 64) -1L else (1L << bits) - 1
+    // no cache: `blocked` is derived once and self-joined; ReuseExchange
+    // dedups the computation (same policy as ngramJaccardPairs)
+    val sigs = simhash(docs)
     val chunkExprs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * bits)
-          .bitwiseAND((1L << bits) - 1).as("key"))
+        shiftright(col("simhash"), c * bits).bitwiseAND(mask).as("key"))
     }
     val blocked = sigs.select(col("doc_id"), col("simhash"),
       explode(array(chunkExprs: _*)).as("ck"))

@@ -25,14 +25,20 @@ object PricingSummary {
     val cents = round(col("l_extendedprice") * 100, 0).cast("long")
     val discPct = round(col("l_discount") * 100, 0).cast("long")
     val taxPct = round(col("l_tax") * 100, 0).cast("long")
+    // per-row integer terms are exact in Long (≤ ~2^41); the SUMs run over
+    // DECIMAL(38,0) so a group of ~1e9+ rows cannot silently wrap Long —
+    // DuckDB's SUM(BIGINT) promotes to HUGEINT, so decimal summation is
+    // also what keeps the two engines identical at any scale
+    import org.apache.spark.sql.types.DecimalType
     lineitem
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity").cast("long")).as("sum_qty"),
-        sum(cents).as("sum_base_c"),
-        sum(cents * (lit(100L) - discPct)).as("sum_disc_c"),
-        sum(cents * (lit(100L) - discPct) * (lit(100L) + taxPct)).as("sum_charge_c"),
+        sum(cents.cast(DecimalType(38, 0))).as("sum_base_c"),
+        sum((cents * (lit(100L) - discPct)).cast(DecimalType(38, 0))).as("sum_disc_c"),
+        sum((cents * (lit(100L) - discPct) * (lit(100L) + taxPct))
+          .cast(DecimalType(38, 0))).as("sum_charge_c"),
         count(lit(1)).as("count_order"))
       .select(
         col("l_returnflag"), col("l_linestatus"), col("sum_qty"),

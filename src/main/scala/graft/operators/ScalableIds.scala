@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
 object ScalableIds {
 
   def withGlobalRowNumbers(df: DataFrame, idCol: String, sortKeys: Column*): DataFrame = {
+    // cached: the counts job and the id job must observe the SAME partition
+    // layout — re-executing the exchange twice would both double the
+    // dominant shuffle and risk AQE/replay repartitioning between jobs,
+    // which would silently misalign the collected offsets
     val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
+      .cache()
     val counts = sorted
       .withColumn("__pid", spark_partition_id())
       .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))

@@ -87,7 +87,8 @@ object Similarity {
     * centroids (id, vector) collected to the driver (|centroids| is tiny
     * by design — that is what makes IVF a coarse quantizer). */
   def trainCentroids(embeddings: DataFrame, k: Int, iterations: Int = 2,
-                     dim: Int = 64, seed: Long = 11L): Array[(Int, Array[Double])] = {
+                     dimOpt: Option[Int] = None, seed: Long = 11L): Array[(Int, Array[Double])] = {
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
     val rnd = new scala.util.Random(seed)
     var centroids: Array[(Int, Array[Double])] =
       Array.tabulate(k)(i => (i, Array.fill(dim)(rnd.nextGaussian())))
@@ -189,9 +190,14 @@ object Similarity {
   }
 
   /** ANN top-k: score only same-bucket candidates, then per-query top-k. */
+  /** Embedding width, read from the data (a hard-coded dim would silently
+    * NULL-poison projections of narrower vectors into one giant bucket). */
+  def embeddingDim(embeddings: DataFrame): Int =
+    embeddings.select(size(col("embedding"))).first().getInt(0)
+
   def lshKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
              tables: Int = 8, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {
-    val dim = 64
+    val dim = embeddingDim(embeddings)
     val planes = hyperplanes(dim, tables, bitsPerTable, seed)
     val nb = lshBuckets(embeddings, planes)
       .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))

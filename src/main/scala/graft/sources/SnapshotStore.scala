@@ -66,8 +66,12 @@ object SnapshotStore {
     spark.readStream.schema(schema)
       .option("multiLine", "true").json(watchDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        append(batch, storeDir, batchId)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // wall-clock sequence, NOT the streaming batchId: batch appends
+        // (Pipeline.run) already use currentTimeMillis, and the two ingest
+        // paths must share one comparable batch_seq domain or dedup order
+        // inverts (batchId also resets to 0 on checkpoint recreation)
+        append(batch, storeDir, System.currentTimeMillis())
       }
       .option("checkpointLocation", s"$storeDir/.stream_checkpoint")
       .start()

@@ -86,8 +86,11 @@ object EventStreams {
   // ------------------------------------------------------- sessionization
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** value accumulates in exact micros (value rounded to 6 dp × 1e6) —
+    * the same DECIMAL(18,6) arithmetic the batch twin uses; raw double
+    * accumulation would drift from it by last-ulp error per event. */
   case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,
-                          n: Long, value: Double)
+                          n: Long, micros: Long)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long,
                      session_value: Double)
@@ -106,6 +109,11 @@ object EventStreams {
     // gap measured in floor-seconds, matching the batch twin's
     // ts.cast("long") semantics (timestamp→long truncates to seconds)
     def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    // exact accumulation in micros == the batch twin's DECIMAL(18,6) sums
+    def micros(v: Double): Long = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
+    def emit(user: Long, s: SessionState): Session =
+      Session(user, s.start, s.last, s.n, s.micros / 1e6)
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       org.apache.spark.sql.streaming.OutputMode.Append(),
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
@@ -113,15 +121,15 @@ object EventStreams {
         val out = scala.collection.mutable.ArrayBuffer.empty[Session]
         var cur = state.getOption.orNull
         it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          if (cur == null) cur = SessionState(e.ts, e.ts, 1, e.value)
+          if (cur == null) cur = SessionState(e.ts, e.ts, 1, micros(e.value))
           else if (sec(e.ts) - sec(cur.last) > gapSec) {
-            out += Session(user, cur.start, cur.last, cur.n, cur.value)
-            cur = SessionState(e.ts, e.ts, 1, e.value)
-          } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.value + e.value)
+            out += emit(user, cur)
+            cur = SessionState(e.ts, e.ts, 1, micros(e.value))
+          } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.micros + micros(e.value))
         }
         if (cur != null) {
           // batch-over-static-data: the group is complete, emit the tail
-          out += Session(user, cur.start, cur.last, cur.n, cur.value)
+          out += emit(user, cur)
           state.remove()
         }
         out.iterator

@@ -37,11 +37,14 @@ class ExtensionsSpec extends SparkSpec {
   test("stateful sessionization equals the batch window-gap twin") {
     val events = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("value")).as[EventStreams.SessionEvent]
+    // session_value included: micros accumulation must equal the decimal sums
+    val cols = Seq("user_id", "session_start", "session_end", "n_events", "session_value")
+      .map(col)
     val stateful = EventStreams.sessionizeStateful(events, gapMinutes = 30)
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .select(cols: _*)
     val batch = EventStreams.sessionizeBatch(
       Tables.events(spark, sf), gapMinutes = 30)
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+      .select(cols: _*)
     assert(stateful.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(stateful).count() === 0)
   }

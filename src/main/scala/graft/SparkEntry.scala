@@ -19,32 +19,36 @@ object SparkEntry {
     AggregateOrders.fromDir(spark, "/root/testdata/sf0.001")
   }
 
+  /** Wrap a query so the session carries graft's runtime confs (non-ANSI
+    * casts, UTC, AQE) regardless of who built it. */
+  private def tuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(GraftSession.tune(s), dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg_orders" -> ((s, dir) => { GraftSession.tune(s); AggregateOrders.fromDir(s, dir) }),
-    "q2_net_demand" -> ((s, dir) => { GraftSession.tune(s); NetDemand.fromDir(s, dir) }),
-    "q3_supplier_orders" -> ((s, dir) => { GraftSession.tune(s); SupplierOrders.fromDir(s, dir) }),
-    "s5_row_counts" -> ((s, dir) => { GraftSession.tune(s); MiscOps.rowCounts(s, dir) }),
-    "s7_snapshot_scan" -> ((s, dir) => { GraftSession.tune(s); MiscOps.eventsOnDay(s, dir) }),
-    "o20_summary" -> ((s, dir) => { GraftSession.tune(s); MiscOps.pipelineSummary(s, dir) }),
+    "q1_agg_orders" -> tuned(AggregateOrders.fromDir),
+    "q2_net_demand" -> tuned(NetDemand.fromDir),
+    "q3_supplier_orders" -> tuned(SupplierOrders.fromDir),
+    "s5_row_counts" -> tuned(MiscOps.rowCounts),
+    "s7_snapshot_scan" -> tuned(MiscOps.eventsOnDay(_, _)),
+    "o20_summary" -> tuned(MiscOps.pipelineSummary),
     // ---- training-data pipeline extensions ----
-    "dedup_exact" -> ((s, dir) => { GraftSession.tune(s); Dedup.exactFromDir(s, dir) }),
-    "dedup_ngram_jaccard" -> ((s, dir) => { GraftSession.tune(s); Dedup.ngramFromDir(s, dir) }),
-    "dedup_minhash_lsh" -> ((s, dir) =>
-      { GraftSession.tune(s); Dedup.minhashLsh(graft.sources.Tables.documents(s, dir)) }),
-    "dedup_simhash" -> ((s, dir) =>
-      { GraftSession.tune(s); Dedup.simhashNearDups(graft.sources.Tables.documents(s, dir)) }),
-    "dedup_embedding_cosine" -> ((s, dir) => { GraftSession.tune(s); Dedup.embeddingFromDir(s, dir) }),
-    "knn_cosine_topk" -> ((s, dir) => { GraftSession.tune(s); Similarity.knnFromDir(s, dir) }),
-    "text_token_stats" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.tokenStatsFromDir(s, dir) }),
-    "text_quality" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.qualityFromDir(s, dir) }),
-    "text_langid" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.langIdFromDir(s, dir) }),
-    "text_fingerprint" -> ((s, dir) => { GraftSession.tune(s); TextAnalysis.fingerprintsFromDir(s, dir) }),
-    "multimodal_meta" -> ((s, dir) => { GraftSession.tune(s); Multimodal.metaFromDir(s, dir) }),
-    "events_hourly" -> ((s, dir) =>
-      { GraftSession.tune(s); graft.streaming.EventStreams.hourlyBatch(s, dir) }),
-    "pricing_summary" -> ((s, dir) => { GraftSession.tune(s); PricingSummary.fromDir(s, dir) }),
-    "corpus_clean" -> ((s, dir) => { GraftSession.tune(s); CorpusClean.fromDir(s, dir) })
+    "dedup_exact" -> tuned(Dedup.exactFromDir),
+    "dedup_ngram_jaccard" -> tuned(Dedup.ngramFromDir),
+    "dedup_minhash_lsh" -> tuned((s, dir) =>
+      Dedup.minhashLsh(graft.sources.Tables.documents(s, dir))),
+    "dedup_simhash" -> tuned((s, dir) =>
+      Dedup.simhashNearDups(graft.sources.Tables.documents(s, dir))),
+    "dedup_embedding_cosine" -> tuned(Dedup.embeddingFromDir),
+    "knn_cosine_topk" -> tuned(Similarity.knnFromDir(_, _)),
+    "text_token_stats" -> tuned(TextAnalysis.tokenStatsFromDir),
+    "text_quality" -> tuned(TextAnalysis.qualityFromDir),
+    "text_langid" -> tuned(TextAnalysis.langIdFromDir),
+    "text_fingerprint" -> tuned(TextAnalysis.fingerprintsFromDir),
+    "multimodal_meta" -> tuned(Multimodal.metaFromDir),
+    "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
+    "pricing_summary" -> tuned(PricingSummary.fromDir),
+    "corpus_clean" -> tuned(CorpusClean.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

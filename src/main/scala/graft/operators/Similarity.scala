@@ -116,11 +116,7 @@ object Similarity {
   def assignToCentroids(embeddings: DataFrame,
                         centroids: Array[(Int, Array[Double])]): DataFrame = {
     val dists = centroids.map { case (id, c) =>
-      val cCol = array(c.map(lit).toIndexedSeq: _*)
-      val dot = aggregate(zip_with(col("embedding"), cCol, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot / (l2norm(col("embedding")) * lit(cNorm))).as("sim"), lit(id).as("id"))
+      struct(litCosine(col("embedding"), c).as("sim"), lit(id).as("id"))
     }
     embeddings.withColumn("centroid_id",
       greatest(dists.toIndexedSeq: _*).getField("id"))
@@ -137,11 +133,7 @@ object Similarity {
     // per query: its nProbe closest centroids
     val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val probeSims = centroids.map { case (id, c) =>
-      val cCol = array(c.map(lit).toIndexedSeq: _*)
-      val dot = aggregate(zip_with(col("qe"), cCol, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      val cNorm = math.sqrt(c.map(x => x * x).sum)
-      struct((dot / (l2norm(col("qe")) * lit(cNorm))).as("sim"), lit(id).as("centroid_id"))
+      struct(litCosine(col("qe"), c).as("sim"), lit(id).as("centroid_id"))
     }
     val probes = qAssign
       .withColumn("probe", explode(sortArrayDesc(array(probeSims.toIndexedSeq: _*))))
@@ -175,12 +167,8 @@ object Similarity {
     * projections. Vectors with equal keys in ANY table become candidates. */
   def lshBuckets(embeddings: DataFrame, planes: Array[Array[Array[Double]]]): DataFrame = {
     val tableExprs = planes.zipWithIndex.map { case (tablePlanes, t) =>
-      val bits = tablePlanes.zipWithIndex.map { case (plane, _) =>
-        val planeCol = array(plane.map(lit): _*)
-        val proj = aggregate(
-          zip_with(col("embedding"), planeCol, (x, p) => x.cast("double") * p),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      val bits = tablePlanes.map { plane =>
+        when(litDot(col("embedding"), plane) >= 0, lit("1")).otherwise(lit("0"))
       }
       struct(lit(t).as("table"), concat(bits.toIndexedSeq: _*).as("bucket"))
     }
@@ -194,6 +182,16 @@ object Similarity {
     * NULL-poison projections of narrower vectors into one giant bucket). */
   def embeddingDim(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).first().getInt(0)
+
+  /** Dot of an embedding column against a literal plan-side vector (plane /
+    * centroid) — the shared projection primitive of the LSH and IVF paths. */
+  private def litDot(e: Column, v: Array[Double]): Column =
+    aggregate(zip_with(e, array(v.map(lit).toIndexedSeq: _*),
+      (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine of an embedding column against a literal vector. */
+  private def litCosine(e: Column, v: Array[Double]): Column =
+    litDot(e, v) / (l2norm(e) * lit(math.sqrt(v.map(x => x * x).sum)))
 
   def lshKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
              tables: Int = 8, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {

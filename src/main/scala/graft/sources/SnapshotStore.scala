@@ -52,17 +52,9 @@ object SnapshotStore {
     * last-write-wins contract under continuous arrival. */
   def streamAppend(spark: SparkSession, watchDir: String,
                    storeDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("sku_code",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("snapshot_date",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("warehouse_code",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("available_qty",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("reserved_qty",
-        org.apache.spark.sql.types.IntegerType)))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "sku_code STRING, snapshot_date STRING, warehouse_code STRING, " +
+        "available_qty INT, reserved_qty INT")
     spark.readStream.schema(schema)
       .option("multiLine", "true").json(watchDir)
       .writeStream

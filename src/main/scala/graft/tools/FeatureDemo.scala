@@ -37,6 +37,23 @@ object FeatureDemo {
     val salted = SkewTools.saltedJoin(left, right, "k", salts = 8).count()
     println(s"plain=$plain salted=$salted equal=${plain == salted}")
 
+    println("-- bucketed co-located join: shuffle-free vs control")
+    val liB = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
+    val ordB = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    graft.sources.Bucketing.writeBucketed(liB, "demo_li_b", 8, Seq("l_orderkey"))
+    graft.sources.Bucketing.writeBucketed(ordB, "demo_ord_b", 8, Seq("l_orderkey"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val bj = spark.table("demo_li_b").join(spark.table("demo_ord_b"), Seq("l_orderkey"))
+    val cj = liB.join(ordB, Seq("l_orderkey"))
+    println(s"bucketed shuffles=${graft.sources.Bucketing.hasShuffle(bj)} " +
+      s"control shuffles=${graft.sources.Bucketing.hasShuffle(cj)} " +
+      s"rows equal=${bj.count() == cj.count()}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
     println("-- IVF ANN vs brute force (recall@10)")
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 8)

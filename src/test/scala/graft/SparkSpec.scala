@@ -7,7 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * sequentially under sbt's default test execution). */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("graft-test", cpus = "4").getOrCreate()
+    val wh = java.nio.file.Files.createTempDirectory("graft_warehouse").toString
+    val s = GraftSession.builder("graft-test", cpus = "4")
+      .config("spark.sql.warehouse.dir", wh) // managed tables (BucketingSpec)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

@@ -58,15 +58,17 @@ object EventStreams {
       |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Streaming variant: file source (the sf dir; only events.parquet
-    * matches) → watermark → windowed agg. */
-  def hourlyStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming variant: file source → watermark → windowed agg. The glob
+    * defaults to the test corpus's single file; pass "*.parquet" for a
+    * watch directory of arriving part files. */
+  def hourlyStream(spark: SparkSession, dir: String,
+                   glob: String = "events.parquet"): DataFrame = {
     val raw = spark.readStream
       .schema(StructType(eventSchema.fields.map {
         case f if f.name == "ts" => StructField("ts", LongType) // ns-as-long
         case f => f
       }))
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     hourlyAgg(raw.withWatermark("ts", "2 hours"))

@@ -72,6 +72,13 @@ object FeatureDemo {
     val short = Seq((1L, "one two three")).toDF("doc_id", "text")
     println(s"shingle rows = ${graft.operators.Dedup.shingles(short, 5).count()}")
 
+    println("-- streaming hourly agg over the static corpus (default glob)")
+    val hq = graft.streaming.EventStreams.runToMemorySink(spark, dir, "demo_hourly")
+    val streamedRows = spark.table("demo_hourly").count()
+    hq.stop()
+    val batchRows = graft.streaming.EventStreams.hourlyBatch(spark, dir).count()
+    println(s"streamed windows=$streamedRows batch windows=$batchRows equal=${streamedRows == batchRows}")
+
     println("-- stateful sessionization (flatMapGroupsWithState) vs batch twin")
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value")).as[EventStreams.SessionEvent]

@@ -17,6 +17,38 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark: closed windows finalize once; late data beyond watermark is dropped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    def ns(iso: String): Long =
+      java.time.Instant.parse(iso).toEpochMilli * 1000000L
+    def writeBatch(rows: Seq[(Long, Long)]): Unit = // (event_id, ts_ns)
+      rows.map { case (id, t) => (id, t, 1L, "x", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    writeBatch(Seq((1L, ns("2024-02-01T10:05:00Z")), (2L, ns("2024-02-01T15:05:00Z"))))
+    val q = EventStreams.hourlyStream(spark, dir, glob = "*.parquet").writeStream
+      .outputMode("append").format("memory").queryName("wm_test").start()
+    try {
+      q.processAllAvailable() // watermark advances to 13:05 after this batch
+      // LATE row in the already-closed 10:00 window + a fresh 18:05 row
+      writeBatch(Seq((3L, ns("2024-02-01T10:30:00Z")), (4L, ns("2024-02-01T18:05:00Z"))))
+      q.processAllAvailable() // emits the 10:00 window; late row is dropped
+      writeBatch(Seq((5L, ns("2024-02-01T23:55:00Z")))) // flush 15:00 + 18:00
+      q.processAllAvailable()
+
+      val out = spark.table("wm_test")
+        .filter(col("event_type") === "x").cache()
+      val w10 = out.filter(col("hour_start") === "2024-02-01 10:00:00").collect()
+      assert(w10.length === 1, "closed window must be emitted exactly once")
+      assert(w10.head.getAs[Long]("n_events") === 1,
+        "the late 10:30 event (beyond watermark) must not be counted")
+      val w15 = out.filter(col("hour_start") === "2024-02-01 15:00:00").collect()
+      assert(w15.length === 1 && w15.head.getAs[Long]("n_events") === 1)
+    } finally q.stop()
+  }
+
   test("streaming snapshot ingest: later micro-batches win per key") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_stream_store").toString

@@ -48,7 +48,8 @@ object SparkEntry {
     "multimodal_meta" -> tuned(Multimodal.metaFromDir),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
-    "corpus_clean" -> tuned(CorpusClean.fromDir)
+    "corpus_clean" -> tuned(CorpusClean.fromDir),
+    "shipping_priority_topk" -> tuned(ShippingPriority.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,6 +74,7 @@ object SparkEntry {
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
-    "corpus_clean" -> CorpusClean.oracle()
+    "corpus_clean" -> CorpusClean.oracle(),
+    "shipping_priority_topk" -> ShippingPriority.oracle()
   )
 }

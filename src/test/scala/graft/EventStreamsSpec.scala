@@ -70,6 +70,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.getAs[Int]("available_qty") === 99) // last write won
   }
 
+  test("snapshot store lifecycle: multi-day appends, re-load overwrites, compaction") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString + "/s"
+    def day(d: String, qty: Int, seq: Long) =
+      graft.sources.SnapshotStore.append(
+        Seq(("P1", d, "W1", qty, 0), ("P2", d, "W1", qty + 1, 0))
+          .toDF("sku_code", "snapshot_date", "warehouse_code", "available_qty", "reserved_qty"),
+        store, seq)
+    day("2026-01-10", 10, 1000); day("2026-01-11", 20, 2000)
+    day("2026-01-11", 99, 3000) // corrected re-load of day 11
+    day("2026-01-12", 30, 4000)
+
+    val s = graft.sources.SnapshotStore
+    assert(s.readDay(spark, store, "2026-01-11")
+      .agg(min("available_qty")).first().getInt(0) === 99) // re-load won
+    assert(s.read(spark, store).count() === 6) // 3 days x 2 keys after dedup
+
+    s.compact(spark, store, "2026-01-11") // physically drop the stale batch
+    val day11Files = spark.read.parquet(store)
+      .filter(col("snapshot_date") === "2026-01-11").count()
+    assert(day11Files === 2, "compaction must leave only the winning rows")
+    assert(s.readDay(spark, store, "2026-01-11")
+      .agg(min("available_qty")).first().getInt(0) === 99) // still correct
+    assert(s.read(spark, store).count() === 6) // other days untouched
+  }
+
   test("sessionization: session gaps respected, totals conserved") {
     val events = graft.sources.Tables.events(spark, sf).cache()
     val sessions = EventStreams.sessionizeBatch(events, gapMinutes = 30).cache()

@@ -43,11 +43,15 @@ object Multimodal {
       col("mime"), col("source"))
       .orderBy(col("media_id"))
 
+  /** Byte-aligned on both engines: Spark slices 8 BYTES of the binary;
+    * DuckDB (no BLOB substring) slices 16 chars of the full hex — the same
+    * 8 bytes even for multi-byte UTF-8 content. byte_length likewise uses
+    * the encoded blob, not the char count. */
   val payloadMetaOracle: String =
     """SELECT doc_id AS media_id,
-      |       LENGTH(text) AS byte_length,
+      |       octet_length(encode(text)) AS byte_length,
       |       md5(text) AS content_md5,
-      |       upper(hex(substr(text, 1, 8))) AS magic_prefix,
+      |       substr(upper(hex(encode(text))), 1, 16) AS magic_prefix,
       |       'application/octet-stream' AS mime, source
       |FROM documents ORDER BY media_id""".stripMargin
 

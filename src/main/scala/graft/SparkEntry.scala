@@ -49,7 +49,8 @@ object SparkEntry {
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
-    "shipping_priority_topk" -> tuned(ShippingPriority.fromDir)
+    "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
+    "asof_price_join" -> tuned(AsOfJoin.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -75,6 +76,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
     "corpus_clean" -> CorpusClean.oracle(),
-    "shipping_priority_topk" -> ShippingPriority.oracle()
+    "shipping_priority_topk" -> ShippingPriority.oracle(),
+    "asof_price_join" -> AsOfJoin.oracle
   )
 }

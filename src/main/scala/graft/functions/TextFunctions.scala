@@ -63,7 +63,9 @@ object TextFunctions {
     val lenScore = least(length(text) / lit(500.0), lit(1.0))
     val fluency = least(stopwordRatio(text) * 4, lit(1.0))
     val noise = greatest(lit(0.0), lit(1.0) - digitRatio(text) * 5)
-    round((lenScore + fluency + noise) / 3, 6)
+    // floor-form rounding: native round() diverges cross-engine at
+    // shortest-repr ties (see StableRound)
+    StableRound.stableRound((lenScore + fluency + noise) / 3, 6)
   }
 
   /** Per-language stopword lexicons for the n-gram/lexicon language-ID

@@ -46,10 +46,16 @@ object AsOfJoin {
       .unionByName(aligned(snapSide0, (Seq(key) ++ valueCols).toSet))
     val w = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__ts", "__tag")
+    // the value columns travel as ONE struct so every event receives all
+    // fields from the SAME (latest) snapshot row — per-column carries would
+    // stitch values from different snapshots whenever a field is NULL
+    val snapStruct = when(col("__tag") === 0,
+      struct(valueCols.map(col).toIndexedSeq: _*))
+    val carried = unioned
+      .withColumn("__snap", last(snapStruct, ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { (df, c) =>
+      df.withColumn(c, col(s"__snap.$c"))
+    }.filter(col("__tag") === 1).drop("__ts", "__tag", "__snap")
   }
 
   /** Gated query: each lineitem gets the AS-OF yearly minimum unit price of

@@ -44,12 +44,12 @@ object CorpusClean {
   def oracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5): String =
     s"""WITH scored AS (
        |  SELECT doc_id, text,
-       |         ROUND((LEAST(LENGTH(text) / 500.0, 1.0)
+       |         FLOOR((LEAST(LENGTH(text) / 500.0, 1.0)
        |                + LEAST(CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
        |                         x -> list_contains(${TF.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
        |                      / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) * 4, 1.0)
        |                + GREATEST(0.0, 1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-       |                      / GREATEST(LENGTH(text), 1) * 5)) / 3, 6) AS quality_score
+       |                      / GREATEST(LENGTH(text), 1) * 5)) / 3 * 1e6 + 0.5) / 1e6 AS quality_score
        |  FROM documents
        |), surviving AS (
        |  SELECT * FROM scored WHERE quality_score >= $qualityMin
@@ -57,19 +57,9 @@ object CorpusClean {
        |  SELECT MIN(doc_id) AS doc_id, text,
        |         FIRST(quality_score) AS quality_score
        |  FROM surviving GROUP BY text
-       |), toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS a FROM canon
-       |), sh AS (
-       |  SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |  FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)
-       |), card AS (
-       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
-       |), pairs AS (
-       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |), losers AS (
-       |  SELECT DISTINCT p.id2 AS doc_id FROM pairs p
+       |), ${Dedup.shingleCtesSql("canon", n)},
+       |losers AS (
+       |  SELECT DISTINCT p.id2 AS doc_id FROM inter p
        |  JOIN card ca ON p.id1 = ca.doc_id
        |  JOIN card cb ON p.id2 = cb.doc_id
        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= $thr

@@ -78,14 +78,21 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  def ngramJaccardOracle(n: Int = 5, threshold: Double = 0.5): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+  /** Shared DuckDB CTE fragment: distinct word-n-gram shingles + per-doc
+    * cardinalities + shared-shingle pair intersections over `relation` —
+    * the SQL twin of [[shingles]]. Used by this oracle AND CorpusClean's,
+    * so the two cannot drift from each other (or from the Spark side). */
+  def shingleCtesSql(relation: String, n: Int): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM $relation),
        |sh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
        |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
        |card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
+       |          GROUP BY 1, 2)""".stripMargin
+
+  def ngramJaccardOracle(n: Int = 5, threshold: Double = 0.5): String =
+    s"""WITH ${shingleCtesSql("documents", n)}
        |SELECT id1, id2, n_common,
        |       CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) AS jaccard
        |FROM inter
@@ -238,14 +245,14 @@ object Dedup {
       .withColumn("cosine",
         graft.functions.FloatVecDot.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cosine") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cosine"), 8).as("cosine_r"))
+      .select(col("id1"), col("id2"), graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("id1"), col("id2"))
   }
 
   def embeddingNearDupsOracle(threshold: Double = 0.4): String =
     s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-       |                                    CAST(b.embedding AS DOUBLE[])), 8) AS cosine_r
+       |       FLOOR(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                              CAST(b.embedding AS DOUBLE[])) * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
        |                             CAST(b.embedding AS DOUBLE[])) >= $threshold

@@ -34,7 +34,9 @@ object PricingSummary {
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        // ROUND before the cast: Spark double→long truncates, DuckDB's
+        // CAST rounds — only integral quantities would agree without it
+        sum(round(col("l_quantity"), 0).cast("long")).as("sum_qty"),
         sum(cents.cast(DecimalType(38, 0))).as("sum_base_c"),
         sum((cents * (lit(100L) - discPct)).cast(DecimalType(38, 0))).as("sum_disc_c"),
         sum((cents * (lit(100L) - discPct) * (lit(100L) + taxPct))
@@ -57,7 +59,7 @@ object PricingSummary {
   val oracle: String =
     """WITH c AS (
       |  SELECT l_returnflag, l_linestatus,
-      |         CAST(l_quantity AS BIGINT) AS qty,
+      |         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
       |         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
       |         CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS dpct,
       |         CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS tpct

@@ -53,7 +53,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 8).as("cosine_r"))
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -76,7 +76,7 @@ object Similarity {
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM pairs
        |)
-       |SELECT query_id, rank, neighbor_id, ROUND(cosine, 8) AS cosine_r
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------------------------ IVF
@@ -149,7 +149,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 8).as("cosine_r"))
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -215,7 +215,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cosine"), 8).as("cosine_r"))
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

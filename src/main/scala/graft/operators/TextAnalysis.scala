@@ -23,7 +23,7 @@ object TextAnalysis {
         col("chars"),
         size(col("toks")).as("n_tokens"),
         size(array_distinct(col("toks"))).as("n_distinct_tokens"),
-        round(col("chars").cast("double") /
+        graft.functions.StableRound.stableRound(col("chars").cast("double") /
           greatest(size(col("toks")), lit(1)), 6).as("avg_token_len"))
       .orderBy(col("doc_id"))
 
@@ -31,17 +31,17 @@ object TextAnalysis {
     """SELECT doc_id, LENGTH(text) AS chars,
       |       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
       |       len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct_tokens,
-      |       ROUND(CAST(LENGTH(text) AS DOUBLE) /
-      |             GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6) AS avg_token_len
+      |       FLOOR(CAST(LENGTH(text) AS DOUBLE) /
+      |             GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) * 1e6 + 0.5) / 1e6 AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length/punct/stopword/digit components + composite. */
   def quality(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-      round(TF.digitRatio(col("text")), 6).as("digit_ratio"),
+      graft.functions.StableRound.stableRound(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+      graft.functions.StableRound.stableRound(TF.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      graft.functions.StableRound.stableRound(TF.digitRatio(col("text")), 6).as("digit_ratio"),
       TF.qualityScore(col("text")).as("quality_score"))
       .orderBy(col("doc_id"))
 
@@ -60,12 +60,12 @@ object TextAnalysis {
        |         CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / len1 AS digit_ratio
        |  FROM t
        |)
-       |SELECT doc_id, ROUND(punct_ratio, 6) AS punct_ratio,
-       |       ROUND(stopword_ratio, 6) AS stopword_ratio,
-       |       ROUND(digit_ratio, 6) AS digit_ratio,
-       |       ROUND((LEAST(LENGTH(text) / 500.0, 1.0)
+       |SELECT doc_id, FLOOR(punct_ratio * 1e6 + 0.5) / 1e6 AS punct_ratio,
+       |       FLOOR(stopword_ratio * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+       |       FLOOR(digit_ratio * 1e6 + 0.5) / 1e6 AS digit_ratio,
+       |       FLOOR((LEAST(LENGTH(text) / 500.0, 1.0)
        |              + LEAST(stopword_ratio * 4, 1.0)
-       |              + GREATEST(0.0, 1.0 - digit_ratio * 5)) / 3, 6) AS quality_score
+       |              + GREATEST(0.0, 1.0 - digit_ratio * 5)) / 3 * 1e6 + 0.5) / 1e6 AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
   }
 

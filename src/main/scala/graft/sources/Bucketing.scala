@@ -19,10 +19,13 @@ object Bucketing {
     * location left by a previous session is untracked by the fresh
     * in-memory catalog and would fail LOCATION_ALREADY_EXISTS). */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    require(!table.contains("."),
+      "writeBucketed takes an unqualified table name (default database)")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // saveAsTable lowercases the identifier when resolving its location
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${table.toLowerCase(java.util.Locale.ROOT)}")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write
@@ -35,11 +38,22 @@ object Bucketing {
 
   def readTable(spark: SparkSession, table: String): DataFrame = spark.table(table)
 
-  /** True if the executed plan of `df` contains a shuffle exchange —
-    * the thing bucketing is supposed to eliminate. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.exists {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
-      case _ => false
+  /** True if the executed plan of `df` contains a shuffle exchange — the
+    * thing bucketing is supposed to eliminate. Recurses through adaptive
+    * wrappers: AdaptiveSparkPlanExec and query stages are LeafExecNodes, so
+    * a plain `plan.exists` is blind to everything inside them and would
+    * report `false` for ANY plan under the session default AQE=on. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def scan(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case q: QueryStageExec => q.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec] || scan(q.plan)
+      case _: ShuffleExchangeLike => true
+      case other => other.children.exists(scan)
     }
+    scan(df.queryExecution.executedPlan)
+  }
 }

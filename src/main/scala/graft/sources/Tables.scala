@@ -24,16 +24,20 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   /** events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long that we
-    * floor-truncate to microseconds (integer DIV — double division would
-    * lose precision above 2^53 ns). */
+    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      raw.withColumn("ts", nsToTimestampExpr("ts"))
     else raw
   }
+
+  /** Nanosecond-epoch long column → TimestampType, floor-truncated to
+    * micros. Integer DIV (not double division — precision loss above 2^53
+    * ns); the single conversion rule for batch AND streaming readers. */
+  def nsToTimestampExpr(colName: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros(
+      org.apache.spark.sql.functions.expr(s"$colName DIV 1000"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -30,19 +30,21 @@ object EventStreams {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Tumbling 1-hour aggregation, shared by batch and streaming paths.
-    * Sums run over DECIMAL(18,6) (exact, order-independent) and surface as
-    * DOUBLE — double summation order differs between engines/retries. */
+    * Values reduce to exact integer micros first (floor-form — the
+    * double→DECIMAL cast itself rounds differently across engines, see
+    * StableRound) and the micro sums are exact/order-independent; the
+    * surface is DOUBLE. */
   private def hourlyAgg(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        sum(col("value").cast(DecimalType(18, 6))).as("sum_value_dec"))
+        sum(graft.functions.StableRound.microsLong(col("value"))).as("sum_micros"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("approx_users"),
-        col("sum_value_dec").cast("double").as("sum_value"))
+        (col("sum_micros").cast("double") / 1e6).as("sum_value"))
 
   /** Batch twin (driver-contract query). approx_users is excluded from the
     * oracle compare (HLL internals differ per engine) — kept deterministic
@@ -55,7 +57,7 @@ object EventStreams {
   val hourlyOracle: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
       |       event_type, COUNT(*) AS n_events,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |       CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Streaming variant: file source → watermark → windowed agg. The glob
@@ -70,7 +72,7 @@ object EventStreams {
       }))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", Tables.nsToTimestampExpr("ts"))
     hourlyAgg(raw.withWatermark("ts", "2 hours"))
   }
 
@@ -100,20 +102,29 @@ object EventStreams {
   /** Stateful streaming sessionization: `flatMapGroupsWithState` keeps one
     * open session per user; an event past the gap closes-and-emits the
     * previous session. State is O(|active users|), independent of stream
-    * length — the scale-proof pattern for custom state. (Emission on group
-    * completion uses the batch-over-stream property in tests; in a live
-    * stream, event-time timeouts flush idle sessions.) */
+    * length.
+    *
+    * `emitOpenSessions` picks the tail behavior:
+    *   - `true` (the batch-twin contract): the still-open session is
+    *     emitted and state dropped at the end of the invocation — correct
+    *     ONLY for batch-over-static-data, where each group sees all its
+    *     events at once. In a real stream this would split every session
+    *     that spans two micro-batches.
+    *   - `false` (streaming): the open session is kept in state and
+    *     continues into the next micro-batch; deploy with a watermark +
+    *     event-time timeout to flush idle sessions (timeout wiring is
+    *     deployment-specific and not hard-coded here). */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
-                         gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Session] = {
+                         gapMinutes: Int = 30,
+                         emitOpenSessions: Boolean = true): org.apache.spark.sql.Dataset[Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupState
     val gapSec = gapMinutes * 60L
     // gap measured in floor-seconds, matching the batch twin's
     // ts.cast("long") semantics (timestamp→long truncates to seconds)
     def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
-    // exact accumulation in micros == the batch twin's DECIMAL(18,6) sums
-    def micros(v: Double): Long = BigDecimal(v)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).underlying.unscaledValue.longValueExact
+    // exact accumulation in floor-form micros == the batch twin's sums
+    def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
     def emit(user: Long, s: SessionState): Session =
       Session(user, s.start, s.last, s.n, s.micros / 1e6)
     events.groupByKey(_.user_id).flatMapGroupsWithState(
@@ -130,9 +141,10 @@ object EventStreams {
           } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.micros + micros(e.value))
         }
         if (cur != null) {
-          // batch-over-static-data: the group is complete, emit the tail
-          out += emit(user, cur)
-          state.remove()
+          if (emitOpenSessions) { // batch twin: the group is complete
+            out += emit(user, cur)
+            state.remove()
+          } else state.update(cur) // streaming: session continues next batch
         }
         out.iterator
       })
@@ -156,6 +168,7 @@ object EventStreams {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("session_value"))
+        (sum(graft.functions.StableRound.microsLong(col("value"))).cast("double") / 1e6)
+          .as("session_value"))
   }
 }

@@ -37,6 +37,27 @@ object FeatureDemo {
     val salted = SkewTools.saltedJoin(left, right, "k", salts = 8).count()
     println(s"plain=$plain salted=$salted equal=${plain == salted}")
 
+    println("-- asof multi-column atomicity: both values from the SAME snapshot row")
+    val asofEvents = Seq((1L, "k", java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      .toDF("event_id", "k", "ets")
+    val asofSnaps = Seq(
+      ("k", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), Some(2.0)),
+      ("k", java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), Some(3.0), None))
+      .toDF("k", "sts", "a", "b")
+    val asof = graft.operators.AsOfJoin
+      .asofLeft(asofEvents, asofSnaps, "k", "ets", "sts", Seq("a", "b"))
+      .select("a", "b").first()
+    println(s"a=${asof.get(0)} b=${asof.get(1)} (atomic: expect a=3.0 b=null, NOT b=2.0)")
+
+    println("-- AQE-aware shuffle detection (AQE ON, broadcast off => real SMJ)")
+    val savedBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val aqeJoin = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+    println(s"shuffled join under AQE: hasShuffle=${graft.sources.Bucketing.hasShuffle(aqeJoin)} (expect true)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+
     println("-- bucketed co-located join: shuffle-free vs control")
     val liB = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
     val ordB = Tables.orders(spark, dir)

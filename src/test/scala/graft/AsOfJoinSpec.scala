@@ -33,6 +33,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(5L) === None)
   }
 
+  test("multi-column values are atomic: all fields from the same snapshot row") {
+    val events = Seq((1L, "k", ts("2024-01-15"))).toDF("event_id", "k", "ets")
+    val snaps = Seq(
+      ("k", ts("2024-01-01"), Some(1.0), Some(2.0)),
+      ("k", ts("2024-01-10"), Some(3.0), None)) // newer row shadows b with NULL
+      .toDF("k", "sts", "a", "b")
+    val r = AsOfJoin.asofLeft(events, snaps, "k", "ets", "sts", Seq("a", "b"))
+      .select("a", "b").first()
+    assert(r.getDouble(0) === 3.0)
+    assert(r.isNullAt(1), "b must be the latest row's NULL, not stitched from the older row")
+  }
+
   test("gated query: asof price equals the part-year minimum for every row") {
     val result = AsOfJoin.fromDir(spark, sf)
     val li = graft.sources.Tables.lineitem(spark, sf)

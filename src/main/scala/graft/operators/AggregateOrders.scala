@@ -33,9 +33,11 @@ object AggregateOrders {
         col("p_partkey"), col("p_name"), col("p_brand"),
         col("s_suppkey"), col("s_name"))
       .agg(
-        // CAST-then-SUM mirrors the reference's all-VARCHAR contract
-        // (SUM(CAST(quantity AS BIGINT)), pipeline.py:418)
-        sum(col("l_quantity").cast("long")).as("total_quantity"),
+        // integer-quantity SUM (the reference's SUM(CAST(quantity AS
+        // BIGINT)), pipeline.py:418); ROUND precedes the cast because
+        // Spark's double→long truncates while DuckDB's CAST rounds —
+        // identical only for integral quantities without it
+        sum(round(col("l_quantity"), 0).cast("long")).as("total_quantity"),
         count(lit(1)).as("order_count"),
         // MAX over the fixed-width timestamp, formatted AFTER the aggregate:
         // value-identical to the reference's lexicographic string max for
@@ -61,7 +63,7 @@ object AggregateOrders {
   val oracle: String =
     """SELECT p.p_partkey AS sku_id, p.p_name AS product_name, p.p_brand AS category,
       |       s.s_suppkey AS warehouse_id, s.s_name AS warehouse_name,
-      |       SUM(CAST(l.l_quantity AS BIGINT)) AS total_quantity,
+      |       SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS total_quantity,
       |       COUNT(*) AS order_count,
       |       MAX(strftime(l.l_shipdate, '%Y-%m-%d')) AS last_order_date
       |FROM lineitem l

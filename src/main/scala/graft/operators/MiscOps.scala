@@ -49,7 +49,7 @@ object MiscOps {
   def pipelineSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.agg(
-      sum(col("l_quantity").cast("long")).as("total_quantity"),
+      sum(round(col("l_quantity"), 0).cast("long")).as("total_quantity"),
       count(lit(1)).as("total_lines"),
       count(when(col("l_returnflag") === "R", lit(1))).as("returned_lines"),
       countDistinct(col("l_partkey")).as("distinct_skus"),
@@ -61,7 +61,7 @@ object MiscOps {
   }
 
   val o20Oracle: String =
-    """SELECT SUM(CAST(l_quantity AS BIGINT)) AS total_quantity,
+    """SELECT SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS total_quantity,
       |       COUNT(*) AS total_lines,
       |       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_lines,
       |       COUNT(DISTINCT l_partkey) AS distinct_skus,

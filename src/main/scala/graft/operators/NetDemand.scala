@@ -48,10 +48,10 @@ object NetDemand {
     lineitem
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(
-        sum(when(col("l_shipdate") >= lit(runDate), col("l_quantity").cast("long")))
+        sum(when(col("l_shipdate") >= lit(runDate), round(col("l_quantity"), 0).cast("long")))
           .as("aggregated_orders"),
-        sum(when(inWindow, col("l_quantity").cast("long"))).as("available_qty"),
-        sum(when(inWindow && col("l_returnflag") === "R", col("l_quantity").cast("long"))
+        sum(when(inWindow, round(col("l_quantity"), 0).cast("long"))).as("available_qty"),
+        sum(when(inWindow && col("l_returnflag") === "R", round(col("l_quantity"), 0).cast("long"))
           .otherwise(when(inWindow, 0L))).as("reserved_qty"),
         min(col("l_extendedprice") / col("l_quantity")).as("unit_price_all"))
   }
@@ -130,7 +130,7 @@ object NetDemand {
   val oracle: String =
     s"""WITH demand AS (
        |  SELECT l_partkey, l_suppkey,
-       |         SUM(CAST(l_quantity AS BIGINT)) AS aggregated_orders
+       |         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS aggregated_orders
        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$runDate'
        |  GROUP BY 1, 2
        |), overrides AS (
@@ -145,8 +145,8 @@ object NetDemand {
        |  LEFT JOIN overrides o ON p.p_partkey = o.p_partkey AND s.s_suppkey = o.s_suppkey
        |), inv AS (
        |  SELECT l_partkey, l_suppkey,
-       |         SUM(CAST(l_quantity AS BIGINT)) AS available_qty,
-       |         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS reserved_qty
+       |         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS available_qty,
+       |         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity, 0) AS BIGINT) ELSE 0 END) AS reserved_qty
        |  FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '$snapStart' AND l_shipdate < TIMESTAMP '$runDate'
        |  GROUP BY 1, 2

@@ -63,7 +63,7 @@ object AggregateOrders {
   val oracle: String =
     """SELECT p.p_partkey AS sku_id, p.p_name AS product_name, p.p_brand AS category,
       |       s.s_suppkey AS warehouse_id, s.s_name AS warehouse_name,
-      |       SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS total_quantity,
+      |       CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_quantity,
       |       COUNT(*) AS order_count,
       |       MAX(strftime(l.l_shipdate, '%Y-%m-%d')) AS last_order_date
       |FROM lineitem l

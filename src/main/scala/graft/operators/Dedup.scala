@@ -30,7 +30,8 @@ object Dedup {
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
-      .select(col("canonical_id"), col("dup_count"), length(col("text")).as("text_len"))
+      .select(col("canonical_id"), col("dup_count"),
+        length(col("text")).cast("long").as("text_len"))
       .orderBy(col("canonical_id"))
 
   val exactOracle: String =

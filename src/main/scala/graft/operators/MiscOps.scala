@@ -61,7 +61,7 @@ object MiscOps {
   }
 
   val o20Oracle: String =
-    """SELECT SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS total_quantity,
+    """SELECT CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS total_quantity,
       |       COUNT(*) AS total_lines,
       |       COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS returned_lines,
       |       COUNT(DISTINCT l_partkey) AS distinct_skus,

@@ -37,7 +37,7 @@ object Multimodal {
   def payloadMeta(media: DataFrame): DataFrame =
     media.select(
       col("media_id"),
-      length(col("payload")).as("byte_length"),
+      length(col("payload")).cast("long").as("byte_length"),
       md5(col("payload")).as("content_md5"),
       hex(substring(col("payload"), 1, 8)).as("magic_prefix"),
       col("mime"), col("source"))

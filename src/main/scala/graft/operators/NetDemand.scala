@@ -130,7 +130,7 @@ object NetDemand {
   val oracle: String =
     s"""WITH demand AS (
        |  SELECT l_partkey, l_suppkey,
-       |         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS aggregated_orders
+       |         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS aggregated_orders
        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$runDate'
        |  GROUP BY 1, 2
        |), overrides AS (
@@ -145,21 +145,21 @@ object NetDemand {
        |  LEFT JOIN overrides o ON p.p_partkey = o.p_partkey AND s.s_suppkey = o.s_suppkey
        |), inv AS (
        |  SELECT l_partkey, l_suppkey,
-       |         SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS available_qty,
-       |         SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity, 0) AS BIGINT) ELSE 0 END) AS reserved_qty
+       |         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS available_qty,
+       |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(ROUND(l_quantity, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS reserved_qty
        |  FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '$snapStart' AND l_shipdate < TIMESTAMP '$runDate'
        |  GROUP BY 1, 2
        |)
        |SELECT d.l_partkey AS sku_id, p.p_name AS product_name, p.p_brand AS category,
        |       d.l_suppkey AS warehouse_id, s.s_name AS warehouse_name,
-       |       d.aggregated_orders,
-       |       COALESCE(ss.safety_stock, 0) AS safety_stock,
-       |       COALESCE(i.available_qty, 0) AS available_stock,
-       |       COALESCE(i.reserved_qty, 0) AS reserved_stock,
-       |       COALESCE(i.available_qty, 0) - COALESCE(i.reserved_qty, 0) AS effective_stock,
-       |       GREATEST(0, d.aggregated_orders + COALESCE(ss.safety_stock, 0)
-       |                   - (COALESCE(i.available_qty, 0) - COALESCE(i.reserved_qty, 0))) AS net_demand,
+       |       CAST(d.aggregated_orders AS BIGINT) AS aggregated_orders,
+       |       CAST(COALESCE(ss.safety_stock, 0) AS BIGINT) AS safety_stock,
+       |       CAST(COALESCE(i.available_qty, 0) AS BIGINT) AS available_stock,
+       |       CAST(COALESCE(i.reserved_qty, 0) AS BIGINT) AS reserved_stock,
+       |       CAST(COALESCE(i.available_qty, 0) - COALESCE(i.reserved_qty, 0) AS BIGINT) AS effective_stock,
+       |       CAST(GREATEST(0, d.aggregated_orders + COALESCE(ss.safety_stock, 0)
+       |                   - (COALESCE(i.available_qty, 0) - COALESCE(i.reserved_qty, 0))) AS BIGINT) AS net_demand,
        |       '$runDate' AS calculation_date
        |FROM demand d
        |JOIN part p ON d.l_partkey = p.p_partkey

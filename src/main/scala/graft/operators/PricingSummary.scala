@@ -66,7 +66,7 @@ object PricingSummary {
       |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
       |)
       |SELECT l_returnflag, l_linestatus,
-      |       SUM(qty) AS sum_qty,
+      |       CAST(SUM(qty) AS BIGINT) AS sum_qty,
       |       CAST(SUM(cents) AS DOUBLE) / 1e2 AS sum_base_price,
       |       CAST(SUM(cents * (100 - dpct)) AS DOUBLE) / 1e4 AS sum_disc_price,
       |       CAST(SUM(cents * (100 - dpct) * (100 + tpct)) AS DOUBLE) / 1e6 AS sum_charge,

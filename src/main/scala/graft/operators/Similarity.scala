@@ -50,7 +50,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         graft.functions.FloatVecDot.dot(col("qe"), col("ne")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
@@ -146,7 +146,7 @@ object Similarity {
     broadcast(probes).join(n, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
@@ -212,7 +212,7 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .join(n, Seq("neighbor_id"))
       .withColumn("cosine", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))

@@ -16,13 +16,13 @@ object TextAnalysis {
     * materialized once per row (explicit projection boundary) — inlining it
     * into every stat would re-split the text per statistic. */
   def tokenStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), length(col("text")).as("chars"),
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("chars"),
       TF.tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
         col("chars"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
         graft.functions.StableRound.stableRound(col("chars").cast("double") /
           greatest(size(col("toks")), lit(1)), 6).as("avg_token_len"))
       .orderBy(col("doc_id"))

@@ -1,54 +1,43 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Scale-out replacement for a single-partition global ROW_NUMBER (O18).
   *
   * The reference assigns PO ids by enumerating the sorted result on the
   * driver (reference dags/pipeline.py:682-687); the direct Spark translation
   * is `row_number().over(Window.orderBy(...))`, which forces every row
-  * through ONE task — fine for Q3's dimension-bounded output, fatal for a
+  * through ONE task — fine for a dimension-bounded output, fatal for a
   * 100 TB fact-sized result.
   *
   * This variant keeps the data distributed:
   *   1. range-repartition by the sort key (same exchange a global sort uses),
   *   2. sort within partitions (no extra shuffle: range + local sort ==
   *      total order),
-  *   3. count rows per partition (one lightweight job),
-  *   4. add each partition's starting offset to a per-partition local rank.
-  * Net cost: one range exchange + one count pass — no single-task stage.
+  *   3. `RDD.zipWithIndex` — Spark's own two-job count-then-offset pattern.
+  * Both of zipWithIndex's jobs (per-partition counts, then offset+assign)
+  * run over the SAME RDD object, so the range exchange's map output is
+  * computed once and the second job re-reads the shuffle files — no cache,
+  * nothing to unpersist, and no risk of the two jobs observing different
+  * partition layouts (the round-1 version cached for that and leaked the
+  * cached blocks).
+  *
+  * Precondition: `sortKeys` must be a TOTAL order (include tie-break
+  * columns). With ties, the within-partition sort order — and therefore the
+  * assigned ids — can differ between the two zipWithIndex jobs and across
+  * runs, because shuffle-block arrival order is nondeterministic.
   */
 object ScalableIds {
 
   def withGlobalRowNumbers(df: DataFrame, idCol: String, sortKeys: Column*): DataFrame = {
-    // cached: the counts job and the id job must observe the SAME partition
-    // layout — re-executing the exchange twice would both double the
-    // dominant shuffle and risk AQE/replay repartitioning between jobs,
-    // which would silently misalign the collected offsets
     val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
-      .cache()
-    val counts = sorted
-      .withColumn("__pid", spark_partition_id())
-      .groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
-      .toMap
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val enc = org.apache.spark.sql.Encoders.row(
-      org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+
-          org.apache.spark.sql.types.StructField(
-            idCol, org.apache.spark.sql.types.LongType, nullable = false)))
-    val withId = sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = bc.value.getOrElse(pid, 0L)
-      it.map { r =>
-        i += 1
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-      }
-    }(enc)
-    withId
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
+    // ids are 1-based to match ROW_NUMBER()
+    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(withId, schema)
   }
 }

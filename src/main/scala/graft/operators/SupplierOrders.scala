@@ -74,11 +74,16 @@ object SupplierOrders {
       .withColumn("expected_delivery_date",
         date_format(date_add(lit(runDate).cast("date"), col("lead_time_days")), "yyyy-MM-dd"))
 
-    val byCost = Window.orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
-    sized
+    // PO ids by position in the total_cost-DESC order — assigned with
+    // ScalableIds (range exchange + zipWithIndex) instead of a
+    // single-partition Window.orderBy: same ids (spec-proven), but the rows
+    // never funnel through one task, so the plan survives an output that
+    // grows with SF
+    ScalableIds
+      .withGlobalRowNumbers(sized, "po_seq",
+        col("total_cost").desc, col("sku_id"), col("warehouse_id"))
       .withColumn("order_id",
-        format_string("PO-%s-%05d", lit(runDate.replace("-", "")),
-          row_number().over(byCost)))
+        format_string("PO-%s-%05d", lit(runDate.replace("-", "")), col("po_seq")))
       .select(
         col("sku_id"), col("product_name"), col("category"),
         col("warehouse_id"), col("warehouse_name"),
@@ -88,7 +93,11 @@ object SupplierOrders {
         col("order_quantity"), col("total_cost"),
         col("expected_delivery_date"), col("order_id"),
         lit(runDate).as("order_date"), lit("PENDING").as("status"))
-      .orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
+    // no final orderBy: ScalableIds already produced the total
+    // (total_cost DESC, sku_id, warehouse_id) order by construction —
+    // range partitions are in index order and sorted within; narrow
+    // projections preserve it. A global sort here would re-shuffle the
+    // whole result just to reestablish an order it already has.
   }
 
   def fromDir(spark: SparkSession, dir: String): DataFrame =

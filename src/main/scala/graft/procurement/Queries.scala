@@ -135,17 +135,20 @@ object Queries {
     val packed = ceil(col("net_demand").cast("double") / col("pack_size")) * col("pack_size")
     val orderQty = greatest(col("min_order_qty").cast("long"), packed).cast("double")
     val iso = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
-    val byCost = Window.orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
-    nd.join(best, nd("sku_id") === col("rs_sku_id"))
+    val costed = nd.join(best, nd("sku_id") === col("rs_sku_id"))
       .withColumn("order_quantity", orderQty)
       .withColumn("total_cost", col("order_quantity") * col("unit_price"))
       .withColumn("expected_delivery_date",
         date_format(date_add(lit(runDate.format(iso)).cast("date"),
           col("lead_time_days")), "yyyy-MM-dd"))
+    // distributed PO-id assignment — see graft.operators.ScalableIds
+    graft.operators.ScalableIds
+      .withGlobalRowNumbers(costed, "po_seq",
+        col("total_cost").desc, col("sku_id"), col("warehouse_id"))
       .withColumn("order_id",
         format_string("PO-%s-%05d",
           lit(runDate.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)),
-          row_number().over(byCost)))
+          col("po_seq")))
       .select(
         col("sku_id"), col("sku_code"), col("product_name"), col("category"),
         col("warehouse_id"), col("warehouse_code"), col("warehouse_name"), col("city"),
@@ -156,6 +159,7 @@ object Queries {
         col("order_id"),
         lit(runDate.format(iso)).as("order_date"),
         lit("PENDING").as("status"))
-      .orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
+    // already in (total_cost DESC, sku_id, warehouse_id) order by
+    // construction — see the note in operators/SupplierOrders.apply
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{ScalableIds, SupplierOrders}
+import graft.operators.SupplierOrders
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -44,13 +44,16 @@ class SupplierOrdersSpec extends SparkSpec {
     assert(ids.toSeq === expected)
   }
 
-  test("ScalableIds assigns the same ids as the single-partition window") {
-    val viaWindow = result.select(col("order_id"), col("sku_id"), col("warehouse_id"))
-    val viaScalable = ScalableIds
-      .withGlobalRowNumbers(result.drop("order_id"), "rn",
-        col("total_cost").desc, col("sku_id"), col("warehouse_id"))
-      .withColumn("order_id", format_string("PO-%s-%05d", lit("19980101"), col("rn")))
+  test("ScalableIds (the gated path) matches the single-partition window ids") {
+    // the gated q3 now assigns PO ids via ScalableIds; re-derive them with
+    // the naive global window as the independent oracle
+    import org.apache.spark.sql.expressions.Window
+    val byCost = Window.orderBy(col("total_cost").desc, col("sku_id"), col("warehouse_id"))
+    val viaWindow = result.drop("order_id")
+      .withColumn("order_id",
+        format_string("PO-%s-%05d", lit("19980101"), row_number().over(byCost)))
       .select(col("order_id"), col("sku_id"), col("warehouse_id"))
+    val viaScalable = result.select(col("order_id"), col("sku_id"), col("warehouse_id"))
     assert(viaWindow.except(viaScalable).count() === 0)
     assert(viaScalable.except(viaWindow).count() === 0)
   }

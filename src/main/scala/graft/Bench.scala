@@ -7,8 +7,9 @@ object Bench {
     val spark = GraftSession.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // a failed query reports -1.0 and is excluded from the total — wall
-    // time of a crash must not masquerade as a fast measurement
+    // a failed query reports -1.0 and is excluded from the total; it is
+    // also listed under "failed" and fails the process — wall time of a
+    // partial query set must not read as a valid (smaller!) measurement
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -28,8 +29,18 @@ object Bench {
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // the driver greps the sbt tail for the metric JSON and round 1 failed
+    // to parse it out of the log noise — also persist it to bench.json and
+    // make the bare line the LAST stdout output (after spark.stop()'s
+    // shutdown chatter, which goes to stderr)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
+    println(json)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -64,9 +64,12 @@ object SparkEntry {
     "o20_summary" -> MiscOps.o20Oracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle(),
-    // dedup_minhash_lsh / dedup_simhash / text_fingerprint: hash-family
-    // internals aren't SQL-expressible → rows-only check; semantics
-    // verified in ScalaTest against exact-Jaccard / reference impls
+    // the MinHash/SimHash/fingerprint internals run on a cross-engine
+    // md5-prefix hash, so the FULL pipelines (signatures, banding,
+    // blocking, verification) have exact DuckDB twins
+    "dedup_minhash_lsh" -> Dedup.minhashLshOracle(),
+    "dedup_simhash" -> Dedup.simhashOracle(),
+    "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsOracle(),
     "knn_cosine_topk" -> Similarity.knnOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,

@@ -28,7 +28,9 @@ object CorpusClean {
       .filter(col("quality_score") >= qualityMin)
     val canonical = scored
       .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), first(col("quality_score")).as("quality_score"))
+      // min, not first: the score is a function of the group key (text), so
+      // any pick is equal — min makes the determinism explicit in the plan
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality_score")).as("quality_score"))
     val nearDupLosers = Dedup
       .ngramJaccardPairs(canonical.select(col("doc_id"), col("text")), n, jaccardThreshold)
       .select(col("id2").as("doc_id")).distinct()
@@ -55,7 +57,7 @@ object CorpusClean {
        |  SELECT * FROM scored WHERE quality_score >= $qualityMin
        |), canon AS (
        |  SELECT MIN(doc_id) AS doc_id, text,
-       |         FIRST(quality_score) AS quality_score
+       |         MIN(quality_score) AS quality_score
        |  FROM surviving GROUP BY text
        |), ${Dedup.shingleCtesSql("canon", n)},
        |losers AS (

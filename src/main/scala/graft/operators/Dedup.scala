@@ -44,15 +44,29 @@ object Dedup {
     docs.select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
       .distinct()
 
-  /** Distinct 64-bit-hashed shingles per doc — the MinHash/LSH internal
+  /** Cross-engine 60-bit string hash: the first 15 hex chars of md5,
+    * parsed as a (always-positive) BIGINT. DuckDB computes the identical
+    * value ([[hash60Sql]]), which is what makes the MinHash and SimHash
+    * pipelines oracle-checkable end-to-end — xxhash64 has no DuckDB twin.
+    * Still a builtin codegen'd expression chain (md5+substring+conv), and
+    * md5's 60 truncated bits keep collisions at ~n²/2⁶¹: negligible even
+    * at 10¹² shingles, and in any case IDENTICAL on both engines. */
+  def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** The DuckDB twin of [[hash60]] over SQL expression `x`. */
+  def hash60Sql(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  /** Distinct hashed shingles per doc — the MinHash/LSH internal
     * representation: every downstream shuffle and join moves an 8-byte key
-    * instead of a ~30-byte string. xxhash64 collisions (~n²/2⁶⁴) are
-    * negligible against MinHash's own approximation error; the
-    * oracle-checked [[ngramJaccardPairs]] stays string-exact. */
+    * instead of a ~30-byte string. Hash collisions are folded BEFORE the
+    * distinct, so per-doc cardinalities are over hashed sets on both
+    * engines; the oracle-checked [[ngramJaccardPairs]] stays string-exact. */
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .select(col("doc_id"), hash60(col("shingle")).as("h"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
@@ -129,13 +143,17 @@ object Dedup {
   }
 
   /** LSH banding: docs whose signature agrees on ALL rows of some band land
-    * in the same bucket; bucket-mates are candidate pairs. */
+    * in the same bucket; bucket-mates are candidate pairs. The bucket key
+    * is the band's signature row ITSELF (an array of longs), not a hash of
+    * it: exact LSH semantics with no false bucket collisions, an
+    * engine-neutral join key for the oracle, and at ~32 bytes still a
+    * narrow shuffle key. */
   def minhashLshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
     val mhCols = signatures.columns.filter(_.startsWith("mh_"))
     val rows = mhCols.length / bands
     val bandExprs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash(mhCols.slice(b * rows, (b + 1) * rows).map(col): _*).as("bucket"))
+        array(mhCols.slice(b * rows, (b + 1) * rows).map(col): _*).as("bucket"))
     }
     val banded = signatures
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bb"))
@@ -179,31 +197,85 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** DuckDB twin of the FULL MinHash-LSH pipeline ([[minhashLsh]]):
+    * identical shingles, identical 60-bit shingle hash, the same universal
+    * hash family (the a/b parameters are embedded as literals from the same
+    * seeded generator), band buckets as signature-row lists, candidate-only
+    * exact Jaccard. Every intermediate is integer math; the one double
+    * (jaccard) is a single int/int division — bit-exact on both engines. */
+  def minhashLshOracle(n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5, seed: Long = 42L): String = {
+    val p = 2147483647L
+    val params = hashParams(numHashes, seed)
+    val rows = numHashes / bands
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((ha * ${a % p} + ${b % p}) % $p) AS mh_$i"
+    }.mkString(",\n       |           ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"mh_$i").mkString(", ")
+      s"($b, [$cols])"
+    }.mkString(",\n       |             ")
+    s"""WITH ${shingleCtesSql("documents", n)},
+       |hsh AS (SELECT DISTINCT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |ha AS (SELECT doc_id, h % $p AS ha FROM hsh),
+       |sig AS (SELECT doc_id,
+       |           $minExprs
+       |        FROM ha GROUP BY doc_id),
+       |banded AS (SELECT doc_id, v.band, v.bucket
+       |           FROM sig, LATERAL (VALUES
+       |             $bandRows) AS v(band, bucket)),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |         FROM banded l JOIN banded r
+       |           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |hcard AS (SELECT doc_id, COUNT(*) AS n_sh FROM hsh GROUP BY 1),
+       |hinter AS (SELECT c.id1, c.id2, COUNT(*) AS n_common
+       |           FROM cand c
+       |           JOIN hsh a ON a.doc_id = c.id1
+       |           JOIN hsh b ON b.doc_id = c.id2 AND b.h = a.h
+       |           GROUP BY 1, 2)
+       |SELECT i.id1, i.id2,
+       |       CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) AS jaccard
+       |FROM hinter i
+       |JOIN hcard ca ON i.id1 = ca.doc_id
+       |JOIN hcard cb ON i.id2 = cb.doc_id
+       |WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over tokens: bit_i = sign(Σ_tokens ±1 on hash bit i). */
+  /** Signature width: 60 bits — the width of [[hash60]], so every
+    * signature bit is backed by a real hash bit on BOTH engines. */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over tokens: bit_i = sign(Σ_tokens ±1 on hash bit i).
+    * Tokens keep their multiplicity (no distinct) — a repeated word weighs
+    * more, the standard SimHash weighting. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("token"))
-      .withColumn("th", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { i =>
+      .withColumn("th", hash60(col("token")))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }
     val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map { i =>
+    val sig = (0 until SimhashBits).map { i =>
       when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** Hamming-distance near-dup pairs via pigeonhole blocking: split the 64
+  /** Hamming-distance near-dup pairs via pigeonhole blocking: split the 60
     * bits into (maxDistance+1) chunks; pairs within distance must share at
-    * least one exact chunk — candidates only form inside chunk buckets. */
+    * least one exact chunk — candidates only form inside chunk buckets.
+    * Chunk width is ceil(60/chunks) so the chunks tile ALL signature bits
+    * (a floor width would leave uncovered bits and break the pigeonhole
+    * guarantee when chunks does not divide 60). */
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
-    val bits = 64 / chunks
+    val bits = (SimhashBits + chunks - 1) / chunks
     // Scala shifts are mod 64: (1L << 64) - 1 == 0, which would collapse
-    // every row into bucket 0 for maxDistance=0 — use -1L (all bits) there
+    // every row into bucket 0 — use -1L (all bits) if bits ever reaches 64
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
     // no cache: `blocked` is derived once and self-joined; ReuseExchange
     // dedups the computation (same policy as ngramJaccardPairs)
@@ -222,10 +294,48 @@ object Dedup {
     l.join(r, Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        bit_count(col("sig1").bitwiseXOR(col("sig2"))).as("hamming"))
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB twin of [[simhashNearDups]]∘[[simhash]]: same tokens (with
+    * multiplicity), same 60-bit token hash, the same per-bit ±1 sums and
+    * sign assembly (as a sum of disjoint powers of two), the same
+    * pigeonhole chunk blocking, hamming via bit_count(xor). All integer
+    * math — bit-exact on both engines. */
+  def simhashOracle(maxDistance: Int = 3): String = {
+    val chunks = maxDistance + 1
+    val bits = (SimhashBits + chunks - 1) / chunks
+    val mask = (1L << bits) - 1
+    val bitSums = (0 until SimhashBits).map { i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b_$i"
+    }.mkString(",\n       |          ")
+    val sigExpr = (0 until SimhashBits).map { i =>
+      s"(CASE WHEN b_$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val chunkList = (0 until chunks).mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id, t.t AS token
+       |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |        FROM documents),
+       |       LATERAL unnest(toks) AS t(t)
+       |), th AS (SELECT doc_id, ${hash60Sql("token")} AS h FROM tk),
+       |bs AS (SELECT doc_id,
+       |          $bitSums
+       |       FROM th GROUP BY doc_id),
+       |sg AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sig FROM bs),
+       |blocked AS (SELECT doc_id, sig, c.c AS chunk,
+       |                   (sig >> (c.c * $bits)) & $mask AS key
+       |            FROM sg, LATERAL unnest($chunkList) AS c(c)),
+       |pairs AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.sig AS s1, r.sig AS s2
+       |          FROM blocked l JOIN blocked r
+       |            ON l.chunk = r.chunk AND l.key = r.key AND l.doc_id < r.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(s1, s2)) <= $maxDistance
+       |ORDER BY id1, id2""".stripMargin
   }
 
   // ------------------------------------------------------- embedding cosine

@@ -108,6 +108,20 @@ object TextAnalysis {
       Fingerprint.docFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** DuckDB twin of [[graft.functions.Fingerprint]]: the same
+    * h = (h·31 + byte) mod 1e9+7 left fold over the UTF-8 BYTES, built from
+    * the hex dump of the encoded text (two hex chars per byte) and
+    * list_reduce. Seeded with a prepended 0 so empty text folds to 0, like
+    * the expression's empty loop. */
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           [CAST('0x' || substr(hex(encode(text)), 2*x - 1, 2) AS BIGINT)
+      |            FOR x IN range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1)]),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def tokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
     tokenStats(Tables.documents(spark, dir))
   def qualityFromDir(spark: SparkSession, dir: String): DataFrame =

@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
     assert(nd.count() > 0) // the corpus has planted near-dups
   }
 
+  test("hash60 equals the md5-prefix reference (ASCII, non-ASCII, empty)") {
+    def ref(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val inputs = Seq("hello world", "héllo wörld", "", "日本語 テキスト", "a b c d e")
+    val got = inputs.toDF("s")
+      .select(col("s"), Dedup.hash60(col("s")).as("h")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    inputs.foreach(s => assert(got(s) === ref(s), s"hash60 mismatch for '$s'"))
+  }
+
   test("fingerprint expression matches the Scala reference implementation") {
     val sample = docs.limit(20)
       .select(col("text"), Fingerprint.docFingerprint(col("text")).as("fp"))

@@ -13,7 +13,15 @@ object Bench {
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        // noop write, not count(): count() lets EliminateSorts drop each
+        // query's final global sort, flattering DataFrame-native queries
+        // while q3 (whose sort sits above an RDD boundary the optimizer
+        // can't see through) paid it in full. The noop sink materializes
+        // every output row uniformly. Query CONSTRUCTION stays inside the
+        // timer: the dedup family pins shared stages eagerly, so part of
+        // its work runs before the action.
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
@@ -34,13 +42,16 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    // the driver greps the sbt tail for the metric JSON and round 1 failed
-    // to parse it out of the log noise — also persist it to bench.json and
-    // make the bare line the LAST stdout output (after spark.stop()'s
-    // shutdown chatter, which goes to stderr)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // the driver greps the sbt tail for the metric JSON and rounds 1-2
+    // failed to parse it out of sbt's [info]-prefixed log noise — persist
+    // it to bench.json (best-effort: a read-only cwd must not void the
+    // measurement), and emit the bare line LAST on BOTH stdout and stderr
+    // (sbt prefixes stdout with "[info] "; stderr passes through bare)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
     spark.stop()
     println(json)
+    System.err.println(json)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *
   *   1. union the two sides with a side tag (snapshot sorts before event
   *      at equal timestamps, giving the inclusive `>=` semantics),
-  *   2. one window per key ordered by (ts, tag): `last(value, ignoreNulls)`
-  *      over unbounded-preceding..current carries the most recent snapshot
-  *      value forward onto every event row,
+  *   2. one window per key ordered by (ts, tag, payload): `last(value,
+  *      ignoreNulls)` over unbounded-preceding..current carries the most
+  *      recent snapshot value forward onto every event row (the payload
+  *      tie-break makes equal-(key,ts) snapshot ties deterministic),
   *   3. keep the event rows.
   *
   * Cost: ONE shuffle on the key (the window partitioning) over
@@ -44,18 +45,27 @@ object AsOfJoin {
         if (have(c)) col(c) else lit(null).as(c)) :+ col("__ts") :+ col("__tag")): _*)
     val unioned = aligned(eventSide, eventCols.toSet)
       .unionByName(aligned(snapSide0, (Seq(key) ++ valueCols).toSet))
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts").asc, col("__tag").asc)
+      // the value columns travel as ONE struct so every event receives all
+      // fields from the SAME (latest) snapshot row — per-column carries
+      // would stitch values from different snapshots whenever a field is
+      // NULL
+      .withColumn("__snapval",
+        when(col("__tag") === 0, struct(valueCols.map(col).toIndexedSeq: _*)))
+    // final tie-break on the snapshot payload itself: two snapshots with
+    // EQUAL (key, ts) would otherwise tie in the window order and the
+    // carried row would be run-dependent (partition-layout-dependent).
+    // Ordering by the struct makes the field-wise LARGEST payload win,
+    // deterministically, with no schema requirements beyond orderable value
+    // columns. Event rows carry NULL here and are already separated by
+    // __tag, so the extra key never reorders events vs snapshots.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__snapval").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the value columns travel as ONE struct so every event receives all
-    // fields from the SAME (latest) snapshot row — per-column carries would
-    // stitch values from different snapshots whenever a field is NULL
-    val snapStruct = when(col("__tag") === 0,
-      struct(valueCols.map(col).toIndexedSeq: _*))
     val carried = unioned
-      .withColumn("__snap", last(snapStruct, ignoreNulls = true).over(w))
+      .withColumn("__snap", last(col("__snapval"), ignoreNulls = true).over(w))
     valueCols.foldLeft(carried) { (df, c) =>
       df.withColumn(c, col(s"__snap.$c"))
-    }.filter(col("__tag") === 1).drop("__ts", "__tag", "__snap")
+    }.filter(col("__tag") === 1).drop("__ts", "__tag", "__snap", "__snapval")
   }
 
   /** Gated query: each lineitem gets the AS-OF yearly minimum unit price of

@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *                       n-gram-Jaccard pair over the threshold.
   *
   * Output: the surviving doc ids with their quality score — what a
-  * pretraining-data curator ships downstream. Everything is composed from
-  * the already-verified operators, so Catalyst sees one tree: the quality
-  * expressions fuse into the scan, the dedup group-by and the shingle join
-  * only ever see quality survivors (filter pushed below both), and nothing
-  * is materialized between stages.
+  * pretraining-data curator ships downstream. The stages compose from the
+  * already-verified operators; the quality expressions fuse into the scan,
+  * and the dedup group-by and the shingle join only ever see quality
+  * survivors (the filter sits below both). The `canonical` survivor table
+  * is pinned once: it feeds BOTH the near-dup branch (via the shingle stage
+  * ngramJaccardPairs pins internally) and the final anti-join, so the raw
+  * corpus is scanned and quality-scored exactly once per run.
   */
 object CorpusClean {
 
@@ -26,11 +28,11 @@ object CorpusClean {
     val scored = docs
       .withColumn("quality_score", TF.qualityScore(col("text")))
       .filter(col("quality_score") >= qualityMin)
-    val canonical = scored
+    val canonical = Dedup.pinned(scored
       .groupBy(col("text"))
       // min, not first: the score is a function of the group key (text), so
       // any pick is equal — min makes the determinism explicit in the plan
-      .agg(min(col("doc_id")).as("doc_id"), min(col("quality_score")).as("quality_score"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("quality_score")).as("quality_score")))
     val nearDupLosers = Dedup
       .ngramJaccardPairs(canonical.select(col("doc_id"), col("text")), n, jaccardThreshold)
       .select(col("id2").as("doc_id")).distinct()

@@ -26,6 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Pin a shared pipeline stage: materialize it ONCE (eager local
+    * checkpoint) so every downstream branch reads the computed rows instead
+    * of re-deriving the stage from the raw corpus. ReuseExchange can NOT be
+    * relied on for this — each branch pushes different projections into the
+    * scan, so the post-optimization subtrees differ and reuse never fires;
+    * the round-2 recorded plans re-scanned `documents` up to 6x per dedup
+    * query because of exactly that. localCheckpoint stores the stage
+    * MEMORY_AND_DISK on executors and truncates lineage; on a cluster with
+    * executor churn, swap for `checkpoint()` against a reliable dir — the
+    * operator shape is unchanged. The pinned stages here are the SMALL
+    * derived tables (8-byte hashed shingles, fixed-width signatures), never
+    * the raw corpus. */
+  private[operators] def pinned(stage: DataFrame): DataFrame =
+    stage.localCheckpoint(eager = true)
+
   /** Exact dedup by content: canonical id = min doc_id per distinct text. */
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))
@@ -58,6 +73,22 @@ object Dedup {
   def hash60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
+  /** Session conf: set to `true` to hash shingles/tokens with the codegen'd
+    * xxhash64 instead of [[hash60]] — several times less CPU per row, the
+    * right choice for a real 100 TB run. Defaults to false because only
+    * [[hash60]] has a DuckDB twin, i.e. only the default keeps the MinHash/
+    * SimHash pipelines oracle-checkable end-to-end. Both are uniform 64/60-
+    * bit hash families, so the LSH collision model is unaffected. */
+  val FastHashConf = "spark.graft.dedup.fastHash"
+
+  /** The dedup-internal content hash: [[hash60]] (cross-engine, default) or
+    * xxhash64 (fast path) per [[FastHashConf]]. Masked to the low 60 bits
+    * either way so [[SimhashBits]] signature bits are always backed. */
+  private def contentHash(df: DataFrame)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (df.sparkSession.conf.get(FastHashConf, "false").toBoolean)
+      xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
+    else hash60(c)
+
   /** Distinct hashed shingles per doc — the MinHash/LSH internal
     * representation: every downstream shuffle and join moves an 8-byte key
     * instead of a ~30-byte string. Hash collisions are folded BEFORE the
@@ -66,16 +97,15 @@ object Dedup {
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), hash60(col("shingle")).as("h"))
+      .select(col("doc_id"), contentHash(docs)(col("shingle")).as("h"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
     * shingle; similarity = |∩|/|∪| in integer math). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    // no .cache(): the three uses of `sh` share one canonical subtree, so
-    // ReuseExchange dedups the shuffle; caching here would leak storage in
-    // long-lived sessions
-    val sh = shingles(docs, n)
+    // the shingle stage feeds three branches (cardinalities + both join
+    // sides) — pin it so the corpus is tokenized and scanned exactly once
+    val sh = pinned(shingles(docs, n))
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("id1"), col("shingle"))
     val b = sh.select(col("doc_id").as("id2"), col("shingle"))
@@ -128,14 +158,21 @@ object Dedup {
   /** MinHash signatures: per doc, the min of (a·h(shingle)+b mod p) per hash
     * function — one shuffle (the groupBy), signature width fixed. */
   def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 64,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L): DataFrame =
+    minhashSignaturesHashed(hashedShingles(docs, n), numHashes, seed)
+
+  /** [[minhashSignatures]] over an already-derived hashed-shingle table —
+    * the form [[minhashLsh]] uses so the shingle stage it pinned is the ONE
+    * source for signatures, candidate verification, and cardinalities. */
+  def minhashSignaturesHashed(hashedSh: DataFrame, numHashes: Int = 64,
+                              seed: Long = 42L): DataFrame = {
     // p = 2^31-1 (Mersenne) with a,b < 2^31: the product (h mod p)·a stays
     // below 2^62, so (a·h+b) mod p is computed EXACTLY in Long arithmetic —
     // a 61-bit modulus would silently wrap the multiply and void the
     // universal-hash family behind the 1-(1-j^r)^b collision model
     val p = 2147483647L
     val params = hashParams(numHashes, seed)
-    val sh = hashedShingles(docs, n).withColumn("ha", pmod(col("h"), lit(p)))
+    val sh = hashedSh.withColumn("ha", pmod(col("h"), lit(p)))
     val minCols = params.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("ha") * (a % p) + (b % p), lit(p))).as(s"mh_$i")
     }
@@ -169,8 +206,11 @@ object Dedup {
     * sets of each side are joined through the candidate list, so cost is
     * O(|candidates| · shingles-per-doc) — never the shared-shingle
     * self-join of the full corpus. */
-  def candidateJaccard(docs: DataFrame, candidates: DataFrame, n: Int): DataFrame = {
-    val sh = hashedShingles(docs, n)
+  def candidateJaccard(docs: DataFrame, candidates: DataFrame, n: Int): DataFrame =
+    candidateJaccardHashed(hashedShingles(docs, n), candidates)
+
+  /** [[candidateJaccard]] over an already-derived hashed-shingle table. */
+  def candidateJaccardHashed(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
@@ -191,8 +231,15 @@ object Dedup {
     * 100 TB: banding bounds the candidate set, verification stays cheap). */
   def minhashLsh(docs: DataFrame, n: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val cands = minhashLshCandidates(minhashSignatures(docs, n, numHashes, seed), bands)
-    candidateJaccard(docs, cands, n)
+    // the corpus is shingled+hashed exactly once; signatures are likewise
+    // pinned because the banding self-join reads them from BOTH sides (the
+    // l/r rename projections defeat ReuseExchange). Everything downstream —
+    // banding, the candidate join, verification, cardinalities — reads the
+    // two pinned stages, so the plan contains ONE scan of `documents`.
+    val hsh = pinned(hashedShingles(docs, n))
+    val sigs = pinned(minhashSignaturesHashed(hsh, numHashes, seed))
+    val cands = minhashLshCandidates(sigs, bands)
+    candidateJaccardHashed(hsh, cands)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
@@ -254,7 +301,7 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextFunctions.tokens(col("text"))).as("token"))
-      .withColumn("th", hash60(col("token")))
+      .withColumn("th", contentHash(docs)(col("token")))
     val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }
@@ -277,9 +324,10 @@ object Dedup {
     // Scala shifts are mod 64: (1L << 64) - 1 == 0, which would collapse
     // every row into bucket 0 — use -1L (all bits) if bits ever reaches 64
     val mask = if (bits >= 64) -1L else (1L << bits) - 1
-    // no cache: `blocked` is derived once and self-joined; ReuseExchange
-    // dedups the computation (same policy as ngramJaccardPairs)
-    val sigs = simhash(docs)
+    // pin the signature table (one narrow row per doc): the blocking
+    // self-join reads it from both sides, and the token-explode + 60-column
+    // bit-sum aggregate behind it is the expensive part of the query
+    val sigs = pinned(simhash(docs))
     val chunkExprs = (0 until chunks).map { c =>
       struct(lit(c).as("chunk"),
         shiftright(col("simhash"), c * bits).bitwiseAND(mask).as("key"))
@@ -344,9 +392,11 @@ object Dedup {
     * O(n²/2) pairs — the oracle-checkable baseline; the LSH-bucketed scale
     * path is [[Similarity.lshCosineCandidates]]. */
   def embeddingNearDups(embeddings: DataFrame, threshold: Double = 0.4): DataFrame = {
-    // norms precomputed per vector (|N| sqrt-dots), not per pair (|N|²/2)
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
-      Similarity.l2norm(col("embedding")).as("norm"))
+    // norms precomputed per vector (|N| sqrt-dots), not per pair (|N|²/2);
+    // pinned so the norm pass and the embeddings scan happen once, not per
+    // cross-join side
+    val withNorm = pinned(embeddings.select(col("vec_id"), col("embedding"),
+      Similarity.l2norm(col("embedding")).as("norm")))
     val a = withNorm.select(col("vec_id").as("id1"), col("embedding").as("e1"),
       col("norm").as("n1"))
     val b = withNorm.select(col("vec_id").as("id2"), col("embedding").as("e2"),

@@ -41,7 +41,7 @@ object Pipeline {
     val snapJson = Ingest.jsonArray(spark, s"$rawDir/snapshots/$ddMMyyyy/snapshot.json")
       .select(col("sku_code"), col("snapshot_date"), col("warehouse_code"),
         col("available_qty").cast("int"), col("reserved_qty").cast("int"))
-    SnapshotStore.append(snapJson, storeDir, batchSeq = System.currentTimeMillis())
+    SnapshotStore.appendNext(snapJson, storeDir)
     val daySnapshots = SnapshotStore.readDay(spark, storeDir, runDate.toString)
     val snapshotRows = daySnapshots.count()
 

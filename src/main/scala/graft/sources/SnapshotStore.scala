@@ -26,6 +26,30 @@ object SnapshotStore {
 
   val keyCols: Seq[String] = Seq("sku_code", "snapshot_date", "warehouse_code")
 
+  /** Next monotonic batch sequence: one more than the store's current max,
+    * derived from the STORE rather than the clock — two appends in the same
+    * millisecond (or a clock step-back) must neither tie nor invert
+    * last-write-wins order. Shared by the batch and streaming ingest paths
+    * so the two stay one comparable sequence domain. Single writer per
+    * store assumed (as in the reference's sequential DAG); concurrent
+    * writers need an external sequencer, same as Cassandra's timestamp
+    * ties. The max() is answered from parquet footer statistics per file —
+    * no row data is read.
+    */
+  def nextBatchSeq(spark: SparkSession, storeDir: String): Long = {
+    val existing =
+      try spark.read.parquet(storeDir).agg(max(col("batch_seq"))).first()
+      catch { case _: org.apache.spark.sql.AnalysisException => null } // no store yet
+    if (existing == null || existing.isNullAt(0)) 1L else existing.getLong(0) + 1L
+  }
+
+  /** Append one load batch with the next store-derived sequence. */
+  def appendNext(snapshots: DataFrame, storeDir: String): Long = {
+    val seq = nextBatchSeq(snapshots.sparkSession, storeDir)
+    append(snapshots, storeDir, seq)
+    seq
+  }
+
   /** Append one load batch. `batchSeq` orders re-loads: later batches win. */
   def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit =
     snapshots
@@ -59,11 +83,11 @@ object SnapshotStore {
       .option("multiLine", "true").json(watchDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // wall-clock sequence, NOT the streaming batchId: batch appends
-        // (Pipeline.run) already use currentTimeMillis, and the two ingest
-        // paths must share one comparable batch_seq domain or dedup order
-        // inverts (batchId also resets to 0 on checkpoint recreation)
-        append(batch, storeDir, System.currentTimeMillis())
+        // store-derived sequence, NOT the streaming batchId (resets to 0 on
+        // checkpoint recreation) and NOT wall-clock (same-millisecond ties
+        // invert LWW): the shared nextBatchSeq keeps batch and streaming
+        // appends in one strictly increasing domain
+        appendNext(batch, storeDir); ()
       }
       .option("checkpointLocation", s"$storeDir/.stream_checkpoint")
       .start()

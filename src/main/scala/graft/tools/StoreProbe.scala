@@ -4,9 +4,10 @@ import graft.GraftSession
 import graft.sources.SnapshotStore
 
 /** Store sanity probe: exercises the upsert contract across BOTH ingest
-  * paths — a batch append (Pipeline-style, wall-clock seq) followed by a
+  * paths — a batch append (Pipeline-style) followed immediately by a
   * streaming append of the same key must resolve to the streamed (newer)
-  * value. Usage: runMain graft.tools.StoreProbe [workDir]
+  * value. No sleep between the two: the store-derived batch_seq is immune
+  * to same-millisecond ties. Usage: runMain graft.tools.StoreProbe [workDir]
   */
 object StoreProbe {
   def main(args: Array[String]): Unit = {
@@ -19,8 +20,7 @@ object StoreProbe {
     // 1. batch path (what Pipeline.run does)
     val batchRow = Seq(("P1", "2026-01-14", "W1", 10, 0))
       .toDF("sku_code", "snapshot_date", "warehouse_code", "available_qty", "reserved_qty")
-    SnapshotStore.append(batchRow, store, System.currentTimeMillis())
-    Thread.sleep(5)
+    SnapshotStore.appendNext(batchRow, store)
     // 2. streaming path, same key, newer value
     val watch = s"$dir/incoming"
     new java.io.File(watch).mkdirs()

@@ -33,6 +33,24 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(5L) === None)
   }
 
+  test("equal-(key,ts) snapshot ties resolve deterministically to the largest payload") {
+    val events = Seq((1L, "k", ts("2024-02-01"))).toDF("event_id", "k", "ets")
+    // two snapshots with IDENTICAL key and timestamp — without the payload
+    // tie-break the carried row would depend on partition layout
+    val snaps = Seq(
+      ("k", ts("2024-01-01"), 100.0, "a"),
+      ("k", ts("2024-01-01"), 200.0, "b")
+    ).toDF("k2", "sts", "price", "tagc").withColumnRenamed("k2", "k")
+    (1 to 3).foreach { i =>
+      val shuffled = if (i % 2 == 0) snaps.repartition(7) else snaps.repartition(1)
+      val got = AsOfJoin.asofLeft(events, shuffled, "k", "ets", "sts", Seq("price", "tagc"))
+        .select("price", "tagc").collect()
+      assert(got.length === 1)
+      assert(got.head.getDouble(0) === 200.0 && got.head.getString(1) === "b",
+        s"run $i: tie must resolve to the field-wise largest payload")
+    }
+  }
+
   test("multi-column values are atomic: all fields from the same snapshot row") {
     val events = Seq((1L, "k", ts("2024-01-15"))).toDF("event_id", "k", "ets")
     val snaps = Seq(

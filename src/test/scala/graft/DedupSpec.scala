@@ -33,6 +33,23 @@ class DedupSpec extends SparkSpec {
     assert(missed === 0, s"LSH missed $missed of ${exact.count()} true pairs")
   }
 
+  test("fast-hash flag: xxhash64 path keeps full LSH recall") {
+    spark.conf.set(Dedup.FastHashConf, "true")
+    try {
+      // exact string-shingle Jaccard is hash-free, so it is the same truth
+      // set under either hash family; the LSH pipeline must still find it
+      val exact = Dedup.ngramJaccardPairs(docs, 5, 0.5).select("id1", "id2")
+      val lsh = Dedup.minhashLsh(docs).select("id1", "id2")
+      assert(exact.except(lsh).count() === 0)
+      // and the fast hash is genuinely in effect: signatures differ from
+      // the cross-engine hash60 signatures
+      val fast = Dedup.minhashSignatures(docs).limit(5).collect().map(_.toSeq).toSet
+      spark.conf.set(Dedup.FastHashConf, "false")
+      val slow = Dedup.minhashSignatures(docs).limit(5).collect().map(_.toSeq).toSet
+      assert(fast != slow)
+    } finally spark.conf.set(Dedup.FastHashConf, "false")
+  }
+
   test("simhash: identical docs at distance 0; near-dups at small distance") {
     val base = docs.limit(50)
     val copies = base.select((col("doc_id") + 20000).as("doc_id"), col("text"),

@@ -70,6 +70,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.getAs[Int]("available_qty") === 99) // last write won
   }
 
+  test("store-derived batch_seq: same-millisecond appends stay strictly ordered") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_seq").toString + "/s"
+    def row(qty: Int) = Seq(("P1", "2026-01-14", "W1", qty, 0))
+      .toDF("sku_code", "snapshot_date", "warehouse_code", "available_qty", "reserved_qty")
+    // burst appends with NO sleeps — wall-clock seqs would tie here
+    val seqs = (1 to 4).map(q => graft.sources.SnapshotStore.appendNext(row(q * 10), store))
+    assert(seqs === Seq(1L, 2L, 3L, 4L), "store-derived seq is 1,2,3,... regardless of clock")
+    val got = graft.sources.SnapshotStore.read(spark, store).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Int]("available_qty") === 40) // the LAST append won, deterministically
+  }
+
   test("snapshot store lifecycle: multi-day appends, re-load overwrites, compaction") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString + "/s"

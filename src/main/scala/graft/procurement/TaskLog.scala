@@ -1,0 +1,104 @@
+package graft.procurement
+
+import java.nio.file.{Files, Path, Paths}
+
+/** S9 — per-task structured run and exception logs.
+  *
+  * Mirrors the reference's `log_task_execution` (dags/pipeline.py:89-120)
+  * and `log_exception` (dags/pipeline.py:123-155): every pipeline task
+  * writes one success JSON under `tasks/<execution_date>/` with its status
+  * and detail counters, and every failure writes one exception JSON under
+  * `exceptions/<execution_date>/` carrying the error type, message, and
+  * full stack trace, after which the failure is rethrown (the reference
+  * raises AirflowException). File names are `<task>_<timestamp>.json`; the
+  * timestamp carries milliseconds where the reference used seconds, so two
+  * runs of one task inside a second cannot clobber each other.
+  *
+  * These are driver-side control-plane writes — a handful of KB per run —
+  * so they never touch the Spark execution plan.
+  */
+object TaskLog {
+
+  private val tsFormat = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMdd_HHmmssSSS").withZone(java.time.ZoneOffset.UTC)
+
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def obj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ", ", "}")
+
+  private def str(s: String): String = s""""${esc(s)}""""
+
+  private def detailsJson(details: Map[String, String]): String =
+    obj(details.toSeq.sortBy(_._1).map { case (k, v) => k -> str(v) })
+
+  private def write(dir: Path, name: String, json: String): Path = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(name), json + "\n")
+  }
+
+  /** One success/status record: `tasks/<date>/<task>_<ts>.json`. */
+  def logTask(logsDir: String, task: String, executionDate: String,
+              status: String, details: Map[String, String] = Map.empty): Path = {
+    val ts = tsFormat.format(java.time.Instant.now())
+    write(Paths.get(logsDir, "tasks", executionDate), s"${task}_$ts.json",
+      obj(Seq(
+        "task_name" -> str(task),
+        "timestamp" -> str(ts),
+        "execution_date" -> str(executionDate),
+        "status" -> str(status),
+        "details" -> detailsJson(details))))
+  }
+
+  /** One failure record with the full stack trace:
+    * `exceptions/<date>/<task>_<ts>.json`. Never throws itself — a broken
+    * log directory must not mask the original failure. */
+  def logException(logsDir: String, task: String, executionDate: String,
+                   e: Throwable, info: Map[String, String] = Map.empty): Option[Path] = {
+    val ts = tsFormat.format(java.time.Instant.now())
+    val sw = new java.io.StringWriter()
+    e.printStackTrace(new java.io.PrintWriter(sw))
+    try Some(write(Paths.get(logsDir, "exceptions", executionDate), s"${task}_$ts.json",
+      obj(Seq(
+        "task_name" -> str(task),
+        "timestamp" -> str(ts),
+        "execution_date" -> str(executionDate),
+        "error_type" -> str(e.getClass.getName),
+        "error_message" -> str(Option(e.getMessage).getOrElse("")),
+        "traceback" -> str(sw.toString),
+        "additional_info" -> detailsJson(info)))))
+    catch {
+      case logErr: Throwable =>
+        System.err.println(s"[tasklog] failed to write exception log: $logErr")
+        None
+    }
+  }
+
+  /** Run `body` as a logged task: success JSON (with wall-clock duration
+    * and `details` derived from the result) on completion, exception JSON
+    * then rethrow on failure. */
+  def timed[T](logsDir: String, task: String, executionDate: String,
+               details: T => Map[String, String] = (_: T) => Map.empty[String, String])
+              (body: => T): T = {
+    val t0 = System.nanoTime()
+    def dur = f"${(System.nanoTime() - t0) / 1e9}%.3f"
+    try {
+      val out = body
+      logTask(logsDir, task, executionDate, "success",
+        details(out) + ("duration_sec" -> dur))
+      out
+    } catch {
+      case e: Throwable =>
+        logException(logsDir, task, executionDate, e, Map("duration_sec" -> dur))
+        throw e
+    }
+  }
+}

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's output through UNPREFIXED: sbt's default logger
+// wraps every stdout/stderr line in "[info] "/"[error] ", which is what
+// kept the driver from parsing Bench's one-line JSON metric in rounds 1-3.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,14 +17,16 @@ object Bench {
         // query's final global sort, flattering DataFrame-native queries
         // while q3 (whose sort sits above an RDD boundary the optimizer
         // can't see through) paid it in full. The noop sink materializes
-        // every output row uniformly. Query CONSTRUCTION stays inside the
-        // timer: the dedup family pins shared stages eagerly, so part of
-        // its work runs before the action.
+        // every output row uniformly.
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
+      } finally {
+        // free the dedup family's pinned (persisted) stages so one query's
+        // cached blocks don't occupy memory during the next measurement
+        graft.operators.Dedup.releasePinned(spark)
       }
     }
 

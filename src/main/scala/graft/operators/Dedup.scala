@@ -26,20 +26,49 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Pin a shared pipeline stage: materialize it ONCE (eager local
-    * checkpoint) so every downstream branch reads the computed rows instead
-    * of re-deriving the stage from the raw corpus. ReuseExchange can NOT be
-    * relied on for this — each branch pushes different projections into the
-    * scan, so the post-optimization subtrees differ and reuse never fires;
-    * the round-2 recorded plans re-scanned `documents` up to 6x per dedup
-    * query because of exactly that. localCheckpoint stores the stage
-    * MEMORY_AND_DISK on executors and truncates lineage; on a cluster with
-    * executor churn, swap for `checkpoint()` against a reliable dir — the
-    * operator shape is unchanged. The pinned stages here are the SMALL
-    * derived tables (8-byte hashed shingles, fixed-width signatures), never
-    * the raw corpus. */
-  private[operators] def pinned(stage: DataFrame): DataFrame =
-    stage.localCheckpoint(eager = true)
+  /** Pin a shared pipeline stage: persist it so every downstream branch
+    * reads the computed rows instead of re-deriving the stage from the raw
+    * corpus. ReuseExchange can NOT be relied on for this — each branch
+    * pushes different projections into the scan, so the post-optimization
+    * subtrees differ and reuse never fires; the round-2 recorded plans
+    * re-scanned `documents` up to 6x per dedup query because of exactly
+    * that. The pinned stages here are the SMALL derived tables (8-byte
+    * hashed shingles, fixed-width signatures), never the raw corpus.
+    *
+    * Lifecycle: `persist(MEMORY_AND_DISK)`, LAZY and with full lineage —
+    * not `localCheckpoint`, whose truncated lineage turns executor loss
+    * (e.g. dynamic allocation) into a failed job and whose eager
+    * materialization runs work before the consuming action. Every pinned
+    * stage is tracked per session; callers release the blocks after the
+    * consuming action with [[releasePinned]] (Bench/Verify do exactly
+    * that per query), so long-lived sessions do not accumulate cached
+    * blocks across dedup calls. */
+  private[operators] def pinned(stage: DataFrame): DataFrame = {
+    val p = stage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buf = pinnedRegistry.computeIfAbsent(
+      stage.sparkSession, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+    buf.add(p)
+    p
+  }
+
+  private val pinnedRegistry =
+    new java.util.concurrent.ConcurrentHashMap[
+      SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Unpersist every stage pinned in `spark` since the last release; call
+    * after the action consuming a dedup/clean result. Safe to call when
+    * nothing is pinned. Returns the number of stages released. A released
+    * result frame stays valid — lineage is intact, so a re-run simply
+    * recomputes (and re-pins nothing). */
+  def releasePinned(spark: SparkSession): Int = {
+    val buf = pinnedRegistry.remove(spark)
+    if (buf == null) 0
+    else {
+      var n = 0
+      buf.forEach { df => df.unpersist(blocking = false); n += 1 }
+      n
+    }
+  }
 
   /** Exact dedup by content: canonical id = min doc_id per distinct text. */
   def exact(docs: DataFrame): DataFrame =

@@ -27,40 +27,62 @@ object Pipeline {
           runDate: java.time.LocalDate,
           master: Map[String, DataFrame]): RunSummary = {
     val ddMMyyyy = runDate.format(java.time.format.DateTimeFormatter.ofPattern("dd-MM-yyyy"))
+    // S9: every stage below runs as a logged task — one success JSON per
+    // stage under logs/tasks/<date>/, one exception JSON (full traceback,
+    // then rethrow) under logs/exceptions/<date>/ on failure, mirroring the
+    // reference's per-task log_task_execution/log_exception wrappers
+    val logsDir = s"$outDir/logs"
+    def task[T](name: String, details: T => Map[String, String] = (_: T) => Map.empty[String, String])
+               (body: => T): T =
+      TaskLog.timed(logsDir, name, ddMMyyyy, details)(body)
 
-    // S1/S4: all-string order CSV for the day
-    val orders = Ingest.orders(spark, s"$rawDir/orders/$ddMMyyyy").cache()
-    val ordersLoaded = orders.count() // S5 row-count validation
+    // S1/S4: all-string order CSV for the day (read inside the task so a
+    // missing/corrupt source surfaces as a load_orders exception log)
+    val (orders, ordersLoaded) = task[(DataFrame, Long)]("load_orders",
+      p => Map("orders_loaded" -> p._2.toString)) {
+      val o = Ingest.orders(spark, s"$rawDir/orders/$ddMMyyyy").cache()
+      (o, o.count()) // S5 row-count validation
+    }
 
     // S2: stock JSON → CSV (ingested + counted, never queried — §2.4(9))
-    val stock = Ingest.stockJsonToCsv(spark,
-      s"$rawDir/stock/$ddMMyyyy/stock.json", s"$outDir/stock_csv/$ddMMyyyy")
-    val stockRecords = stock.count()
+    val stockRecords = task[Long]("stock_json_to_csv",
+      n => Map("stock_records" -> n.toString)) {
+      Ingest.stockJsonToCsv(spark,
+        s"$rawDir/stock/$ddMMyyyy/stock.json", s"$outDir/stock_csv/$ddMMyyyy").count()
+    }
 
     // S3: snapshot JSON → upsert store (last-write-wins on re-runs)
-    val snapJson = Ingest.jsonArray(spark, s"$rawDir/snapshots/$ddMMyyyy/snapshot.json")
-      .select(col("sku_code"), col("snapshot_date"), col("warehouse_code"),
-        col("available_qty").cast("int"), col("reserved_qty").cast("int"))
-    SnapshotStore.appendNext(snapJson, storeDir)
-    val daySnapshots = SnapshotStore.readDay(spark, storeDir, runDate.toString)
+    val daySnapshots = task[DataFrame]("load_snapshots") {
+      val snapJson = Ingest.jsonArray(spark, s"$rawDir/snapshots/$ddMMyyyy/snapshot.json")
+        .select(col("sku_code"), col("snapshot_date"), col("warehouse_code"),
+          col("available_qty").cast("int"), col("reserved_qty").cast("int"))
+      SnapshotStore.appendNext(snapJson, storeDir)
+      SnapshotStore.readDay(spark, storeDir, runDate.toString)
+    }
     val snapshotRows = daySnapshots.count()
 
     // Q1 (cached: shared by Q2/Q3 through the nd result)
     val aggregated = Queries.ordersAggregated(
       orders, master("products"), master("warehouses")).cache()
-    val q1 = aggregated.orderBy(col("total_quantity").desc, col("sku_id"), col("warehouse_id"))
-    Writers.dualSink(q1, outDir, "aggregated_orders", ddMMyyyy)
+    task[Unit]("aggregate_orders") {
+      val q1 = aggregated.orderBy(col("total_quantity").desc, col("sku_id"), col("warehouse_id"))
+      Writers.dualSink(q1, outDir, "aggregated_orders", ddMMyyyy)
+    }
 
     // Q2
     val nd = Queries.netDemand(aggregated, master("safety_stock"),
       master("safety_stock_by_warehouse"), master("warehouses"),
       daySnapshots, runDate).cache()
-    Writers.dualSink(nd, outDir, "net_demand", ddMMyyyy)
+    task[Unit]("net_demand") {
+      Writers.dualSink(nd, outDir, "net_demand", ddMMyyyy)
+    }
 
     // Q3
     val po = Queries.supplierOrders(nd, master("supplier_products"),
       master("suppliers"), runDate)
-    Writers.dualSink(po, outDir, "supplier_orders", ddMMyyyy)
+    task[Unit]("supplier_orders") {
+      Writers.dualSink(po, outDir, "supplier_orders", ddMMyyyy)
+    }
 
     // O20/O21: summary scalars — single collected row per aggregate
     val ndStats = nd.agg(
@@ -77,14 +99,19 @@ object Pipeline {
       poStats.getAs[Double]("cost"))
 
     // S9: summary JSON
-    val p = java.nio.file.Paths.get(s"$outDir/pipeline_summary")
-    java.nio.file.Files.createDirectories(p)
-    java.nio.file.Files.writeString(p.resolve(s"summary_$ddMMyyyy.json"),
-      s"""{"run_date":"${summary.runDate}","orders_loaded":${summary.ordersLoaded},
-         |"stock_records":${summary.stockRecords},"snapshot_rows":${summary.snapshotRows},
-         |"aggregated_rows":${summary.aggregatedRows},"total_net_demand":${summary.totalNetDemand},
-         |"items_with_demand":${summary.itemsWithDemand},"purchase_orders":${summary.purchaseOrders},
-         |"total_cost":${summary.totalCost}}""".stripMargin.replace("\n", ""))
+    task[Unit]("pipeline_summary", (_: Unit) => Map(
+      "purchase_orders" -> summary.purchaseOrders.toString,
+      "total_cost" -> summary.totalCost.toString)) {
+      val p = java.nio.file.Paths.get(s"$outDir/pipeline_summary")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve(s"summary_$ddMMyyyy.json"),
+        s"""{"run_date":"${summary.runDate}","orders_loaded":${summary.ordersLoaded},
+           |"stock_records":${summary.stockRecords},"snapshot_rows":${summary.snapshotRows},
+           |"aggregated_rows":${summary.aggregatedRows},"total_net_demand":${summary.totalNetDemand},
+           |"items_with_demand":${summary.itemsWithDemand},"purchase_orders":${summary.purchaseOrders},
+           |"total_cost":${summary.totalCost}}""".stripMargin.replace("\n", ""))
+      ()
+    }
 
     orders.unpersist(); aggregated.unpersist(); nd.unpersist()
     summary

@@ -45,17 +45,25 @@ object TaskLog {
     Files.writeString(dir.resolve(name), json + "\n")
   }
 
-  /** One success/status record: `tasks/<date>/<task>_<ts>.json`. */
+  /** One success/status record: `tasks/<date>/<task>_<ts>.json`. Never
+    * throws — a broken log directory must not convert a succeeded task
+    * into a failure (the reference's log_task_execution likewise swallows
+    * its own logging errors). */
   def logTask(logsDir: String, task: String, executionDate: String,
-              status: String, details: Map[String, String] = Map.empty): Path = {
+              status: String, details: Map[String, String] = Map.empty): Option[Path] = {
     val ts = tsFormat.format(java.time.Instant.now())
-    write(Paths.get(logsDir, "tasks", executionDate), s"${task}_$ts.json",
+    try Some(write(Paths.get(logsDir, "tasks", executionDate), s"${task}_$ts.json",
       obj(Seq(
         "task_name" -> str(task),
         "timestamp" -> str(ts),
         "execution_date" -> str(executionDate),
         "status" -> str(status),
-        "details" -> detailsJson(details))))
+        "details" -> detailsJson(details)))))
+    catch {
+      case logErr: Throwable =>
+        System.err.println(s"[tasklog] failed to write task log: $logErr")
+        None
+    }
   }
 
   /** One failure record with the full stack trace:

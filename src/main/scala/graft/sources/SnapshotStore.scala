@@ -26,21 +26,67 @@ object SnapshotStore {
 
   val keyCols: Seq[String] = Seq("sku_code", "snapshot_date", "warehouse_code")
 
+  /** Sidecar file holding the store's current max batch sequence — a
+    * driver-side control-plane read of a few bytes per append, instead of
+    * an O(store-size) scan of every parquet footer (and, without aggregate
+    * pushdown, every row of the batch_seq column) per micro-batch. */
+  private val SeqFileName = "_graft_batch_seq"
+
+  private def hadoopFs(spark: SparkSession, storeDir: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
+
+  private def readSeqSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                             storeDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir, SeqFileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+        Option(bytes).map(_.trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Record `seq` as the store's max (temp-write + rename; the brief
+    * missing-file window during the swap falls back to the parquet scan). */
+  private def writeSeqSidecar(fs: org.apache.hadoop.fs.FileSystem,
+                              storeDir: String, seq: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(storeDir, s".$SeqFileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$seq\n".getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(storeDir, SeqFileName)
+    fs.delete(dest, false) // rename does not overwrite on all filesystems
+    fs.rename(tmp, dest)
+  }
+
   /** Next monotonic batch sequence: one more than the store's current max,
     * derived from the STORE rather than the clock — two appends in the same
     * millisecond (or a clock step-back) must neither tie nor invert
     * last-write-wins order. Shared by the batch and streaming ingest paths
-    * so the two stay one comparable sequence domain. Single writer per
-    * store assumed (as in the reference's sequential DAG); concurrent
-    * writers need an external sequencer, same as Cassandra's timestamp
-    * ties. The max() is answered from parquet footer statistics per file —
-    * no row data is read.
+    * so the two stay one comparable sequence domain.
+    *
+    * The current max lives in the [[SeqFileName]] sidecar, so per-append
+    * cost is one tiny file read — NOT a scan of the growing store. Stores
+    * written before the sidecar existed (or with a deleted sidecar) fall
+    * back to a one-time batch_seq-only parquet scan, after which the next
+    * append re-seeds the sidecar. Single writer per store assumed (as in
+    * the reference's sequential DAG): batch and streaming ingest into the
+    * SAME store must not run concurrently — concurrent writers need an
+    * external sequencer, same as Cassandra's timestamp ties.
     */
   def nextBatchSeq(spark: SparkSession, storeDir: String): Long = {
-    val existing =
-      try spark.read.parquet(storeDir).agg(max(col("batch_seq"))).first()
-      catch { case _: org.apache.spark.sql.AnalysisException => null } // no store yet
-    if (existing == null || existing.isNullAt(0)) 1L else existing.getLong(0) + 1L
+    val fs = hadoopFs(spark, storeDir)
+    readSeqSidecar(fs, storeDir) match {
+      case Some(maxSeq) => maxSeq + 1L
+      case None =>
+        val existing = // migration path: store predates the sidecar
+          try spark.read.parquet(storeDir).select(col("batch_seq"))
+            .agg(max(col("batch_seq"))).first()
+          catch { case _: org.apache.spark.sql.AnalysisException => null } // no store yet
+        if (existing == null || existing.isNullAt(0)) 1L else existing.getLong(0) + 1L
+    }
   }
 
   /** Append one load batch with the next store-derived sequence. */
@@ -50,11 +96,17 @@ object SnapshotStore {
     seq
   }
 
-  /** Append one load batch. `batchSeq` orders re-loads: later batches win. */
-  def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit =
+  /** Append one load batch. `batchSeq` orders re-loads: later batches win.
+    * Advances the sequence sidecar when `batchSeq` exceeds its value, so
+    * explicit-sequence and store-derived appends share one domain. */
+  def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit = {
     snapshots
       .withColumn("batch_seq", lit(batchSeq))
       .write.mode("append").partitionBy("snapshot_date").parquet(storeDir)
+    val fs = hadoopFs(snapshots.sparkSession, storeDir)
+    if (readSeqSidecar(fs, storeDir).forall(_ < batchSeq))
+      writeSeqSidecar(fs, storeDir, batchSeq)
+  }
 
   /** Read with upsert semantics: per key, latest batch wins. */
   def read(spark: SparkSession, storeDir: String): DataFrame = {

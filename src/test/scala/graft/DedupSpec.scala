@@ -43,11 +43,28 @@ class DedupSpec extends SparkSpec {
       assert(exact.except(lsh).count() === 0)
       // and the fast hash is genuinely in effect: signatures differ from
       // the cross-engine hash60 signatures
-      val fast = Dedup.minhashSignatures(docs).limit(5).collect().map(_.toSeq).toSet
+      // orderBy before limit: an unordered limit(5) may pick DIFFERENT docs
+      // on the two sides, proving nothing about the hash families
+      val fast = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
+        .collect().map(_.toSeq).toSet
       spark.conf.set(Dedup.FastHashConf, "false")
-      val slow = Dedup.minhashSignatures(docs).limit(5).collect().map(_.toSeq).toSet
+      val slow = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(5)
+        .collect().map(_.toSeq).toSet
       assert(fast != slow)
     } finally spark.conf.set(Dedup.FastHashConf, "false")
+  }
+
+  test("pinned-stage lifecycle: releasePinned frees both stages, result survives release") {
+    Dedup.releasePinned(spark) // clear anything pinned by earlier tests
+    val res = Dedup.minhashLsh(docs)
+    val before = res.collect().map(_.toSeq).toSet // action materializes the pinned stages
+    // exactly the two shared stages (hashed shingles + signatures) were pinned
+    assert(Dedup.releasePinned(spark) === 2)
+    assert(Dedup.releasePinned(spark) === 0) // idempotent
+    // persist (not localCheckpoint) keeps lineage: a released result is
+    // still recomputable — executor loss degrades to recompute, not failure
+    assert(res.collect().map(_.toSeq).toSet === before)
+    Dedup.releasePinned(spark) // the recompute re-pins nothing new via res itself
   }
 
   test("simhash: identical docs at distance 0; near-dups at small distance") {

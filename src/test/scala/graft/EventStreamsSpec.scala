@@ -83,6 +83,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.getAs[Int]("available_qty") === 40) // the LAST append won, deterministically
   }
 
+  test("batch_seq sidecar: advances per append, explicit seqs fold in, fallback scan re-seeds") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val store = Files.createTempDirectory("graft_sidecar").toString + "/s"
+    def row(qty: Int) = Seq(("P1", "2026-01-14", "W1", qty, 0))
+      .toDF("sku_code", "snapshot_date", "warehouse_code", "available_qty", "reserved_qty")
+    val s = graft.sources.SnapshotStore
+    assert(s.appendNext(row(10), store) === 1L)
+    assert(s.appendNext(row(20), store) === 2L)
+    val sidecar = new java.io.File(s"$store/_graft_batch_seq")
+    assert(sidecar.exists, "appends must maintain the sequence sidecar")
+    assert(Files.readString(sidecar.toPath).trim === "2")
+    s.append(row(30), store, 1000L) // explicit sequence advances the sidecar
+    assert(Files.readString(sidecar.toPath).trim === "1000")
+    assert(s.appendNext(row(40), store) === 1001L)
+    assert(sidecar.delete()) // pre-sidecar store: fall back to a parquet scan
+    assert(s.appendNext(row(50), store) === 1002L)
+    assert(Files.readString(sidecar.toPath).trim === "1002", "fallback re-seeds the sidecar")
+    val got = s.read(spark, store).collect()
+    assert(got.length === 1 && got.head.getAs[Int]("available_qty") === 50)
+  }
+
   test("snapshot store lifecycle: multi-day appends, re-load overwrites, compaction") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft_lifecycle").toString + "/s"

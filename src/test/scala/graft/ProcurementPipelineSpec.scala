@@ -38,6 +38,42 @@ class ProcurementPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$tmp/out/pipeline_summary/summary_14-01-2026.json").exists())
   }
 
+  test("S9 per-task logs: one success JSON per pipeline stage with status and details") {
+    summary // ensure the run happened
+    val dir = new java.io.File(s"$tmp/out/logs/tasks/14-01-2026")
+    assert(dir.isDirectory, "tasks log directory must exist")
+    val names = dir.listFiles().map(_.getName)
+    for (t <- Seq("load_orders", "stock_json_to_csv", "load_snapshots",
+      "aggregate_orders", "net_demand", "supplier_orders", "pipeline_summary"))
+      assert(names.exists(_.startsWith(t + "_")), s"missing success log for $t")
+    val loadLog = Files.readString(
+      dir.listFiles().filter(_.getName.startsWith("load_orders_")).head.toPath)
+    assert(loadLog.contains(""""status": "success""""))
+    assert(loadLog.contains(""""execution_date": "14-01-2026""""))
+    assert(loadLog.contains(""""orders_loaded": "1000""""))
+    assert(loadLog.contains("duration_sec"))
+  }
+
+  test("S9 exception log: a failed stage writes error type + traceback, then rethrows") {
+    val t3 = Files.createTempDirectory("graft_fail").toString
+    // no raw inputs at all → the load_orders task fails at read time
+    intercept[Exception] {
+      Pipeline.run(spark, s"$t3/raw", s"$t3/store", s"$t3/out", runDate, master)
+    }
+    val exDir = new java.io.File(s"$t3/out/logs/exceptions/14-01-2026")
+    assert(exDir.isDirectory, "exceptions log directory must exist")
+    val files = exDir.listFiles()
+    assert(files.exists(_.getName.startsWith("load_orders_")))
+    val txt = Files.readString(
+      files.filter(_.getName.startsWith("load_orders_")).head.toPath)
+    assert(txt.contains(""""task_name": "load_orders""""))
+    assert(txt.contains(""""error_type""""))
+    assert(txt.contains(""""traceback""""))
+    // and no success log was written for the failed stage
+    val tasksDir = new java.io.File(s"$t3/out/logs/tasks/14-01-2026")
+    assert(!tasksDir.exists || !tasksDir.listFiles().exists(_.getName.startsWith("load_orders_")))
+  }
+
   test("snapshot store upsert: re-running the same day keeps one row per key") {
     summary // ensure first run done
     val again = Pipeline.run(spark, s"$tmp/raw", s"$tmp/store", s"$tmp/out2",

@@ -35,40 +35,15 @@ object Dedup {
     * that. The pinned stages here are the SMALL derived tables (8-byte
     * hashed shingles, fixed-width signatures), never the raw corpus.
     *
-    * Lifecycle: `persist(MEMORY_AND_DISK)`, LAZY and with full lineage —
-    * not `localCheckpoint`, whose truncated lineage turns executor loss
-    * (e.g. dynamic allocation) into a failed job and whose eager
-    * materialization runs work before the consuming action. Every pinned
-    * stage is tracked per session; callers release the blocks after the
-    * consuming action with [[releasePinned]] (Bench/Verify do exactly
-    * that per query), so long-lived sessions do not accumulate cached
-    * blocks across dedup calls. */
-  private[operators] def pinned(stage: DataFrame): DataFrame = {
-    val p = stage.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buf = pinnedRegistry.computeIfAbsent(
-      stage.sparkSession, _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
-    buf.add(p)
-    p
-  }
+    * Lifecycle: see [[Pinned]] — lazy persist with full lineage, tracked
+    * per session, released by callers after the consuming action via
+    * [[releasePinned]]. */
+  private[operators] def pinned(stage: DataFrame): DataFrame = Pinned.pin(stage)
 
-  private val pinnedRegistry =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.concurrent.ConcurrentLinkedQueue[DataFrame]]()
-
-  /** Unpersist every stage pinned in `spark` since the last release; call
-    * after the action consuming a dedup/clean result. Safe to call when
-    * nothing is pinned. Returns the number of stages released. A released
-    * result frame stays valid — lineage is intact, so a re-run simply
-    * recomputes (and re-pins nothing). */
-  def releasePinned(spark: SparkSession): Int = {
-    val buf = pinnedRegistry.remove(spark)
-    if (buf == null) 0
-    else {
-      var n = 0
-      buf.forEach { df => df.unpersist(blocking = false); n += 1 }
-      n
-    }
-  }
+  /** Unpersist every stage pinned in `spark` since the last release
+    * (delegates to [[Pinned.release]] — one registry for dedup stages and
+    * every other pinned operator stage). */
+  def releasePinned(spark: SparkSession): Int = Pinned.release(spark)
 
   /** Exact dedup by content: canonical id = min doc_id per distinct text. */
   def exact(docs: DataFrame): DataFrame =

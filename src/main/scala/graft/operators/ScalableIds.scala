@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Scale-out replacement for a single-partition global ROW_NUMBER (O18).
   *
@@ -11,33 +11,59 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * through ONE task — fine for a dimension-bounded output, fatal for a
   * 100 TB fact-sized result.
   *
-  * This variant keeps the data distributed:
-  *   1. range-repartition by the sort key (same exchange a global sort uses),
-  *   2. sort within partitions (no extra shuffle: range + local sort ==
-  *      total order),
-  *   3. `RDD.zipWithIndex` — Spark's own two-job count-then-offset pattern.
-  * Both of zipWithIndex's jobs (per-partition counts, then offset+assign)
-  * run over the SAME RDD object, so the range exchange's map output is
-  * computed once and the second job re-reads the shuffle files — no cache,
-  * nothing to unpersist, and no risk of the two jobs observing different
-  * partition layouts (the round-1 version cached for that and leaked the
-  * cached blocks).
+  * This variant keeps the data distributed AND stays entirely inside
+  * Catalyst (no RDD boundary — the rounds-2/3 `zipWithIndex` version
+  * converted every row out of Tungsten and back, killing whole-stage
+  * codegen and column pruning above it):
   *
-  * Precondition: `sortKeys` must be a TOTAL order (include tie-break
-  * columns). With ties, the within-partition sort order — and therefore the
-  * assigned ids — can differ between the two zipWithIndex jobs and across
-  * runs, because shuffle-block arrival order is nondeterministic.
+  *   1. range-repartition by the sort key + sort within partitions (the
+  *      same exchange a global sort uses: partition index order + local
+  *      sort == total order),
+  *   2. `monotonically_increasing_id()` — a codegen'd expression encoding
+  *      (partition index << 33) | local row position, i.e. a free
+  *      per-partition row number in one pass,
+  *   3. per-partition row counts — O(#partitions) longs — collect to the
+  *      driver (the sorted stage is pinned so this pass and the output
+  *      pass share one computation),
+  *   4. cumulative offsets broadcast back and added to the local position.
+  *
+  * The only driver-side data is one (pid, count) pair per partition —
+  * O(#partitions), like collecting IVF centroids, never O(rows). The
+  * pinned stage is MEMORY_AND_DISK (spill-safe) and is released by the
+  * caller's [[Pinned.release]] after the consuming action; at 100 TB its
+  * disk footprint is the same order as the shuffle files the zipWithIndex
+  * variant re-read.
+  *
+  * Preconditions: `sortKeys` must be a TOTAL order (include tie-break
+  * columns) — with ties, recomputation after release could permute equal
+  * rows. Partitions must stay under 2^33 rows (the id's local-position
+  * field), which `repartitionByRange`'s even ranges guarantee in practice.
   */
 object ScalableIds {
 
+  private val LocalMask = (1L << 33) - 1
+
   def withGlobalRowNumbers(df: DataFrame, idCol: String, sortKeys: Column*): DataFrame = {
-    val sorted = df.repartitionByRange(sortKeys: _*).sortWithinPartitions(sortKeys: _*)
-    val schema = StructType(
-      sorted.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    // ids are 1-based to match ROW_NUMBER()
-    val withId = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    sorted.sparkSession.createDataFrame(withId, schema)
+    val spark = df.sparkSession
+    val sorted = Pinned.pin(
+      df.repartitionByRange(sortKeys: _*)
+        .sortWithinPartitions(sortKeys: _*)
+        .withColumn("__mid", monotonically_increasing_id()))
+    val pid = shiftrightunsigned(col("__mid"), 33)
+    val local = col("__mid").bitwiseAND(lit(LocalMask))
+    // one (pid, n) row per partition; empty partitions simply don't appear
+    val counts = sorted
+      .groupBy(pid.as("__pid")).agg((max(local) + 1L).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = counts.map { case (p, n) => val o = running; running += n; (p, o) }
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__pid", "__offset")
+    sorted
+      .withColumn("__pid", pid)
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      // ids are 1-based to match ROW_NUMBER()
+      .withColumn(idCol, col("__offset") + local + lit(1L))
+      .drop("__pid", "__mid", "__offset")
   }
 }

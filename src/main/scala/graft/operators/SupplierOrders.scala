@@ -75,10 +75,10 @@ object SupplierOrders {
         date_format(date_add(lit(runDate).cast("date"), col("lead_time_days")), "yyyy-MM-dd"))
 
     // PO ids by position in the total_cost-DESC order — assigned with
-    // ScalableIds (range exchange + zipWithIndex) instead of a
-    // single-partition Window.orderBy: same ids (spec-proven), but the rows
-    // never funnel through one task, so the plan survives an output that
-    // grows with SF
+    // ScalableIds (range exchange + per-partition positions + broadcast
+    // offsets, all inside Catalyst) instead of a single-partition
+    // Window.orderBy: same ids (spec-proven), but the rows never funnel
+    // through one task, so the plan survives an output that grows with SF
     ScalableIds
       .withGlobalRowNumbers(sized, "po_seq",
         col("total_cost").desc, col("sku_id"), col("warehouse_id"))
@@ -95,9 +95,9 @@ object SupplierOrders {
         lit(runDate).as("order_date"), lit("PENDING").as("status"))
     // no final orderBy: ScalableIds already produced the total
     // (total_cost DESC, sku_id, warehouse_id) order by construction —
-    // range partitions are in index order and sorted within; narrow
-    // projections preserve it. A global sort here would re-shuffle the
-    // whole result just to reestablish an order it already has.
+    // range partitions are in index order and sorted within; the broadcast
+    // join and narrow projections preserve it. A global sort here would
+    // re-shuffle the whole result just to reestablish an order it has.
   }
 
   def fromDir(spark: SparkSession, dir: String): DataFrame =

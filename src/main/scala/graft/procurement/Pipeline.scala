@@ -114,6 +114,7 @@ object Pipeline {
     }
 
     orders.unpersist(); aggregated.unpersist(); nd.unpersist()
+    graft.operators.Pinned.release(spark) // Q3's pinned id-assignment stage
     summary
   }
 

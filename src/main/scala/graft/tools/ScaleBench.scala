@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import graft.operators.Pinned
+import org.apache.spark.sql.functions._
+
+/** Measured scaling curve: build deterministic ×k copies of the tables the
+  * headline queries read, then time those queries at every scale.
+  *
+  * Scaling construction (all derived from the driver-generated base SF —
+  * no synthetic distributions of our own):
+  *   - `lineitem` ×k: k unions of the base with `l_orderkey` shifted per
+  *     copy — the fact table grows k×, the dimension key domains
+  *     (part/supplier) stay fixed, which is how a real orders fact grows.
+  *   - `part`, `supplier`: copied as-is (dimensions don't grow with volume).
+  *   - `documents` ×k: `doc_id` shifted per copy and every word of copies
+  *     i>0 tagged with a per-copy prefix. Tagged shingles collide iff the
+  *     original shingles collide, so each copy reproduces the base's
+  *     near-dup pair structure EXACTLY (k× linear output) while sharing no
+  *     shingles across copies — naive identical copies would instead add
+  *     k² cross-copy duplicate pairs per base pair and the measurement
+  *     would no longer be a scaling curve of the same workload.
+  *
+  * Usage: runMain graft.tools.ScaleBench <baseSfDir> <outRoot> <k1,k2,...>
+  * Prints one JSON line per (scale, query) second-pass timing.
+  */
+object ScaleBench {
+
+  val headline: Seq[String] =
+    Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val ks = (if (args.length > 2) args(2) else "5,10").split(",").map(_.trim.toInt)
+    val spark = GraftSession.builder("graft-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def buildScaled(k: Int): String = {
+      val dir = s"$outRoot/x$k"
+      if (!new java.io.File(s"$dir/_BUILT").exists()) {
+        val li = spark.read.parquet(s"$base/lineitem.parquet")
+        val okSpan = li.agg(max(col("l_orderkey"))).first().getLong(0) + 1L
+        (0 until k).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan)))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        for (t <- Seq("part", "supplier"))
+          spark.read.parquet(s"$base/$t.parquet")
+            .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+        val docs = spark.read.parquet(s"$base/documents.parquet")
+        val idSpan = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+        (0 until k).map { i =>
+          if (i == 0) docs
+          else docs
+            .withColumn("doc_id", col("doc_id") + lit(i * idSpan))
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "), w => concat(lit(s"c${i}w"), w)), " "))
+        }.reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        new java.io.File(s"$dir/_BUILT").createNewFile()
+      }
+      dir
+    }
+
+    def timeQuery(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } finally Pinned.release(spark)
+    }
+
+    val scales: Seq[(String, String, Double)] =
+      Seq(("sf0.01", "/root/testdata/sf0.01", 0.1), ("base", base, 1.0)) ++
+        ks.map(k => (s"x$k", buildScaled(k), k.toDouble))
+
+    // two passes per (scale, query): first warms JIT/codegen/file listings,
+    // the second is the reported steady-state number
+    for ((label, dir, rel) <- scales; name <- headline) {
+      timeQuery(name, dir)
+      val sec = timeQuery(name, dir)
+      println(s"""{"scale":"$label","rel_volume":$rel,"query":"$name","sec":$sec}""")
+    }
+    spark.stop()
+  }
+}

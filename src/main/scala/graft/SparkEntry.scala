@@ -50,7 +50,9 @@ object SparkEntry {
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
     "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
-    "asof_price_join" -> tuned(AsOfJoin.fromDir)
+    "asof_price_join" -> tuned(AsOfJoin.fromDir),
+    "corpus_shards" -> tuned(Curation.shardFromDir),
+    "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -80,6 +82,8 @@ object SparkEntry {
     "pricing_summary" -> PricingSummary.oracle,
     "corpus_clean" -> CorpusClean.oracle(),
     "shipping_priority_topk" -> ShippingPriority.oracle(),
-    "asof_price_join" -> AsOfJoin.oracle
+    "asof_price_join" -> AsOfJoin.oracle,
+    "corpus_shards" -> Curation.shardOracle(),
+    "decontaminate" -> Curation.decontaminateOracle()
   )
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/quality: packing documents into token-budgeted training
+  * shards, and scrubbing train/benchmark contamination.
+  *
+  * Scale design:
+  *   - Shard assignment is a GLOBAL running total of token counts — the
+  *     textbook "sequential" operator — computed distributed via
+  *     [[ScalableCumsum]] (per-partition sums + broadcast offsets; no
+  *     single-partition window anywhere).
+  *   - Decontamination is an equi-join on shingles, never a text scan per
+  *     pair: the benchmark side is tiny relative to the corpus, so its
+  *     distinct shingles broadcast and the 100 TB train side never
+  *     shuffles. For a benchmark set too big to broadcast, drop the hint
+  *     and the same plan shuffle-joins on the shingle key; at extreme
+  *     scale, hash the shingles first ([[Dedup.hashedShingles]]) so the
+  *     join key is 8 bytes.
+  */
+object Curation {
+
+  /** Assign documents (in doc_id order) to training shards of ~`capacity`
+    * tokens: a document starts in the shard where its cumulative token
+    * count before it landed. Deterministic, integer-exact, and streaming-
+    * friendly (shard boundaries depend only on the prefix sums). */
+  def shardByTokenBudget(docs: DataFrame, capacity: Long = 20000L): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    ScalableCumsum.withRunningTotal(toks, col("n_tokens"), "cum_tokens", col("doc_id"))
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def shardOracle(capacity: Long = 20000L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       |       CAST((cum - n_tokens) // $capacity AS BIGINT) AS shard_id
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Remove training documents that share ANY word `n`-gram with the
+    * benchmark/eval set — the standard exact-overlap decontamination pass.
+    * Returns the surviving train docs. */
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+    val evalShingles = eval
+      .select(explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .distinct()
+    val contaminated = train
+      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+    train
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated variant: every 20th doc_id plays the held-out benchmark set. */
+  def decontaminateFromDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n)
+  }
+
+  def decontaminateOracle(n: Int = 8): String =
+    s"""WITH eval AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+       |train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+       |etoks AS (SELECT string_split(text, ' ') AS a FROM eval),
+       |esh AS (SELECT DISTINCT array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |        FROM etoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |ttoks AS (SELECT doc_id, string_split(text, ' ') AS a FROM train),
+       |tsh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |        FROM ttoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e ON t.shingle = e.shingle)
+       |SELECT tr.doc_id, tr.n_chars FROM train tr
+       |LEFT JOIN bad b ON tr.doc_id = b.doc_id
+       |WHERE b.doc_id IS NULL
+       |ORDER BY tr.doc_id""".stripMargin
+
+  def shardFromDir(spark: SparkSession, dir: String): DataFrame =
+    shardByTokenBudget(Tables.documents(spark, dir))
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed running total — the [[ScalableIds]] offsets pattern
+  * generalized from row counts to an arbitrary long-valued column.
+  *
+  * A global cumulative sum is the classic "looks inherently sequential"
+  * operator; the naive Spark translation (`sum().over(Window.orderBy(...))`
+  * with no partitioning) funnels every row through ONE task. This variant
+  * keeps it distributed:
+  *
+  *   1. range-repartition + sort within partitions by the sort key (total
+  *      order across partition index),
+  *   2. per-partition value sums — O(#partitions) longs — collected to the
+  *      driver (the sorted stage is pinned so this pass and the output pass
+  *      share one computation),
+  *   3. within-partition running sums via a window PARTITIONED by the
+  *      physical partition id (parallel across partitions, state bounded by
+  *      one partition), plus the partition's broadcast cumulative offset.
+  *
+  * Precondition: `sortKeys` must be a TOTAL order — with ties, the
+  * within-partition running sum is order-ambiguous for the tied rows.
+  * Caller releases the pinned stage via [[Pinned.release]] after the
+  * consuming action. */
+object ScalableCumsum {
+
+  /** Adds `totalName` = running total of `valueCol` (inclusive of the
+    * current row) in `sortKeys` order. */
+  def withRunningTotal(df: DataFrame, valueCol: Column, totalName: String,
+                       sortKeys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = Pinned.pin(
+      df.withColumn("__v", valueCol)
+        .repartitionByRange(sortKeys: _*)
+        .sortWithinPartitions(sortKeys: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val sums = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = sums.map { case (p, s) => val o = running; running += s; (p, o) }
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(totalName, sum(col("__v")).over(w) + col("__offset"))
+      .drop("__pid", "__v", "__offset")
+  }
+}

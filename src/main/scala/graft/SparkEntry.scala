@@ -52,7 +52,8 @@ object SparkEntry {
     "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
-    "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _))
+    "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _)),
+    "source_quota" -> tuned(Curation.sourceQuotaFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,6 +85,7 @@ object SparkEntry {
     "shipping_priority_topk" -> ShippingPriority.oracle(),
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
-    "decontaminate" -> Curation.decontaminateOracle()
+    "decontaminate" -> Curation.decontaminateOracle(),
+    "source_quota" -> Curation.sourceQuotaOracle()
   )
 }

@@ -93,4 +93,38 @@ object Curation {
 
   def shardFromDir(spark: SparkSession, dir: String): DataFrame =
     shardByTokenBudget(Tables.documents(spark, dir))
+
+  /** Per-source quota sampling: keep at most `k` documents per source,
+    * picked by a STABLE content-hash rank — a deterministic "random"
+    * sample (re-runs, retries, and both engines agree), the standard way
+    * to cap an over-represented crawl source in a training mix.
+    *
+    * Scale: a per-source window with a rank-≤-k filter — Spark plans it as
+    * `WindowGroupLimit`, so each partition keeps only its local top-k per
+    * source BEFORE the window exchange (the same partial-top-k push-down
+    * q3's rank join uses); state per task is O(k), never O(group). */
+  def sourceQuota(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(Dedup.hash60(col("text")), col("doc_id"))
+    docs
+      .withColumn("qrank", row_number().over(w).cast("long"))
+      .filter(col("qrank") <= k)
+      .select(col("doc_id"), col("source"), col("qrank"))
+      .orderBy(col("source"), col("qrank"))
+  }
+
+  def sourceQuotaOracle(k: Int = 10): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source,
+       |         ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY ${Dedup.hash60Sql("text")}, doc_id) AS qrank
+       |  FROM documents
+       |)
+       |SELECT doc_id, source, CAST(qrank AS BIGINT) AS qrank
+       |FROM ranked WHERE qrank <= $k
+       |ORDER BY source, qrank""".stripMargin
+
+  def sourceQuotaFromDir(spark: SparkSession, dir: String): DataFrame =
+    sourceQuota(Tables.documents(spark, dir))
 }

@@ -37,6 +37,20 @@ class CurationSpec extends SparkSpec {
       p.head.getAs[Long]("shard_id") <= p.last.getAs[Long]("shard_id")))
   }
 
+  test("source quota: at most k per source, stable across runs, WindowGroupLimit planned") {
+    val q = Curation.sourceQuota(docs, k = 7)
+    val got = q.collect()
+    val bySource = got.groupBy(_.getAs[String]("source"))
+    assert(bySource.values.forall(_.length <= 7))
+    assert(bySource.values.forall(g =>
+      g.map(_.getAs[Long]("qrank")).sorted.sameElements(1L to g.length)))
+    // deterministic: a second run picks the identical sample
+    assert(Curation.sourceQuota(docs, k = 7).collect().map(_.toSeq).toSeq
+      === got.map(_.toSeq).toSeq)
+    // the rank<=k filter pushes below the window exchange as a partial top-k
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("decontaminate: survivors share no n-gram with eval; dropped docs all do") {
     val eval = docs.filter(col("doc_id") % 20 === 0)
     val train = docs.filter(col("doc_id") % 20 =!= 0)

@@ -87,6 +87,21 @@ object EventStreams {
     q
   }
 
+  /** Streaming ingestion dedup: drop re-deliveries of the same key within
+    * the watermark horizon — the at-least-once → effectively-once step in
+    * front of any streaming corpus/event ingest (the batch twin is
+    * [[graft.operators.Dedup.exact]]).
+    *
+    * Scale: `dropDuplicatesWithinWatermark` keeps ONE state entry per
+    * distinct key seen inside the watermark and expires it as the
+    * watermark advances — state is bounded by arrival rate × watermark,
+    * never by stream history (a plain `dropDuplicates` on a stream would
+    * grow state forever). */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours",
+                  keys: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   // ------------------------------------------------------- sessionization
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -83,6 +83,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.getAs[Int]("available_qty") === 40) // the LAST append won, deterministically
   }
 
+  test("streaming dedup: re-deliveries within the watermark are emitted exactly once") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Spark 4.1 moved MemoryStream under execution.streaming.runtime
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, java.sql.Timestamp)]
+    val out = EventStreams.dedupStream(mem.toDF().toDF("event_id", "ts"), "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream_test").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 10:$m%02d:00")
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(5)), (2L, ts(5))) // duplicate inside the batch
+      q.processAllAvailable()
+      mem.addData((2L, ts(6)), (3L, ts(10))) // re-delivery across micro-batches
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream_test")
+        .select("event_id").as[Long].collect().sorted
+      assert(got.sameElements(Array(1L, 2L, 3L)),
+        s"each id exactly once, got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("batch_seq sidecar: advances per append, explicit seqs fold in, fallback scan re-seeds") {
     import spark.implicits._
     import java.nio.file.Files

@@ -53,7 +53,9 @@ object SparkEntry {
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
     "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _)),
-    "source_quota" -> tuned(Curation.sourceQuotaFromDir)
+    "source_quota" -> tuned(Curation.sourceQuotaFromDir),
+    "mixture_sample" -> tuned(Curation.mixtureSampleFromDir),
+    "dedup_clusters" -> tuned(NearDupClusters.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,6 +88,8 @@ object SparkEntry {
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
     "decontaminate" -> Curation.decontaminateOracle(),
-    "source_quota" -> Curation.sourceQuotaOracle()
+    "source_quota" -> Curation.sourceQuotaOracle(),
+    "mixture_sample" -> Curation.mixtureSampleOracle,
+    "dedup_clusters" -> NearDupClusters.oracle()
   )
 }

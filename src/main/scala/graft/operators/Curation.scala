@@ -127,4 +127,38 @@ object Curation {
 
   def sourceQuotaFromDir(spark: SparkSession, dir: String): DataFrame =
     sourceQuota(Tables.documents(spark, dir))
+
+  /** Weighted mixture sampling: keep each document with a per-source
+    * probability, decided by its CONTENT hash against an integer
+    * threshold — the deterministic Bernoulli that pretraining mixes use
+    * for source weighting. Same doc → same verdict on every run, every
+    * engine, every retry; changing one source's weight never reshuffles
+    * another source's sample.
+    *
+    * `thresholds` maps source → keep-numerator out of 1e6. Scale: a
+    * scan-fused filter (hash + one integer compare per row), zero
+    * shuffles; the thresholds join is a broadcast of |sources| rows. */
+  def mixtureSample(docs: DataFrame, thresholds: DataFrame): DataFrame =
+    docs
+      .join(broadcast(thresholds), Seq("source"))
+      .filter(pmod(Dedup.hash60(col("text")), lit(1000000L)) < col("keep_ppm"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Gated variant: source "srcN" keeps ((N % 5) + 1) × 150000 ppm —
+    * weights 15%..75% derived from the source name on both engines. */
+  def mixtureSampleFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val thresholds = docs.select(col("source")).distinct()
+      .withColumn("keep_ppm",
+        (substring(col("source"), 4, 10).cast("long") % 5L + 1L) * 150000L)
+    mixtureSample(docs, thresholds)
+  }
+
+  def mixtureSampleOracle: String =
+    s"""SELECT doc_id, source, n_chars
+       |FROM documents
+       |WHERE ${Dedup.hash60Sql("text")} % 1000000
+       |      < (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 150000
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup CLUSTERING — the step after pairwise dedup: connected
+  * components over the near-dup pair graph, so each group of mutually
+  * similar documents gets one cluster id (its minimum doc_id) and a
+  * curator can keep exactly one canonical per cluster. Pairwise output
+  * alone under-deletes: A~B and B~C pairs leave {A,B,C} as two
+  * independent decisions; the component {A,B,C} is the deletion unit.
+  *
+  * Algorithm: hash-min label propagation — every node starts as its own
+  * label; each round takes the min of its neighbors' labels; converges in
+  * O(component diameter) rounds. This is the standard large-graph CC
+  * (the same shape GraphX/Pregel uses), expressed as DataFrame
+  * join+groupBy rounds:
+  *   - each round is one shuffle on node id — no global structure, so it
+  *     scales with the edge list, and near-dup graphs are SPARSE (bounded
+  *     by the verified pair count, itself LSH-bounded);
+  *   - per-round lineage is truncated (`localCheckpoint`) — iterative
+  *     plans otherwise grow exponentially; on a cluster with executor
+  *     churn swap for `checkpoint()` against a reliable dir;
+  *   - labels tables hold ONLY nodes that appear in some pair (the
+  *     clustered minority), never the corpus;
+  *   - the edge list is pinned once ([[Pinned]]) and read every round.
+  *
+  * Determinism: min-label is order-independent, so cluster ids are exact
+  * and the DuckDB twin (recursive-CTE transitive closure + MIN) matches
+  * bit-for-bit.
+  */
+object NearDupClusters {
+
+  /** (doc_id, cluster_id) for every doc in `pairs`; cluster_id = min
+    * doc_id of its connected component. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = Pinned.pin(
+      pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b"))))
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("__improved"))
+        .localCheckpoint(true) // truncate per-round lineage
+      changed = next.filter(col("__improved")).count()
+      labels = next.drop("__improved")
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query: components of the exact n-gram-Jaccard pair graph. */
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(Dedup.ngramJaccardPairs(Tables.documents(spark, dir)))
+
+  /** DuckDB twin: same pair CTEs as [[Dedup.ngramJaccardOracle]], then a
+    * recursive transitive closure and MIN(reachable id) per node — exact
+    * on the same sparse pair graph. */
+  def oracle(n: Int = 5, thr: Double = 0.5): String =
+    s"""WITH RECURSIVE ${Dedup.shingleCtesSql("documents", n)},
+       |pairs AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN card ca ON id1 = ca.doc_id
+       |  JOIN card cb ON id2 = cb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= $thr
+       |),
+       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |          UNION ALL SELECT id2, id1 FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS label FROM nodes
+       |  UNION
+       |  SELECT e.a AS id, r.label FROM edges e JOIN reach r ON e.b = r.id
+       |)
+       |SELECT id AS doc_id, MIN(label) AS cluster_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+}

@@ -51,6 +51,47 @@ class CurationSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("mixture sample: content-hash Bernoulli is deterministic and weight-ordered") {
+    val s1 = Curation.mixtureSampleFromDir(spark, sf).collect().map(_.getAs[Long]("doc_id"))
+    val s2 = Curation.mixtureSampleFromDir(spark, sf).collect().map(_.getAs[Long]("doc_id"))
+    assert(s1.sameElements(s2), "same content, same verdicts")
+    assert(s1.nonEmpty && s1.length < docs.count())
+    // higher-weight sources keep (statistically) more: check the extreme
+    // weights 15% vs 75% aggregated over their source groups
+    val kept = Curation.mixtureSampleFromDir(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    def bucket(w: Int) = (0 until 20).filter(_ % 5 == w).map(i => s"src$i")
+    val low = bucket(0).map(kept.getOrElse(_, 0L)).sum   // 15% sources
+    val high = bucket(4).map(kept.getOrElse(_, 0L)).sum  // 75% sources
+    assert(low < high, s"15%-weight kept $low, 75%-weight kept $high")
+  }
+
+  test("near-dup clusters: min-label components over a known graph") {
+    import spark.implicits._
+    // two components {1,2,3} (path) and {10,11}, singleton edges absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val cc = graft.operators.NearDupClusters.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Pinned.release(spark)
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("near-dup clusters: every corpus pair lands in one cluster; ids are component minima") {
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs).cache()
+    val cc = graft.operators.NearDupClusters.connectedComponents(pairs).cache()
+    Pinned.release(spark)
+    // both endpoints of every pair share a cluster
+    val joined = pairs
+      .join(cc.withColumnRenamed("doc_id", "id1").withColumnRenamed("cluster_id", "c1"), Seq("id1"))
+      .join(cc.withColumnRenamed("doc_id", "id2").withColumnRenamed("cluster_id", "c2"), Seq("id2"))
+    assert(joined.filter(col("c1") =!= col("c2")).count() === 0)
+    // cluster id is a member of its own cluster and its minimum
+    val mins = cc.groupBy("cluster_id").agg(min("doc_id").as("m"))
+    assert(mins.filter(col("cluster_id") =!= col("m")).count() === 0)
+    pairs.unpersist(); cc.unpersist()
+  }
+
   test("decontaminate: survivors share no n-gram with eval; dropped docs all do") {
     val eval = docs.filter(col("doc_id") % 20 === 0)
     val train = docs.filter(col("doc_id") % 20 =!= 0)

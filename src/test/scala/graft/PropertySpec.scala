@@ -62,6 +62,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components == driver union-find on random graphs (via Spark)") {
+    // a handful of random graphs through the REAL distributed operator,
+    // checked against an independent driver-side union-find
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val nNodes = 3 + rnd.nextInt(20)
+      val nEdges = 1 + rnd.nextInt(25)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes
+          .groupBy(find).toSeq
+          .flatMap { case (_, members) => members.map(_ -> members.min) }.toMap
+        val got = graft.operators.NearDupClusters
+          .connectedComponents(edges.toDF("id1", "id2"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        graft.operators.Pinned.release(spark)
+        assert(got === expected, s"trial $trial: $edges")
+      }
+    }
+  }
+
+  test("scalable cumsum == naive window on random values and skewed keys (via Spark)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "v")
+    val expected = rows.sortBy(_._1).scanLeft((0L, 0L)) {
+      case ((_, acc), (k, v)) => (k, acc + v)
+    }.drop(1).toMap
+    val got = graft.operators.ScalableCumsum
+      .withRunningTotal(df.repartition(17), col("v"), "cum", col("k"))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("cum"))).toMap
+    graft.operators.Pinned.release(spark)
+    assert(got === expected)
+  }
+
   test("generated pipeline days preserve the aggregation invariant at any size") {
     for (orders <- Seq(10, 500)) {
       val gen = new DataGenerator(seed = orders)

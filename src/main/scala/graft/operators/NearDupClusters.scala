@@ -38,8 +38,13 @@ object NearDupClusters {
     val edges = Pinned.pin(
       pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b"))))
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // initial label = min(self, direct neighbors): the first propagation
+    // round fused into initialization — one groupBy instead of a distinct
+    // plus a full join round (shallow components often converge here)
+    var labels = edges
+      .groupBy(col("a"))
+      .agg(least(min(col("b")), col("a")).as("label"))
+      .select(col("a").as("id"), col("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {

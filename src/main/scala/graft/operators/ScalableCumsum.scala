@@ -28,12 +28,14 @@ import org.apache.spark.sql.functions._
 object ScalableCumsum {
 
   /** Adds `totalName` = running total of `valueCol` (inclusive of the
-    * current row) in `sortKeys` order. */
+    * current row) in `sortKeys` order. NULL values count as 0 — both the
+    * per-partition sums and the window sums would otherwise silently skip
+    * them, giving rows a total that excludes their own contribution. */
   def withRunningTotal(df: DataFrame, valueCol: Column, totalName: String,
                        sortKeys: Column*): DataFrame = {
     val spark = df.sparkSession
     val sorted = Pinned.pin(
-      df.withColumn("__v", valueCol)
+      df.withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
         .repartitionByRange(sortKeys: _*)
         .sortWithinPartitions(sortKeys: _*)
         .withColumn("__pid", spark_partition_id()))

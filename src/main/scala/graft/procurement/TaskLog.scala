@@ -100,8 +100,12 @@ object TaskLog {
     def dur = f"${(System.nanoTime() - t0) / 1e9}%.3f"
     try {
       val out = body
+      // a buggy details extractor must not convert a succeeded task into
+      // a failure — same contract as the guarded log writes
+      val d = try details(out)
+      catch { case e: Throwable => Map("details_error" -> e.toString) }
       logTask(logsDir, task, executionDate, "success",
-        details(out) + ("duration_sec" -> dur))
+        d + ("duration_sec" -> dur))
       out
     } catch {
       case e: Throwable =>

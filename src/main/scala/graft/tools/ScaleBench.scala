@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   val headline: Seq[String] =
-    Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh")
+    Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh",
+      "corpus_shards", "dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -55,7 +55,8 @@ object SparkEntry {
     "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _)),
     "source_quota" -> tuned(Curation.sourceQuotaFromDir),
     "mixture_sample" -> tuned(Curation.mixtureSampleFromDir),
-    "dedup_clusters" -> tuned(NearDupClusters.fromDir)
+    "dedup_clusters" -> tuned(NearDupClusters.fromDir),
+    "range_join_windows" -> tuned(RangeJoin.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,6 +91,7 @@ object SparkEntry {
     "decontaminate" -> Curation.decontaminateOracle(),
     "source_quota" -> Curation.sourceQuotaOracle(),
     "mixture_sample" -> Curation.mixtureSampleOracle,
-    "dedup_clusters" -> NearDupClusters.oracle()
+    "dedup_clusters" -> NearDupClusters.oracle(),
+    "range_join_windows" -> RangeJoin.oracle
   )
 }

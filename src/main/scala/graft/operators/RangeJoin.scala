@@ -29,7 +29,10 @@ object RangeJoin {
   def joinPointsToIntervals(points: DataFrame, ts: Column, intervals: DataFrame,
                             binSeconds: Long = 3600L): DataFrame = {
     val p = points.withColumn("__bin", floor(ts.cast("long") / binSeconds))
-    val iv = intervals.withColumn("__bin",
+    // drop degenerate intervals BEFORE the bin explode: Spark's
+    // sequence(a, b) with b < a yields a DESCENDING sequence, which would
+    // fabricate bins (and join rows) for an end-before-start interval
+    val iv = intervals.filter(col("end") >= col("start")).withColumn("__bin",
       explode(sequence(floor(col("start").cast("long") / binSeconds),
         floor(col("end").cast("long") / binSeconds))))
     p.join(iv, Seq("__bin"))

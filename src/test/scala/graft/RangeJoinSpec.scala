@@ -19,7 +19,10 @@ class RangeJoinSpec extends SparkSpec {
     val intervals = Seq(
       ("A", ts("2024-02-01 10:00:00"), ts("2024-02-01 12:00:00")),
       ("B", ts("2024-02-01 12:30:00"), ts("2024-02-01 15:10:00")), // spans 4 hourly bins
-      ("C", ts("2024-02-01 10:30:00"), ts("2024-02-01 14:00:00"))  // overlaps A and B
+      ("C", ts("2024-02-01 10:30:00"), ts("2024-02-01 14:00:00")), // overlaps A and B
+      // end-before-start: must match NOTHING (sequence() would otherwise
+      // fabricate descending bins for it)
+      ("X", ts("2024-02-01 14:00:00"), ts("2024-02-01 10:00:00"))
     ).toDF("name", "start", "end")
 
     val binned = RangeJoin.joinPointsToIntervals(points, col("ts"), intervals)

@@ -122,28 +122,25 @@ object Similarity {
       greatest(dists.toIndexedSeq: _*).getField("id"))
   }
 
-  /** IVF ANN top-k: score only vectors in the query's `nProbe` nearest
-    * cells. At 100 TB the embedding table is stored bucketed/partitioned by
-    * centroid_id, so a probe reads |probed cells| of data, not the corpus. */
-  def ivfKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
-             numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 11L): DataFrame = {
-    val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
-    val n = assignToCentroids(embeddings, centroids)
-      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    // per query: its nProbe closest centroids
-    val qAssign = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+  /** Per-query nProbe nearest centroids, with the query embedding carried. */
+  private def queryProbes(queries: DataFrame, centroids: Array[(Int, Array[Double])],
+                          nProbe: Int): DataFrame = {
     val probeSims = centroids.map { case (id, c) =>
       struct(litCosine(col("qe"), c).as("sim"), lit(id).as("centroid_id"))
     }
-    val probes = qAssign
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("probe", explode(sortArrayDesc(array(probeSims.toIndexedSeq: _*))))
       .withColumn("probe_rank", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("probe.sim").desc)))
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qe"), col("probe.centroid_id").as("centroid_id"))
+  }
+
+  /** Score probed cells only and keep each query's top-k. */
+  private def scoreProbed(probes: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(probes).join(n, Seq("centroid_id"))
+    broadcast(probes).join(cells, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qe"), col("ne")))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -151,6 +148,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF ANN top-k: score only vectors in the query's `nProbe` nearest
+    * cells. For the persisted variant whose probe reads only the probed
+    * cells' FILES, see [[writeIvfIndex]] / [[probeIvfIndex]]. */
+  def ivfKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
+             numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 11L): DataFrame = {
+    val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
+    val n = assignToCentroids(embeddings, centroids)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    scoreProbed(queryProbes(queries, centroids, nProbe), n, k)
+  }
+
+  /** Materialize the IVF index: the corpus written PARTITIONED BY
+    * centroid_id (one directory per cell), so probes become partition
+    * pruning — at 100 TB a probe lists and reads |probed cells| / |cells|
+    * of the data, never the corpus. Returns the trained centroids (the
+    * coarse quantizer the caller keeps — O(centroids·dim) floats). */
+  def writeIvfIndex(embeddings: DataFrame, dir: String, numCentroids: Int = 16,
+                    seed: Long = 11L): Array[(Int, Array[Double])] = {
+    val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
+    assignToCentroids(embeddings, centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    centroids
+  }
+
+  /** ANN over the materialized index: the union of all queries' probed
+    * cells becomes a partition filter on the scan (`PartitionFilters` in
+    * the plan — only those directories are listed/read); the per-query
+    * cell join then keeps each query to its own nProbe cells. */
+  def probeIvfIndex(spark: SparkSession, dir: String,
+                    centroids: Array[(Int, Array[Double])], queries: DataFrame,
+                    k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val probes = queryProbes(queries, centroids, nProbe)
+    // O(|centroids|) driver values — the probed-cell union, never data
+    val probedCells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(dir)
+      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    scoreProbed(probes, cells, k)
   }
 
   private def sortArrayDesc(a: Column): Column = reverse(array_sort(a))

@@ -33,6 +33,21 @@ class IvfFramesSpec extends SparkSpec {
     assert(sample.filter(col("check") =!= col("cosine_r")).count() === 0)
   }
 
+  test("materialized IVF index: probe equals in-memory IVF and partition-prunes the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    val centroids = Similarity.writeIvfIndex(emb, dir, numCentroids = 8, seed = 11L)
+    val fromIndex = Similarity.probeIvfIndex(spark, dir, centroids, queries,
+      k = 10, nProbe = 4)
+    // identical results to the in-memory path (same centroids, same probes)
+    val inMemory = Similarity.ivfKnn(emb, queries, k = 10, numCentroids = 8, nProbe = 4)
+    assert(fromIndex.collect().map(_.toSeq).toSeq === inMemory.collect().map(_.toSeq).toSeq)
+    // the probed-cell filter reaches the scan as a PARTITION filter: only
+    // the probed centroid directories are listed/read
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"probe must partition-prune, got:\n${plan.take(2000)}")
+  }
+
   test("frame sampling: count and size formula hold") {
     val media = Multimodal.asBinaryPayloads(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 128).cache()

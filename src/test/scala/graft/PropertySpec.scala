@@ -105,6 +105,26 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("bin range join == naive join on random intervals across bin sizes (via Spark)") {
+    val rnd = new scala.util.Random(13)
+    val day = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def t(offsetSec: Long) = new java.sql.Timestamp(day + offsetSec * 1000)
+    val points = (1 to 200).map(i => (i.toLong, t(rnd.nextInt(86400).toLong))).toDF("id", "ts")
+    val intervals = (1 to 20).map { i =>
+      val s = rnd.nextInt(86400).toLong
+      (s"iv$i", t(s), t(s + rnd.nextInt(5 * 3600).toLong))
+    }.toDF("name", "start", "end")
+    val naive = points.crossJoin(intervals)
+      .filter(col("ts") >= col("start") && col("ts") < col("end"))
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    for (bin <- Seq(600L, 3600L, 7200L)) {
+      val binned = graft.operators.RangeJoin
+        .joinPointsToIntervals(points, col("ts"), intervals, binSeconds = bin)
+        .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(binned === naive, s"bin=$bin")
+    }
+  }
+
   test("generated pipeline days preserve the aggregation invariant at any size") {
     for (orders <- Seq(10, 500)) {
       val gen = new DataGenerator(seed = orders)

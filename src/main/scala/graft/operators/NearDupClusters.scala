@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *   - each round is one shuffle on node id — no global structure, so it
   *     scales with the edge list, and near-dup graphs are SPARSE (bounded
   *     by the verified pair count, itself LSH-bounded);
-  *   - per-round lineage is truncated (`localCheckpoint`) — iterative
-  *     plans otherwise grow exponentially; on a cluster with executor
-  *     churn swap for `checkpoint()` against a reliable dir;
+  *   - each round persists and drops its predecessor once materialized —
+  *     releasable blocks (unlike localCheckpoint's), shallow per-round
+  *     lineage (plans embed the prior round's InMemoryRelation), and the
+  *     caller frees the surviving round via [[Pinned.release]]; for very
+  *     deep graphs on a churning cluster, add a reliable `checkpoint()`
+  *     every ~20 rounds;
   *   - labels tables hold ONLY nodes that appear in some pair (the
   *     clustered minority), never the corpus;
   *   - the edge list is pinned once ([[Pinned]]) and read every round.
@@ -38,6 +41,7 @@ object NearDupClusters {
     val edges = Pinned.pin(
       pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b"))))
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // initial label = min(self, direct neighbors): the first propagation
     // round fused into initialization — one groupBy instead of a distinct
     // plus a full join round (shallow components often converge here)
@@ -45,22 +49,33 @@ object NearDupClusters {
       .groupBy(col("a"))
       .agg(least(min(col("b")), col("a")).as("label"))
       .select(col("a").as("id"), col("label"))
-      .localCheckpoint(true)
+      .persist(level)
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("label")).as("nlabel"))
+      // rounds persist (RELEASABLE blocks, unlike localCheckpoint's) and
+      // the convergence count materializes each round fully BEFORE its
+      // predecessor is dropped; plans embed the prior round's
+      // InMemoryRelation, so per-round lineage stays shallow, and an
+      // evicted round recomputing through predecessors is a non-event
+      // for these label-sized (paired-docs-only) tables
       val next = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("__improved"))
-        .localCheckpoint(true) // truncate per-round lineage
+        .persist(level)
       changed = next.filter(col("__improved")).count()
-      labels = next.drop("__improved")
+      labels.unpersist(blocking = false)
+      labels = next
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // the surviving round backs the returned frame: registered so the
+    // caller's Pinned.release (after the consuming action) frees it
+    Pinned.track(labels)
+    labels.drop("__improved")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

@@ -26,10 +26,16 @@ object Pinned {
 
   def pin(stage: DataFrame): DataFrame = {
     val p = stage.persist(StorageLevel.MEMORY_AND_DISK)
+    track(p)
+  }
+
+  /** Register an ALREADY-persisted frame for release without re-persisting
+    * it (e.g. the surviving round of an iterative computation). */
+  def track(stage: DataFrame): DataFrame = {
     registry.computeIfAbsent(
       stage.sparkSession,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(p)
-    p
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()).add(stage)
+    stage
   }
 
   /** Unpersist every stage pinned in `spark` since the last release; call

@@ -28,6 +28,8 @@ object RangeJoin {
     * `start`/`end` timestamp columns; all other columns pass through. */
   def joinPointsToIntervals(points: DataFrame, ts: Column, intervals: DataFrame,
                             binSeconds: Long = 3600L): DataFrame = {
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "__bin is reserved by the range join")
     val p = points.withColumn("__bin", floor(ts.cast("long") / binSeconds))
     // drop degenerate intervals BEFORE the bin explode: Spark's
     // sequence(a, b) with b < a yields a DESCENDING sequence, which would
@@ -35,8 +37,11 @@ object RangeJoin {
     val iv = intervals.filter(col("end") >= col("start")).withColumn("__bin",
       explode(sequence(floor(col("start").cast("long") / binSeconds),
         floor(col("end").cast("long") / binSeconds))))
+    // frame-qualified start/end: a points side that itself carries
+    // start/end columns (sessions vs outages, etc.) must not make the
+    // exact-containment recheck ambiguous
     p.join(iv, Seq("__bin"))
-      .filter(ts >= col("start") && ts < col("end"))
+      .filter(ts >= iv("start") && ts < iv("end"))
       .drop("__bin")
   }
 

@@ -33,18 +33,13 @@ object ScalableCumsum {
     * them, giving rows a total that excludes their own contribution. */
   def withRunningTotal(df: DataFrame, valueCol: Column, totalName: String,
                        sortKeys: Column*): DataFrame = {
-    val spark = df.sparkSession
     val sorted = Pinned.pin(
       df.withColumn("__v", coalesce(valueCol.cast("long"), lit(0L)))
         .repartitionByRange(sortKeys: _*)
         .sortWithinPartitions(sortKeys: _*)
-        .withColumn("__pid", spark_partition_id()))
-    val sums = sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var running = 0L
-    val offsets = sums.map { case (p, s) => val o = running; running += s; (p, o) }
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__pid", "__offset")
+        .withColumn("__pid", spark_partition_id().cast("long")))
+    val offsetsDf = ScalableIds.cumulativeOffsets(
+      sorted.groupBy(col("__pid")).agg(sum(col("__v")).as("__s")))
     val w = Window.partitionBy(col("__pid")).orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sorted

@@ -43,22 +43,31 @@ object ScalableIds {
 
   private val LocalMask = (1L << 33) - 1
 
+  /** Driver-side prefix scan over per-partition totals: collects the
+    * O(#partitions) `(pid: long, total: long)` rows, accumulates running
+    * offsets in pid order, and returns a broadcastable
+    * `(__pid, __offset)` frame. The shared offset protocol of the
+    * global-id and running-total ([[ScalableCumsum]]) operators — empty
+    * partitions simply don't appear, contributing 0 by construction. */
+  private[operators] def cumulativeOffsets(perPartitionTotals: DataFrame): DataFrame = {
+    val spark = perPartitionTotals.sparkSession
+    val rows = perPartitionTotals
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsets = rows.map { case (p, n) => val o = running; running += n; (p, o) }
+    import spark.implicits._
+    offsets.toSeq.toDF("__pid", "__offset")
+  }
+
   def withGlobalRowNumbers(df: DataFrame, idCol: String, sortKeys: Column*): DataFrame = {
-    val spark = df.sparkSession
     val sorted = Pinned.pin(
       df.repartitionByRange(sortKeys: _*)
         .sortWithinPartitions(sortKeys: _*)
         .withColumn("__mid", monotonically_increasing_id()))
     val pid = shiftrightunsigned(col("__mid"), 33)
     val local = col("__mid").bitwiseAND(lit(LocalMask))
-    // one (pid, n) row per partition; empty partitions simply don't appear
-    val counts = sorted
-      .groupBy(pid.as("__pid")).agg((max(local) + 1L).as("__n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    var running = 0L
-    val offsets = counts.map { case (p, n) => val o = running; running += n; (p, o) }
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__pid", "__offset")
+    val offsetsDf = cumulativeOffsets(
+      sorted.groupBy(pid.as("__pid")).agg((max(local) + 1L).as("__n")))
     sorted
       .withColumn("__pid", pid)
       .join(broadcast(offsetsDf), Seq("__pid"))

@@ -35,12 +35,18 @@ object Pipeline {
     def task[T](name: String, details: T => Map[String, String] = (_: T) => Map.empty[String, String])
                (body: => T): T =
       TaskLog.timed(logsDir, name, ddMMyyyy, details)(body)
+    // caches registered as created, released in the finally below — a
+    // failing stage (whose exception TaskLog rethrows by design) must not
+    // leak cached blocks into a long-lived session that catches and retries
+    val caches = scala.collection.mutable.Buffer[DataFrame]()
+    try {
 
     // S1/S4: all-string order CSV for the day (read inside the task so a
     // missing/corrupt source surfaces as a load_orders exception log)
     val (orders, ordersLoaded) = task[(DataFrame, Long)]("load_orders",
       p => Map("orders_loaded" -> p._2.toString)) {
       val o = Ingest.orders(spark, s"$rawDir/orders/$ddMMyyyy").cache()
+      caches += o
       (o, o.count()) // S5 row-count validation
     }
 
@@ -51,19 +57,23 @@ object Pipeline {
         s"$rawDir/stock/$ddMMyyyy/stock.json", s"$outDir/stock_csv/$ddMMyyyy").count()
     }
 
-    // S3: snapshot JSON → upsert store (last-write-wins on re-runs)
-    val daySnapshots = task[DataFrame]("load_snapshots") {
+    // S3: snapshot JSON → upsert store (last-write-wins on re-runs). The
+    // count runs INSIDE the task: it is the action that actually scans the
+    // store, so a corrupt store surfaces as a load_snapshots exception log
+    val (daySnapshots, snapshotRows) = task[(DataFrame, Long)]("load_snapshots",
+      p => Map("snapshot_rows" -> p._2.toString)) {
       val snapJson = Ingest.jsonArray(spark, s"$rawDir/snapshots/$ddMMyyyy/snapshot.json")
         .select(col("sku_code"), col("snapshot_date"), col("warehouse_code"),
           col("available_qty").cast("int"), col("reserved_qty").cast("int"))
       SnapshotStore.appendNext(snapJson, storeDir)
-      SnapshotStore.readDay(spark, storeDir, runDate.toString)
+      val day = SnapshotStore.readDay(spark, storeDir, runDate.toString)
+      (day, day.count())
     }
-    val snapshotRows = daySnapshots.count()
 
     // Q1 (cached: shared by Q2/Q3 through the nd result)
     val aggregated = Queries.ordersAggregated(
       orders, master("products"), master("warehouses")).cache()
+    caches += aggregated
     task[Unit]("aggregate_orders") {
       val q1 = aggregated.orderBy(col("total_quantity").desc, col("sku_id"), col("warehouse_id"))
       Writers.dualSink(q1, outDir, "aggregated_orders", ddMMyyyy)
@@ -73,6 +83,7 @@ object Pipeline {
     val nd = Queries.netDemand(aggregated, master("safety_stock"),
       master("safety_stock_by_warehouse"), master("warehouses"),
       daySnapshots, runDate).cache()
+    caches += nd
     task[Unit]("net_demand") {
       Writers.dualSink(nd, outDir, "net_demand", ddMMyyyy)
     }
@@ -113,9 +124,11 @@ object Pipeline {
       ()
     }
 
-    orders.unpersist(); aggregated.unpersist(); nd.unpersist()
-    graft.operators.Pinned.release(spark) // Q3's pinned id-assignment stage
     summary
+    } finally {
+      caches.foreach(_.unpersist(blocking = false))
+      graft.operators.Pinned.release(spark) // Q3's pinned id-assignment stage
+    }
   }
 
   /** Write one generated day of raw inputs in the reference's layout. */

@@ -36,18 +36,29 @@ object SnapshotStore {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storeDir), spark.sparkContext.hadoopConfiguration)
 
+  /** Read the sidecar; ANY failure (missing, truncated, garbled — e.g. a
+    * non-atomic rename on an object store) degrades to None, which sends
+    * the caller down the parquet-scan fallback instead of blocking every
+    * subsequent append on an unreadable control file. */
   private def readSeqSidecar(fs: org.apache.hadoop.fs.FileSystem,
-                             storeDir: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(storeDir, SeqFileName)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
-        Option(bytes).map(_.trim.toLong)
-      } finally in.close()
+                             storeDir: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(storeDir, SeqFileName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val line = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, "UTF-8")).readLine()
+          Option(line).map(_.trim.toLong)
+        } finally in.close()
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[snapshotstore] unreadable sequence sidecar, " +
+          s"falling back to store scan: $e")
+        None
     }
-  }
 
   /** Record `seq` as the store's max (temp-write + rename; the brief
     * missing-file window during the swap falls back to the parquet scan). */
@@ -58,7 +69,10 @@ object SnapshotStore {
     try out.write(s"$seq\n".getBytes("UTF-8")) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(storeDir, SeqFileName)
     fs.delete(dest, false) // rename does not overwrite on all filesystems
-    fs.rename(tmp, dest)
+    if (!fs.rename(tmp, dest))
+      // non-fatal: a missing/garbled sidecar degrades to the store scan
+      System.err.println("[snapshotstore] sequence sidecar rename failed; " +
+        "next append will fall back to the store scan")
   }
 
   /** Next monotonic batch sequence: one more than the store's current max,
@@ -76,17 +90,20 @@ object SnapshotStore {
     * SAME store must not run concurrently — concurrent writers need an
     * external sequencer, same as Cassandra's timestamp ties.
     */
+  /** The store's max batch_seq from the data itself (batch_seq-only scan);
+    * 0 for an empty/absent store. The seed/fallback path when no readable
+    * sidecar exists. */
+  private def storeMaxSeq(spark: SparkSession, storeDir: String): Long = {
+    val existing =
+      try spark.read.parquet(storeDir).select(col("batch_seq"))
+        .agg(max(col("batch_seq"))).first()
+      catch { case _: org.apache.spark.sql.AnalysisException => null } // no store yet
+    if (existing == null || existing.isNullAt(0)) 0L else existing.getLong(0)
+  }
+
   def nextBatchSeq(spark: SparkSession, storeDir: String): Long = {
     val fs = hadoopFs(spark, storeDir)
-    readSeqSidecar(fs, storeDir) match {
-      case Some(maxSeq) => maxSeq + 1L
-      case None =>
-        val existing = // migration path: store predates the sidecar
-          try spark.read.parquet(storeDir).select(col("batch_seq"))
-            .agg(max(col("batch_seq"))).first()
-          catch { case _: org.apache.spark.sql.AnalysisException => null } // no store yet
-        if (existing == null || existing.isNullAt(0)) 1L else existing.getLong(0) + 1L
-    }
+    readSeqSidecar(fs, storeDir).getOrElse(storeMaxSeq(spark, storeDir)) + 1L
   }
 
   /** Append one load batch with the next store-derived sequence. */
@@ -97,15 +114,24 @@ object SnapshotStore {
   }
 
   /** Append one load batch. `batchSeq` orders re-loads: later batches win.
-    * Advances the sequence sidecar when `batchSeq` exceeds its value, so
-    * explicit-sequence and store-derived appends share one domain. */
+    *
+    * The sequence sidecar is advanced BEFORE the data write (reserve,
+    * then write): a crash between the two leaves a harmless gap in the
+    * sequence, never a duplicate — a duplicate would tie the
+    * last-write-wins row_number and let stale data win. When no readable
+    * sidecar exists, the reservation seeds from the store's actual max
+    * (never blindly from `batchSeq`), so a pre-sidecar store cannot be
+    * re-seeded below data it already holds. Explicit `batchSeq` values at
+    * or below the store's current max are the caller's own replay
+    * semantics and leave the sidecar untouched. */
   def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit = {
+    val spark = snapshots.sparkSession
+    val fs = hadoopFs(spark, storeDir)
+    val current = readSeqSidecar(fs, storeDir).getOrElse(storeMaxSeq(spark, storeDir))
+    if (current < batchSeq) writeSeqSidecar(fs, storeDir, math.max(current, batchSeq))
     snapshots
       .withColumn("batch_seq", lit(batchSeq))
       .write.mode("append").partitionBy("snapshot_date").parquet(storeDir)
-    val fs = hadoopFs(snapshots.sparkSession, storeDir)
-    if (readSeqSidecar(fs, storeDir).forall(_ < batchSeq))
-      writeSeqSidecar(fs, storeDir, batchSeq)
   }
 
   /** Read with upsert semantics: per key, latest batch wins. */

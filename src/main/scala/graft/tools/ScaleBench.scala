@@ -71,8 +71,16 @@ object ScaleBench {
       } finally Pinned.release(spark)
     }
 
+    // the extra small-scale point only applies when the base really is
+    // sf0.1 — for any other base it would mislabel rel_volume (or measure
+    // the same data twice) and fail outright if the dir is absent
+    val small = "/root/testdata/sf0.01"
+    val smallPoint =
+      if (base.contains("sf0.1") && new java.io.File(small).isDirectory)
+        Seq(("sf0.01", small, 0.1))
+      else Seq.empty
     val scales: Seq[(String, String, Double)] =
-      Seq(("sf0.01", "/root/testdata/sf0.01", 0.1), ("base", base, 1.0)) ++
+      smallPoint ++ Seq(("base", base, 1.0)) ++
         ks.map(k => (s"x$k", buildScaled(k), k.toDouble))
 
     // two passes per (scale, query): first warms JIT/codegen/file listings,

@@ -124,6 +124,13 @@ class EventStreamsSpec extends SparkSpec {
     assert(Files.readString(sidecar.toPath).trim === "1002", "fallback re-seeds the sidecar")
     val got = s.read(spark, store).collect()
     assert(got.length === 1 && got.head.getAs[Int]("available_qty") === 50)
+    // a sidecar-less store must never be re-seeded below data it already
+    // holds: an explicit low-sequence replay leaves the domain intact
+    assert(sidecar.delete())
+    s.append(row(60), store, 1L) // caller replays an old sequence
+    assert(s.appendNext(row(70), store) === 1003L) // seeded from the true max
+    val got2 = s.read(spark, store).collect()
+    assert(got2.length === 1 && got2.head.getAs[Int]("available_qty") === 70)
   }
 
   test("snapshot store lifecycle: multi-day appends, re-load overwrites, compaction") {

@@ -56,7 +56,8 @@ object SparkEntry {
     "source_quota" -> tuned(Curation.sourceQuotaFromDir),
     "mixture_sample" -> tuned(Curation.mixtureSampleFromDir),
     "dedup_clusters" -> tuned(NearDupClusters.fromDir),
-    "range_join_windows" -> tuned(RangeJoin.fromDir)
+    "range_join_windows" -> tuned(RangeJoin.fromDir),
+    "corpus_packed" -> tuned(Curation.packShardsFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +93,7 @@ object SparkEntry {
     "source_quota" -> Curation.sourceQuotaOracle(),
     "mixture_sample" -> Curation.mixtureSampleOracle,
     "dedup_clusters" -> NearDupClusters.oracle(),
-    "range_join_windows" -> RangeJoin.oracle
+    "range_join_windows" -> RangeJoin.oracle,
+    "corpus_packed" -> Curation.packShardsOracle()
   )
 }

@@ -161,4 +161,55 @@ object Curation {
        |WHERE ${Dedup.hash60Sql("text")} % 1000000
        |      < (CAST(substr(source, 4) AS BIGINT) % 5 + 1) * 150000
        |ORDER BY doc_id""".stripMargin
+
+  /** Separator between documents packed into one training sequence. */
+  val DocSeparator = " <eod> "
+
+  /** Pack each token-budget shard into ONE training sequence: the shard's
+    * documents concatenated in doc_id order with [[DocSeparator]] — the
+    * final assembly step after [[shardByTokenBudget]]. The gate surface
+    * carries the packed text's 60-bit content hash rather than the text
+    * itself (megabytes per shard at scale have no business in a result
+    * row; the hash still pins every byte cross-engine).
+    *
+    * Scale: one shuffle on shard_id; each group is ≤ capacity tokens by
+    * construction, so per-task assembly state is budget-bounded. */
+  def packShards(docs: DataFrame, capacity: Long = 20000L): DataFrame = {
+    val shards = shardByTokenBudget(docs, capacity)
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(shards, Seq("doc_id"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        // array_sort on (doc_id, text) structs orders by doc_id — a
+        // deterministic concat regardless of shuffle arrival order
+        Dedup.hash60(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          DocSeparator)).as("packed_h"))
+      .orderBy(col("shard_id"))
+  }
+
+  def packShardsOracle(capacity: Long = 20000L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t
+       |), sh AS (
+       |  SELECT doc_id, n_tokens, (cum - n_tokens) // $capacity AS shard_id FROM c
+       |)
+       |SELECT CAST(s.shard_id AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(s.n_tokens) AS BIGINT) AS shard_tokens,
+       |       ${Dedup.hash60Sql(s"string_agg(d.text, '$DocSeparator' ORDER BY d.doc_id)")} AS packed_h
+       |FROM sh s JOIN documents d USING (doc_id)
+       |GROUP BY s.shard_id ORDER BY shard_id""".stripMargin
+
+  def packShardsFromDir(spark: SparkSession, dir: String): DataFrame =
+    packShards(Tables.documents(spark, dir))
 }

@@ -51,6 +51,24 @@ class CurationSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("packed shards: totals reconcile with shard assignment; packing is deterministic") {
+    val packed = Curation.packShards(docs, capacity = 5000L).collect()
+    Pinned.release(spark)
+    val shards = Curation.shardByTokenBudget(docs, capacity = 5000L).collect()
+    Pinned.release(spark)
+    val byShard = shards.groupBy(_.getAs[Long]("shard_id"))
+    assert(packed.length === byShard.size)
+    for (p <- packed) {
+      val members = byShard(p.getAs[Long]("shard_id"))
+      assert(p.getAs[Long]("n_docs") === members.length)
+      assert(p.getAs[Long]("shard_tokens") === members.map(_.getAs[Long]("n_tokens")).sum)
+    }
+    // shuffle arrival order must not change the packed hash
+    val again = Curation.packShards(docs, capacity = 5000L).collect()
+    Pinned.release(spark)
+    assert(again.map(_.toSeq).toSeq === packed.map(_.toSeq).toSeq)
+  }
+
   test("mixture sample: content-hash Bernoulli is deterministic and weight-ordered") {
     val s1 = Curation.mixtureSampleFromDir(spark, sf).collect().map(_.getAs[Long]("doc_id"))
     val s2 = Curation.mixtureSampleFromDir(spark, sf).collect().map(_.getAs[Long]("doc_id"))

@@ -131,6 +131,11 @@ class EventStreamsSpec extends SparkSpec {
     assert(s.appendNext(row(70), store) === 1003L) // seeded from the true max
     val got2 = s.read(spark, store).collect()
     assert(got2.length === 1 && got2.head.getAs[Int]("available_qty") === 70)
+    // a CORRUPT sidecar (truncated/garbled control file) degrades to the
+    // store scan instead of blocking every subsequent append
+    Files.writeString(sidecar.toPath, "not-a-number\n")
+    assert(s.appendNext(row(80), store) === 1004L)
+    assert(Files.readString(sidecar.toPath).trim === "1004", "append heals the sidecar")
   }
 
   test("snapshot store lifecycle: multi-day appends, re-load overwrites, compaction") {

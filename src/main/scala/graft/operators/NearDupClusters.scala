@@ -51,25 +51,31 @@ object NearDupClusters {
       .select(col("a").as("id"), col("label"))
       .persist(level)
     var changed = 1L
+    var round = 0
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b"), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("label")).as("nlabel"))
-      // rounds persist (RELEASABLE blocks, unlike localCheckpoint's) and
-      // the convergence count materializes each round fully BEFORE its
-      // predecessor is dropped; plans embed the prior round's
-      // InMemoryRelation, so per-round lineage stays shallow, and an
-      // evicted round recomputing through predecessors is a non-event
-      // for these label-sized (paired-docs-only) tables
-      val next = labels
+      // rounds persist (RELEASABLE blocks) and the convergence count
+      // materializes each round fully BEFORE its predecessor is dropped.
+      // The logical plan references the prior round TWICE per iteration
+      // (neighborMin + the join), i.e. it doubles per round — so every
+      // 8th round truncates lineage with an eager localCheckpoint,
+      // capping plan growth at 2^8 references to a leaf while keeping
+      // 7 of 8 rounds' blocks releasable (checkpoint blocks are freed by
+      // the ContextCleaner once unreferenced)
+      val nextPlan = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (col("nlabel") < col("label")).as("__improved"))
-        .persist(level)
+      val next =
+        if (round % 8 == 7) nextPlan.localCheckpoint(true)
+        else nextPlan.persist(level)
       changed = next.filter(col("__improved")).count()
-      labels.unpersist(blocking = false)
+      labels.unpersist(blocking = false) // no-op on a checkpointed round
       labels = next
+      round += 1
     }
     // the surviving round backs the returned frame: registered so the
     // caller's Pinned.release (after the consuming action) frees it

@@ -25,23 +25,27 @@ object RangeJoin {
 
   /** Inner-join `points` to every interval of `intervals` containing its
     * `ts` (inclusive start, exclusive end). `intervals` must carry
-    * `start`/`end` timestamp columns; all other columns pass through. */
+    * `start`/`end` timestamp columns, which appear in the output as
+    * `interval_start`/`interval_end` — so a points side with its own
+    * start/end columns (sessions vs outages, etc.) never produces an
+    * ambiguous result frame; all other columns pass through. */
   def joinPointsToIntervals(points: DataFrame, ts: Column, intervals: DataFrame,
                             binSeconds: Long = 3600L): DataFrame = {
-    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
-      "__bin is reserved by the range join")
+    val reserved = Seq("__bin", "interval_start", "interval_end")
+    require(reserved.forall(r => !points.columns.contains(r)),
+      s"columns ${reserved.mkString("/")} are reserved by the range join")
     val p = points.withColumn("__bin", floor(ts.cast("long") / binSeconds))
     // drop degenerate intervals BEFORE the bin explode: Spark's
     // sequence(a, b) with b < a yields a DESCENDING sequence, which would
     // fabricate bins (and join rows) for an end-before-start interval
-    val iv = intervals.filter(col("end") >= col("start")).withColumn("__bin",
-      explode(sequence(floor(col("start").cast("long") / binSeconds),
-        floor(col("end").cast("long") / binSeconds))))
-    // frame-qualified start/end: a points side that itself carries
-    // start/end columns (sessions vs outages, etc.) must not make the
-    // exact-containment recheck ambiguous
+    val iv = intervals.filter(col("end") >= col("start"))
+      .withColumnRenamed("start", "interval_start")
+      .withColumnRenamed("end", "interval_end")
+      .withColumn("__bin",
+        explode(sequence(floor(col("interval_start").cast("long") / binSeconds),
+          floor(col("interval_end").cast("long") / binSeconds))))
     p.join(iv, Seq("__bin"))
-      .filter(ts >= iv("start") && ts < iv("end"))
+      .filter(ts >= col("interval_start") && ts < col("interval_end"))
       .drop("__bin")
   }
 

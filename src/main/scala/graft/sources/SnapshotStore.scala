@@ -101,16 +101,23 @@ object SnapshotStore {
     if (existing == null || existing.isNullAt(0)) 0L else existing.getLong(0)
   }
 
-  def nextBatchSeq(spark: SparkSession, storeDir: String): Long = {
+  /** The store's current max sequence: sidecar if readable, else scan. */
+  private def currentSeq(spark: SparkSession, storeDir: String): Long = {
     val fs = hadoopFs(spark, storeDir)
-    readSeqSidecar(fs, storeDir).getOrElse(storeMaxSeq(spark, storeDir)) + 1L
+    readSeqSidecar(fs, storeDir).getOrElse(storeMaxSeq(spark, storeDir))
   }
 
-  /** Append one load batch with the next store-derived sequence. */
+  def nextBatchSeq(spark: SparkSession, storeDir: String): Long =
+    currentSeq(spark, storeDir) + 1L
+
+  /** Append one load batch with the next store-derived sequence. The
+    * current sequence is derived ONCE and threaded through — not
+    * re-derived inside the append, which on a sidecar-less store would
+    * double the fallback scans on every (micro-)batch. */
   def appendNext(snapshots: DataFrame, storeDir: String): Long = {
-    val seq = nextBatchSeq(snapshots.sparkSession, storeDir)
-    append(snapshots, storeDir, seq)
-    seq
+    val current = currentSeq(snapshots.sparkSession, storeDir)
+    doAppend(snapshots, storeDir, current + 1L, current)
+    current + 1L
   }
 
   /** Append one load batch. `batchSeq` orders re-loads: later batches win.
@@ -124,11 +131,14 @@ object SnapshotStore {
     * re-seeded below data it already holds. Explicit `batchSeq` values at
     * or below the store's current max are the caller's own replay
     * semantics and leave the sidecar untouched. */
-  def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit = {
-    val spark = snapshots.sparkSession
-    val fs = hadoopFs(spark, storeDir)
-    val current = readSeqSidecar(fs, storeDir).getOrElse(storeMaxSeq(spark, storeDir))
-    if (current < batchSeq) writeSeqSidecar(fs, storeDir, math.max(current, batchSeq))
+  def append(snapshots: DataFrame, storeDir: String, batchSeq: Long): Unit =
+    doAppend(snapshots, storeDir, batchSeq,
+      currentSeq(snapshots.sparkSession, storeDir))
+
+  private def doAppend(snapshots: DataFrame, storeDir: String, batchSeq: Long,
+                       current: Long): Unit = {
+    val fs = hadoopFs(snapshots.sparkSession, storeDir)
+    if (current < batchSeq) writeSeqSidecar(fs, storeDir, batchSeq)
     snapshots
       .withColumn("batch_seq", lit(batchSeq))
       .write.mode("append").partitionBy("snapshot_date").parquet(storeDir)

@@ -76,7 +76,7 @@ object ScaleBench {
     // the same data twice) and fail outright if the dir is absent
     val small = "/root/testdata/sf0.01"
     val smallPoint =
-      if (base.contains("sf0.1") && new java.io.File(small).isDirectory)
+      if (new java.io.File(base).getName == "sf0.1" && new java.io.File(small).isDirectory)
         Seq(("sf0.01", small, 0.1))
       else Seq.empty
     val scales: Seq[(String, String, Double)] =

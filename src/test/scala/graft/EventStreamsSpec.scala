@@ -83,6 +83,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.head.getAs[Int]("available_qty") === 40) // the LAST append won, deterministically
   }
 
+  test("streaming corpus ingest: quality gate + fingerprint dedup across micro-batches") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_ingest").toString
+    val watch = s"$tmp/in"; val out = s"$tmp/corpus"
+    new java.io.File(watch).mkdirs()
+    val good = "the supplier and the warehouse are of the number and the part is for this with that from all more" // stopword-rich, passes the gate
+    val junk = "000 111 222 333 444"                   // digit-heavy, fails the gate
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+    def write(name: String, docs: String*): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$watch/$name"),
+        docs.mkString("[", ",", "]"))
+    write("b0.json", doc(1, good), doc(2, junk), doc(3, good)) // 3 dups 1 by content
+    val q = graft.streaming.CorpusIngest.start(spark, watch, out)
+    try {
+      q.processAllAvailable()
+      write("b1.json", doc(4, good), doc(5, good + " extra")) // 4 re-delivers content
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    // junk gated out; of the three identical-content docs (1, 3, 4 across
+    // batches) exactly one survived; the distinct doc 5 survived
+    assert(got.count() === 2)
+    assert(got.filter(col("doc_id") === 2).count() === 0)
+    assert(got.select("fingerprint").distinct().count() === 2)
+  }
+
   test("streaming dedup: re-deliveries within the watermark are emitted exactly once") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

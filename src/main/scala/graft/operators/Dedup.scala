@@ -104,6 +104,20 @@ object Dedup {
       .select(col("doc_id"), contentHash(docs)(col("shingle")).as("h"))
       .distinct()
 
+  /** The ARRAY form of [[hashedShingles]]: one row per doc carrying its
+    * distinct hashed-shingle array, built entirely inside the scan
+    * (shingle → hash → array_distinct are per-row expressions). The
+    * distinct that used to be a corpus-wide SHUFFLE becomes in-row set
+    * dedup; the exploded row form derives from this with a Generate —
+    * also shuffle-free. Same (doc, hash-set) contents as hashedShingles,
+    * so the oracle is untouched. Empty-shingle docs are excluded, as the
+    * row form excluded them implicitly (no rows → no group). */
+  def hashedShingleArrays(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(transform(TextFunctions.wordShingles(col("text"), n),
+        s => contentHash(docs)(s))).as("harr"))
+      .filter(size(col("harr")) > 0)
+
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
     * shingle; similarity = |∩|/|∪| in integer math). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
@@ -153,48 +167,46 @@ object Dedup {
   // ---------------------------------------------------------------- MinHash
 
   /** Deterministic universal-hash parameters for MinHash signatures. */
-  private def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
+  private[graft] def hashParams(numHashes: Int, seed: Long): Array[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(numHashes)((math.abs(rnd.nextLong() % 2147483647L) + 1,
       math.abs(rnd.nextLong() % 2147483647L)))
   }
 
-  /** MinHash signatures: per doc, the min of (a·h(shingle)+b mod p) per hash
-    * function — one shuffle (the groupBy), signature width fixed. */
+  /** MinHash signatures as mh_* columns: per doc, the min of
+    * (a·h(shingle)+b mod p) per hash function — computed ZERO-shuffle via
+    * the array form + the codegen'd [[graft.functions.MinHashAll]]
+    * expression (identical math to the aggregate formulation). */
   def minhashSignatures(docs: DataFrame, n: Int = 5, numHashes: Int = 64,
-                        seed: Long = 42L): DataFrame =
-    minhashSignaturesHashed(hashedShingles(docs, n), numHashes, seed)
-
-  /** [[minhashSignatures]] over an already-derived hashed-shingle table —
-    * the form [[minhashLsh]] uses so the shingle stage it pinned is the ONE
-    * source for signatures, candidate verification, and cardinalities. */
-  def minhashSignaturesHashed(hashedSh: DataFrame, numHashes: Int = 64,
-                              seed: Long = 42L): DataFrame = {
-    // p = 2^31-1 (Mersenne) with a,b < 2^31: the product (h mod p)·a stays
-    // below 2^62, so (a·h+b) mod p is computed EXACTLY in Long arithmetic —
-    // a 61-bit modulus would silently wrap the multiply and void the
-    // universal-hash family behind the 1-(1-j^r)^b collision model
-    val p = 2147483647L
-    val params = hashParams(numHashes, seed)
-    val sh = hashedSh.withColumn("ha", pmod(col("h"), lit(p)))
-    val minCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("ha") * (a % p) + (b % p), lit(p))).as(s"mh_$i")
-    }
-    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+                        seed: Long = 42L): DataFrame = {
+    val sigs = minhashSignaturesArr(hashedShingleArrays(docs, n), numHashes, seed)
+    sigs.select(col("doc_id") +:
+      (0 until numHashes).map(i => element_at(col("mh_arr"), i + 1).as(s"mh_$i")): _*)
   }
 
-  /** LSH banding: docs whose signature agrees on ALL rows of some band land
-    * in the same bucket; bucket-mates are candidate pairs. The bucket key
-    * is the band's signature row ITSELF (an array of longs), not a hash of
-    * it: exact LSH semantics with no false bucket collisions, an
-    * engine-neutral join key for the oracle, and at ~32 bytes still a
-    * narrow shuffle key. */
-  def minhashLshCandidates(signatures: DataFrame, bands: Int): DataFrame = {
-    val mhCols = signatures.columns.filter(_.startsWith("mh_"))
-    val rows = mhCols.length / bands
+  /** MinHash signatures over the ARRAY form: one codegen'd expression per
+    * row computes all `numHashes` minima in a single pass — no explode,
+    * no distinct shuffle, no wide hash-aggregate. The signature stage of
+    * a 100 TB corpus becomes pure scan work. */
+  def minhashSignaturesArr(shingleArrays: DataFrame, numHashes: Int = 64,
+                           seed: Long = 42L): DataFrame =
+    shingleArrays.select(col("doc_id"),
+      graft.functions.MinHashAll.minhashAll(col("harr"),
+        hashParams(numHashes, seed)).as("mh_arr"))
+
+  /** LSH banding over array signatures: docs whose signature agrees on ALL
+    * rows of some band land in the same bucket; bucket-mates are candidate
+    * pairs. The bucket key is the band's signature SLICE itself (an array
+    * of longs), not a hash of it: exact LSH semantics with no false bucket
+    * collisions, an engine-neutral join key for the oracle, and at ~32
+    * bytes still a narrow shuffle key. (The p = 2³¹−1 exact-Long argument
+    * for the signature math lives in [[graft.functions.MinHashAll]].) */
+  def minhashLshCandidatesArr(signatures: DataFrame, numHashes: Int,
+                              bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val bandExprs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        array(mhCols.slice(b * rows, (b + 1) * rows).map(col): _*).as("bucket"))
+        slice(col("mh_arr"), b * rows + 1, rows).as("bucket"))
     }
     val banded = signatures
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bb"))
@@ -206,14 +218,11 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
   }
 
-  /** Exact Jaccard computed ONLY for the given candidate pairs: the shingle
-    * sets of each side are joined through the candidate list, so cost is
+  /** Exact Jaccard computed ONLY for the given candidate pairs — over an
+    * already-derived hashed-shingle row table: the shingle sets of each
+    * side are joined through the candidate list, so cost is
     * O(|candidates| · shingles-per-doc) — never the shared-shingle
     * self-join of the full corpus. */
-  def candidateJaccard(docs: DataFrame, candidates: DataFrame, n: Int): DataFrame =
-    candidateJaccardHashed(hashedShingles(docs, n), candidates)
-
-  /** [[candidateJaccard]] over an already-derived hashed-shingle table. */
   def candidateJaccardHashed(sh: DataFrame, candidates: DataFrame): DataFrame = {
     val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
@@ -235,14 +244,17 @@ object Dedup {
     * 100 TB: banding bounds the candidate set, verification stays cheap). */
   def minhashLsh(docs: DataFrame, n: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    // the corpus is shingled+hashed exactly once; signatures are likewise
-    // pinned because the banding self-join reads them from BOTH sides (the
-    // l/r rename projections defeat ReuseExchange). Everything downstream —
-    // banding, the candidate join, verification, cardinalities — reads the
-    // two pinned stages, so the plan contains ONE scan of `documents`.
-    val hsh = pinned(hashedShingles(docs, n))
-    val sigs = pinned(minhashSignaturesHashed(hsh, numHashes, seed))
-    val cands = minhashLshCandidates(sigs, bands)
+    // the corpus is shingled+hashed+deduped exactly once, per row, inside
+    // the scan of the ONE pinned array stage; signatures are one codegen'd
+    // expression over it (no explode/distinct/aggregate shuffles — the
+    // rounds-2/3 row-form pipeline paid two corpus-wide shuffles here),
+    // pinned because the banding self-join reads them from BOTH sides.
+    // The exploded row form for verification and cardinalities derives
+    // from the array stage with a Generate — also shuffle-free.
+    val arrs = pinned(hashedShingleArrays(docs, n))
+    val sigs = pinned(minhashSignaturesArr(arrs, numHashes, seed))
+    val cands = minhashLshCandidatesArr(sigs, numHashes, bands)
+    val hsh = arrs.select(col("doc_id"), explode(col("harr")).as("h"))
     candidateJaccardHashed(hsh, cands)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))

@@ -54,6 +54,24 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(Dedup.FastHashConf, "false")
   }
 
+  test("MinHashAll expression is bit-exact against an independent Scala evaluation") {
+    val p = 2147483647L
+    val params = Dedup.hashParams(64, 42L)
+    val arrs = Dedup.hashedShingleArrays(docs, 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigs = Dedup.minhashSignatures(docs).orderBy("doc_id").limit(25).collect()
+    assert(sigs.nonEmpty)
+    for (row <- sigs) {
+      val harr = arrs(row.getLong(0))
+      for (i <- 0 until 64) {
+        val (a, b) = params(i)
+        val expected = harr.map(h => (((h % p) + p) % p * (a % p) + (b % p)) % p).min
+        assert(row.getLong(i + 1) === expected,
+          s"doc ${row.getLong(0)} mh_$i diverged from the reference math")
+      }
+    }
+  }
+
   test("pinned-stage lifecycle: releasePinned frees both stages, result survives release") {
     Dedup.releasePinned(spark) // clear anything pinned by earlier tests
     val res = Dedup.minhashLsh(docs)

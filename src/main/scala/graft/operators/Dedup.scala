@@ -313,20 +313,19 @@ object Dedup {
 
   /** 60-bit SimHash over tokens: bit_i = sign(Σ_tokens ±1 on hash bit i).
     * Tokens keep their multiplicity (no distinct) — a repeated word weighs
-    * more, the standard SimHash weighting. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextFunctions.tokens(col("text"))).as("token"))
-      .withColumn("th", contentHash(docs)(col("token")))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("th"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
-    }
-    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until SimhashBits).map { i =>
-      when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    sums.select(col("doc_id"), sig.as("simhash"))
-  }
+    * more, the standard SimHash weighting. Computed ZERO-shuffle by the
+    * codegen'd [[graft.functions.SimHash60]] expression over the per-row
+    * hashed-token array — the rounds-1..4 formulation exploded every token
+    * occurrence into a corpus-wide 60-column hash aggregate (at 100 TB, a
+    * shuffle of every token in the corpus). Identical math; token-less
+    * docs excluded, as the aggregate form excluded them implicitly. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      transform(TextFunctions.tokens(col("text")),
+        t => contentHash(docs)(t)).as("tharr"))
+      .filter(size(col("tharr")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHash60.simhash60(col("tharr")).as("simhash"))
 
   /** Hamming-distance near-dup pairs via pigeonhole blocking: split the 60
     * bits into (maxDistance+1) chunks; pairs within distance must share at

@@ -58,10 +58,21 @@ object Dedup {
       |       LENGTH(text) AS text_len
       |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
 
-  /** Distinct word-n-gram shingles per doc. */
+  /** Distinct word-n-gram shingles per doc (row form — derived from the
+    * array form, so the distinct is per-row set dedup, never a shuffle). */
   def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
-      .distinct()
+    shingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("sharr")).as("shingle"))
+
+  /** Distinct word-n-gram shingle ARRAYS per doc — one row per doc, built
+    * entirely inside the scan (shingling + array_distinct are per-row
+    * expressions). Cardinalities are `size(sharr)` — free — and the row
+    * form is one Generate away; neither needs a shuffle. Docs shorter
+    * than n tokens are excluded (empty shingle sets). */
+  def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      array_distinct(TextFunctions.wordShingles(col("text"), n)).as("sharr"))
+      .filter(size(col("sharr")) > 0)
 
   /** Cross-engine 60-bit string hash: the first 15 hex chars of md5,
     * parsed as a (always-positive) BIGINT. DuckDB computes the identical
@@ -99,10 +110,8 @@ object Dedup {
     * distinct, so per-doc cardinalities are over hashed sets on both
     * engines; the oracle-checked [[ngramJaccardPairs]] stays string-exact. */
   def hashedShingles(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"),
-      explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), contentHash(docs)(col("shingle")).as("h"))
-      .distinct()
+    hashedShingleArrays(docs, n)
+      .select(col("doc_id"), explode(col("harr")).as("h"))
 
   /** The ARRAY form of [[hashedShingles]]: one row per doc carrying its
     * distinct hashed-shingle array, built entirely inside the scan
@@ -121,10 +130,14 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1
     * shingle; similarity = |∩|/|∪| in integer math). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    // the shingle stage feeds three branches (cardinalities + both join
-    // sides) — pin it so the corpus is tokenized and scanned exactly once
-    val sh = pinned(shingles(docs, n))
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // the pinned ARRAY stage feeds three branches (cardinalities + both
+    // join sides): the corpus is tokenized and scanned exactly once, the
+    // per-doc distinct is in-row set dedup (the row-form pipeline paid a
+    // corpus-wide distinct shuffle here), and cardinalities read
+    // size(sharr) instead of a count aggregate
+    val arrs = pinned(shingleArrays(docs, n))
+    val sh = arrs.select(col("doc_id"), explode(col("sharr")).as("shingle"))
+    val card = arrs.select(col("doc_id"), size(col("sharr")).cast("long").as("n_shingles"))
     val a = sh.select(col("doc_id").as("id1"), col("shingle"))
     val b = sh.select(col("doc_id").as("id2"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))

@@ -26,20 +26,24 @@ case class MinHashAll(child: Expression, as: Array[Long], bs: Array[Long])
   extends UnaryExpression {
 
   private val P = 2147483647L
+  // a/b reduced mod p ONCE — they are loop-invariant in the hot
+  // (shingles × hash functions) double loop of both evaluation paths
+  @transient private lazy val ar: Array[Long] = as.map(_ % P)
+  @transient private lazy val br: Array[Long] = bs.map(_ % P)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_all"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = as.length
+    val n = ar.length
     val mins = Array.fill(n)(P)
     var j = 0
     while (j < arr.numElements()) {
       val ha = ((arr.getLong(j) % P) + P) % P
       var i = 0
       while (i < n) {
-        val v = (ha * (as(i) % P) + (bs(i) % P)) % P
+        val v = (ha * ar(i) + br(i)) % P
         if (v < mins(i)) mins(i) = v
         i += 1
       }
@@ -49,8 +53,8 @@ case class MinHashAll(child: Expression, as: Array[Long], bs: Array[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
-    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    val asRef = ctx.addReferenceObj("minhashAs", ar, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", br, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val mins = ctx.freshName("mins")
       val ha = ctx.freshName("ha")
@@ -63,7 +67,7 @@ case class MinHashAll(child: Expression, as: Array[Long], bs: Array[Long])
          |for (int $j = 0; $j < $c.numElements(); $j++) {
          |  long $ha = (($c.getLong($j) % ${P}L) + ${P}L) % ${P}L;
          |  for (int $i = 0; $i < $asRef.length; $i++) {
-         |    long $v = ($ha * ($asRef[$i] % ${P}L) + ($bsRef[$i] % ${P}L)) % ${P}L;
+         |    long $v = ($ha * $asRef[$i] + $bsRef[$i]) % ${P}L;
          |    if ($v < $mins[$i]) $mins[$i] = $v;
          |  }
          |}

@@ -68,7 +68,13 @@ object Dedup {
     * entirely inside the scan (shingling + array_distinct are per-row
     * expressions). Cardinalities are `size(sharr)` — free — and the row
     * form is one Generate away; neither needs a shuffle. Docs shorter
-    * than n tokens are excluded (empty shingle sets). */
+    * than n tokens are excluded (empty shingle sets).
+    *
+    * Precondition (here and in [[hashedShingleArrays]]): `doc_id` is
+    * UNIQUE in `docs` — its primary key, as in the documents table. The
+    * per-row distinct cannot merge shingles of two input rows sharing an
+    * id the way the old corpus-wide distinct did; feed a deduplicated
+    * frame (e.g. [[exact]]'s canonical output) if ids can repeat. */
   def shingleArrays(docs: DataFrame, n: Int): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(TextFunctions.wordShingles(col("text"), n)).as("sharr"))
@@ -216,10 +222,19 @@ object Dedup {
     * for the signature math lives in [[graft.functions.MinHashAll]].) */
   def minhashLshCandidatesArr(signatures: DataFrame, numHashes: Int,
                               bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
+    // fail FAST on a signature/width mismatch: slicing past a too-short
+    // array would silently yield empty buckets — identical (band, [])
+    // keys for every doc, degenerating the band self-join into the full
+    // n²/2 cross product LSH exists to avoid
+    val sig = when(size(col("mh_arr")) === numHashes, col("mh_arr"))
+      .otherwise(raise_error(concat(
+        lit("MinHash signature width "), size(col("mh_arr")).cast("string"),
+        lit(s" != expected $numHashes"))))
     val bandExprs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        slice(col("mh_arr"), b * rows + 1, rows).as("bucket"))
+        slice(sig, b * rows + 1, rows).as("bucket"))
     }
     val banded = signatures
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bb"))
@@ -236,8 +251,15 @@ object Dedup {
     * side are joined through the candidate list, so cost is
     * O(|candidates| · shingles-per-doc) — never the shared-shingle
     * self-join of the full corpus. */
-  def candidateJaccardHashed(sh: DataFrame, candidates: DataFrame): DataFrame = {
-    val card = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+  def candidateJaccardHashed(sh: DataFrame, candidates: DataFrame): DataFrame =
+    candidateJaccardHashed(sh, candidates,
+      sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")))
+
+  /** [[candidateJaccardHashed]] with caller-supplied per-doc cardinalities
+    * `(doc_id, n_shingles)` — when the shingles derive from an array
+    * stage, `size(harr)` gives them for free, with no count aggregate. */
+  def candidateJaccardHashed(sh: DataFrame, candidates: DataFrame,
+                             card: DataFrame): DataFrame = {
     val inter = candidates
       .join(sh.select(col("doc_id").as("id1"), col("h")), Seq("id1"))
       .join(sh.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
@@ -268,7 +290,10 @@ object Dedup {
     val sigs = pinned(minhashSignaturesArr(arrs, numHashes, seed))
     val cands = minhashLshCandidatesArr(sigs, numHashes, bands)
     val hsh = arrs.select(col("doc_id"), explode(col("harr")).as("h"))
-    candidateJaccardHashed(hsh, cands)
+    // cardinalities from size(harr) — no count aggregate over the
+    // exploded shingle rows
+    val card = arrs.select(col("doc_id"), size(col("harr")).cast("long").as("n_shingles"))
+    candidateJaccardHashed(hsh, cands, card)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }

@@ -54,6 +54,27 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.set(Dedup.FastHashConf, "false")
   }
 
+  test("SimHash60 expression is bit-exact against an independent Scala evaluation") {
+    val hashed = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.transform(
+        graft.functions.TextFunctions.tokens(col("text")),
+        t => Dedup.hash60(t)).as("th"))
+      .filter(org.apache.spark.sql.functions.size(col("th")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigs = Dedup.simhash(docs).orderBy("doc_id").limit(25).collect()
+    assert(sigs.nonEmpty)
+    for (row <- sigs) {
+      val th = hashed(row.getLong(0))
+      val sums = new Array[Long](Dedup.SimhashBits)
+      for (h <- th; i <- 0 until Dedup.SimhashBits)
+        sums(i) += (if (((h >> i) & 1L) == 1L) 1L else -1L)
+      val expected = (0 until Dedup.SimhashBits)
+        .filter(sums(_) > 0).map(1L << _).foldLeft(0L)(_ | _)
+      assert(row.getLong(1) === expected,
+        s"doc ${row.getLong(0)} simhash diverged from the reference math")
+    }
+  }
+
   test("MinHashAll expression is bit-exact against an independent Scala evaluation") {
     val p = 2147483647L
     val params = Dedup.hashParams(64, 42L)

@@ -22,7 +22,11 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // defaults to the thread count; SPARK_GRAFT_SHUFFLE overrides it
+      // independently (the SCALE.md knob experiment: volume grows, threads
+      // stay fixed, partitions must scale)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

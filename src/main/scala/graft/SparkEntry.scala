@@ -57,7 +57,13 @@ object SparkEntry {
     "mixture_sample" -> tuned(Curation.mixtureSampleFromDir),
     "dedup_clusters" -> tuned(NearDupClusters.fromDir),
     "range_join_windows" -> tuned(RangeJoin.fromDir),
-    "corpus_packed" -> tuned(Curation.packShardsFromDir)
+    "corpus_packed" -> tuned(Curation.packShardsFromDir),
+    "sessions" -> tuned(graft.streaming.EventStreams.sessionsFromDir),
+    "text_repetition" -> tuned(TextAnalysis.repetitionFromDir),
+    "text_normalize" -> tuned(TextAnalysis.normalizeFromDir),
+    "lsh_ann_topk" -> tuned(Similarity.lshAnnFromDir(_, _)),
+    "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
+    "distinct_users" -> tuned(SkewTools.distinctUsersFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +100,12 @@ object SparkEntry {
     "mixture_sample" -> Curation.mixtureSampleOracle,
     "dedup_clusters" -> NearDupClusters.oracle(),
     "range_join_windows" -> RangeJoin.oracle,
-    "corpus_packed" -> Curation.packShardsOracle()
+    "corpus_packed" -> Curation.packShardsOracle(),
+    "sessions" -> graft.streaming.EventStreams.sessionsOracle(),
+    "text_repetition" -> TextAnalysis.repetitionOracle,
+    "text_normalize" -> TextAnalysis.normalizeOracle,
+    "lsh_ann_topk" -> Similarity.lshAnnOracle(),
+    "running_revenue" -> ScalableCumsum.runningRevenueOracle,
+    "distinct_users" -> SkewTools.distinctUsersOracle
   )
 }

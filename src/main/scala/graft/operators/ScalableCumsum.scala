@@ -47,4 +47,35 @@ object ScalableCumsum {
       .withColumn(totalName, sum(col("__v")).over(w) + col("__offset"))
       .drop("__pid", "__v", "__offset")
   }
+
+  /** Gated query: running revenue over orders in (o_orderdate, o_orderkey)
+    * order — a distributed global prefix sum with NO single-partition
+    * window stage. Revenue accumulates in exact integer micros (the
+    * running-total machinery is long-valued by design); the surface is
+    * DOUBLE, the timestamp is formatted so the driver hash-compares
+    * strings. o_orderkey is unique, so the sort key is the total order the
+    * machinery requires. */
+  def runningRevenueFromDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .withColumn("__micros", graft.functions.StableRound.microsLong(col("o_totalprice")))
+    withRunningTotal(orders, col("__micros"), "__running",
+      col("o_orderdate"), col("o_orderkey"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("order_ts"),
+        col("o_totalprice"),
+        (col("__running").cast("double") / 1e6).as("running_revenue"))
+      .orderBy(col("order_ts"), col("o_orderkey"))
+  }
+
+  /** DuckDB twin: the same micro-exact prefix sum as one window — what the
+    * distributed path must equal. */
+  val runningRevenueOracle: String =
+    """SELECT o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') AS order_ts,
+      |       o_totalprice,
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 1e6 + 0.5) AS BIGINT))
+      |              OVER (ORDER BY o_orderdate, o_orderkey
+      |                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6 AS running_revenue
+      |FROM orders ORDER BY order_ts, o_orderkey""".stripMargin
 }

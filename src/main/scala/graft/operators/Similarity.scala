@@ -234,7 +234,28 @@ object Similarity {
   def lshKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
              tables: Int = 8, bitsPerTable: Int = 6, seed: Long = 7L): DataFrame = {
     val dim = embeddingDim(embeddings)
-    val planes = hyperplanes(dim, tables, bitsPerTable, seed)
+    lshKnnPlanes(embeddings, queries, k, hyperplanes(dim, tables, bitsPerTable, seed))
+  }
+
+  /** md5-derived deterministic hyperplanes: component (t,b,d) is the 60-bit
+    * md5 prefix of `plane_{t}_{b}_{d}` scaled to [-1, 1). Uniform per
+    * component (not Gaussian — for sign-bucket LSH only the DIRECTION
+    * distribution matters and component-iid uniform is symmetric enough),
+    * and — the point — reproducible bit-for-bit inside DuckDB SQL, which
+    * makes the FULL ANN pipeline (projections → sign buckets → candidate
+    * join → exact re-score → top-k) oracle-checkable end-to-end. The same
+    * md5-prefix construction as [[Dedup.hash60]]. */
+  def hashPlanes(dim: Int, tables: Int, bitsPerTable: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, bitsPerTable, dim) { (t, b, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"plane_${t}_${b}_${d}".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0
+    }
+
+  /** [[lshKnn]] with caller-supplied planes (seeded-random or [[hashPlanes]]). */
+  def lshKnnPlanes(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   planes: Array[Array[Array[Double]]]): DataFrame = {
     val nb = lshBuckets(embeddings, planes)
       .select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
     val qb = lshBuckets(queries, planes)
@@ -256,4 +277,53 @@ object Similarity {
         graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Gated ANN query: hyperplane-LSH top-k for the first `numQueries`
+    * vectors, with [[hashPlanes]] so the oracle recomputes the identical
+    * planes in SQL. Recall is a tunable (tables × bits), verified
+    * separately by the recall spec; the GATE verifies the pipeline
+    * mechanics are exact — same buckets, same candidates, same scores,
+    * same ranks on both engines. */
+  def lshAnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    k: Int = 10, tables: Int = 4, bits: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    lshKnnPlanes(e, e.filter(col("vec_id") < numQueries), k,
+      hashPlanes(embeddingDim(e), tables, bits))
+  }
+
+  /** DuckDB twin of [[lshAnnFromDir]]: planes from the same md5 formula,
+    * projections via `list_inner_product` (a sequential fold — bit-equal
+    * to the Spark side's `aggregate(zip_with(...))`), buckets as ordered
+    * sign-bit strings, candidate equi-join, exact cosine re-score. */
+  def lshAnnOracle(numQueries: Int = 8, k: Int = 10, tables: Int = 4,
+                   bits: Int = 8, dim: Int = 64): String =
+    s"""WITH planes AS (
+       |  SELECT t, b,
+       |         list_transform(range(0, $dim), d ->
+       |           CAST('0x' || substr(md5('plane_' || t || '_' || b || '_' || d), 1, 15) AS BIGINT)
+       |             / 576460752303423488.0 - 1.0) AS plane
+       |  FROM (SELECT unnest(range(0, $tables)) AS t), (SELECT unnest(range(0, $bits)) AS b)
+       |), buckets AS (
+       |  SELECT e.vec_id, p.t,
+       |         string_agg(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), p.plane) >= 0
+       |                         THEN '1' ELSE '0' END, '' ORDER BY p.b) AS bucket
+       |  FROM embeddings e, planes p GROUP BY e.vec_id, p.t
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       |  FROM buckets q JOIN buckets n ON q.t = n.t AND q.bucket = n.bucket
+       |  WHERE q.vec_id < $numQueries AND q.vec_id <> n.vec_id
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+       |              JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

@@ -32,4 +32,29 @@ object SkewTools {
       .withColumn("__salt", col("__salt").cast("long"))
     saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Skew-safe exact distinct count per key, as an explicit two-phase plan:
+    * phase 1 dedups on (key, member) — the shuffle spreads a hot key across
+    * partitions by member, the map-side partial agg collapses repeats —
+    * and phase 2 counts survivors per key. This is the shape that stays
+    * safe when ONE key holds most of the table (where a naive
+    * `groupBy(key).agg(countDistinct)` would still work, but any
+    * collect_set-style rewrite would not): no stage ever holds a hot key's
+    * member set in one task. */
+  def exactDistinctByKey(df: DataFrame, key: String, member: String,
+                         resultName: String): DataFrame =
+    df.select(col(key), col(member)).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as(resultName))
+
+  /** Gated query: distinct users per event type over the events table
+    * (event_type has single-digit cardinality — exactly the hot-key shape
+    * the two-phase plan is for). */
+  def distinctUsersFromDir(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    exactDistinctByKey(graft.sources.Tables.events(spark, dir),
+      "event_type", "user_id", "n_users")
+      .orderBy(col("event_type"))
+
+  val distinctUsersOracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 }

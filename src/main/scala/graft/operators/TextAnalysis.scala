@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.{Fingerprint, TextFunctions => TF}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the documents table: token statistics,
@@ -121,6 +121,147 @@ object TextAnalysis {
       |            FOR x IN range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1)]),
       |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- repetition signals
+
+  /** Word 2-grams (with duplicates) from an already-filtered token array —
+    * local twin of TF.wordShingles but over [[TF.tokens]]'s empty-filtered
+    * tokens, so gram counts and token counts agree on the same token set. */
+  private def gramsFromToks(toks: Column): Column = {
+    val count = size(toks) - lit(1)
+    when(count >= 1,
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", element_at(toks, i.cast("int")),
+          element_at(toks, (i + 1).cast("int")))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Max multiplicity of any element, computed IN-ROW as the longest run of
+    * equal adjacent elements of the sorted array — a sequential fold over
+    * index positions, no explode, no shuffle. Empty → 0. */
+  private def maxMultiplicity(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    when(size(arr) <= 1, size(arr).cast("long")).otherwise(
+      aggregate(
+        sequence(lit(2), size(sorted)),
+        struct(lit(1L).as("cur"), lit(1L).as("best")),
+        (acc, i) => {
+          val cur = when(
+            element_at(sorted, i.cast("int")) === element_at(sorted, (i - 1).cast("int")),
+            acc.getField("cur") + 1).otherwise(lit(1L))
+          struct(cur.as("cur"), greatest(acc.getField("best"), cur).as("best"))
+        },
+        acc => acc.getField("best")))
+  }
+
+  /** Gopher-style repetition signals per document: type/token ratio and the
+    * share of the most frequent token / word-2-gram. Everything is computed
+    * in-row (sorted-run fold for the top counts), so the operator is one
+    * codegen'd pass over the corpus — the 100 TB form of a quality filter.
+    * Fractions are single divisions of exact integers, NULL when the
+    * denominator is 0 (docs with <1 token / <2 tokens). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val r6 = graft.functions.StableRound.stableRound(_: Column, 6)
+    docs
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), gramsFromToks(col("toks")).as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        size(col("grams")).cast("long").as("n_2grams"),
+        maxMultiplicity(col("toks")).as("top_token_count"),
+        maxMultiplicity(col("grams")).as("top_2gram_count"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          r6(col("n_types").cast("double") / col("n_tokens"))))
+      .withColumn("rep_2gram_frac",
+        when(col("n_2grams") > 0,
+          r6(col("top_2gram_count").cast("double") / col("n_2grams"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: same token/gram sets; the top counts via unnest + GROUP
+    * BY + MAX (max multiplicity == the Spark side's max sorted run).
+    * `range(1, len)` is empty when len ≤ 1, so short docs get `grams = []`
+    * with no guard (DuckDB range, unlike Spark `sequence`, never counts
+    * down). */
+  val repetitionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, toks,
+      |         [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] AS grams
+      |  FROM t
+      |), tokc AS (
+      |  SELECT doc_id, MAX(c) AS top_token_count FROM (
+      |    SELECT doc_id, tok, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM g) GROUP BY doc_id, tok
+      |  ) GROUP BY doc_id
+      |), gramc AS (
+      |  SELECT doc_id, MAX(c) AS top_2gram_count FROM (
+      |    SELECT doc_id, gr, COUNT(*) AS c
+      |    FROM (SELECT doc_id, unnest(grams) AS gr FROM g) GROUP BY doc_id, gr
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT g.doc_id, len(toks) AS n_tokens,
+      |       len(list_distinct(toks)) AS n_types,
+      |       len(grams) AS n_2grams,
+      |       COALESCE(tokc.top_token_count, 0) AS top_token_count,
+      |       COALESCE(gramc.top_2gram_count, 0) AS top_2gram_count,
+      |       CASE WHEN len(toks) > 0 THEN
+      |         FLOOR(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 1e6 + 0.5) / 1e6
+      |       END AS ttr,
+      |       CASE WHEN len(grams) > 0 THEN
+      |         FLOOR(CAST(gramc.top_2gram_count AS DOUBLE) / len(grams) * 1e6 + 0.5) / 1e6
+      |       END AS rep_2gram_frac
+      |FROM g LEFT JOIN tokc USING (doc_id) LEFT JOIN gramc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  def repetitionFromDir(spark: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(spark, dir))
+
+  // ----------------------------------------------------- normalization
+
+  private val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlPattern = "https?://[^ ]+"
+
+  /** Deterministic text normalization — the canonical-form stage of a
+    * training-data pipeline: lowercase, non-alphanumerics to spaces,
+    * whitespace collapsed, trimmed — plus PII/link counts on the RAW text
+    * (emails, URLs) so a downstream redaction policy can route documents.
+    * One codegen'd pass; the regexes are simple character-class patterns
+    * with identical Java-regex / RE2 semantics, which is what makes the
+    * operator oracle-exact. */
+  def normalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col("doc_id"),
+      norm.as("norm_text"),
+      length(norm).cast("long").as("norm_chars"),
+      size(TF.tokens(norm)).cast("long").as("n_norm_tokens"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlPattern)).cast("long").as("n_urls"))
+      .orderBy(col("doc_id"))
+  }
+
+  val normalizeOracle: String =
+    s"""WITH n AS (
+       |  SELECT doc_id, text,
+       |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+       |                             ' +', ' ', 'g')) AS norm_text
+       |  FROM documents
+       |)
+       |SELECT doc_id, norm_text, LENGTH(norm_text) AS norm_chars,
+       |       len(list_filter(string_split(norm_text, ' '), x -> x <> '')) AS n_norm_tokens,
+       |       len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+       |       len(regexp_extract_all(text, '$UrlPattern')) AS n_urls
+       |FROM n ORDER BY doc_id""".stripMargin
+
+  def normalizeFromDir(spark: SparkSession, dir: String): DataFrame =
+    normalize(Tables.documents(spark, dir))
 
   def tokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
     tokenStats(Tables.documents(spark, dir))

@@ -186,4 +186,53 @@ object EventStreams {
         (sum(graft.functions.StableRound.microsLong(col("value"))).cast("double") / 1e6)
           .as("session_value"))
   }
+
+  /** Gated sessionization query: 30-minute-gap sessions over the events
+    * table. The surface drops the internal session ordinal — a session is
+    * identified by (user_id, session_start), which is unique because two
+    * sessions of one user are separated by more than the gap. Timestamps
+    * are formatted to micro precision so the driver hash-compares strings,
+    * not engine-specific timestamp encodings (same convention as
+    * [[hourlyBatch]]).
+    *
+    * Tie safety: rows with equal (user_id, ts) sort ambiguously under the
+    * lag window, but equal timestamps are contiguous under ANY order and
+    * their inter-row gap is 0 — the island partition (and every aggregate,
+    * all order-independent) is identical regardless of tie order, so the
+    * result is deterministic and matches the oracle. */
+  def sessionsFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    sessionizeBatch(Tables.events(spark, dir).select(col("user_id"), col("ts"), col("value")))
+      .select(
+        col("user_id"),
+        date_format(col("session_start"), fmt).as("session_start"),
+        date_format(col("session_end"), fmt).as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  /** DuckDB twin: the gaps-and-islands pattern. The gap is measured in
+    * floor-seconds (`epoch_us // 1e6` == Spark's `ts.cast("long")`
+    * truncation); values accumulate in exact integer micros. */
+  def sessionsOracle(gapMinutes: Int = 30): String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT) AS vmicros,
+       |         CASE WHEN lag(ts) OVER w IS NULL
+       |                OR epoch_us(ts) // 1000000
+       |                   - epoch_us(lag(ts) OVER w) // 1000000 > ${gapMinutes * 60L}
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), s AS (
+       |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+       |              ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM e
+       |)
+       |SELECT user_id,
+       |       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       |       COUNT(*) AS n_events,
+       |       CAST(SUM(vmicros) AS DOUBLE) / 1e6 AS session_value
+       |FROM s GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_start""".stripMargin
 }

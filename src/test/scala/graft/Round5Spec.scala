@@ -1,0 +1,132 @@
+package graft
+
+import graft.operators.{ScalableCumsum, Similarity, SkewTools, TextAnalysis, Pinned}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-5 operator specs: repetition signals, normalization, deterministic
+  * LSH ANN, skew-safe exact distinct, running revenue, session ties. */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- repetition signals
+
+  test("repetition: crafted docs give exact top counts and guarded fractions") {
+    val docs = Seq(
+      (1L, "a a a b"),        // toks 4, types 2, top tok 3; grams [a a, a a, a b] top 2
+      (2L, "x"),              // 1 token: no grams, ttr 1.0
+      (3L, ""),               // 0 tokens after empty-filter
+      (4L, "p q p q p")       // toks 5, types 2, top tok 3; grams [p q,q p,p q,q p] top 2
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(docs).collect().map(x => x.getLong(0) -> x).toMap
+
+    assert(r(1L).getLong(1) === 4 && r(1L).getLong(2) === 2)  // n_tokens, n_types
+    assert(r(1L).getLong(4) === 3 && r(1L).getLong(5) === 2)  // top token / top 2gram
+    assert(r(2L).getLong(3) === 0 && r(2L).isNullAt(7))       // no grams -> null frac
+    assert(r(2L).getDouble(6) === 1.0)                        // ttr of unique token
+    assert(r(3L).getLong(1) === 0 && r(3L).isNullAt(6))       // empty doc -> null ttr
+    assert(r(4L).getLong(4) === 3 && r(4L).getLong(5) === 2)
+    assert(r(4L).getDouble(7) === 0.5)                        // 2 of 4 grams
+  }
+
+  test("repetition: in-row max multiplicity equals explode-groupBy on real docs") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val inRow = TextAnalysis.repetition(docs)
+      .select(col("doc_id"), col("top_token_count"))
+    val exploded = docs
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("doc_id", "t").count()
+      .groupBy("doc_id").agg(max("count").as("expected"))
+    val joined = inRow.join(exploded, "doc_id")
+    assert(joined.filter(col("top_token_count") =!= col("expected")).count() === 0)
+    assert(joined.count() > 0)
+  }
+
+  // ------------------------------------------------------ normalization
+
+  test("normalize: lowercases, strips, collapses, and counts PII") {
+    val docs = Seq(
+      (1L, "Hello,  World! reach me at First.Last+x@corp.example.com or https://a.example/b?c=1"),
+      (2L, "plain text already")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.normalize(docs).collect().map(x => x.getLong(0) -> x).toMap
+    val n1 = r(1L).getString(1)
+    assert(!n1.exists(c => c.isUpper || (!c.isLetterOrDigit && c != ' ')))
+    assert(!n1.contains("  ") && n1 == n1.trim)
+    assert(r(1L).getLong(4) === 1 && r(1L).getLong(5) === 1)  // email, url
+    assert(r(2L).getString(1) === "plain text already")
+    assert(r(2L).getLong(4) === 0 && r(2L).getLong(5) === 0)
+  }
+
+  // ------------------------------------------------- deterministic LSH ANN
+
+  test("lsh ann: hashPlanes is deterministic and in [-1,1)") {
+    val p1 = Similarity.hashPlanes(8, 2, 3)
+    val p2 = Similarity.hashPlanes(8, 2, 3)
+    assert(p1.flatten.flatten.toSeq === p2.flatten.flatten.toSeq)
+    assert(p1.flatten.flatten.forall(v => v >= -1.0 && v < 1.0))
+  }
+
+  test("lsh ann: every returned neighbor carries the exact brute-force cosine") {
+    val ann = Similarity.lshAnnFromDir(spark, sf).cache()
+    val brute = Similarity.bruteForceKnn(
+      Tables.embeddings(spark, sf),
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 8),
+      k = Int.MaxValue)
+      .select(col("query_id"), col("neighbor_id"), col("cosine_r").as("expected"))
+    assert(ann.count() > 0)
+    val joined = ann.join(brute, Seq("query_id", "neighbor_id"), "left")
+    assert(joined.filter(col("expected").isNull ||
+      col("cosine_r") =!= col("expected")).count() === 0)
+    // per query, ranks are contiguous from 1 and ordered by cosine desc
+    val badRank = ann.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cosine_r").desc, col("neighbor_id"))))
+      .filter(col("rn") =!= col("rank"))
+    assert(badRank.count() === 0)
+    ann.unpersist()
+  }
+
+  // ------------------------------------------- skew-safe distinct + cumsum
+
+  test("exactDistinctByKey equals countDistinct") {
+    val events = Tables.events(spark, sf)
+    val twoPhase = SkewTools.exactDistinctByKey(events, "event_type", "user_id", "n")
+    val direct = events.groupBy("event_type").agg(countDistinct("user_id").as("expected"))
+    assert(twoPhase.join(direct, "event_type")
+      .filter(col("n") =!= col("expected")).count() === 0)
+  }
+
+  test("running revenue: final total equals the micro-exact sum, no 1-partition window") {
+    val r = ScalableCumsum.runningRevenueFromDir(spark, sf).cache()
+    try {
+      val last = r.orderBy(col("order_ts").desc, col("o_orderkey").desc).limit(1)
+        .select("running_revenue").as[Double].head()
+      val total = Tables.orders(spark, sf)
+        .agg(sum(graft.functions.StableRound.microsLong(col("o_totalprice"))))
+        .as[Long].head()
+      assert(math.abs(last - total / 1e6) < 1e-9)
+      // monotone non-decreasing in sort order (prices are positive)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("order_ts"), col("o_orderkey"))
+      assert(r.withColumn("prev", lag(col("running_revenue"), 1).over(w))
+        .filter(col("prev") > col("running_revenue")).count() === 0)
+    } finally { r.unpersist(); Pinned.release(spark) }
+  }
+
+  // ------------------------------------------------------- session ties
+
+  test("sessions: same-timestamp events land in one session deterministically") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:40:00") // > 30 min gap
+    val events = Seq(
+      (7L, t0, 1.0), (7L, t0, 2.0), (7L, t1, 4.0)
+    ).toDF("user_id", "ts", "value")
+    val s = graft.streaming.EventStreams.sessionizeBatch(events)
+      .orderBy("session_start").collect()
+    assert(s.length === 2)
+    assert(s(0).getAs[Long]("n_events") === 2)
+    assert(s(0).getAs[Double]("session_value") === 3.0)
+    assert(s(1).getAs[Long]("n_events") === 1)
+  }
+}

@@ -136,12 +136,18 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Max multiplicity of any element, computed IN-ROW as the longest run of
-    * equal adjacent elements of the sorted array — a sequential fold over
-    * index positions, no explode, no shuffle. Empty → 0. */
-  private def maxMultiplicity(arr: Column): Column = {
-    val sorted = array_sort(arr)
-    when(size(arr) <= 1, size(arr).cast("long")).otherwise(
+  /** Max multiplicity of any element of an ALREADY-SORTED array column,
+    * as the longest run of equal adjacent elements — a sequential fold
+    * over index positions, no explode, no shuffle. Empty → 0.
+    *
+    * `sorted` MUST be a materialized column (plain attribute), not an
+    * inline `array_sort(...)` expression: Catalyst expressions are trees,
+    * not DAGs, so a sort expression referenced from inside the fold lambda
+    * would RE-EVALUATE once per element access — accidentally
+    * O(n²·log n) per row (measured: 83 s for the sf0.1 corpus vs ~1 s
+    * with the sort bound to an attribute). */
+  private def maxRunOfSorted(sorted: Column): Column =
+    when(size(sorted) <= 1, size(sorted).cast("long")).otherwise(
       aggregate(
         sequence(lit(2), size(sorted)),
         struct(lit(1L).as("cur"), lit(1L).as("best")),
@@ -152,7 +158,6 @@ object TextAnalysis {
           struct(cur.as("cur"), greatest(acc.getField("best"), cur).as("best"))
         },
         acc => acc.getField("best")))
-  }
 
   /** Gopher-style repetition signals per document: type/token ratio and the
     * share of the most frequent token / word-2-gram. Everything is computed
@@ -165,13 +170,17 @@ object TextAnalysis {
     docs
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), gramsFromToks(col("toks")).as("grams"))
+      // the sorts are bound to attributes HERE (multi-referenced, so
+      // CollapseProject keeps the boundary) — see maxRunOfSorted
+      .select(col("doc_id"), col("toks"), col("grams"),
+        array_sort(col("toks")).as("toks_s"), array_sort(col("grams")).as("grams_s"))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_types"),
         size(col("grams")).cast("long").as("n_2grams"),
-        maxMultiplicity(col("toks")).as("top_token_count"),
-        maxMultiplicity(col("grams")).as("top_2gram_count"))
+        maxRunOfSorted(col("toks_s")).as("top_token_count"),
+        maxRunOfSorted(col("grams_s")).as("top_2gram_count"))
       .withColumn("ttr",
         when(col("n_tokens") > 0,
           r6(col("n_types").cast("double") / col("n_tokens"))))

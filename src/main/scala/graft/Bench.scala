@@ -31,9 +31,15 @@ object Bench {
     }
 
     // SPARK_GRAFT_ONLY=q1_agg_orders,sessions narrows the run for local
-    // iteration; the driver never sets it, so round benches stay complete
+    // iteration; the driver never sets it, so round benches stay complete.
+    // Unknown names abort — a typo'd filter would otherwise measure ZERO
+    // queries and print total=0 as if it were a (spectacular) result.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // warm-up pass: JIT + codegen compilation + file-listing caches; the

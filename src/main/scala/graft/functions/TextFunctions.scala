@@ -19,8 +19,13 @@ object TextFunctions {
   /** Word n-gram shingles: join of each n-length sliding window.
     * Guarded: Spark's sequence(1, k) with k < 1 yields a DESCENDING
     * sequence (e.g. [1,0]), not an empty array. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(split(text, " "), n)
+
+  /** The token-array form of [[wordShingles]] — the one shared sliding-
+    * window builder (callers pick the token source: raw split, or the
+    * empty-filtered [[tokens]]). */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
     val count = size(toks) - lit(n - 1)
     when(count >= 1,
       transform(sequence(lit(1), count),

@@ -43,7 +43,11 @@ object SkewTools {
     * member set in one task. */
   def exactDistinctByKey(df: DataFrame, key: String, member: String,
                          resultName: String): DataFrame =
-    df.select(col(key), col(member)).distinct()
+    // NULL members are excluded, matching SQL COUNT(DISTINCT member) —
+    // without the filter a (key, NULL) pair survives the dedup and counts
+    df.select(col(key), col(member))
+      .filter(col(member).isNotNull)
+      .distinct()
       .groupBy(col(key)).agg(count(lit(1)).as(resultName))
 
   /** Gated query: distinct users per event type over the events table

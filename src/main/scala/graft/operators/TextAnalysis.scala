@@ -124,17 +124,11 @@ object TextAnalysis {
 
   // -------------------------------------------------- repetition signals
 
-  /** Word 2-grams (with duplicates) from an already-filtered token array —
-    * local twin of TF.wordShingles but over [[TF.tokens]]'s empty-filtered
-    * tokens, so gram counts and token counts agree on the same token set. */
-  private def gramsFromToks(toks: Column): Column = {
-    val count = size(toks) - lit(1)
-    when(count >= 1,
-      transform(sequence(lit(1), count),
-        i => concat_ws(" ", element_at(toks, i.cast("int")),
-          element_at(toks, (i + 1).cast("int")))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word 2-grams (with duplicates) over [[TF.tokens]]'s empty-filtered
+    * tokens (same token set as the token counts) — the shared sliding-
+    * window builder with a different token source. */
+  private def gramsFromToks(toks: Column): Column =
+    TF.shinglesOfTokens(toks, 2)
 
   /** Max multiplicity of any element of an ALREADY-SORTED array column,
     * as the longest run of equal adjacent elements — a sequential fold
@@ -237,15 +231,19 @@ object TextAnalysis {
   private val UrlPattern = "https?://[^ ]+"
 
   /** Deterministic text normalization — the canonical-form stage of a
-    * training-data pipeline: lowercase, non-alphanumerics to spaces,
-    * whitespace collapsed, trimmed — plus PII/link counts on the RAW text
-    * (emails, URLs) so a downstream redaction policy can route documents.
-    * One codegen'd pass; the regexes are simple character-class patterns
-    * with identical Java-regex / RE2 semantics, which is what makes the
-    * operator oracle-exact. */
+    * training-data pipeline: ASCII-fold (non-ASCII to spaces FIRST, so the
+    * later `lower` only ever sees ASCII — Java's full Unicode case mapping
+    * and DuckDB's utf8proc simple mapping disagree on special-cased
+    * letters like 'İ', which would silently break the oracle on non-ASCII
+    * corpora), lowercase, non-alphanumerics to spaces, whitespace
+    * collapsed, trimmed — plus PII/link counts on the RAW text (emails,
+    * URLs) so a downstream redaction policy can route documents. One
+    * codegen'd pass; all patterns are simple character classes with
+    * identical Java-regex / RE2 semantics. */
   def normalize(docs: DataFrame): DataFrame = {
+    val ascii = regexp_replace(col("text"), "[^\\x20-\\x7E]", " ")
     val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      regexp_replace(lower(ascii), "[^a-z0-9 ]", " "), " +", " "))
     docs.select(
       col("doc_id"),
       norm.as("norm_text"),
@@ -259,8 +257,9 @@ object TextAnalysis {
   val normalizeOracle: String =
     s"""WITH n AS (
        |  SELECT doc_id, text,
-       |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-       |                             ' +', ' ', 'g')) AS norm_text
+       |         trim(regexp_replace(regexp_replace(
+       |           lower(regexp_replace(text, '[^\\x20-\\x7E]', ' ', 'g')),
+       |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
        |  FROM documents
        |)
        |SELECT doc_id, norm_text, LENGTH(norm_text) AS norm_chars,

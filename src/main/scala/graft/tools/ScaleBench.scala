@@ -28,7 +28,8 @@ object ScaleBench {
 
   val headline: Seq[String] =
     Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh",
-      "corpus_shards", "dedup_clusters")
+      "corpus_shards", "dedup_clusters",
+      "sessions", "running_revenue", "lsh_ann_topk", "text_repetition")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -37,9 +38,17 @@ object ScaleBench {
     val spark = GraftSession.builder("graft-scale").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // every table the headline queries read — the rebuild check is
+    // per-table (NOT a bare _BUILT sentinel: a dir built by an older
+    // ScaleBench with fewer tables must not be trusted as complete)
+    val scaledTables = Seq("lineitem", "part", "supplier", "documents",
+      "events", "orders", "embeddings")
+
     def buildScaled(k: Int): String = {
       val dir = s"$outRoot/x$k"
-      if (!new java.io.File(s"$dir/_BUILT").exists()) {
+      val complete = new java.io.File(s"$dir/_BUILT").exists() &&
+        scaledTables.forall(t => new java.io.File(s"$dir/$t.parquet").exists())
+      if (!complete) {
         val li = spark.read.parquet(s"$base/lineitem.parquet")
         val okSpan = li.agg(max(col("l_orderkey"))).first().getLong(0) + 1L
         (0 until k).map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okSpan)))
@@ -58,6 +67,32 @@ object ScaleBench {
               transform(split(col("text"), " "), w => concat(lit(s"c${i}w"), w)), " "))
         }.reduce(_.unionAll(_))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        // events ×k: the USER domain grows, per-user event density stays
+        // fixed — how a real event stream grows. Each copy reproduces the
+        // base's session structure exactly (k× sessions, same lengths).
+        val ev = spark.read.parquet(s"$base/events.parquet")
+        val uidSpan = ev.agg(max(col("user_id"))).first().getLong(0) + 1L
+        val eidSpan = ev.agg(max(col("event_id"))).first().getLong(0) + 1L
+        (0 until k).map(i => ev
+          .withColumn("user_id", col("user_id") + lit(i * uidSpan))
+          .withColumn("event_id", col("event_id") + lit(i * eidSpan)))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        // orders ×k: shifted keys — the prefix-sum workload grows linearly
+        // over the same date span (more rows per range partition).
+        val ord = spark.read.parquet(s"$base/orders.parquet")
+        val oSpan = ord.agg(max(col("o_orderkey"))).first().getLong(0) + 1L
+        (0 until k).map(i => ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * oSpan)))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        // embeddings ×k: identical vectors under shifted ids — every LSH
+        // bucket's membership grows k× (copies land in the same buckets),
+        // so ANN candidate generation and re-scoring scale k× linearly.
+        val emb = spark.read.parquet(s"$base/embeddings.parquet")
+        val vSpan = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+        (0 until k).map(i => emb.withColumn("vec_id", col("vec_id") + lit(i * vSpan)))
+          .reduce(_.unionAll(_))
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
         new java.io.File(s"$dir/_BUILT").createNewFile()
       }
       dir

@@ -58,6 +58,15 @@ class Round5Spec extends SparkSpec {
     assert(r(2L).getLong(4) === 0 && r(2L).getLong(5) === 0)
   }
 
+  test("normalize: non-ASCII folds to spaces BEFORE lower (cross-engine-safe)") {
+    // 'İ' is the Java-vs-utf8proc case-mapping divergence: it must never
+    // reach lower(); the ASCII fold turns it into a space first
+    val docs = Seq((1L, "Üñïcødé İstanbul Test")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(docs).select("norm_text").as[String].head()
+    assert(got === "c d stanbul test")
+    assert(got.forall(c => c.isLetterOrDigit && c <= 'z' || c == ' '))
+  }
+
   // ------------------------------------------------- deterministic LSH ANN
 
   test("lsh ann: hashPlanes is deterministic and in [-1,1)") {
@@ -78,12 +87,17 @@ class Round5Spec extends SparkSpec {
     val joined = ann.join(brute, Seq("query_id", "neighbor_id"), "left")
     assert(joined.filter(col("expected").isNull ||
       col("cosine_r") =!= col("expected")).count() === 0)
-    // per query, ranks are contiguous from 1 and ordered by cosine desc
-    val badRank = ann.withColumn("rn",
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("cosine_r").desc, col("neighbor_id"))))
-      .filter(col("rn") =!= col("rank"))
-    assert(badRank.count() === 0)
+    // per query, ranks are contiguous from 1 and cosine_r never increases
+    // with rank (production ranks on the RAW cosine; re-deriving order from
+    // the 8-dp rounded surface could legitimately flip rounded ties, so
+    // assert monotonicity, not an exact re-ranking)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rank"))
+    val bad = ann
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_c", lag(col("cosine_r"), 1).over(w))
+      .filter(col("rn") =!= col("rank") || col("prev_c") < col("cosine_r"))
+    assert(bad.count() === 0)
     ann.unpersist()
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Fingerprint, FloatVecDot}
+import graft.functions.{Fingerprint, FloatVecDot, MaxMultiplicity}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("max_multiplicity"),
+      new ExpressionInfo(classOf[MaxMultiplicity].getName, "max_multiplicity"),
+      (children: Seq[Expression]) => MaxMultiplicity(children.head)))
   }
 }

@@ -130,51 +130,32 @@ object TextAnalysis {
   private def gramsFromToks(toks: Column): Column =
     TF.shinglesOfTokens(toks, 2)
 
-  /** Max multiplicity of any element of an ALREADY-SORTED array column,
-    * as the longest run of equal adjacent elements — a sequential fold
-    * over index positions, no explode, no shuffle. Empty → 0.
-    *
-    * `sorted` MUST be a materialized column (plain attribute), not an
-    * inline `array_sort(...)` expression: Catalyst expressions are trees,
-    * not DAGs, so a sort expression referenced from inside the fold lambda
-    * would RE-EVALUATE once per element access — accidentally
-    * O(n²·log n) per row (measured: 83 s for the sf0.1 corpus vs ~1 s
-    * with the sort bound to an attribute). */
-  private def maxRunOfSorted(sorted: Column): Column =
-    when(size(sorted) <= 1, size(sorted).cast("long")).otherwise(
-      aggregate(
-        sequence(lit(2), size(sorted)),
-        struct(lit(1L).as("cur"), lit(1L).as("best")),
-        (acc, i) => {
-          val cur = when(
-            element_at(sorted, i.cast("int")) === element_at(sorted, (i - 1).cast("int")),
-            acc.getField("cur") + 1).otherwise(lit(1L))
-          struct(cur.as("cur"), greatest(acc.getField("best"), cur).as("best"))
-        },
-        acc => acc.getField("best")))
-
   /** Gopher-style repetition signals per document: type/token ratio and the
     * share of the most frequent token / word-2-gram. Everything is computed
-    * in-row (sorted-run fold for the top counts), so the operator is one
-    * codegen'd pass over the corpus — the 100 TB form of a quality filter.
+    * in-row — the top counts through the codegen'd
+    * [[graft.functions.MaxMultiplicity]] expression (sort + run-scan in one
+    * static call per row) — so the operator is one codegen'd pass over the
+    * corpus with zero shuffles: the 100 TB form of a quality filter.
+    * (History: v1 inlined a builtin `aggregate` fold whose lambda
+    * re-evaluated an `array_sort` per element access — expression TREES
+    * re-evaluate shared subtrees — costing 83 s at sf0.1; v2 bound the
+    * sorts to attributes: 2.1 s; the expression form is ~3× faster still
+    * at ×10–×20 volumes and keeps the whole stage codegen'd — SCALE.md.)
     * Fractions are single divisions of exact integers, NULL when the
     * denominator is 0 (docs with <1 token / <2 tokens). */
   def repetition(docs: DataFrame): DataFrame = {
     val r6 = graft.functions.StableRound.stableRound(_: Column, 6)
+    val mm = graft.functions.MaxMultiplicity.maxMultiplicity(_: Column)
     docs
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), gramsFromToks(col("toks")).as("grams"))
-      // the sorts are bound to attributes HERE (multi-referenced, so
-      // CollapseProject keeps the boundary) — see maxRunOfSorted
-      .select(col("doc_id"), col("toks"), col("grams"),
-        array_sort(col("toks")).as("toks_s"), array_sort(col("grams")).as("grams_s"))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_types"),
         size(col("grams")).cast("long").as("n_2grams"),
-        maxRunOfSorted(col("toks_s")).as("top_token_count"),
-        maxRunOfSorted(col("grams_s")).as("top_2gram_count"))
+        mm(col("toks")).as("top_token_count"),
+        mm(col("grams")).as("top_2gram_count"))
       .withColumn("ttr",
         when(col("n_tokens") > 0,
           r6(col("n_types").cast("double") / col("n_tokens"))))

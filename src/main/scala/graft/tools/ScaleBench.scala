@@ -26,10 +26,23 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  val headline: Seq[String] =
+  val defaultHeadline: Seq[String] =
     Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh",
       "corpus_shards", "dedup_clusters",
       "sessions", "running_revenue", "lsh_ann_topk", "text_repetition")
+
+  /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
+    * as Bench: unknown names abort, an empty result would mislead). */
+  def headline: Seq[String] = {
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- defaultHeadline.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names not in headline: ${unknown.mkString(", ")}")
+    }
+    defaultHeadline.filter(n => only.forall(_.contains(n)))
+  }
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

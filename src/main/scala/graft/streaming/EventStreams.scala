@@ -165,6 +165,58 @@ object EventStreams {
       })
   }
 
+  /** TRUE streaming sessionization: `flatMapGroupsWithState` with an
+    * EVENT-TIME TIMEOUT. Sessions that close inside a micro-batch (a new
+    * event arrives past the gap) emit immediately; the still-open session
+    * stays in state with a timeout at `last + gap`, and when the WATERMARK
+    * passes that point the state times out and the session is emitted with
+    * no further event from that user needed — the piece
+    * [[sessionizeStateful]]'s streaming mode (`emitOpenSessions = false`)
+    * leaves to deployment wiring. Sessions spanning micro-batches merge
+    * (the batch twin, seeing each batch in isolation, would split them).
+    *
+    * Scale: state is O(|open sessions|) = O(|active users|); the watermark
+    * bounds how long an idle session occupies state. Call on a stream that
+    * already has `withWatermark("ts", ...)` applied — the timeout needs it.
+    */
+  def sessionizeStreaming(events: org.apache.spark.sql.Dataset[SessionEvent],
+                          gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+    val gapSec = gapMinutes * 60L
+    def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+    def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
+    def emit(user: Long, s: SessionState): Session =
+      Session(user, s.start, s.last, s.n, s.micros / 1e6)
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
+      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+        if (state.hasTimedOut) {
+          // watermark passed last + gap with no new events: the session is
+          // final (no on-time event can extend it any more)
+          val done = state.get
+          state.remove()
+          Iterator.single(emit(user, done))
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption.orNull
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (cur == null) cur = SessionState(e.ts, e.ts, 1, micros(e.value))
+            else if (sec(e.ts) - sec(cur.last) > gapSec) {
+              out += emit(user, cur)
+              cur = SessionState(e.ts, e.ts, 1, micros(e.value))
+            } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.micros + micros(e.value))
+          }
+          if (cur != null) {
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.last.getTime + gapSec * 1000L)
+          }
+          out.iterator
+        }
+      })
+  }
+
   /** Batch twin of sessionization via the window-gap pattern — verifies
     * [[sessionizeStateful]] on static data. */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {

@@ -128,6 +128,42 @@ class Round5Spec extends SparkSpec {
     } finally { r.unpersist(); Pinned.release(spark) }
   }
 
+  // ------------------------------------- streaming sessions with timeout
+
+  test("streaming sessions: span micro-batches, idle sessions close via watermark timeout") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 hour").as[SessionEvent]
+    val out = EventStreams.sessionizeStreaming(events, gapMinutes = 30)
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: user 1 opens a session
+      mem.addData((1L, ts("2024-03-01 10:00:00"), 1.0), (1L, ts("2024-03-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions_test").count() === 0) // still open
+      // batch 2: user 1 CONTINUES the same session across the batch
+      // boundary (the batch twin would split here); user 2 far in the
+      // future advances the watermark past user 1's last + gap
+      mem.addData((1L, ts("2024-03-01 10:25:00"), 4.0), (2L, ts("2024-03-01 15:00:00"), 9.0))
+      q.processAllAvailable()
+      // batch 3: any batch after the watermark advance fires the timeout
+      mem.addData((3L, ts("2024-03-01 15:01:00"), 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("stream_sessions_test")
+        .filter(col("user_id") === 1L).collect()
+      assert(u1.length === 1, "one merged session, not per-batch fragments")
+      assert(u1(0).getAs[Long]("n_events") === 3)
+      assert(u1(0).getAs[Double]("session_value") === 7.0)
+      assert(u1(0).getAs[java.sql.Timestamp]("session_end") === ts("2024-03-01 10:25:00"))
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- session ties
 
   test("sessions: same-timestamp events land in one session deterministically") {

@@ -136,4 +136,61 @@ class PropertySpec extends SparkSpec {
       assert(agg.agg(sum("order_count")).first().getLong(0) === orders.toLong)
     }
   }
+
+  test("max_multiplicity expression == groupBy count on arbitrary token lists (property)") {
+    val lists = Gen.listOfN(150,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "ab", "")).map(_.take(40))).sample.get
+    val rows = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "arr")
+      .select(col("id"), graft.functions.MaxMultiplicity.maxMultiplicity(col("arr")).as("mm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lists.zipWithIndex.foreach { case (l, i) =>
+      val expected = if (l.isEmpty) 0L
+        else l.groupBy(identity).values.map(_.size).max.toLong
+      assert(rows(i.toLong) === expected, s"list $l")
+    }
+  }
+
+  test("sessionization conserves events and value at any gap (property)") {
+    val base = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    val evs = Gen.listOfN(300, for {
+      u <- Gen.choose(1L, 5L); off <- Gen.choose(0L, 86400L); v <- Gen.choose(0, 1000)
+    } yield (u, java.sql.Timestamp.from(base.plusSeconds(off)), v / 100.0)).sample.get
+    val df = evs.toDF("user_id", "ts", "value")
+    for (gap <- Seq(1, 30, 720)) {
+      val s = graft.streaming.EventStreams.sessionizeBatch(df, gapMinutes = gap)
+      assert(s.agg(sum("n_events")).first().getLong(0) === evs.size.toLong)
+      // value conserved in exact micros (floor-form re-quantization — a
+      // bare double→long cast truncates x.9999 representation error)
+      val gotMicros = s.agg(sum(
+        graft.functions.StableRound.microsLong(col("session_value")))).first().getLong(0)
+      val expMicros = evs.map(e => graft.functions.StableRound.microsOf(e._3)).sum
+      assert(gotMicros === expMicros)
+      // session boundaries respect the gap: within a user, consecutive
+      // sessions are separated by MORE than the gap
+      val perUser = s.select("user_id", "session_start", "session_end")
+        .collect().groupBy(_.getLong(0))
+      perUser.values.foreach { arr =>
+        val sorted = arr.sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            val gapSec = Math.floorDiv(b.getAs[java.sql.Timestamp]("session_start").getTime, 1000L) -
+              Math.floorDiv(a.getAs[java.sql.Timestamp]("session_end").getTime, 1000L)
+            assert(gapSec > gap * 60L)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("repetition bounds: top counts within totals, types <= tokens (property over corpus)") {
+    val r = graft.operators.TextAnalysis.repetition(
+      graft.sources.Tables.documents(spark, sf))
+    assert(r.filter(col("n_types") > col("n_tokens")).count() === 0)
+    assert(r.filter(col("top_token_count") > col("n_tokens") ||
+      (col("n_tokens") > 0) && col("top_token_count") < 1).count() === 0)
+    assert(r.filter(col("top_2gram_count") > col("n_2grams") ||
+      (col("n_2grams") > 0) && col("top_2gram_count") < 1).count() === 0)
+    assert(r.filter(col("ttr") > 1.0 || col("rep_2gram_frac") > 1.0).count() === 0)
+  }
 }

@@ -22,8 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * pre-sorted array column: same O(n log n) per row asymptotics, but the
   * fold was interpreted (Spark lambda functions don't codegen) and its
   * per-element expression-tree walk dominated the scan stage — measured
-  * 2.4× faster end-to-end on the sf0.1 corpus, with the gap widening at
-  * larger volumes (see SCALE.md).
+  * ~1.4× faster end-to-end at sf0.1 and ~3× at ×10–×20 volumes, where
+  * the interpreted overhead stopped amortizing (SCALE.md).
   *
   * Semantics match the DuckDB oracle's `unnest → GROUP BY → MAX(count)`:
   * multiplicity counting needs no particular order, only grouping. NULL

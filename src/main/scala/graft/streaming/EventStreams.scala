@@ -114,6 +114,56 @@ object EventStreams {
                      session_end: java.sql.Timestamp, n_events: Long,
                      session_value: Double)
 
+  // gap measured in floor-seconds, matching the batch twin's
+  // ts.cast("long") semantics (timestamp→long truncates to seconds)
+  private def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
+  private def emitSession(user: Long, s: SessionState): Session =
+    Session(user, s.start, s.last, s.n, s.micros / 1e6)
+
+  /** The ONE session fold shared by [[sessionizeStateful]] and
+    * [[sessionizeStreaming]] — the twins must never diverge, so there is
+    * exactly one copy of the merge rule. `events` must be sorted by ts;
+    * closed sessions append to `out`; returns the open state (or null).
+    *
+    * For per-user IN-ORDER delivery (every event ≥ the carried `last` —
+    * always true for the batch twin's complete sorted groups) this is
+    * exactly the oracle's gaps-and-islands rule. Cross-batch OUT-OF-ORDER
+    * events (older than the carried state, admitted by the watermark) have
+    * no exact answer without unbounded buffering, so the fold degrades
+    * deterministically and conservation-safely:
+    *   - within gap-reach of the open session's start: ABSORBED (start
+    *     widens; `last` never moves backwards, so gap decisions and the
+    *     timeout stay monotone);
+    *   - older than that: emitted as a SINGLETON session (its true session
+    *     was already closed and emitted; resurrecting it would require
+    *     keeping history). Event and value totals are conserved either way. */
+  private def foldSorted(user: Long, cur0: SessionState, events: Seq[SessionEvent],
+                         gapSec: Long,
+                         out: scala.collection.mutable.ArrayBuffer[Session]): SessionState = {
+    // exact accumulation in floor-form micros == the batch twin's sums
+    def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
+    var cur = cur0
+    events.foreach { e =>
+      if (cur == null) cur = SessionState(e.ts, e.ts, 1, micros(e.value))
+      else {
+        val diff = sec(e.ts) - sec(cur.last)
+        if (diff > gapSec) { // in-order, past the gap: close and start fresh
+          out += emitSession(user, cur)
+          cur = SessionState(e.ts, e.ts, 1, micros(e.value))
+        } else if (diff >= 0) { // in-order (same floor-second ties keep max raw ts)
+          val last = if (e.ts.getTime > cur.last.getTime) e.ts else cur.last
+          cur = SessionState(cur.start, last, cur.n + 1, cur.micros + micros(e.value))
+        } else if (sec(cur.start) - sec(e.ts) <= gapSec) { // late: absorb
+          val start = if (e.ts.getTime < cur.start.getTime) e.ts else cur.start
+          cur = SessionState(start, cur.last, cur.n + 1, cur.micros + micros(e.value))
+        } else { // too late to attach to anything still open
+          out += Session(user, e.ts, e.ts, 1, micros(e.value) / 1e6)
+        }
+      }
+    }
+    cur
+  }
+
   /** Stateful streaming sessionization: `flatMapGroupsWithState` keeps one
     * open session per user; an event past the gap closes-and-emits the
     * previous session. State is O(|active users|), independent of stream
@@ -126,38 +176,25 @@ object EventStreams {
     *     events at once. In a real stream this would split every session
     *     that spans two micro-batches.
     *   - `false` (streaming): the open session is kept in state and
-    *     continues into the next micro-batch; deploy with a watermark +
-    *     event-time timeout to flush idle sessions (timeout wiring is
-    *     deployment-specific and not hard-coded here). */
+    *     continues into the next micro-batch; prefer [[sessionizeStreaming]],
+    *     which adds the event-time timeout that actually closes idle
+    *     sessions. */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
                          gapMinutes: Int = 30,
                          emitOpenSessions: Boolean = true): org.apache.spark.sql.Dataset[Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupState
     val gapSec = gapMinutes * 60L
-    // gap measured in floor-seconds, matching the batch twin's
-    // ts.cast("long") semantics (timestamp→long truncates to seconds)
-    def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
-    // exact accumulation in floor-form micros == the batch twin's sums
-    def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
-    def emit(user: Long, s: SessionState): Session =
-      Session(user, s.start, s.last, s.n, s.micros / 1e6)
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       org.apache.spark.sql.streaming.OutputMode.Append(),
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
       (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
         val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        var cur = state.getOption.orNull
-        it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-          if (cur == null) cur = SessionState(e.ts, e.ts, 1, micros(e.value))
-          else if (sec(e.ts) - sec(cur.last) > gapSec) {
-            out += emit(user, cur)
-            cur = SessionState(e.ts, e.ts, 1, micros(e.value))
-          } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.micros + micros(e.value))
-        }
+        val cur = foldSorted(user, state.getOption.orNull,
+          it.toSeq.sortBy(_.ts.getTime), gapSec, out)
         if (cur != null) {
           if (emitOpenSessions) { // batch twin: the group is complete
-            out += emit(user, cur)
+            out += emitSession(user, cur)
             state.remove()
           } else state.update(cur) // streaming: session continues next batch
         }
@@ -184,33 +221,27 @@ object EventStreams {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupState
     val gapSec = gapMinutes * 60L
-    def sec(t: java.sql.Timestamp): Long = Math.floorDiv(t.getTime, 1000L)
-    def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
-    def emit(user: Long, s: SessionState): Session =
-      Session(user, s.start, s.last, s.n, s.micros / 1e6)
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       org.apache.spark.sql.streaming.OutputMode.Append(),
       org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
       (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
         if (state.hasTimedOut) {
-          // watermark passed last + gap with no new events: the session is
-          // final (no on-time event can extend it any more)
+          // the watermark passed the first instant at which no event could
+          // merge any more (see the timeout arming below): final
           val done = state.get
           state.remove()
-          Iterator.single(emit(user, done))
+          Iterator.single(emitSession(user, done))
         } else {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var cur = state.getOption.orNull
-          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            if (cur == null) cur = SessionState(e.ts, e.ts, 1, micros(e.value))
-            else if (sec(e.ts) - sec(cur.last) > gapSec) {
-              out += emit(user, cur)
-              cur = SessionState(e.ts, e.ts, 1, micros(e.value))
-            } else cur = SessionState(cur.start, e.ts, cur.n + 1, cur.micros + micros(e.value))
-          }
+          val cur = foldSorted(user, state.getOption.orNull,
+            it.toSeq.sortBy(_.ts.getTime), gapSec, out)
           if (cur != null) {
             state.update(cur)
-            state.setTimeoutTimestamp(cur.last.getTime + gapSec * 1000L)
+            // the gap rule merges while sec(e.ts) <= sec(last) + gapSec, so
+            // the earliest NON-merging instant is the start of floor-second
+            // sec(last) + gap + 1 — arming at raw last+gap millis would fire
+            // up to ~1 s early and split a session the batch twin merges
+            state.setTimeoutTimestamp((sec(cur.last) + gapSec + 1) * 1000L)
           }
           out.iterator
         }

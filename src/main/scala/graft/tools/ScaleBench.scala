@@ -37,6 +37,7 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { o =>
+      require(o.nonEmpty, "SPARK_GRAFT_SCALE_ONLY is set but names no queries")
       val unknown = o -- defaultHeadline.toSet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_SCALE_ONLY names not in headline: ${unknown.mkString(", ")}")

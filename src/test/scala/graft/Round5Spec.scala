@@ -164,6 +164,45 @@ class Round5Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions: late events absorb into the open session or emit as singletons") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    // 6h watermark delay so cross-batch out-of-order events are ADMITTED
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours").as[SessionEvent]
+    val out = EventStreams.sessionizeStreaming(events, gapMinutes = 30)
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions_ooo_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((9L, ts("2024-03-02 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // late but within gap-reach of the session start -> absorbed (start
+      // widens backwards, last stays); far older -> singleton emitted now
+      mem.addData((9L, ts("2024-03-02 09:50:00"), 2.0), (9L, ts("2024-03-02 08:00:00"), 5.0))
+      q.processAllAvailable()
+      val singles = spark.table("stream_sessions_ooo_test")
+        .filter(col("user_id") === 9L).collect()
+      assert(singles.length === 1)
+      assert(singles(0).getAs[Long]("n_events") === 1)
+      assert(singles(0).getAs[Double]("session_value") === 5.0)
+      // advance the watermark far past 10:00 + gap, then fire the timeout
+      mem.addData((8L, ts("2024-03-03 12:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((7L, ts("2024-03-03 12:01:00"), 0.0))
+      q.processAllAvailable()
+      val merged = spark.table("stream_sessions_ooo_test")
+        .filter(col("user_id") === 9L && col("n_events") > 1).collect()
+      assert(merged.length === 1)
+      assert(merged(0).getAs[java.sql.Timestamp]("session_start") === ts("2024-03-02 09:50:00"))
+      assert(merged(0).getAs[java.sql.Timestamp]("session_end") === ts("2024-03-02 10:00:00"))
+      assert(merged(0).getAs[Double]("session_value") === 3.0)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- session ties
 
   test("sessions: same-timestamp events land in one session deterministically") {

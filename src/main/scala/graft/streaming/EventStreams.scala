@@ -122,46 +122,56 @@ object EventStreams {
 
   /** The ONE session fold shared by [[sessionizeStateful]] and
     * [[sessionizeStreaming]] — the twins must never diverge, so there is
-    * exactly one copy of the merge rule. `events` must be sorted by ts;
-    * closed sessions append to `out`; returns the open state (or null).
+    * exactly one copy of the merge rule. Closed sessions append to `out`;
+    * returns the still-open (latest) state, or null.
     *
-    * For per-user IN-ORDER delivery (every event ≥ the carried `last` —
-    * always true for the batch twin's complete sorted groups) this is
-    * exactly the oracle's gaps-and-islands rule. Cross-batch OUT-OF-ORDER
-    * events (older than the carried state, admitted by the watermark) have
-    * no exact answer without unbounded buffering, so the fold degrades
-    * deterministically and conservation-safely:
-    *   - within gap-reach of the open session's start: ABSORBED (start
-    *     widens; `last` never moves backwards, so gap decisions and the
-    *     timeout stay monotone);
-    *   - older than that: emitted as a SINGLETON session (its true session
-    *     was already closed and emitted; resurrecting it would require
-    *     keeping history). Event and value totals are conserved either way. */
-  private def foldSorted(user: Long, cur0: SessionState, events: Seq[SessionEvent],
+    * Shape: (1) fold THIS invocation's events — sorted micros-exact via
+    * `Timestamp.compareTo`, `getTime` would truncate to millis — into
+    * session intervals with the plain gaps-and-islands rule (batch-twin
+    * exact for everything delivered together); (2) merge the carried open
+    * interval into that time-ordered list, combining neighbors within the
+    * floor-second gap; (3) every interval except the LATEST is final. For
+    * per-user in-order delivery this is exactly the oracle's rule; for
+    * watermark-admitted out-of-order arrivals it is exact for everything
+    * that arrives in one invocation (same-batch stragglers chain and can
+    * bridge INTO the open session), while events of an already-EMITTED
+    * session arriving in a later batch start a fresh interval — the one
+    * bounded-state approximation (resurrecting emitted sessions would
+    * require keeping history). Event and value totals are conserved in
+    * every case. */
+  private def foldSorted(user: Long, cur0: SessionState, events: Iterator[SessionEvent],
                          gapSec: Long,
                          out: scala.collection.mutable.ArrayBuffer[Session]): SessionState = {
     // exact accumulation in floor-form micros == the batch twin's sums
     def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
-    var cur = cur0
-    events.foreach { e =>
-      if (cur == null) cur = SessionState(e.ts, e.ts, 1, micros(e.value))
+    def earlier(a: java.sql.Timestamp, b: java.sql.Timestamp) = a.compareTo(b) < 0
+    val chain = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    events.toSeq.sortWith((a, b) => earlier(a.ts, b.ts)).foreach { e =>
+      if (chain.isEmpty || sec(e.ts) - sec(chain.last.last) > gapSec)
+        chain += SessionState(e.ts, e.ts, 1, micros(e.value))
       else {
-        val diff = sec(e.ts) - sec(cur.last)
-        if (diff > gapSec) { // in-order, past the gap: close and start fresh
-          out += emitSession(user, cur)
-          cur = SessionState(e.ts, e.ts, 1, micros(e.value))
-        } else if (diff >= 0) { // in-order (same floor-second ties keep max raw ts)
-          val last = if (e.ts.getTime > cur.last.getTime) e.ts else cur.last
-          cur = SessionState(cur.start, last, cur.n + 1, cur.micros + micros(e.value))
-        } else if (sec(cur.start) - sec(e.ts) <= gapSec) { // late: absorb
-          val start = if (e.ts.getTime < cur.start.getTime) e.ts else cur.start
-          cur = SessionState(start, cur.last, cur.n + 1, cur.micros + micros(e.value))
-        } else { // too late to attach to anything still open
-          out += Session(user, e.ts, e.ts, 1, micros(e.value) / 1e6)
-        }
+        val s = chain.last
+        val last = if (earlier(s.last, e.ts)) e.ts else s.last
+        chain(chain.size - 1) = SessionState(s.start, last, s.n + 1, s.micros + micros(e.value))
       }
     }
-    cur
+    val all = (Option(cur0).toSeq ++ chain)
+      .sortWith((a, b) => earlier(a.start, b.start))
+    val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+    all.foreach { s =>
+      if (merged.isEmpty || sec(s.start) - sec(merged.last.last) > gapSec) merged += s
+      else {
+        val p = merged.last
+        val start = if (earlier(s.start, p.start)) s.start else p.start
+        val last = if (earlier(p.last, s.last)) s.last else p.last
+        merged(merged.size - 1) = SessionState(start, last, p.n + s.n, p.micros + s.micros)
+      }
+    }
+    if (merged.isEmpty) null
+    else {
+      merged.init.foreach(s => out += emitSession(user, s))
+      merged.last
+    }
   }
 
   /** Stateful streaming sessionization: `flatMapGroupsWithState` keeps one
@@ -190,8 +200,7 @@ object EventStreams {
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
       (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
         val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        val cur = foldSorted(user, state.getOption.orNull,
-          it.toSeq.sortBy(_.ts.getTime), gapSec, out)
+        val cur = foldSorted(user, state.getOption.orNull, it, gapSec, out)
         if (cur != null) {
           if (emitOpenSessions) { // batch twin: the group is complete
             out += emitSession(user, cur)
@@ -233,15 +242,21 @@ object EventStreams {
           Iterator.single(emitSession(user, done))
         } else {
           val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          val cur = foldSorted(user, state.getOption.orNull,
-            it.toSeq.sortBy(_.ts.getTime), gapSec, out)
+          val cur = foldSorted(user, state.getOption.orNull, it, gapSec, out)
           if (cur != null) {
             state.update(cur)
             // the gap rule merges while sec(e.ts) <= sec(last) + gapSec, so
             // the earliest NON-merging instant is the start of floor-second
             // sec(last) + gap + 1 — arming at raw last+gap millis would fire
-            // up to ~1 s early and split a session the batch twin merges
-            state.setTimeoutTimestamp((sec(cur.last) + gapSec + 1) * 1000L)
+            // up to ~1 s early and split a session the batch twin merges.
+            // CLAMPED above the current EVICTION watermark: Spark admits
+            // late rows against the PREVIOUS batch's watermark but rejects
+            // timeout timestamps below the current one (throws, killing the
+            // query) — a late straggler re-arming an old session hits
+            // exactly that window; the clamp fires the timeout next batch.
+            state.setTimeoutTimestamp(math.max(
+              (sec(cur.last) + gapSec + 1) * 1000L,
+              state.getCurrentWatermarkMs + 1))
           }
           out.iterator
         }

@@ -203,6 +203,74 @@ class Round5Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessions: same-batch stragglers chain and bridge into the open session") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours").as[SessionEvent]
+    val out = EventStreams.sessionizeStreaming(events, gapMinutes = 30)
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions_bridge_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((11L, ts("2024-03-04 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // each within a gap of the NEXT, 09:40 within a gap of the open
+      // session's start: the whole chain bridges into ONE session — the
+      // batch twin's answer for the same data
+      mem.addData((11L, ts("2024-03-04 09:00:00"), 1.0),
+        (11L, ts("2024-03-04 09:25:00"), 1.0), (11L, ts("2024-03-04 09:40:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions_bridge_test")
+        .filter(col("user_id") === 11L).count() === 0) // still one open session
+      mem.addData((12L, ts("2024-03-05 12:00:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData((13L, ts("2024-03-05 12:01:00"), 0.0)) // fire the timeout
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions_bridge_test")
+        .filter(col("user_id") === 11L).collect()
+      assert(got.length === 1)
+      assert(got(0).getAs[Long]("n_events") === 4)
+      assert(got(0).getAs[java.sql.Timestamp]("session_start") === ts("2024-03-04 09:00:00"))
+      assert(got(0).getAs[java.sql.Timestamp]("session_end") === ts("2024-03-04 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("streaming sessions: a watermark jump plus a straggler must not kill the query") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours").as[SessionEvent]
+    val out = EventStreams.sessionizeStreaming(events, gapMinutes = 30)
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions_jump_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((21L, ts("2024-03-06 10:00:00"), 1.0))
+      q.processAllAvailable()
+      mem.addData((22L, ts("2024-03-08 00:00:00"), 0.0)) // watermark jumps ~2 days
+      q.processAllAvailable()
+      // Spark admits late rows against the PREVIOUS watermark but rejects
+      // timeout timestamps below the CURRENT one: re-arming for this
+      // straggler used to throw and terminate the query (clamp fix)
+      mem.addData((21L, ts("2024-03-06 05:00:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((23L, ts("2024-03-08 00:01:00"), 0.0))
+      q.processAllAvailable()
+      // the query survived, and the original 10:00 session was emitted once
+      val tenOClock = spark.table("stream_sessions_jump_test")
+        .filter(col("user_id") === 21L &&
+          col("session_end") === ts("2024-03-06 10:00:00")).collect()
+      assert(tenOClock.length === 1)
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------- session ties
 
   test("sessions: same-timestamp events land in one session deterministically") {

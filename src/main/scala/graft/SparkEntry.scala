@@ -63,7 +63,8 @@ object SparkEntry {
     "text_normalize" -> tuned(TextAnalysis.normalizeFromDir),
     "lsh_ann_topk" -> tuned(Similarity.lshAnnFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
-    "distinct_users" -> tuned(SkewTools.distinctUsersFromDir)
+    "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
+    "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,6 +107,7 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.normalizeOracle,
     "lsh_ann_topk" -> Similarity.lshAnnOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
-    "distinct_users" -> SkewTools.distinctUsersOracle
+    "distinct_users" -> SkewTools.distinctUsersOracle,
+    "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle
   )
 }

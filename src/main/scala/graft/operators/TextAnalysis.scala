@@ -252,6 +252,43 @@ object TextAnalysis {
   def normalizeFromDir(spark: SparkSession, dir: String): DataFrame =
     normalize(Tables.documents(spark, dir))
 
+  // ------------------------------------------------ BPE-ish token counts
+
+  /** GPT-2-style pre-tokenizer segments, simplified to be RE2-safe (the
+    * original's `\s+(?!\S)` lookahead and contraction alternatives are
+    * PCRE-only; this keeps the segment classes — optionally-space-prefixed
+    * letter runs, digit runs, punctuation runs, residual whitespace — with
+    * identical Java-regex/RE2 leftmost-first greedy semantics). */
+  private val BpePattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BPE-ish token counting — the pre-tokenizer segment count a byte-pair
+    * tokenizer's cost model starts from, next to [[tokenStats]]'s
+    * whitespace counts. `chars_per_token` is the compression-rate proxy
+    * quality filters threshold on. One codegen'd pass, zero shuffles. */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    val bpe = regexp_count(col("text"), lit(BpePattern)).cast("long")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("chars"),
+      bpe.as("bpe_tokens"),
+      when(bpe > 0, graft.functions.StableRound.stableRound(
+        length(col("text")).cast("double") / bpe, 6)).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokenStatsOracle: String =
+    """SELECT doc_id, LENGTH(text) AS chars,
+      |       len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS bpe_tokens,
+      |       CASE WHEN len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) > 0 THEN
+      |         FLOOR(CAST(LENGTH(text) AS DOUBLE)
+      |               / len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
+      |               * 1e6 + 0.5) / 1e6
+      |       END AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def bpeTokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenStats(Tables.documents(spark, dir))
+
   def tokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
     tokenStats(Tables.documents(spark, dir))
   def qualityFromDir(spark: SparkSession, dir: String): DataFrame =

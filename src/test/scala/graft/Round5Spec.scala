@@ -42,6 +42,23 @@ class Round5Spec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("bpe token stats: segment counts match hand-derived GPT-2-ish pre-tokenization") {
+    val docs = Seq(
+      (1L, "Hello world"),        // [Hello][ world] = 2
+      (2L, "a1b2"),               // [a][1][b][2] = 4
+      (3L, "don't stop!"),        // [don]['][t][ stop][!] = 5
+      (4L, "x  y"),               // [x][ ] [ y] -> [x][space not before y?]: " ?L+" takes " y", leaves one "\s+" = 3
+      (5L, "")                    // 0 tokens, null ratio
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTokenStats(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) === 2)
+    assert(r(2L).getLong(2) === 4)
+    assert(r(3L).getLong(2) === 5)
+    assert(r(4L).getLong(2) === 3)
+    assert(r(5L).getLong(2) === 0 && r(5L).isNullAt(3))
+    assert(r(1L).getDouble(3) === 5.5) // 11 chars / 2 tokens
+  }
+
   // ------------------------------------------------------ normalization
 
   test("normalize: lowercases, strips, collapses, and counts PII") {

@@ -258,8 +258,16 @@ object TextAnalysis {
     * original's `\s+(?!\S)` lookahead and contraction alternatives are
     * PCRE-only; this keeps the segment classes — optionally-space-prefixed
     * letter runs, digit runs, punctuation runs, residual whitespace — with
-    * identical Java-regex/RE2 leftmost-first greedy semantics). */
-  private val BpePattern = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    * identical Java-regex/RE2 leftmost-first greedy semantics).
+    *
+    * Whitespace is the EXPLICIT class `[\t\n\f\r ]`, not `\s`: Java's `\s`
+    * includes U+000B (vertical tab) while RE2's does not, so a VT next to
+    * punctuation would segment differently per engine and fail the hash
+    * gate. One definition, interpolated into the oracle SQL below — the
+    * two sides cannot drift. */
+  private val BpeWs = "[\\t\\n\\f\\r ]"
+  private val BpePattern =
+    s" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\t\\n\\f\\r \\p{L}\\p{N}]+|$BpeWs+"
 
   /** BPE-ish token counting — the pre-tokenizer segment count a byte-pair
     * tokenizer's cost model starts from, next to [[tokenStats]]'s
@@ -277,14 +285,16 @@ object TextAnalysis {
   }
 
   val bpeTokenStatsOracle: String =
-    """SELECT doc_id, LENGTH(text) AS chars,
-      |       len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS bpe_tokens,
-      |       CASE WHEN len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) > 0 THEN
-      |         FLOOR(CAST(LENGTH(text) AS DOUBLE)
-      |               / len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))
-      |               * 1e6 + 0.5) / 1e6
-      |       END AS chars_per_token
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""WITH b AS (
+       |  SELECT doc_id, LENGTH(text) AS chars,
+       |         len(regexp_extract_all(text, '$BpePattern')) AS bpe_tokens
+       |  FROM documents
+       |)
+       |SELECT doc_id, chars, bpe_tokens,
+       |       CASE WHEN bpe_tokens > 0 THEN
+       |         FLOOR(CAST(chars AS DOUBLE) / bpe_tokens * 1e6 + 0.5) / 1e6
+       |       END AS chars_per_token
+       |FROM b ORDER BY doc_id""".stripMargin
 
   def bpeTokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
     bpeTokenStats(Tables.documents(spark, dir))

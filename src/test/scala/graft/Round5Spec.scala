@@ -47,8 +47,12 @@ class Round5Spec extends SparkSpec {
       (1L, "Hello world"),        // [Hello][ world] = 2
       (2L, "a1b2"),               // [a][1][b][2] = 4
       (3L, "don't stop!"),        // [don]['][t][ stop][!] = 5
-      (4L, "x  y"),               // [x][ ] [ y] -> [x][space not before y?]: " ?L+" takes " y", leaves one "\s+" = 3
-      (5L, "")                    // 0 tokens, null ratio
+      (4L, "x  y"),               // [x]["  " via ws+ — greedy, no lookahead][y] = 3
+      (5L, ""),                   // 0 tokens, null ratio
+      (6L, "." + "\u000B" + "x"),           // VT: Java \s includes it, RE2 doesn't — the
+                                  // explicit ws class makes BOTH engines fold
+                                  // it into the punctuation run: [.VT][x] = 2
+      (7L, "a" + "\u000B" + "b")            // [a][VT as punct-run][b] = 3 in both engines
     ).toDF("doc_id", "text")
     val r = TextAnalysis.bpeTokenStats(docs).collect().map(x => x.getLong(0) -> x).toMap
     assert(r(1L).getLong(2) === 2)
@@ -56,6 +60,8 @@ class Round5Spec extends SparkSpec {
     assert(r(3L).getLong(2) === 5)
     assert(r(4L).getLong(2) === 3)
     assert(r(5L).getLong(2) === 0 && r(5L).isNullAt(3))
+    assert(r(6L).getLong(2) === 2) // matches DuckDB/RE2 (validated)
+    assert(r(7L).getLong(2) === 3)
     assert(r(1L).getDouble(3) === 5.5) // 11 chars / 2 tokens
   }
 

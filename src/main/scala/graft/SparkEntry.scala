@@ -64,7 +64,11 @@ object SparkEntry {
     "lsh_ann_topk" -> tuned(Similarity.lshAnnFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
-    "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir)
+    "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
+    // the STREAMING engine under the batch oracle: MemoryStream replay →
+    // flatMapGroupsWithState sessions → must hash-match sessionsOracle
+    "sessions_streaming" -> tuned(
+      graft.streaming.EventStreams.sessionsStreamingFromDir(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -108,6 +112,7 @@ object SparkEntry {
     "lsh_ann_topk" -> Similarity.lshAnnOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
-    "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle
+    "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
+    "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle()
   )
 }

@@ -120,28 +120,27 @@ object EventStreams {
   private def emitSession(user: Long, s: SessionState): Session =
     Session(user, s.start, s.last, s.n, s.micros / 1e6)
 
-  /** The ONE session fold shared by [[sessionizeStateful]] and
+  /** Carried state for the streaming variants: the time-ordered list of
+    * session intervals not yet provably final. Neighbors are separated by
+    * more than the gap (mergeFold's invariant); the streaming emit rule
+    * releases an interval only once the watermark passes `last + gap`, so
+    * the list length is bounded by |sessions inside the watermark horizon|
+    * per user, not by stream history. */
+  case class SessionChain(intervals: Seq[SessionState])
+
+  /** The ONE session merge shared by [[sessionizeStateful]] and
     * [[sessionizeStreaming]] — the twins must never diverge, so there is
-    * exactly one copy of the merge rule. Closed sessions append to `out`;
-    * returns the still-open (latest) state, or null.
+    * exactly one copy of the rule. Pure: returns the merged, time-ordered
+    * interval list; the CALLER decides which intervals are final.
     *
     * Shape: (1) fold THIS invocation's events — sorted micros-exact via
     * `Timestamp.compareTo`, `getTime` would truncate to millis — into
     * session intervals with the plain gaps-and-islands rule (batch-twin
-    * exact for everything delivered together); (2) merge the carried open
-    * interval into that time-ordered list, combining neighbors within the
-    * floor-second gap; (3) every interval except the LATEST is final. For
-    * per-user in-order delivery this is exactly the oracle's rule; for
-    * watermark-admitted out-of-order arrivals it is exact for everything
-    * that arrives in one invocation (same-batch stragglers chain and can
-    * bridge INTO the open session), while events of an already-EMITTED
-    * session arriving in a later batch start a fresh interval — the one
-    * bounded-state approximation (resurrecting emitted sessions would
-    * require keeping history). Event and value totals are conserved in
-    * every case. */
-  private def foldSorted(user: Long, cur0: SessionState, events: Iterator[SessionEvent],
-                         gapSec: Long,
-                         out: scala.collection.mutable.ArrayBuffer[Session]): SessionState = {
+    * exact for everything delivered together); (2) merge the carried
+    * intervals into that time-ordered list, combining neighbors within the
+    * floor-second gap. Event and value totals are conserved in every case. */
+  private def mergeFold(carried: Seq[SessionState], events: Iterator[SessionEvent],
+                        gapSec: Long): Seq[SessionState] = {
     // exact accumulation in floor-form micros == the batch twin's sums
     def micros(v: Double): Long = graft.functions.StableRound.microsOf(v)
     def earlier(a: java.sql.Timestamp, b: java.sql.Timestamp) = a.compareTo(b) < 0
@@ -155,8 +154,7 @@ object EventStreams {
         chain(chain.size - 1) = SessionState(s.start, last, s.n + 1, s.micros + micros(e.value))
       }
     }
-    val all = (Option(cur0).toSeq ++ chain)
-      .sortWith((a, b) => earlier(a.start, b.start))
+    val all = (carried ++ chain).sortWith((a, b) => earlier(a.start, b.start))
     val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
     all.foreach { s =>
       if (merged.isEmpty || sec(s.start) - sec(merged.last.last) > gapSec) merged += s
@@ -167,11 +165,7 @@ object EventStreams {
         merged(merged.size - 1) = SessionState(start, last, p.n + s.n, p.micros + s.micros)
       }
     }
-    if (merged.isEmpty) null
-    else {
-      merged.init.foreach(s => out += emitSession(user, s))
-      merged.last
-    }
+    merged.toSeq
   }
 
   /** Stateful streaming sessionization: `flatMapGroupsWithState` keeps one
@@ -180,15 +174,16 @@ object EventStreams {
     * length.
     *
     * `emitOpenSessions` picks the tail behavior:
-    *   - `true` (the batch-twin contract): the still-open session is
-    *     emitted and state dropped at the end of the invocation — correct
-    *     ONLY for batch-over-static-data, where each group sees all its
-    *     events at once. In a real stream this would split every session
-    *     that spans two micro-batches.
-    *   - `false` (streaming): the open session is kept in state and
-    *     continues into the next micro-batch; prefer [[sessionizeStreaming]],
-    *     which adds the event-time timeout that actually closes idle
-    *     sessions. */
+    *   - `true` (the batch-twin contract): every merged interval is emitted
+    *     and state dropped at the end of the invocation — correct ONLY for
+    *     batch-over-static-data, where each group sees all its events at
+    *     once. In a real stream this would split every session that spans
+    *     two micro-batches.
+    *   - `false`: ALL intervals are held in state and nothing is emitted —
+    *     with `NoTimeout` there is no watermark to prove an interval final,
+    *     so this mode is a building block only; use [[sessionizeStreaming]],
+    *     whose event-time timeout both closes idle sessions and releases
+    *     intervals exactly when the watermark proves them final. */
   def sessionizeStateful(events: org.apache.spark.sql.Dataset[SessionEvent],
                          gapMinutes: Int = 30,
                          emitOpenSessions: Boolean = true): org.apache.spark.sql.Dataset[Session] = {
@@ -198,33 +193,39 @@ object EventStreams {
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       org.apache.spark.sql.streaming.OutputMode.Append(),
       org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
-      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-        val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-        val cur = foldSorted(user, state.getOption.orNull, it, gapSec, out)
-        if (cur != null) {
-          if (emitOpenSessions) { // batch twin: the group is complete
-            out += emitSession(user, cur)
-            state.remove()
-          } else state.update(cur) // streaming: session continues next batch
+      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionChain]) => {
+        val merged = mergeFold(state.getOption.map(_.intervals).getOrElse(Nil), it, gapSec)
+        if (emitOpenSessions) { // batch twin: the group is complete
+          state.remove()
+          merged.iterator.map(emitSession(user, _))
+        } else { // hold everything; emission needs a watermark (see scaladoc)
+          if (merged.nonEmpty) state.update(SessionChain(merged))
+          Iterator.empty
         }
-        out.iterator
       })
   }
 
   /** TRUE streaming sessionization: `flatMapGroupsWithState` with an
-    * EVENT-TIME TIMEOUT. Sessions that close inside a micro-batch (a new
-    * event arrives past the gap) emit immediately; the still-open session
-    * stays in state with a timeout at `last + gap`, and when the WATERMARK
-    * passes that point the state times out and the session is emitted with
-    * no further event from that user needed — the piece
-    * [[sessionizeStateful]]'s streaming mode (`emitOpenSessions = false`)
-    * leaves to deployment wiring. Sessions spanning micro-batches merge
-    * (the batch twin, seeing each batch in isolation, would split them).
+    * EVENT-TIME TIMEOUT, exact for all watermark-admitted data (the
+    * `session_window` rule). An interval is emitted ONLY once the
+    * watermark passes `last + gap` — the first point where no admissible
+    * event (every later event has `ts > watermark ≥ last + gap`) can merge
+    * into or bridge onto it. Until then closed-looking intervals are HELD
+    * in state, so an out-of-order event arriving micro-batches later still
+    * merges into the session it belongs to instead of starting a fresh one
+    * (the pre-round-6 behavior emitted every non-latest interval
+    * immediately, splitting exactly that case). Sessions spanning
+    * micro-batches merge; idle sessions close via the timeout with no
+    * further event from that user needed. The only residual approximation:
+    * an event BELOW the current watermark that Spark still admits (the
+    * one-batch grace against the previous watermark) can target an
+    * already-released interval and then starts a new session — that is
+    * data the watermark contract already classifies as late.
     *
-    * Scale: state is O(|open sessions|) = O(|active users|); the watermark
-    * bounds how long an idle session occupies state. Call on a stream that
-    * already has `withWatermark("ts", ...)` applied — the timeout needs it.
-    */
+    * Scale: state is O(|intervals inside the watermark horizon|) per user
+    * — bounded by the watermark delay over the session gap, independent of
+    * stream length. Call on a stream that already has
+    * `withWatermark("ts", ...)` applied — the timeout needs it. */
   def sessionizeStreaming(events: org.apache.spark.sql.Dataset[SessionEvent],
                           gapMinutes: Int = 30): org.apache.spark.sql.Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -233,35 +234,96 @@ object EventStreams {
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       org.apache.spark.sql.streaming.OutputMode.Append(),
       org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout())(
-      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-        if (state.hasTimedOut) {
-          // the watermark passed the first instant at which no event could
-          // merge any more (see the timeout arming below): final
-          val done = state.get
-          state.remove()
-          Iterator.single(emitSession(user, done))
-        } else {
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          val cur = foldSorted(user, state.getOption.orNull, it, gapSec, out)
-          if (cur != null) {
-            state.update(cur)
-            // the gap rule merges while sec(e.ts) <= sec(last) + gapSec, so
-            // the earliest NON-merging instant is the start of floor-second
-            // sec(last) + gap + 1 — arming at raw last+gap millis would fire
-            // up to ~1 s early and split a session the batch twin merges.
-            // CLAMPED above the current EVICTION watermark: Spark admits
-            // late rows against the PREVIOUS batch's watermark but rejects
-            // timeout timestamps below the current one (throws, killing the
-            // query) — a late straggler re-arming an old session hits
-            // exactly that window; the clamp fires the timeout next batch.
+      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionChain]) => {
+        val wmSec = Math.floorDiv(state.getCurrentWatermarkMs, 1000L)
+        // final ⇔ the watermark passed the interval's merge horizon
+        def ripe(s: SessionState): Boolean = sec(s.last) + gapSec < wmSec
+        // hold the rest; re-arm at the EARLIEST pending close. The gap rule
+        // merges while sec(e.ts) <= sec(last) + gapSec, so the earliest
+        // non-merging instant is the start of floor-second
+        // sec(last) + gap + 1 — arming at raw last+gap millis would fire up
+        // to ~1 s early and split a session the batch twin merges. CLAMPED
+        // above the current EVICTION watermark: Spark admits late rows
+        // against the PREVIOUS batch's watermark but rejects timeout
+        // timestamps below the current one (throws, killing the query) — a
+        // late straggler re-arming an old session hits exactly that window;
+        // the clamp fires the timeout next batch. (Held intervals have
+        // close ≥ watermark by the ripe() split, so the clamp is a
+        // belt-and-braces guard, not the normal path.)
+        def release(merged: Seq[SessionState]): Iterator[Session] = {
+          val (done, held) = merged.partition(ripe)
+          if (held.nonEmpty) {
+            state.update(SessionChain(held))
             state.setTimeoutTimestamp(math.max(
-              (sec(cur.last) + gapSec + 1) * 1000L,
+              (held.map(s => sec(s.last)).min + gapSec + 1) * 1000L,
               state.getCurrentWatermarkMs + 1))
-          }
-          out.iterator
+          } else state.remove()
+          done.iterator.map(emitSession(user, _))
         }
+        if (state.hasTimedOut) release(state.get.intervals)
+        else release(mergeFold(state.getOption.map(_.intervals).getOrElse(Nil), it, gapSec))
       })
   }
+
+  /** Driver-gated streaming sessionization: replays the events table
+    * through a `MemoryStream` in `nBatches` event-time-ordered
+    * micro-batches, runs [[sessionizeStreaming]] over it (watermarked,
+    * append-mode memory sink), flushes the tail with two far-future
+    * sentinel batches (the first advances the watermark past every real
+    * session's close; the second fires the armed event-time timeouts), and
+    * returns the collected sink shaped exactly like [[sessionsFromDir]] —
+    * so the SAME DuckDB oracle ([[sessionsOracle]]) must hash-match it.
+    * In-order replay means every event is watermark-admitted, so the
+    * streaming result is provably identical to the batch gaps-and-islands
+    * answer: intervals merge the same (the fold is shared code), micro
+    * sums are associative, and emission timing never changes content.
+    *
+    * The driver-side collect is inherent to `MemoryStream` (a test/replay
+    * harness — production wiring reads Kafka/files via `readStream`); the
+    * events table is 10k–100k rows at gate scales. */
+  def sessionsStreamingFromDir(spark: SparkSession, dir: String,
+                               nBatches: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .orderBy(col("ts"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .collect()
+    require(evs.nonEmpty, s"no events under $dir")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = sessionizeStreaming(
+      mem.toDF().toDF("user_id", "ts", "value")
+        .withWatermark("ts", "10 minutes").as[SessionEvent])
+    val sink = s"graft_sessions_stream_${sinkSeq.incrementAndGet()}"
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+      evs.grouped(per).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      val far = new java.sql.Timestamp(evs.last._2.getTime + 3L * 24 * 3600 * 1000)
+      mem.addData((-1L, far, 0.0)); q.processAllAvailable()
+      mem.addData((-1L, new java.sql.Timestamp(far.getTime + 3600L * 1000), 0.0))
+      q.processAllAvailable()
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val out = spark.table(sink)
+        .filter(col("user_id") >= 0) // drop the flush sentinels
+        .select(
+          col("user_id"),
+          date_format(col("session_start"), fmt).as("session_start"),
+          date_format(col("session_end"), fmt).as("session_end"),
+          col("n_events"), col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
+      // detach the result from the about-to-be-dropped sink view
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Batch twin of sessionization via the window-gap pattern — verifies
     * [[sessionizeStateful]] on static data. */

@@ -204,19 +204,23 @@ class Round5Spec extends SparkSpec {
       mem.addData((9L, ts("2024-03-02 10:00:00"), 1.0))
       q.processAllAvailable()
       // late but within gap-reach of the session start -> absorbed (start
-      // widens backwards, last stays); far older -> singleton emitted now
+      // widens backwards, last stays); far older -> separate interval, but
+      // (round 6) HELD in state, not emitted — the watermark (04:00) has
+      // not yet passed 08:00 + gap, so a still-admissible event could merge
       mem.addData((9L, ts("2024-03-02 09:50:00"), 2.0), (9L, ts("2024-03-02 08:00:00"), 5.0))
       q.processAllAvailable()
-      val singles = spark.table("stream_sessions_ooo_test")
-        .filter(col("user_id") === 9L).collect()
-      assert(singles.length === 1)
-      assert(singles(0).getAs[Long]("n_events") === 1)
-      assert(singles(0).getAs[Double]("session_value") === 5.0)
-      // advance the watermark far past 10:00 + gap, then fire the timeout
+      assert(spark.table("stream_sessions_ooo_test")
+        .filter(col("user_id") === 9L).count() === 0)
+      // advance the watermark far past 10:00 + gap, then fire the timeout:
+      // BOTH intervals release — the 08:00 singleton and the merged session
       mem.addData((8L, ts("2024-03-03 12:00:00"), 0.0))
       q.processAllAvailable()
       mem.addData((7L, ts("2024-03-03 12:01:00"), 0.0))
       q.processAllAvailable()
+      val singles = spark.table("stream_sessions_ooo_test")
+        .filter(col("user_id") === 9L && col("n_events") === 1).collect()
+      assert(singles.length === 1)
+      assert(singles(0).getAs[Double]("session_value") === 5.0)
       val merged = spark.table("stream_sessions_ooo_test")
         .filter(col("user_id") === 9L && col("n_events") > 1).collect()
       assert(merged.length === 1)

@@ -15,18 +15,42 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `spark.sql.extensions=graft.GraftExtensions` in config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("doc_fingerprint"),
-      new ExpressionInfo(classOf[Fingerprint].getName, "doc_fingerprint"),
-      (children: Seq[Expression]) => Fingerprint(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("float_vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("max_multiplicity"),
-      new ExpressionInfo(classOf[MaxMultiplicity].getName, "max_multiplicity"),
-      (children: Seq[Expression]) => MaxMultiplicity(children.head)))
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, className, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(className, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  // arity check in the builder: `SELECT max_multiplicity()` must fail as
+  // a readable analysis error, not a NoSuchElementException on children.head
+  private def checked(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression = children => {
+    if (children.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> name, "expectedNum" -> n.toString,
+        "actualNum" -> children.length.toString, "docroot" -> "-"))
+    build(children)
   }
+
+  /** (name, impl class, arity-checked builder) — shared by the extension
+    * inject and [[registerAll]] so both SQL entry points get the checks. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("doc_fingerprint", classOf[Fingerprint].getName,
+      checked("doc_fingerprint", 1)(c => Fingerprint(c.head))),
+    ("float_vec_dot", classOf[FloatVecDot].getName,
+      checked("float_vec_dot", 2)(c => FloatVecDot(c.head, c(1)))),
+    ("max_multiplicity", classOf[MaxMultiplicity].getName,
+      checked("max_multiplicity", 1)(c => MaxMultiplicity(c.head))))
+
+  /** Runtime equivalent of the extension for an already-built session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

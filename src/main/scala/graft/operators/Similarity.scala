@@ -284,11 +284,22 @@ object Similarity {
     * separately by the recall spec; the GATE verifies the pipeline
     * mechanics are exact — same buckets, same candidates, same scores,
     * same ranks on both engines. */
+  /** The embedding width [[lshAnnOracle]]'s plane formula is generated
+    * for. The oracle SQL is built before any data is read, so it cannot
+    * derive the width itself; [[lshAnnFromDir]] asserts the data agrees. */
+  val LshOracleDim = 64
+
   def lshAnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
                     k: Int = 10, tables: Int = 4, bits: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    val dim = embeddingDim(e)
+    // fail HERE with the cause, not downstream as an opaque oracle hash
+    // mismatch: the gate's DuckDB twin hard-codes LshOracleDim planes
+    require(dim == LshOracleDim,
+      s"embeddings under $dir are $dim-wide but lshAnnOracle generates " +
+        s"$LshOracleDim-dim planes — regenerate the oracle with dim=$dim")
     lshKnnPlanes(e, e.filter(col("vec_id") < numQueries), k,
-      hashPlanes(embeddingDim(e), tables, bits))
+      hashPlanes(dim, tables, bits))
   }
 
   /** DuckDB twin of [[lshAnnFromDir]]: planes from the same md5 formula,
@@ -296,7 +307,7 @@ object Similarity {
     * to the Spark side's `aggregate(zip_with(...))`), buckets as ordered
     * sign-bit strings, candidate equi-join, exact cosine re-score. */
   def lshAnnOracle(numQueries: Int = 8, k: Int = 10, tables: Int = 4,
-                   bits: Int = 8, dim: Int = 64): String =
+                   bits: Int = 8, dim: Int = LshOracleDim): String =
     s"""WITH planes AS (
        |  SELECT t, b,
        |         list_transform(range(0, $dim), d ->

@@ -43,12 +43,13 @@ object SkewTools {
     * member set in one task. */
   def exactDistinctByKey(df: DataFrame, key: String, member: String,
                          resultName: String): DataFrame =
-    // NULL members are excluded, matching SQL COUNT(DISTINCT member) —
-    // without the filter a (key, NULL) pair survives the dedup and counts
+    // count(member) skips the NULL row a (key, NULL) pair leaves after the
+    // dedup — matching SQL COUNT(DISTINCT member) exactly, INCLUDING a key
+    // whose members are all NULL (it stays in the output with count 0; a
+    // pre-dedup isNotNull filter would drop that key entirely)
     df.select(col(key), col(member))
-      .filter(col(member).isNotNull)
       .distinct()
-      .groupBy(col(key)).agg(count(lit(1)).as(resultName))
+      .groupBy(col(key)).agg(count(col(member)).as(resultName))
 
   /** Gated query: distinct users per event type over the events table
     * (event_type has single-digit cardinality — exactly the hot-key shape

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.SkewTools
+import org.apache.spark.sql.functions._
+
+/** Round-6 behaviors: watermark-exact streaming session release, the
+  * MemoryStream-replay gate's parity with the batch twin, and the round's
+  * advice fixes (all-NULL distinct keys, SQL arity errors). */
+class Round6Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------- watermark-exact streaming session release
+
+  test("streaming sessions: an interval is held until the watermark passes last+gap, " +
+    "so a later-batch event still merges into it") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.SessionEvent
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "6 hours").as[SessionEvent]
+    val out = EventStreams.sessionizeStreaming(events, gapMinutes = 30)
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName("r6_hold_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      mem.addData((31L, ts("2024-04-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // a SECOND interval for the same user, 2 h later: pre-round-6 the
+      // 10:00 interval (now non-latest) was emitted immediately; now it is
+      // held — the watermark (04:00… from batch 1) has not passed 10:30
+      mem.addData((31L, ts("2024-04-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("r6_hold_test").filter(col("user_id") === 31L).count() === 0)
+      // a watermark-admitted out-of-order event that belongs to the HELD
+      // 10:00 interval: merges instead of starting a fresh session
+      mem.addData((31L, ts("2024-04-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData((32L, ts("2024-04-02 12:00:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      mem.addData((33L, ts("2024-04-02 12:01:00"), 0.0)) // fire the timeouts
+      q.processAllAvailable()
+      val got = spark.table("r6_hold_test").filter(col("user_id") === 31L)
+        .orderBy(col("session_start")).collect()
+      assert(got.length === 2)
+      assert(got(0).getAs[Long]("n_events") === 2) // 10:00 + 10:20 merged
+      assert(got(0).getAs[java.sql.Timestamp]("session_end") === ts("2024-04-01 10:20:00"))
+      assert(got(0).getAs[Double]("session_value") === 3.0)
+      assert(got(1).getAs[Long]("n_events") === 1) // 12:00 untouched
+    } finally q.stop()
+  }
+
+  test("sessions_streaming gate == batch sessions on sf0.001") {
+    val streamed = graft.streaming.EventStreams
+      .sessionsStreamingFromDir(spark, sf, nBatches = 5)
+    val batch = graft.streaming.EventStreams.sessionsFromDir(spark, sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
+  // --------------------------------------------- advice fixes, round 6
+
+  test("exactDistinctByKey keeps a key whose members are all NULL (count 0)") {
+    val df = Seq(
+      ("a", Some(1L)), ("a", Some(1L)), ("a", Some(2L)), ("a", None),
+      ("b", None), ("b", None) // all-NULL key: SQL GROUP BY returns it with 0
+    ).toDF("k", "m")
+    val got = SkewTools.exactDistinctByKey(df, "k", "m", "n")
+      .orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 2L), ("b", 0L)))
+  }
+
+  test("zero-arg custom SQL functions raise a readable arity error") {
+    val s2 = spark.newSession()
+    GraftExtensions.registerAll(s2)
+    // right arity still works through the shared checked builders
+    assert(s2.sql("SELECT max_multiplicity(array('a','b','a'))")
+      .collect()(0).getLong(0) === 2L)
+    Seq("max_multiplicity()", "doc_fingerprint()", "float_vec_dot(array(1.0F))")
+      .foreach { call =>
+        val e = intercept[org.apache.spark.sql.AnalysisException] {
+          s2.sql(s"SELECT $call").collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("parameter"),
+          s"$call: expected a wrong-arg-count analysis error, got: ${e.getMessage}")
+      }
+  }
+}

@@ -25,16 +25,22 @@ object Pipeline {
 
   def run(spark: SparkSession, rawDir: String, storeDir: String, outDir: String,
           runDate: java.time.LocalDate,
-          master: Map[String, DataFrame]): RunSummary = {
+          master: Map[String, DataFrame],
+          taskRetries: Int = 2,
+          retryDelayMs: Long = 5L * 60 * 1000,
+          retrySleep: Long => Unit = Thread.sleep): RunSummary = {
     val ddMMyyyy = runDate.format(java.time.format.DateTimeFormatter.ofPattern("dd-MM-yyyy"))
-    // S9: every stage below runs as a logged task — one success JSON per
-    // stage under logs/tasks/<date>/, one exception JSON (full traceback,
-    // then rethrow) under logs/exceptions/<date>/ on failure, mirroring the
-    // reference's per-task log_task_execution/log_exception wrappers
+    // S9: every stage below runs as a logged, RETRIED task — one success
+    // JSON per stage under logs/tasks/<date>/, one exception JSON (full
+    // traceback, then rethrow) under logs/exceptions/<date>/ per failing
+    // attempt, one attempts/<date>/<task>/attempt=N.log line per attempt —
+    // mirroring the reference's log_task_execution/log_exception wrappers
+    // and its DAG-level retries=2 / 5-minute retry_delay defaults
     val logsDir = s"$outDir/logs"
     def task[T](name: String, details: T => Map[String, String] = (_: T) => Map.empty[String, String])
                (body: => T): T =
-      TaskLog.timed(logsDir, name, ddMMyyyy, details)(body)
+      TaskLog.timedWithRetry(logsDir, name, ddMMyyyy, taskRetries, retryDelayMs,
+        details, retrySleep)(body)
     // caches registered as created, released in the finally below — a
     // failing stage (whose exception TaskLog rethrows by design) must not
     // leak cached blocks into a long-lived session that catches and retries

@@ -113,4 +113,53 @@ object TaskLog {
         throw e
     }
   }
+
+  /** Bounded task retry — the reference DAG's default_args
+    * (dags/pipeline.py:806-811: `retries: 2, retry_delay: 5 minutes`), so a
+    * task runs at most `retries + 1` times. Each attempt runs under
+    * [[timed]] (its own success/exception JSON) and appends one line to
+    * `attempts/<date>/<task>/attempt=N.log`, mirroring Airflow's
+    * per-attempt `attempt=N.log` files; a failing non-final attempt waits
+    * `retryDelayMs` and re-runs, the final failure rethrows. `sleep` is
+    * injectable so specs exercise three attempts without the 5-minute
+    * waits. Attempt-log writes are guarded like every other log write —
+    * a broken log directory must not fail or extra-retry the task. */
+  def timedWithRetry[T](logsDir: String, task: String, executionDate: String,
+                        retries: Int = 2, retryDelayMs: Long = 5L * 60 * 1000,
+                        details: T => Map[String, String] = (_: T) => Map.empty[String, String],
+                        sleep: Long => Unit = Thread.sleep)
+                       (body: => T): T = {
+    val attempts = retries + 1
+    def attemptLog(n: Int, status: String): Unit = {
+      val dir = Paths.get(logsDir, "attempts", executionDate, task)
+      try {
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve(s"attempt=$n.log"),
+          s"[${tsFormat.format(java.time.Instant.now())}] task=$task " +
+            s"attempt=$n/$attempts status=$status\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[tasklog] failed to write attempt log: $e")
+      }
+    }
+    def go(n: Int): T = {
+      attemptLog(n, "start")
+      try {
+        val out = timed(logsDir, task, executionDate, details)(body)
+        attemptLog(n, "success")
+        out
+      } catch {
+        case e: Throwable if n < attempts =>
+          attemptLog(n, s"failed_retrying error=${e.getClass.getName}")
+          sleep(retryDelayMs)
+          go(n + 1)
+        case e: Throwable =>
+          attemptLog(n, s"failed_final error=${e.getClass.getName}")
+          throw e
+      }
+    }
+    go(1)
+  }
 }

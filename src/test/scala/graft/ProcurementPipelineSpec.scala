@@ -57,9 +57,18 @@ class ProcurementPipelineSpec extends SparkSpec {
   test("S9 exception log: a failed stage writes error type + traceback, then rethrows") {
     val t3 = Files.createTempDirectory("graft_fail").toString
     // no raw inputs at all → the load_orders task fails at read time
+    // (all three attempts — no-op sleep skips the 5-minute retry delays)
     intercept[Exception] {
-      Pipeline.run(spark, s"$t3/raw", s"$t3/store", s"$t3/out", runDate, master)
+      Pipeline.run(spark, s"$t3/raw", s"$t3/store", s"$t3/out", runDate, master,
+        retrySleep = _ => ())
     }
+    // reference-parity retry trail: attempt=1..3 log files, final failure
+    val attemptDir = new java.io.File(s"$t3/out/logs/attempts/14-01-2026/load_orders")
+    assert(attemptDir.isDirectory)
+    assert(attemptDir.listFiles().map(_.getName).sorted.toSeq ===
+      Seq("attempt=1.log", "attempt=2.log", "attempt=3.log"))
+    assert(Files.readString(attemptDir.toPath.resolve("attempt=3.log"))
+      .contains("failed_final"))
     val exDir = new java.io.File(s"$t3/out/logs/exceptions/14-01-2026")
     assert(exDir.isDirectory, "exceptions log directory must exist")
     val files = exDir.listFiles()

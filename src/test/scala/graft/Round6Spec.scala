@@ -73,6 +73,49 @@ class Round6Spec extends SparkSpec {
       Seq(("a", 2L), ("b", 0L)))
   }
 
+  // --------------------------------------------- task retry (reference
+  // dags/pipeline.py:806-811: retries=2, retry_delay=5 minutes)
+
+  test("task retry: fail once then succeed yields two attempt logs and a success") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    var calls = 0
+    var slept = 0L
+    val out = graft.procurement.TaskLog.timedWithRetry[String](
+      dir, "flaky", "01-02-2026", retries = 2, retryDelayMs = 300000L,
+      sleep = ms => slept += ms) {
+      calls += 1
+      if (calls == 1) sys.error("transient") else "ok"
+    }
+    assert(out === "ok")
+    assert(calls === 2)
+    assert(slept === 300000L) // one delay between the two attempts
+    val attempts = new java.io.File(s"$dir/attempts/01-02-2026/flaky")
+    assert(attempts.listFiles().map(_.getName).sorted.toSeq ===
+      Seq("attempt=1.log", "attempt=2.log"))
+    val a1 = java.nio.file.Files.readString(attempts.toPath.resolve("attempt=1.log"))
+    assert(a1.contains("status=start") && a1.contains("failed_retrying"))
+    val a2 = java.nio.file.Files.readString(attempts.toPath.resolve("attempt=2.log"))
+    assert(a2.contains("status=success"))
+    // per-attempt JSON trail: one exception record, one success record
+    assert(new java.io.File(s"$dir/exceptions/01-02-2026").listFiles().length === 1)
+    assert(new java.io.File(s"$dir/tasks/01-02-2026").listFiles().length === 1)
+  }
+
+  test("task retry: three failures exhaust the attempts and rethrow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retry3").toString
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      graft.procurement.TaskLog.timedWithRetry[Unit](
+        dir, "doomed", "01-02-2026", retries = 2, retryDelayMs = 1L,
+        sleep = _ => ()) { calls += 1; sys.error(s"boom $calls") }
+    }
+    assert(e.getMessage === "boom 3") // the FINAL attempt's failure surfaces
+    assert(calls === 3)
+    assert(new java.io.File(s"$dir/attempts/01-02-2026/doomed")
+      .listFiles().length === 3)
+    assert(new java.io.File(s"$dir/exceptions/01-02-2026").listFiles().length === 3)
+  }
+
   test("zero-arg custom SQL functions raise a readable arity error") {
     val s2 = spark.newSession()
     GraftExtensions.registerAll(s2)

@@ -68,7 +68,10 @@ object SparkEntry {
     // the STREAMING engine under the batch oracle: MemoryStream replay →
     // flatMapGroupsWithState sessions → must hash-match sessionsOracle
     "sessions_streaming" -> tuned(
-      graft.streaming.EventStreams.sessionsStreamingFromDir(_, _))
+      graft.streaming.EventStreams.sessionsStreamingFromDir(_, _)),
+    // incremental dedup: delta vs persisted signature index must equal the
+    // full-corpus LSH on the union, restricted to pairs touching the delta
+    "dedup_delta_lsh" -> tuned(DedupIndex.deltaFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -113,6 +116,7 @@ object SparkEntry {
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
-    "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle()
+    "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
+    "dedup_delta_lsh" -> DedupIndex.deltaOracle()
   )
 }

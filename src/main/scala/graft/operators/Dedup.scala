@@ -220,8 +220,11 @@ object Dedup {
     * collisions, an engine-neutral join key for the oracle, and at ~32
     * bytes still a narrow shuffle key. (The p = 2³¹−1 exact-Long argument
     * for the signature math lives in [[graft.functions.MinHashAll]].) */
-  def minhashLshCandidatesArr(signatures: DataFrame, numHashes: Int,
-                              bands: Int): DataFrame = {
+  /** The banded form of an array-signature table: one row per (doc, band)
+    * carrying that band's signature slice as the bucket key — the row
+    * layout the LSH self-join buckets on, and the layout the persistent
+    * signature index ([[DedupIndex]]) stores. */
+  def bandedSignatures(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     // fail FAST on a signature/width mismatch: slicing past a too-short
@@ -236,9 +239,14 @@ object Dedup {
       struct(lit(b).as("band"),
         slice(sig, b * rows + 1, rows).as("bucket"))
     }
-    val banded = signatures
+    signatures
       .select(col("doc_id"), explode(array(bandExprs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashLshCandidatesArr(signatures: DataFrame, numHashes: Int,
+                              bands: Int): DataFrame = {
+    val banded = bandedSignatures(signatures, numHashes, bands)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
     l.join(r, Seq("band", "bucket"))
@@ -305,7 +313,8 @@ object Dedup {
     * exact Jaccard. Every intermediate is integer math; the one double
     * (jaccard) is a single int/int division — bit-exact on both engines. */
   def minhashLshOracle(n: Int = 5, numHashes: Int = 64, bands: Int = 16,
-                       threshold: Double = 0.5, seed: Long = 42L): String = {
+                       threshold: Double = 0.5, seed: Long = 42L,
+                       pairFilter: Option[String] = None): String = {
     val p = 2147483647L
     val params = hashParams(numHashes, seed)
     val rows = numHashes / bands
@@ -340,6 +349,7 @@ object Dedup {
        |JOIN hcard ca ON i.id1 = ca.doc_id
        |JOIN hcard cb ON i.id2 = cb.doc_id
        |WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) >= $threshold
+       |${pairFilter.map(f => s"  AND ($f)").getOrElse("")}
        |ORDER BY id1, id2""".stripMargin
   }
 

@@ -60,6 +60,56 @@ class Round6Spec extends SparkSpec {
     assert(batch.except(streamed).count() === 0)
   }
 
+  // ------------------------------------ incremental dedup vs signature index
+
+  test("dedupDelta against a persisted index == full-corpus LSH on the union " +
+    "(and never touches the old corpus's text)") {
+    import graft.operators.{Dedup, DedupIndex}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % DedupIndex.DeltaMod =!= 0)
+    val delta = docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    DedupIndex.write(old, idx)
+    // the delta run's only inputs: the DELTA docs and the index store —
+    // the old corpus is not even an argument, so "old text never re-read"
+    // holds by construction; equivalence below proves the index suffices
+    val got = DedupIndex.dedupDelta(spark, idx, delta)
+    val expected = Dedup.minhashLsh(docs)
+      .filter(col("id1") % DedupIndex.DeltaMod === 0 ||
+        col("id2") % DedupIndex.DeltaMod === 0)
+    try {
+      assert(got.exceptAll(expected).count() === 0)
+      assert(expected.exceptAll(got).count() === 0)
+      assert(got.count() > 0, "split must straddle some planted near-dup pairs")
+      // the verification side reads the index stores, candidate-bounded
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains(s"$idx/bands") && plan.contains(s"$idx/shingles"))
+      // band-partitioned store: a single-band probe prunes the scan
+      val probe = spark.read.parquet(s"$idx/bands").filter(col("band") === 0)
+      val probePlan = probe.queryExecution.executedPlan.toString
+      assert(probePlan.contains("PartitionFilters") && probePlan.contains("band"))
+    } finally Dedup.releasePinned(spark)
+  }
+
+  test("index append: write(old) + append(delta) holds the same rows as write(union)") {
+    import graft.operators.DedupIndex
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    val a = java.nio.file.Files.createTempDirectory("graft_idx_a").toString
+    val b = java.nio.file.Files.createTempDirectory("graft_idx_b").toString
+    DedupIndex.write(old, a)
+    DedupIndex.append(delta, a)
+    DedupIndex.write(docs, b)
+    val ba = spark.read.parquet(s"$a/bands")
+    val bb = spark.read.parquet(s"$b/bands")
+    assert(ba.count() === bb.count())
+    assert(ba.exceptAll(bb).count() === 0)
+    assert(DedupIndex.readMeta(a) === DedupIndex.readMeta(b))
+  }
+
   // --------------------------------------------- advice fixes, round 6
 
   test("exactDistinctByKey keeps a key whose members are all NULL (count 0)") {

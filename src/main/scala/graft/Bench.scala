@@ -7,6 +7,21 @@ object Bench {
     val spark = GraftSession.builder("graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Settle the JVM between measurements so one query's residue doesn't
+    // tax the next one's number. Round 6 proved this matters: the six
+    // queries alphabetically before dedup_delta_lsh read 1.7–2.7× slower
+    // in-suite than in isolation — residual state-store providers +
+    // maintenance thread from the streaming replays and heap pressure from
+    // the index build, not plan regressions. The settle is OUTSIDE the
+    // timed window.
+    def settle(): Unit = {
+      graft.operators.Dedup.releasePinned(spark) // pinned persisted stages
+      org.apache.spark.sql.graftshim.GraftShims.stopStateStores()
+      spark.catalog.clearCache()
+      System.gc()
+      Thread.sleep(200)
+    }
+
     // a failed query reports -1.0 and is excluded from the total; it is
     // also listed under "failed" and fails the process — wall time of a
     // partial query set must not read as a valid (smaller!) measurement
@@ -23,11 +38,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
-      } finally {
-        // free the dedup family's pinned (persisted) stages so one query's
-        // cached blocks don't occupy memory during the next measurement
-        graft.operators.Dedup.releasePinned(spark)
-      }
+      } finally settle()
     }
 
     // SPARK_GRAFT_ONLY=q1_agg_orders,sessions narrows the run for local
@@ -47,7 +58,40 @@ object Bench {
     // measured pass reflects steady-state throughput (set
     // SPARK_GRAFT_WARMUP=0 for cold numbers)
     (1 to warmups).foreach(_ => names.foreach(once))
-    val results = names.map(n => n -> once(n))
+    val results0 = names.map(n => n -> once(n))
+
+    // dedup_delta_lsh's index build is memoized per JVM (DedupIndex.
+    // buildIndexFor), so with a warmup pass the measured entry above times
+    // the DELTA PATH alone — the number that shows the incremental index
+    // earning its keep (round 6 bundled a 30 s build into it, hiding the
+    // delta cost entirely). The one-time build is measured HERE as its own
+    // phase against a fresh directory, so both costs stay visible. (With
+    // SPARK_GRAFT_WARMUP=0 the delta entry is cold and includes the
+    // memoized build — an honest cold number.)
+    val results =
+      if (!names.contains("dedup_delta_lsh")) results0
+      else {
+        val t0 = System.nanoTime()
+        val buildT =
+          try {
+            val tmp = java.nio.file.Files.createTempDirectory("graft_bench_idx")
+            try {
+              graft.operators.DedupIndex.write(
+                graft.sources.Tables.documents(spark, sfDir)
+                  .filter(org.apache.spark.sql.functions.col("doc_id")
+                    % graft.operators.DedupIndex.DeltaMod =!= 0),
+                tmp.toString)
+              (System.nanoTime() - t0) / 1e9
+            } finally {
+              java.nio.file.Files.walk(tmp)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => java.nio.file.Files.deleteIfExists(p))
+            }
+          } catch {
+            case e: Throwable => System.err.println(s"[bench] dedup_index_build: $e"); -1.0
+          } finally settle()
+        results0 :+ ("dedup_index_build" -> buildT)
+      }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -9,10 +9,18 @@ object Verify {
     val spark = GraftSession.builder("graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // SPARK_GRAFT_ONLY narrows local iteration, same contract as Bench;
-    // the driver never sets it, so round verifies stay complete
+    // SPARK_GRAFT_ONLY narrows local iteration, same contract as Bench —
+    // including Bench's guards: an empty or typo'd filter must abort, not
+    // silently verify ZERO queries while still writing oracle_sql.json.
+    // The driver never sets it, so round verifies stay complete.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      require(o.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -40,9 +40,21 @@ object TaskLog {
   private def detailsJson(details: Map[String, String]): String =
     obj(details.toSeq.sortBy(_._1).map { case (k, v) => k -> str(v) })
 
-  private def write(dir: Path, name: String, json: String): Path = {
+  /** Create-new write with a sequence uniquifier: two attempts landing in
+    * the same millisecond get `<base>.json` and `<base>_2.json` instead of
+    * the second truncate-overwriting (and silently losing) the first — an
+    * attempt record is evidence, never clobberable. `base` excludes the
+    * `.json` suffix. */
+  private def write(dir: Path, base: String, json: String): Path = {
     Files.createDirectories(dir)
-    Files.writeString(dir.resolve(name), json + "\n")
+    var seq = 1
+    while (true) {
+      val name = if (seq == 1) s"$base.json" else s"${base}_$seq.json"
+      try return Files.writeString(dir.resolve(name), json + "\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => seq += 1 }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** One success/status record: `tasks/<date>/<task>_<ts>.json`. Never
@@ -52,7 +64,7 @@ object TaskLog {
   def logTask(logsDir: String, task: String, executionDate: String,
               status: String, details: Map[String, String] = Map.empty): Option[Path] = {
     val ts = tsFormat.format(java.time.Instant.now())
-    try Some(write(Paths.get(logsDir, "tasks", executionDate), s"${task}_$ts.json",
+    try Some(write(Paths.get(logsDir, "tasks", executionDate), s"${task}_$ts",
       obj(Seq(
         "task_name" -> str(task),
         "timestamp" -> str(ts),
@@ -74,7 +86,7 @@ object TaskLog {
     val ts = tsFormat.format(java.time.Instant.now())
     val sw = new java.io.StringWriter()
     e.printStackTrace(new java.io.PrintWriter(sw))
-    try Some(write(Paths.get(logsDir, "exceptions", executionDate), s"${task}_$ts.json",
+    try Some(write(Paths.get(logsDir, "exceptions", executionDate), s"${task}_$ts",
       obj(Seq(
         "task_name" -> str(task),
         "timestamp" -> str(ts),
@@ -151,7 +163,11 @@ object TaskLog {
         attemptLog(n, "success")
         out
       } catch {
-        case e: Throwable if n < attempts =>
+        // retry ONLY recoverable failures: a fatal error (OutOfMemoryError,
+        // LinkageError) or an interrupt must propagate immediately — re-running
+        // an OOM'd task twice with 5-minute sleeps helps nobody, and
+        // swallowing an interrupt into a retry cycle breaks cancellation
+        case e: Throwable if n < attempts && scala.util.control.NonFatal(e) =>
           attemptLog(n, s"failed_retrying error=${e.getClass.getName}")
           sleep(retryDelayMs)
           go(n + 1)

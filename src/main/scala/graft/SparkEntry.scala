@@ -65,6 +65,9 @@ object SparkEntry {
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
+    // redaction over deterministically-planted PII (the raw corpus has
+    // none — a pass-through redactor must FAIL this hash, see redactFromDir)
+    "text_redact" -> tuned(TextAnalysis.redactFromDir),
     // the STREAMING engine under the batch oracle: MemoryStream replay →
     // flatMapGroupsWithState sessions → must hash-match sessionsOracle
     "sessions_streaming" -> tuned(
@@ -116,6 +119,7 @@ object SparkEntry {
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
+    "text_redact" -> TextAnalysis.redactOracle,
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
     "dedup_delta_lsh" -> DedupIndex.deltaOracle()
   )

@@ -252,6 +252,71 @@ object TextAnalysis {
   def normalizeFromDir(spark: SparkSession, dir: String): DataFrame =
     normalize(Tables.documents(spark, dir))
 
+  // --------------------------------------------------------- PII redaction
+
+  /** PII/link redaction — the span-REPLACEMENT counterpart of
+    * [[normalize]]'s counts: emails then URLs are rewritten to sentinel
+    * tokens in that fixed order (order matters when spans nest — an email
+    * inside a URL path is redacted first, then the surrounding URL; both
+    * engines apply the identical sequence, so the composition is
+    * deterministic). Patterns are the same single-sourced RE2-safe
+    * definitions the counts use — the redactor and the counter can never
+    * disagree about what PII is. One codegen'd pass, zero shuffles: the
+    * 100 TB form of a pre-release privacy scrub. */
+  def redact(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+      UrlPattern, "<URL>")
+    docs.select(
+      col("doc_id"),
+      redacted.as("redacted_text"),
+      length(redacted).cast("long").as("redacted_chars"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(UrlPattern)).cast("long").as("n_urls"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated redaction query. The test corpus contains zero emails/URLs
+    * (checked against the raw parquet), so redacting it directly would
+    * gate nothing — a broken redactor that returns its input verbatim
+    * would still hash-match. The gate therefore PLANTS deterministic PII
+    * first — every 3rd doc an email, every 4th a URL, values derived from
+    * doc_id by the same concat on both engines — and redacts the result:
+    * now a pass-through, a wrong span boundary, or a wrong replacement
+    * order each produce a different hash. */
+  def redactFromDir(spark: SparkSession, dir: String): DataFrame =
+    redact(Tables.documents(spark, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        concat(lit(" see https://cdn.example.org/doc/"),
+          col("doc_id").cast("string"), lit("?ref=x"))).otherwise(lit("")))
+      .as("text")))
+
+  val redactOracle: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 4 = 0
+       |            THEN ' see https://cdn.example.org/doc/' || CAST(doc_id AS VARCHAR) || '?ref=x'
+       |            ELSE '' END AS text
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id,
+       |         regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
+       |                        '$UrlPattern', '<URL>', 'g') AS redacted_text,
+       |         len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+       |         len(regexp_extract_all(text, '$UrlPattern')) AS n_urls
+       |  FROM p
+       |)
+       |SELECT doc_id, redacted_text, LENGTH(redacted_text) AS redacted_chars,
+       |       n_emails, n_urls
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------ BPE-ish token counts
 
   /** GPT-2-style pre-tokenizer segments, simplified to be RE2-safe (the

@@ -65,6 +65,9 @@ object SparkEntry {
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
+    // REAL BPE: pre-tokenizer segments merged through the checked-in rank
+    // table (boundary-anchored sweep == min-rank encode, see BpeMerge)
+    "text_bpe_merged" -> tuned(TextAnalysis.bpeMergedFromDir),
     // redaction over deterministically-planted PII (the raw corpus has
     // none — a pass-through redactor must FAIL this hash, see redactFromDir)
     "text_redact" -> tuned(TextAnalysis.redactFromDir),
@@ -119,6 +122,7 @@ object SparkEntry {
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
+    "text_bpe_merged" -> TextAnalysis.bpeMergedOracle,
     "text_redact" -> TextAnalysis.redactOracle,
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
     "dedup_delta_lsh" -> DedupIndex.deltaOracle()

@@ -16,23 +16,37 @@ import org.apache.spark.unsafe.types.UTF8String
   *   1. segments = all matches of [[Pattern]] (the RE2-safe GPT-2-style
   *      pre-tokenizer, leftmost-first greedy — proven identical Java/RE2).
   *   2. per segment: drop any literal U+001F (the internal separator must
-  *      not be data), then join the CODE POINTS with a trailing separator
-  *      after each: "the" → "t␟h␟e␟".
-  *   3. for each merge (a,b) in rank order: textual replace of "a␟b␟" with
-  *      "ab␟" — all occurrences, left-to-right non-overlapping (Java
+  *      not be data), then WRAP each code point in separators:
+  *      "the" → "␟t␟␟h␟␟e␟" — every token is `␟tok␟`, tokens abut as `␟␟`.
+  *   3. for each merge (a,b) in rank order: textual replace of "␟a␟␟b␟"
+  *      with "␟ab␟" — all occurrences, left-to-right non-overlapping (Java
   *      `String.replace` == DuckDB `replace`).
-  *   4. merged token count = number of separators left.
+  *   4. merged token count = (number of separators) / 2.
+  *
+  * Why the DOUBLE-separator wrap (and not a bare trailing separator): the
+  * search key must be anchored on BOTH token boundaries. Every token is
+  * exactly `␟tok␟` with no separator inside `tok`, so "␟a␟␟b␟" can only
+  * match two complete adjacent tokens equal to a and b — never a SUFFIX of
+  * a longer token (with trailing-only separators, "e␟d␟" would match inside
+  * "re␟d␟" and wrongly fuse [re,d] into one token). And because adjacent
+  * keys share no characters (`␟a␟␟b␟` ends where `␟b␟␟c␟` begins only at a
+  * fresh `␟`), one non-overlapping left-to-right pass replaces EVERY
+  * disjoint occurrence — including back-to-back pairs like "a b a b".
   *
   * Equivalence with the classic min-rank BPE encode loop ("repeatedly merge
-  * the lowest-rank pair present"): [[Merges]] is TOPOLOGICALLY ordered —
-  * every multi-character element is the output of an earlier merge (checked
-  * at class-init). Applying merge r can therefore only CREATE pairs whose
-  * merge rank is > r (a pair containing r's output can only have been
-  * learned after r existed), so the minimum applicable rank never decreases
-  * over the encode — which makes one sequential rank-order sweep with
-  * global replace exactly the min-rank fixpoint. Any genuinely learned
-  * merge list has this property; ours is hand-distilled from common English
-  * bigram statistics in GPT-2-merge style (space-prefixed word starts).
+  * the lowest-rank adjacent pair, leftmost first"): [[Merges]] is
+  * TOPOLOGICALLY ordered — every multi-character element is the output of
+  * an earlier merge (checked at class-init). A rank-r replacement creates
+  * only pairs containing r's output token, whose merge rank (if any) is
+  * > r; and a single left-to-right pass leaves no rank-r pair behind (a
+  * surviving adjacent (a,b) would have been matched when the scan reached
+  * it, unless one side was consumed — in which case that side is no longer
+  * the token a or b). So the minimum applicable rank never decreases, and
+  * one sequential rank-order sweep equals the min-rank fixpoint. Verified
+  * in Round8Spec against an independent one-merge-at-a-time min-rank
+  * encoder, including the "red" suffix counterexample. Ours is
+  * hand-distilled from common English bigram statistics in GPT-2-merge
+  * style (space-prefixed word starts).
   *
   * The expression is a native Catalyst `Expression` with `doGenCode` making
   * ONE static call per row ([[MaxMultiplicity]] mold) — stays inside
@@ -133,11 +147,13 @@ object BpeMerge {
     }
   }
 
-  // precomputed literal search/replacement pairs for the sweep
+  // precomputed literal search/replacement pairs for the sweep — both
+  // boundary-anchored: a token is exactly ␟tok␟, so ␟a␟␟b␟ matches only
+  // two complete adjacent tokens (never a suffix of a longer token)
   private val searches: Array[String] =
-    Merges.map { case (a, b) => a + Sep + b + Sep }.toArray
+    Merges.map { case (a, b) => s"$Sep$a$Sep$Sep$b$Sep" }.toArray
   private val repls: Array[String] =
-    Merges.map { case (a, b) => a + b + Sep }.toArray
+    Merges.map { case (a, b) => s"$Sep$a$b$Sep" }.toArray
 
   private val Pretok: java.util.regex.Pattern =
     java.util.regex.Pattern.compile(Pattern)
@@ -146,10 +162,11 @@ object BpeMerge {
   private def segTokens(seg0: String): Long = {
     val seg = seg0.replace(SepStr, "")
     if (seg.isEmpty) return 0L
-    val sb = new java.lang.StringBuilder(seg.length * 2)
+    val sb = new java.lang.StringBuilder(seg.length * 3)
     var i = 0
     while (i < seg.length) {
       val cp = seg.codePointAt(i)
+      sb.append(Sep)
       sb.appendCodePoint(cp)
       sb.append(Sep)
       i += Character.charCount(cp)
@@ -166,7 +183,7 @@ object BpeMerge {
       if (s.charAt(j) == Sep) cnt += 1
       j += 1
     }
-    cnt
+    cnt / 2
   }
 
   /** Called once per row from generated code. */
@@ -187,17 +204,22 @@ object BpeMerge {
 
   /** DuckDB expression computing [[segTokens]] for a lambda-bound segment
     * variable `seg`: codepoints via `regexp_extract_all(seg2, '(?s).')`
-    * (RE2 '.', one rune — matches the Scala side's codePointAt walk),
-    * joined with `chr(31)` trailing separators, swept by the same literal
-    * replace chain, separators counted by length difference. */
+    * (RE2 '.', one rune — matches the Scala side's codePointAt walk), each
+    * wrapped `␟cp␟` (join with `chr(31)` doubled between, single at the
+    * ends), swept by the same boundary-anchored replace chain, separators
+    * counted by length difference, halved. DuckDB `replace` is the same
+    * left-to-right non-overlapping scan as Java `String.replace`. */
   def segTokensSql(segVar: String): String = {
     val S = "chr(31)"
     val seg2 = s"replace($segVar, $S, '')"
-    val joined = s"array_to_string(regexp_extract_all($seg2, '(?s).'), $S) || $S"
+    val joined =
+      s"$S || array_to_string(regexp_extract_all($seg2, '(?s).'), $S || $S) || $S"
     val swept = Merges.foldLeft(joined) { case (acc, (a, b)) =>
-      s"replace($acc, ${sqlLit(a)} || $S || ${sqlLit(b)} || $S, ${sqlLit(a + b)} || $S)"
+      s"replace($acc, $S || ${sqlLit(a)} || $S || $S || ${sqlLit(b)} || $S, " +
+        s"$S || ${sqlLit(a + b)} || $S)"
     }
-    // empty segment (a pure-U+001F run): joined would read '␟' = 1 token
-    s"CASE WHEN $seg2 = '' THEN 0 ELSE length($swept) - length(replace($swept, $S, '')) END"
+    // empty segment (a pure-U+001F run): joined would read '␟␟' = 1 token
+    s"CASE WHEN $seg2 = '' THEN 0 ELSE " +
+      s"(length($swept) - length(replace($swept, $S, ''))) // 2 END"
   }
 }

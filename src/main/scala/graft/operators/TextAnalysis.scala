@@ -319,20 +319,12 @@ object TextAnalysis {
 
   // ------------------------------------------------ BPE-ish token counts
 
-  /** GPT-2-style pre-tokenizer segments, simplified to be RE2-safe (the
-    * original's `\s+(?!\S)` lookahead and contraction alternatives are
-    * PCRE-only; this keeps the segment classes — optionally-space-prefixed
-    * letter runs, digit runs, punctuation runs, residual whitespace — with
-    * identical Java-regex/RE2 leftmost-first greedy semantics).
-    *
-    * Whitespace is the EXPLICIT class `[\t\n\f\r ]`, not `\s`: Java's `\s`
-    * includes U+000B (vertical tab) while RE2's does not, so a VT next to
-    * punctuation would segment differently per engine and fail the hash
-    * gate. One definition, interpolated into the oracle SQL below — the
-    * two sides cannot drift. */
-  private val BpeWs = "[\\t\\n\\f\\r ]"
-  private val BpePattern =
-    s" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\t\\n\\f\\r \\p{L}\\p{N}]+|$BpeWs+"
+  /** The RE2-safe GPT-2-style pre-tokenizer — SINGLE-SOURCED from
+    * [[graft.functions.BpeMerge.Pattern]] so the segment-count gate, the
+    * merge counter, and all DuckDB oracles interpolate one definition (see
+    * BpeMerge's scaladoc for why it is explicit-whitespace and
+    * lookahead-free). */
+  private val BpePattern = graft.functions.BpeMerge.Pattern
 
   /** BPE-ish token counting — the pre-tokenizer segment count a byte-pair
     * tokenizer's cost model starts from, next to [[tokenStats]]'s
@@ -363,6 +355,59 @@ object TextAnalysis {
 
   def bpeTokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
     bpeTokenStats(Tables.documents(spark, dir))
+
+  /** REAL BPE token counts — pre-tokenizer segments run through the
+    * checked-in merge table ([[graft.functions.BpeMerge]]), next to the
+    * segment count so the two cost models are comparable per doc (every
+    * segment is >=1 merged token, so `merged_tokens >= bpe_segments`).
+    * `chars_per_merged_token` is the honest compression rate a token-budget
+    * decision should use.
+    *
+    * Plan shape: one codegen'd pass over the scan (BpeMergeTokens makes a
+    * single static call per row), zero shuffles, global sort at the
+    * surface only. The merge count is bound to an attribute behind its own
+    * projection so the `when` guard and the ratio reference ONE evaluation
+    * (round-5 finding: multi-referenced non-cheap expression trees
+    * re-evaluate per reference). */
+  def bpeMergedStats(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("bpe_segments"),
+        graft.functions.BpeMerge.bpeMergeTokens(col("text")).as("merged_tokens"))
+      .select(
+        col("doc_id"), col("chars"), col("bpe_segments"), col("merged_tokens"),
+        when(col("merged_tokens") > 0, graft.functions.StableRound.stableRound(
+          col("chars").cast("double") / col("merged_tokens"), 6))
+          .as("chars_per_merged_token"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB twin: same pre-tokenizer, same boundary-anchored replace sweep
+    * per segment ([[graft.functions.BpeMerge.segTokensSql]]), summed per
+    * doc. CASTs kill HUGEINT (driver hash is dtype-sensitive). */
+  val bpeMergedOracle: String = {
+    val pat = graft.functions.BpeMerge.Pattern
+    val perSeg = graft.functions.BpeMerge.segTokensSql("s")
+    s"""WITH seg AS (
+       |  SELECT doc_id, LENGTH(text) AS chars,
+       |         regexp_extract_all(text, '$pat') AS segs
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, chars,
+       |         CAST(len(segs) AS BIGINT) AS bpe_segments,
+       |         CAST(COALESCE(list_sum(list_transform(segs, s -> $perSeg)), 0)
+       |              AS BIGINT) AS merged_tokens
+       |  FROM seg
+       |)
+       |SELECT doc_id, chars, bpe_segments, merged_tokens,
+       |       CASE WHEN merged_tokens > 0 THEN
+       |         FLOOR(CAST(chars AS DOUBLE) / merged_tokens * 1e6 + 0.5) / 1e6
+       |       END AS chars_per_merged_token
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def bpeMergedFromDir(spark: SparkSession, dir: String): DataFrame =
+    bpeMergedStats(Tables.documents(spark, dir))
 
   def tokenStatsFromDir(spark: SparkSession, dir: String): DataFrame =
     tokenStats(Tables.documents(spark, dir))

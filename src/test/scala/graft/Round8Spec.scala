@@ -1,0 +1,137 @@
+package graft
+
+import graft.functions.BpeMerge
+import graft.operators.TextAnalysis
+
+/** Round-8 behaviors: REAL BPE merge counting — the boundary-anchored
+  * replace sweep must equal an independent one-merge-at-a-time min-rank
+  * encoder (the classic algorithm), including the "red" suffix-match
+  * counterexample from the round-7 advice. */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------- independent reference encoder
+
+  /** Classic min-rank BPE over one pre-tokenizer segment: repeatedly find
+    * the lowest-rank adjacent pair (leftmost on ties) and merge ONLY that
+    * occurrence. Deliberately shares no code with BpeMerge.segTokens — it
+    * is the spec the sweep must reproduce. */
+  private def refEncode(seg0: String): Vector[String] = {
+    val seg = seg0.replace(BpeMerge.SepStr, "")
+    val rank = BpeMerge.Merges.zipWithIndex.toMap
+    var toks: Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < seg.length) {
+        val cp = seg.codePointAt(i)
+        b += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      b.result()
+    }
+    var done = toks.isEmpty
+    while (!done) {
+      var best = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        rank.get((toks(i), toks(i + 1))).foreach { r =>
+          if (r < best) { best = r; bestI = i } // strict < keeps leftmost
+        }
+        i += 1
+      }
+      if (bestI < 0) done = true
+      else toks = toks.patch(bestI, Vector(toks(bestI) + toks(bestI + 1)), 2)
+    }
+    toks
+  }
+
+  private val pretok = java.util.regex.Pattern.compile(BpeMerge.Pattern)
+
+  /** Reference token count of a full text: pre-tokenize, encode each. */
+  private def refCount(text: String): Long = {
+    val m = pretok.matcher(text)
+    var n = 0L
+    while (m.find()) n += refEncode(m.group()).length
+    n
+  }
+
+  // --------------------------------------------------- hand-derived cases
+
+  test("bpe merge: the round-7 counterexample — 'red' is [re,d], not fused") {
+    // with trailing-only separators, rank-17 'e␟d␟' matched the SUFFIX of
+    // 're␟d␟' and fused [re,d] into one token; anchored sweep must not
+    assert(refEncode("red") === Vector("re", "d"))
+    assert(BpeMerge.countTokens("red") === 2L)
+    assert(refEncode("ted") === Vector("t", "ed"))
+    assert(BpeMerge.countTokens("ted") === 2L)
+  }
+
+  test("bpe merge: hand-derived counts incl. multi-step merge chains") {
+    assert(BpeMerge.countTokens("the") === 1L)  // t+h -> th, th+e -> the
+    assert(BpeMerge.countTokens(" the") === 1L) // ' '+the (rank 21)
+    assert(BpeMerge.countTokens("ration") === 2L) // r | at+i->ati+on->ation
+    assert(BpeMerge.countTokens("test") === 2L)   // t | es+t -> est
+    assert(BpeMerge.countTokens("the cat and the hat") ===
+      refCount("the cat and the hat"))
+    // back-to-back same-pair occurrences all merge in one pass
+    assert(BpeMerge.countTokens("ononon") === refCount("ononon"))
+    assert(BpeMerge.countTokens("") === 0L)
+    // U+001F in data: splits letter segments at pre-tokenization (it is
+    // punctuation-class), and is STRIPPED inside its own segment — "!!"
+    // is one punct segment that must count exactly like "!!"
+    assert(BpeMerge.countTokens("the") === refCount("the"))
+    assert(BpeMerge.countTokens("!!") === BpeMerge.countTokens("!!"))
+    // vertical tab is a punctuation-class segment (explicit ws class)
+    assert(BpeMerge.countTokens("ab") === refCount("ab"))
+  }
+
+  test("bpe merge: sweep == min-rank encoder on deterministic fuzz corpus") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aadeeghiilmnnoorrsttu th e .!?0189"
+    (1 to 400).foreach { _ =>
+      val n = 1 + rnd.nextInt(24)
+      val text = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(BpeMerge.countTokens(text) === refCount(text),
+        s"mismatch on ${text.map(c => f"\\u$c%04x").mkString}")
+    }
+  }
+
+  // ------------------------------------------------- query + plan surface
+
+  test("text_bpe_merged: per-doc counts through codegen match the reference") {
+    val docs = Seq(
+      (1L, "the cat and the hat"),
+      (2L, "red ted estimation"),
+      (3L, ""),
+      (4L, "our nation's ration 1984!")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergedStats(docs).collect()
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val text = Map(1L -> "the cat and the hat", 2L -> "red ted estimation",
+        3L -> "", 4L -> "our nation's ration 1984!")(id)
+      assert(r.getAs[Long]("merged_tokens") === refCount(text), s"doc $id")
+      assert(r.getAs[Long]("bpe_segments") ===
+        { val m = pretok.matcher(text); var c = 0L; while (m.find()) c += 1; c })
+      if (text.isEmpty) assert(r.isNullAt(r.fieldIndex("chars_per_merged_token")))
+    }
+  }
+
+  test("text_bpe_merged gate: merging only ever shrinks, never below one " +
+    "token per segment") {
+    val out = TextAnalysis.bpeMergedFromDir(spark, sf).collect()
+    assert(out.length > 0)
+    out.foreach { r =>
+      val segs = r.getAs[Long]("bpe_segments")
+      val merged = r.getAs[Long]("merged_tokens")
+      val chars = r.getAs[Long]("chars")
+      assert(merged >= segs, s"doc ${r.get(0)}: fewer tokens than segments")
+      assert(merged <= chars, s"doc ${r.get(0)}: more tokens than codepoints")
+    }
+    // the merge table actually fires on the corpus (English word soup)
+    val totalMerged = out.map(_.getAs[Long]("merged_tokens")).sum
+    val totalChars = out.map(_.getAs[Long]("chars")).sum
+    assert(totalMerged < totalChars, "no merge ever fired — table inert?")
+  }
+}

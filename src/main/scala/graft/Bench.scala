@@ -22,10 +22,21 @@ object Bench {
       Thread.sleep(200)
     }
 
+    // per-measurement GC/heap telemetry (stderr only): round 7 showed one
+    // query absorbing ~16 s in-suite that vanished in isolation — these
+    // lines make any future absorption attributable (GC debt vs plan cost)
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcStats(): (Long, Long) = {
+      var c = 0L; var t = 0L
+      gcBeans.forEach { b => c += b.getCollectionCount; t += b.getCollectionTime }
+      (c, t)
+    }
+
     // a failed query reports -1.0 and is excluded from the total; it is
     // also listed under "failed" and fails the process — wall time of a
     // partial query set must not read as a valid (smaller!) measurement
     def once(name: String): Double = {
+      val (c0, g0) = gcStats()
       val t0 = System.nanoTime()
       try {
         // noop write, not count(): count() lets EliminateSorts drop each
@@ -35,7 +46,12 @@ object Bench {
         // every output row uniformly.
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val secs = (System.nanoTime() - t0) / 1e9
+        val (c1, g1) = gcStats()
+        val rt = Runtime.getRuntime
+        System.err.println(f"[bench] $name $secs%.2fs gc+${c1 - c0} " +
+          f"${g1 - g0}ms heap ${(rt.totalMemory - rt.freeMemory) >> 20}MiB")
+        secs
       } catch {
         case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
       } finally settle()
@@ -54,22 +70,51 @@ object Bench {
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // MemoryStream replay gates: their time is the replay harness (10+
+    // sequential micro-batches through a stateful query), not a plan —
+    // warming them or measuring them twice burns minutes of wall for no
+    // regression signal, so they run exactly once, after warmup.
+    val replayHarness = Set("sessions_streaming", "dedup_stream",
+      "corpus_ingest_stream")
+    val planNames = names.filterNot(replayHarness)
     // warm-up pass: JIT + codegen compilation + file-listing caches; the
     // measured pass reflects steady-state throughput (set
     // SPARK_GRAFT_WARMUP=0 for cold numbers)
-    (1 to warmups).foreach(_ => names.foreach(once))
-    val results0 = names.map(n => n -> once(n))
+    (1 to warmups).foreach(_ => planNames.foreach(once))
+    // TWO measured passes, per-query MIN: round 7's last attribution
+    // artifact was the first heavy query after warmup absorbing ~16 s of
+    // deferred JVM debt (in-suite 19.15 s vs 3.05 s isolated, identical
+    // method) — a one-off absorption lands in one pass, not both, so the
+    // min is the number that tracks the PLAN and stays regression-
+    // sensitive. Cold mode keeps a single pass (the first run IS the
+    // cold measurement).
+    val passes =
+      if (warmups == 0) 1
+      else sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    val byPass = (1 to passes).map { p =>
+      val ns = if (p == 1) names else planNames
+      val r = ns.map(n => n -> once(n)).toMap
+      System.err.println(s"[bench] pass $p/$passes: " + ns.map(n =>
+        f"$n=${r(n)}%.2f").mkString(" "))
+      r
+    }
+    val results0 = names.map { n =>
+      val ok = byPass.flatMap(_.get(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
 
     // dedup_delta_lsh's index build is memoized per JVM (DedupIndex.
     // buildIndexFor), so with a warmup pass the measured entry above times
     // the DELTA PATH alone — the number that shows the incremental index
     // earning its keep (round 6 bundled a 30 s build into it, hiding the
     // delta cost entirely). The one-time build is measured HERE as its own
-    // phase against a fresh directory, so both costs stay visible. (With
-    // SPARK_GRAFT_WARMUP=0 the delta entry is cold and includes the
-    // memoized build — an honest cold number.)
+    // phase against a fresh directory, so both costs stay visible. With
+    // SPARK_GRAFT_WARMUP=0 the delta entry is cold and already includes the
+    // memoized build — an honest cold number — so the extra build phase is
+    // SKIPPED there: measuring a second full build would double-count the
+    // index cost in "total" and make cold and warm totals incomparable.
     val results =
-      if (!names.contains("dedup_delta_lsh")) results0
+      if (!names.contains("dedup_delta_lsh") || warmups == 0) results0
       else {
         val t0 = System.nanoTime()
         val buildT =

@@ -77,7 +77,15 @@ object SparkEntry {
       graft.streaming.EventStreams.sessionsStreamingFromDir(_, _)),
     // incremental dedup: delta vs persisted signature index must equal the
     // full-corpus LSH on the union, restricted to pairs touching the delta
-    "dedup_delta_lsh" -> tuned(DedupIndex.deltaFromDir)
+    "dedup_delta_lsh" -> tuned(DedupIndex.deltaFromDir),
+    // streaming at-least-once → effectively-once: replay with PLANTED
+    // re-deliveries; dropDuplicatesWithinWatermark must restore the table
+    "dedup_stream" -> tuned(
+      graft.streaming.EventStreams.dedupStreamFromDir(_, _)),
+    // streaming corpus ingest: quality gate + content-fingerprint dedup
+    // over a replay with planted same-text/new-id re-deliveries
+    "corpus_ingest_stream" -> tuned(
+      graft.streaming.CorpusIngest.ingestStreamFromDir(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -125,6 +133,8 @@ object SparkEntry {
     "text_bpe_merged" -> TextAnalysis.bpeMergedOracle,
     "text_redact" -> TextAnalysis.redactOracle,
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
-    "dedup_delta_lsh" -> DedupIndex.deltaOracle()
+    "dedup_delta_lsh" -> DedupIndex.deltaOracle(),
+    "dedup_stream" -> graft.streaming.EventStreams.dedupStreamOracle,
+    "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle()
   )
 }

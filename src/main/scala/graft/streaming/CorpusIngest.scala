@@ -31,23 +31,129 @@ object CorpusIngest {
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType)))
 
-  /** Start the ingest: `watchDir` JSON in, quality-gated fingerprint-deduped
-    * parquet out at `outDir`. */
-  def start(spark: SparkSession, watchDir: String, outDir: String,
-            qualityMin: Double = 0.5, watermark: String = "1 hour"): StreamingQuery =
-    spark.readStream.schema(docSchema)
-      .option("multiLine", "true").json(watchDir)
-      // arrival time is the event time of an ingest stream: re-deliveries
-      // land later, which is exactly what the watermark bounds
-      .withColumn("ingest_ts", current_timestamp())
+  /** The ingest transform, shared by [[start]] (production file-watch
+    * wiring) and [[ingestStreamFromDir]] (the gated MemoryStream replay) —
+    * ONE copy of the rule so the gated path proves the production path.
+    * Input needs `text` and an event-time `ingest_ts` column; quality gate
+    * first (state never holds rejected docs), then content-fingerprint
+    * dedup within the watermark. */
+  def cleanse(docs: org.apache.spark.sql.DataFrame, qualityMin: Double = 0.5,
+              watermark: String = "1 hour"): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
       .filter(col("quality_score") >= qualityMin)
       .withColumn("fingerprint", Fingerprint.docFingerprint(col("text")))
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Start the ingest: `watchDir` JSON in, quality-gated fingerprint-deduped
+    * parquet out at `outDir`. */
+  def start(spark: SparkSession, watchDir: String, outDir: String,
+            qualityMin: Double = 0.5, watermark: String = "1 hour"): StreamingQuery =
+    cleanse(
+      spark.readStream.schema(docSchema)
+        .option("multiLine", "true").json(watchDir)
+        // arrival time is the event time of an ingest stream: re-deliveries
+        // land later, which is exactly what the watermark bounds
+        .withColumn("ingest_ts", current_timestamp()),
+      qualityMin, watermark)
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", s"$outDir/.ingest_checkpoint")
       .start()
+
+  /** Driver-gated streaming corpus ingest: replays the documents table
+    * through a `MemoryStream` in micro-batches with a DETERMINISTIC
+    * synthetic arrival time (base + batch index seconds — production's
+    * `current_timestamp()` would never hash-match an oracle), planting an
+    * exact-content re-delivery of every 6th doc — SAME text, DIFFERENT
+    * doc_id (offset by 10M) — into the following batch. [[cleanse]] must
+    * (a) drop every below-threshold doc at the quality gate and (b) drop
+    * every planted copy at the fingerprint dedup (content dedup, which a
+    * key-based dedup would NOT catch since the ids differ), leaving
+    * exactly the quality survivors of the raw table — which is what
+    * [[ingestOracle]] computes in DuckDB. All 500/5000 gate-corpus
+    * fingerprints are distinct (verified), so no accidental collision can
+    * eat a legitimate doc.
+    *
+    * Driver-side collect is the MemoryStream replay harness (gate scale
+    * only), same adjudicated pattern as [[EventStreams.sessionsStreamingFromDir]]. */
+  def ingestStreamFromDir(spark: SparkSession, dir: String,
+                          nBatches: Int = 8): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(batch: Int) = new java.sql.Timestamp(base.getTime + batch * 1000L)
+    val docs: Array[(Long, String)] =
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .as[(Long, String)].collect()
+    require(docs.nonEmpty, s"no documents under $dir")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val cleansed = cleanse(
+      mem.toDF().toDF("doc_id", "ingest_ts", "text"), watermark = "1 hour")
+    val sink = s"graft_ingest_stream_${sinkSeq.incrementAndGet()}"
+    // narrow replay: state-store commit overhead scales with shuffle
+    // partitions, not data, at gate scale (see EventStreams.dedupStreamFromDir)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = cleansed.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      val per = math.max(1, math.ceil(docs.length.toDouble / nBatches).toInt)
+      val batches = docs.grouped(per).toVector
+      val redeliveries = batches.map(_.zipWithIndex.collect {
+        case ((id, text), i) if i % 6 == 0 => (id + 10_000_000L, text)
+      })
+      batches.zipWithIndex.foreach { case (b, k) =>
+        val rows = b.toSeq ++ (if (k == 0) Nil else redeliveries(k - 1))
+        mem.addData(rows.map { case (id, t) => (id, at(k), t) })
+        q.processAllAvailable()
+      }
+      mem.addData(redeliveries.last.toSeq.map { case (id, t) =>
+        (id, at(batches.size), t)
+      })
+      q.processAllAvailable()
+      val out = spark.table(sink)
+        .select(col("doc_id"), col("quality_score"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The batch truth for [[ingestStreamFromDir]]: quality-filtered raw
+    * table with its content fingerprint — planted re-deliveries gone
+    * (their 10M-offset ids never appear), rejected docs gone. Quality and
+    * fingerprint twins are the same formulas the `text_quality` /
+    * `text_fingerprint` gates already prove. */
+  def ingestOracle(qualityMin: Double = 0.5): String = {
+    val sw = TextFunctions.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |         FLOOR((LEAST(LENGTH(text) / 500.0, 1.0)
+       |                + LEAST(CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+       |                         x -> list_contains($sw, x))) AS DOUBLE)
+       |                      / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) * 4, 1.0)
+       |                + GREATEST(0.0, 1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |                      / GREATEST(LENGTH(text), 1) * 5)) / 3 * 1e6 + 0.5) / 1e6 AS quality_score
+       |  FROM documents
+       |)
+       |SELECT doc_id, quality_score,
+       |       list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           [CAST('0x' || substr(hex(encode(text)), 2*x - 1, 2) AS BIGINT)
+       |            FOR x IN range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1)]),
+       |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+       |FROM scored WHERE quality_score >= $qualityMin
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -102,6 +102,79 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Driver-gated streaming dedup: replays the events table through a
+    * `MemoryStream` in ts-ordered micro-batches and PLANTS a re-delivery
+    * of every 7th event into the FOLLOWING batch — the raw table has
+    * unique event_ids, so without planting, a pass-through (no dedup at
+    * all) would trivially match the oracle. [[dedupStream]] must drop
+    * exactly the re-deliveries, leaving the sink equal to the raw events
+    * table ([[dedupStreamOracle]] — a plain projection of it). The
+    * watermark delay is sized past the table's full time span so no state
+    * expires mid-replay (expiry would re-admit a duplicate and fail the
+    * hash); production uses a horizon-sized delay, which is the point of
+    * `dropDuplicatesWithinWatermark` over stream-global dropDuplicates.
+    *
+    * Driver-side collect is the MemoryStream replay harness (gate scale
+    * only), same adjudicated pattern as [[sessionsStreamingFromDir]]. */
+  def dedupStreamFromDir(spark: SparkSession, dir: String,
+                         nBatches: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs: Array[(Long, java.sql.Timestamp, Long, String, Double)] =
+      Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
+    require(evs.nonEmpty, s"no events under $dir")
+    val spanSec = (evs.last._2.getTime - evs.head._2.getTime) / 1000L + 3600L
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val deduped = dedupStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      watermark = s"$spanSec seconds")
+    val sink = s"graft_dedup_stream_${sinkSeq.incrementAndGet()}"
+    // gate-scale replay: per-micro-batch cost is dominated by state-store
+    // commits (one store per shuffle partition per stateful op), so run the
+    // replay narrow — the result is partition-count-independent
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+      val batches = evs.grouped(per).toVector
+      // re-deliveries ride one batch behind their original (dupes of the
+      // last batch get a trailing batch of their own)
+      val redeliveries = batches.map(_.zipWithIndex.collect {
+        case (e, i) if i % 7 == 0 => e
+      })
+      batches.zipWithIndex.foreach { case (b, k) =>
+        val withDupes = if (k == 0) b.toSeq
+        else b.toSeq ++ redeliveries(k - 1)
+        mem.addData(withDupes); q.processAllAvailable()
+      }
+      mem.addData(redeliveries.last.toSeq); q.processAllAvailable()
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      val out = spark.table(sink)
+        .select(col("event_id"), date_format(col("ts"), fmt).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
+  /** The batch truth for [[dedupStreamFromDir]]: re-deliveries dropped ⇔
+    * the raw events table, projected and formatted identically. */
+  val dedupStreamOracle: String =
+    """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |       user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------- sessionization
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -297,6 +370,11 @@ object EventStreams {
       mem.toDF().toDF("user_id", "ts", "value")
         .withWatermark("ts", "10 minutes").as[SessionEvent])
     val sink = s"graft_sessions_stream_${sinkSeq.incrementAndGet()}"
+    // narrow replay: per-micro-batch cost is state-store commits (one per
+    // shuffle partition), so don't run 32-wide over gate-scale data — the
+    // session content is independent of the partition count
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q = sessions.toDF().writeStream.outputMode("append")
       .format("memory").queryName(sink).start()
     try {
@@ -319,6 +397,7 @@ object EventStreams {
       spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally {
       q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.catalog.dropTempView(sink)
     }
   }

@@ -134,4 +134,31 @@ class Round8Spec extends SparkSpec {
     val totalChars = out.map(_.getAs[Long]("chars")).sum
     assert(totalMerged < totalChars, "no merge ever fired — table inert?")
   }
+
+  // ------------------------------------------ streaming gates (replayed)
+
+  test("dedup_stream gate: planted re-deliveries are dropped, the raw " +
+    "table survives exactly") {
+    val raw = graft.sources.Tables.events(spark, sf)
+    val out = graft.streaming.EventStreams.dedupStreamFromDir(spark, sf)
+    assert(out.count() === raw.count(), "sink must equal the raw table " +
+      "(re-deliveries dropped, nothing else lost)")
+    assert(out.select("event_id").distinct().count() === raw.count())
+  }
+
+  test("corpus_ingest_stream gate: quality gate filters, content dedup " +
+    "kills same-text re-deliveries with different ids") {
+    val out = graft.streaming.CorpusIngest.ingestStreamFromDir(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length > 0 && out.length < nDocs,
+      "quality gate must reject some docs (and planted copies must not inflate)")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") < 10_000_000L,
+        "a planted re-delivery (10M-offset id) survived the fingerprint dedup")
+      assert(r.getAs[Double]("quality_score") >= 0.5)
+    }
+    // fingerprints in the output are unique — dedup state actually keyed
+    // on content
+    assert(out.map(_.getAs[Long]("fingerprint")).distinct.length === out.length)
+  }
 }

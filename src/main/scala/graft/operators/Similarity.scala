@@ -164,14 +164,95 @@ object Similarity {
   /** Materialize the IVF index: the corpus written PARTITIONED BY
     * centroid_id (one directory per cell), so probes become partition
     * pruning — at 100 TB a probe lists and reads |probed cells| / |cells|
-    * of the data, never the corpus. Returns the trained centroids (the
-    * coarse quantizer the caller keeps — O(centroids·dim) floats). */
+    * of the data, never the corpus. Returns the trained centroids, and
+    * PERSISTS them (plus a health baseline) in underscore-prefixed
+    * sidecars inside the index — Spark's file index treats `_`-paths as
+    * hidden, so the data scan never sees them, and the index is
+    * self-contained: a later session can append or probe without the
+    * builder's driver state. */
   def writeIvfIndex(embeddings: DataFrame, dir: String, numCentroids: Int = 16,
                     seed: Long = 11L): Array[(Int, Array[Double])] = {
     val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
-    assignToCentroids(embeddings, centroids)
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    writeIvfIndexWith(embeddings, dir, centroids)
+    val spark = embeddings.sparkSession
+    saveQuantizer(spark, dir, centroids)
+    val (n, sim) = scanHealth(spark.read.parquet(dir), centroids)
+    import spark.implicits._
+    Seq((n, sim)).toDF("n", "mean_sim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_health")
     centroids
+  }
+
+  // ------------------------------------------------------ IVF maintenance
+
+  /** Write index data from PRE-TRAINED centroids. Assignment is a pure
+    * per-vector function of the quantizer, so appending a batch and
+    * rebuilding from the union with the same quantizer produce the same
+    * logical content — the property the append path's spec pins down. */
+  def writeIvfIndexWith(embeddings: DataFrame, dir: String,
+                        centroids: Array[(Int, Array[Double])],
+                        mode: String = "overwrite"): Unit =
+    assignToCentroids(embeddings, centroids)
+      .write.mode(mode).partitionBy("centroid_id").parquet(dir)
+
+  /** Append new vectors to an existing index: assign against the PERSISTED
+    * quantizer, write only the new rows (appended files land in their
+    * cells' partition directories — the old data is not rewritten, and at
+    * 100 TB never re-read). Centroids are unchanged by design: recall
+    * degrades only as the data DRIFTS from them, which [[indexHealth]]
+    * measures and [[IvfHealth.shouldRecluster]] turns into the rebuild
+    * decision — the alternative (recluster on every append) would make
+    * ingestion O(corpus) instead of O(batch). */
+  def appendToIvfIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit =
+    writeIvfIndexWith(newVectors, dir, readQuantizer(spark, dir), mode = "append")
+
+  private def saveQuantizer(spark: SparkSession, dir: String,
+                            centroids: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_quantizer")
+  }
+
+  /** The persisted coarse quantizer (O(centroids·dim) — driver-sized by
+    * construction). */
+  def readQuantizer(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$dir/_quantizer").collect()
+      .map(r => (r.getAs[Int]("centroid_id"),
+        r.getAs[Seq[Double]]("centroid").toArray))
+      .sortBy(_._1)
+
+  /** Mean vector→assigned-centroid cosine over index rows — the quantity
+    * that decays as data drifts away from the centroids it was
+    * quantized with. One pass, no shuffle beyond the final aggregate. */
+  private def scanHealth(index: DataFrame,
+                         centroids: Array[(Int, Array[Double])]): (Long, Double) = {
+    val sim = coalesce(centroids.map { case (id, c) =>
+      when(col("centroid_id") === id, litCosine(col("embedding"), c))
+    }.toIndexedSeq: _*)
+    val r = index.agg(count(lit(1)).as("n"), avg(sim).as("mean_sim")).first()
+    (r.getAs[Long]("n"), r.getAs[Double]("mean_sim"))
+  }
+
+  /** Index fitness after appends: assignment-quality drift (build-time
+    * mean assigned-cosine minus current) and size growth — the two
+    * signals that should trigger reclustering. Reads the index once. */
+  case class IvfHealth(nBuild: Long, nNow: Long,
+                       simBuild: Double, simNow: Double) {
+    def growth: Double = nNow.toDouble / nBuild
+    def drift: Double = simBuild - simNow
+    /** Recluster when assignment quality fell materially or the index
+      * outgrew its quantizer (k chosen for nBuild keeps cells probe-sized
+      * only while n stays within a constant factor). */
+    def shouldRecluster(maxDrift: Double = 0.05, maxGrowth: Double = 4.0): Boolean =
+      drift > maxDrift || growth > maxGrowth
+  }
+
+  def indexHealth(spark: SparkSession, dir: String): IvfHealth = {
+    val centroids = readQuantizer(spark, dir)
+    val base = spark.read.parquet(s"$dir/_health").first()
+    val (n, sim) = scanHealth(spark.read.parquet(dir), centroids)
+    IvfHealth(base.getAs[Long]("n"), n, base.getAs[Double]("mean_sim"), sim)
   }
 
   /** ANN over the materialized index: the union of all queries' probed

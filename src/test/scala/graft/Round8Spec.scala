@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.BpeMerge
 import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions.{col, transform}
 
 /** Round-8 behaviors: REAL BPE merge counting — the boundary-anchored
   * replace sweep must equal an independent one-merge-at-a-time min-rank
@@ -160,5 +161,64 @@ class Round8Spec extends SparkSpec {
     // fingerprints in the output are unique — dedup state actually keyed
     // on content
     assert(out.map(_.getAs[Long]("fingerprint")).distinct.length === out.length)
+  }
+
+  // --------------------------------------------------- IVF maintenance
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("ivf append+probe == rebuild-probe on the union for unchanged " +
+    "centroids; quantizer round-trips through the sidecar") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val backlog = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val dirAppend = tmpDir("graft_ivf_append")
+    val dirUnion = tmpDir("graft_ivf_union")
+    val cents = Similarity.writeIvfIndex(backlog, dirAppend, numCentroids = 8)
+    Similarity.appendToIvfIndex(spark, dirAppend, delta)
+    Similarity.writeIvfIndexWith(e, dirUnion, cents)
+    // the persisted quantizer is the trained one, bit-for-bit
+    val readBack = Similarity.readQuantizer(spark, dirAppend)
+    assert(readBack.map(_._1).toSeq === cents.map(_._1).toSeq)
+    readBack.zip(cents.sortBy(_._1)).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    val q = e.filter(col("vec_id") < 5)
+    val appended = Similarity.probeIvfIndex(spark, dirAppend, cents, q).collect()
+    val rebuilt = Similarity.probeIvfIndex(spark, dirUnion, cents, q).collect()
+    assert(appended.toSeq === rebuilt.toSeq,
+      "append path diverged from a same-quantizer rebuild on the union")
+    assert(appended.nonEmpty)
+  }
+
+  test("ivf health: fresh index has zero drift; a shifted batch trips the " +
+    "recluster rule, in-distribution appends do not") {
+    import graft.operators.Similarity
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val dir = tmpDir("graft_ivf_health")
+    Similarity.writeIvfIndex(e, dir, numCentroids = 8)
+    val fresh = Similarity.indexHealth(spark, dir)
+    assert(math.abs(fresh.drift) < 1e-9 && fresh.growth === 1.0)
+    assert(!fresh.shouldRecluster())
+    // appending NEGATED vectors: worse-assigned than the data the
+    // quantizer was trained on (measurably positive drift — though for
+    // near-isotropic embeddings only mildly so: the max-cosine over 8
+    // centroids is nearly symmetric under negation)
+    val shifted = e
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    Similarity.appendToIvfIndex(spark, dir, shifted)
+    val after = Similarity.indexHealth(spark, dir)
+    assert(after.drift > 0.0, s"negated batch should show drift, got ${after.drift}")
+    // the two recluster signals fire on their thresholds independently
+    assert(after.shouldRecluster(maxDrift = after.drift / 2, maxGrowth = 10.0),
+      "drift beyond the bar must ask for recluster")
+    assert(after.shouldRecluster(maxDrift = 1.0, maxGrowth = 1.5),
+      "growth beyond the bar must ask for recluster")
+    assert(!after.shouldRecluster(maxDrift = 1.0, maxGrowth = 10.0),
+      "inside both bars, no recluster")
+    assert(after.nNow === 2 * after.nBuild)
   }
 }

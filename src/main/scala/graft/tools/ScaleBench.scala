@@ -29,7 +29,8 @@ object ScaleBench {
   val defaultHeadline: Seq[String] =
     Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh",
       "corpus_shards", "dedup_clusters",
-      "sessions", "running_revenue", "lsh_ann_topk", "text_repetition")
+      "sessions", "running_revenue", "lsh_ann_topk", "text_repetition",
+      "text_redact", "dedup_delta_lsh")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */
@@ -133,11 +134,34 @@ object ScaleBench {
         ks.map(k => (s"x$k", buildScaled(k), k.toDouble))
 
     // two passes per (scale, query): first warms JIT/codegen/file listings,
-    // the second is the reported steady-state number
+    // the second is the reported steady-state number. For dedup_delta_lsh
+    // the warmup pass also pays the memoized index build, so the reported
+    // number is the DELTA path alone — the build is its own line below.
     for ((label, dir, rel) <- scales; name <- headline) {
       timeQuery(name, dir)
       val sec = timeQuery(name, dir)
       println(s"""{"scale":"$label","rel_volume":$rel,"query":"$name","sec":$sec}""")
+    }
+    // one-time index build per scale, measured against a fresh directory
+    // (mirrors Bench's dedup_index_build phase)
+    if (headline.contains("dedup_delta_lsh")) {
+      for ((label, dir, rel) <- scales) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scale_idx")
+        val t0 = System.nanoTime()
+        try {
+          graft.operators.DedupIndex.write(
+            graft.sources.Tables.documents(spark, dir)
+              .filter(col("doc_id") % graft.operators.DedupIndex.DeltaMod =!= 0),
+            tmp.toString)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"scale":"$label","rel_volume":$rel,"query":"dedup_index_build","sec":$sec}""")
+        } finally {
+          java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          Pinned.release(spark)
+        }
+      }
     }
     spark.stop()
   }

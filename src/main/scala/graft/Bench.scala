@@ -73,10 +73,10 @@ object Bench {
     // MemoryStream replay gates: their time is the replay harness (10+
     // sequential micro-batches through a stateful query), not a plan —
     // warming them or measuring them twice burns minutes of wall for no
-    // regression signal, so they run exactly once, after warmup.
-    val replayHarness = Set("sessions_streaming", "dedup_stream",
-      "corpus_ingest_stream")
-    val planNames = names.filterNot(replayHarness)
+    // regression signal, so they run exactly once, after warmup. The set
+    // lives NEXT TO the query registration (SparkEntry) so a new replay
+    // gate cannot be added without seeing it.
+    val planNames = names.filterNot(SparkEntry.replayHarnessQueries)
     // warm-up pass: JIT + codegen compilation + file-listing caches; the
     // measured pass reflects steady-state throughput (set
     // SPARK_GRAFT_WARMUP=0 for cold numbers)
@@ -90,7 +90,12 @@ object Bench {
     // cold measurement).
     val passes =
       if (warmups == 0) 1
-      else sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+      else {
+        val p = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
+        require(p.forall(_.isDigit) && p.toInt >= 1,
+          s"SPARK_GRAFT_PASSES must be a positive integer, got '$p'")
+        p.toInt
+      }
     val byPass = (1 to passes).map { p =>
       val ns = if (p == 1) names else planNames
       val r = ns.map(n => n -> once(n)).toMap
@@ -98,9 +103,12 @@ object Bench {
         f"$n=${r(n)}%.2f").mkString(" "))
       r
     }
+    // a query that failed in ANY pass it ran in is reported failed — the
+    // min must never paper over an intermittent crash (a pass-1 success +
+    // pass-2 OOM is a real defect, not a measurement to keep)
     val results0 = names.map { n =>
-      val ok = byPass.flatMap(_.get(n)).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+      val vs = byPass.flatMap(_.get(n))
+      n -> (if (vs.isEmpty || vs.exists(_ < 0)) -1.0 else vs.min)
     }
 
     // dedup_delta_lsh's index build is memoized per JVM (DedupIndex.
@@ -128,9 +136,11 @@ object Bench {
                 tmp.toString)
               (System.nanoTime() - t0) / 1e9
             } finally {
-              java.nio.file.Files.walk(tmp)
+              // best-effort: cleanup failure must not void the measurement
+              try java.nio.file.Files.walk(tmp)
                 .sorted(java.util.Comparator.reverseOrder())
                 .forEach(p => java.nio.file.Files.deleteIfExists(p))
+              catch { case scala.util.control.NonFatal(_) => () }
             }
           } catch {
             case e: Throwable => System.err.println(s"[bench] dedup_index_build: $e"); -1.0

@@ -137,4 +137,14 @@ object SparkEntry {
     "dedup_stream" -> graft.streaming.EventStreams.dedupStreamOracle,
     "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle()
   )
+
+  /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential
+    * micro-batches through a stateful streaming query): their wall time
+    * measures the harness, not a plan, so Bench runs them once and skips
+    * warmup/repeat passes. Registered here, beside `queries`, so adding a
+    * replay gate and classifying it happen in the same file. */
+  val replayHarnessQueries: Set[String] =
+    Set("sessions_streaming", "dedup_stream", "corpus_ingest_stream")
+  require(replayHarnessQueries.subsetOf(queries.keySet),
+    "replayHarnessQueries names a query not registered in queries")
 }

@@ -68,4 +68,18 @@ object Fingerprint {
       h = (h * 31 + (b & 0xff)) % 1000000007L
     h
   }
+
+  /** The ONE DuckDB twin of the fingerprint fold, as an expression over a
+    * SQL text column — the same h = (h·31 + byte) mod 1e9+7 left fold over
+    * the UTF-8 BYTES, built from the hex dump (two hex chars per byte) and
+    * `list_reduce`, seeded with a prepended 0 so empty text folds to 0
+    * like the expression's empty loop. Interpolated by every oracle that
+    * surfaces a fingerprint (text_fingerprint, corpus_ingest_stream) so
+    * the fold cannot drift between them. */
+  def fingerprintSql(textCol: String): String =
+    s"""list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           [CAST('0x' || substr(hex(encode($textCol)), 2*x - 1, 2) AS BIGINT)
+       |            FOR x IN range(1, CAST(octet_length(encode($textCol)) AS INTEGER) + 1)]),
+       |         (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin
 }

@@ -73,6 +73,23 @@ object TextFunctions {
     StableRound.stableRound((lenScore + fluency + noise) / 3, 6)
   }
 
+  /** The ONE DuckDB twin of [[qualityScore]], as an expression over a SQL
+    * text column — interpolated by every oracle that filters or surfaces a
+    * quality score (text_quality, corpus_clean, corpus_ingest_stream), so
+    * a formula change cannot update one oracle and silently leave another
+    * computing a different truth. Identical IEEE operation order to the
+    * Spark side: least/greatest composites over the raw ratios, one
+    * floor-form rounding at the end. */
+  def qualityScoreSql(textCol: String): String = {
+    val sw = englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""FLOOR((LEAST(LENGTH($textCol) / 500.0, 1.0)
+       |                + LEAST(CAST(len(list_filter(list_filter(string_split($textCol, ' '), x -> x <> ''),
+       |                         x -> list_contains($sw, x))) AS DOUBLE)
+       |                      / GREATEST(len(list_filter(string_split($textCol, ' '), x -> x <> '')), 1) * 4, 1.0)
+       |                + GREATEST(0.0, 1.0 - CAST(LENGTH($textCol) - LENGTH(regexp_replace($textCol, '[0-9]', '', 'g')) AS DOUBLE)
+       |                      / GREATEST(LENGTH($textCol), 1) * 5)) / 3 * 1e6 + 0.5) / 1e6""".stripMargin
+  }
+
   /** Per-language stopword lexicons for the n-gram/lexicon language-ID
     * heuristic. Deliberately small: language ID at corpus scale is a
     * scoring pass, not a model. */

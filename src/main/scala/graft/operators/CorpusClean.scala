@@ -48,12 +48,7 @@ object CorpusClean {
   def oracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5): String =
     s"""WITH scored AS (
        |  SELECT doc_id, text,
-       |         FLOOR((LEAST(LENGTH(text) / 500.0, 1.0)
-       |                + LEAST(CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
-       |                         x -> list_contains(${TF.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")}, x))) AS DOUBLE)
-       |                      / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) * 4, 1.0)
-       |                + GREATEST(0.0, 1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-       |                      / GREATEST(LENGTH(text), 1) * 5)) / 3 * 1e6 + 0.5) / 1e6 AS quality_score
+       |         ${TF.qualityScoreSql("text")} AS quality_score
        |  FROM documents
        |), surviving AS (
        |  SELECT * FROM scored WHERE quality_score >= $qualityMin

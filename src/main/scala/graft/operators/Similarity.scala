@@ -173,13 +173,20 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, dir: String, numCentroids: Int = 16,
                     seed: Long = 11L): Array[(Int, Array[Double])] = {
     val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
-    writeIvfIndexWith(embeddings, dir, centroids)
+    // ONE materialization of the assigned corpus feeds both the index
+    // write and the health baseline — re-reading the just-written index
+    // would double the build's corpus I/O for one (count, avg) row
+    val assigned = assignToCentroids(embeddings, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = embeddings.sparkSession
-    saveQuantizer(spark, dir, centroids)
-    val (n, sim) = scanHealth(spark.read.parquet(dir), centroids)
-    import spark.implicits._
-    Seq((n, sim)).toDF("n", "mean_sim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_health")
+    try {
+      assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+      saveQuantizer(spark, dir, centroids)
+      val (n, sim) = scanHealth(assigned, centroids)
+      import spark.implicits._
+      Seq((n, sim)).toDF("n", "mean_sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_health")
+    } finally assigned.unpersist()
     centroids
   }
 

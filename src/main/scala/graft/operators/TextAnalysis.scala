@@ -63,9 +63,7 @@ object TextAnalysis {
        |SELECT doc_id, FLOOR(punct_ratio * 1e6 + 0.5) / 1e6 AS punct_ratio,
        |       FLOOR(stopword_ratio * 1e6 + 0.5) / 1e6 AS stopword_ratio,
        |       FLOOR(digit_ratio * 1e6 + 0.5) / 1e6 AS digit_ratio,
-       |       FLOOR((LEAST(LENGTH(text) / 500.0, 1.0)
-       |              + LEAST(stopword_ratio * 4, 1.0)
-       |              + GREATEST(0.0, 1.0 - digit_ratio * 5)) / 3 * 1e6 + 0.5) / 1e6 AS quality_score
+       |       ${TF.qualityScoreSql("text")} AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -108,19 +106,12 @@ object TextAnalysis {
       Fingerprint.docFingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  /** DuckDB twin of [[graft.functions.Fingerprint]]: the same
-    * h = (h·31 + byte) mod 1e9+7 left fold over the UTF-8 BYTES, built from
-    * the hex dump of the encoded text (two hex chars per byte) and
-    * list_reduce. Seeded with a prepended 0 so empty text folds to 0, like
-    * the expression's empty loop. */
+  /** DuckDB twin of [[graft.functions.Fingerprint]] — the single-sourced
+    * fold fragment ([[Fingerprint.fingerprintSql]]). */
   val fingerprintOracle: String =
-    """SELECT doc_id,
-      |       list_reduce(
-      |         list_prepend(CAST(0 AS BIGINT),
-      |           [CAST('0x' || substr(hex(encode(text)), 2*x - 1, 2) AS BIGINT)
-      |            FOR x IN range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1)]),
-      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       |       ${Fingerprint.fingerprintSql("text")} AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------- repetition signals
 
@@ -358,8 +349,10 @@ object TextAnalysis {
 
   /** REAL BPE token counts — pre-tokenizer segments run through the
     * checked-in merge table ([[graft.functions.BpeMerge]]), next to the
-    * segment count so the two cost models are comparable per doc (every
-    * segment is >=1 merged token, so `merged_tokens >= bpe_segments`).
+    * segment count so the two cost models are comparable per doc (for
+    * U+001F-free text every segment is >=1 merged token, so
+    * `merged_tokens >= bpe_segments`; a segment of ONLY U+001F chars —
+    * stripped as the internal separator — counts 1 segment, 0 tokens).
     * `chars_per_merged_token` is the honest compression rate a token-budget
     * decision should use.
     *

@@ -133,27 +133,19 @@ object CorpusIngest {
   /** The batch truth for [[ingestStreamFromDir]]: quality-filtered raw
     * table with its content fingerprint — planted re-deliveries gone
     * (their 10M-offset ids never appear), rejected docs gone. Quality and
-    * fingerprint twins are the same formulas the `text_quality` /
-    * `text_fingerprint` gates already prove. */
-  def ingestOracle(qualityMin: Double = 0.5): String = {
-    val sw = TextFunctions.englishStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    * fingerprint twins interpolate the SAME single-sourced fragments the
+    * `text_quality` / `text_fingerprint` gates prove
+    * ([[TextFunctions.qualityScoreSql]], [[Fingerprint.fingerprintSql]])
+    * — a formula change cannot silently leave this oracle computing a
+    * different truth. */
+  def ingestOracle(qualityMin: Double = 0.5): String =
     s"""WITH scored AS (
        |  SELECT doc_id, text,
-       |         FLOOR((LEAST(LENGTH(text) / 500.0, 1.0)
-       |                + LEAST(CAST(len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
-       |                         x -> list_contains($sw, x))) AS DOUBLE)
-       |                      / GREATEST(len(list_filter(string_split(text, ' '), x -> x <> '')), 1) * 4, 1.0)
-       |                + GREATEST(0.0, 1.0 - CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-       |                      / GREATEST(LENGTH(text), 1) * 5)) / 3 * 1e6 + 0.5) / 1e6 AS quality_score
+       |         ${TextFunctions.qualityScoreSql("text")} AS quality_score
        |  FROM documents
        |)
        |SELECT doc_id, quality_score,
-       |       list_reduce(
-       |         list_prepend(CAST(0 AS BIGINT),
-       |           [CAST('0x' || substr(hex(encode(text)), 2*x - 1, 2) AS BIGINT)
-       |            FOR x IN range(1, CAST(octet_length(encode(text)) AS INTEGER) + 1)]),
-       |         (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+       |       ${Fingerprint.fingerprintSql("text")} AS fingerprint
        |FROM scored WHERE quality_score >= $qualityMin
        |ORDER BY doc_id""".stripMargin
-  }
 }

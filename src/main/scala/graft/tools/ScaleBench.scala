@@ -156,9 +156,12 @@ object ScaleBench {
           val sec = (System.nanoTime() - t0) / 1e9
           println(s"""{"scale":"$label","rel_volume":$rel,"query":"dedup_index_build","sec":$sec}""")
         } finally {
-          java.nio.file.Files.walk(tmp)
+          // best-effort: a cleanup failure must not abort the remaining
+          // scales (or replace the build's own exception)
+          try java.nio.file.Files.walk(tmp)
             .sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case scala.util.control.NonFatal(_) => () }
           Pinned.release(spark)
         }
       }

@@ -121,6 +121,11 @@ class Round8Spec extends SparkSpec {
 
   test("text_bpe_merged gate: merging only ever shrinks, never below one " +
     "token per segment") {
+    // the >= invariant below assumes no U+001F in the corpus (a pure-U+001F
+    // segment counts 1 segment, 0 tokens) — assert the assumption first
+    assert(graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").contains("\u001f")).count() === 0L,
+      "corpus contains U+001F — the segments invariant doesn't apply")
     val out = TextAnalysis.bpeMergedFromDir(spark, sf).collect()
     assert(out.length > 0)
     out.foreach { r =>

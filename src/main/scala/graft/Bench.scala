@@ -92,7 +92,7 @@ object Bench {
       if (warmups == 0) 1
       else {
         val p = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
-        require(p.forall(_.isDigit) && p.toInt >= 1,
+        require(p.toIntOption.exists(_ >= 1),
           s"SPARK_GRAFT_PASSES must be a positive integer, got '$p'")
         p.toInt
       }

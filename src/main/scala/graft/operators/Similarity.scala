@@ -173,20 +173,7 @@ object Similarity {
   def writeIvfIndex(embeddings: DataFrame, dir: String, numCentroids: Int = 16,
                     seed: Long = 11L): Array[(Int, Array[Double])] = {
     val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
-    // ONE materialization of the assigned corpus feeds both the index
-    // write and the health baseline — re-reading the just-written index
-    // would double the build's corpus I/O for one (count, avg) row
-    val assigned = assignToCentroids(embeddings, centroids)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val spark = embeddings.sparkSession
-    try {
-      assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
-      saveQuantizer(spark, dir, centroids)
-      val (n, sim) = scanHealth(assigned, centroids)
-      import spark.implicits._
-      Seq((n, sim)).toDF("n", "mean_sim")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_health")
-    } finally assigned.unpersist()
+    writeIvfIndexWith(embeddings, dir, centroids)
     centroids
   }
 
@@ -195,12 +182,35 @@ object Similarity {
   /** Write index data from PRE-TRAINED centroids. Assignment is a pure
     * per-vector function of the quantizer, so appending a batch and
     * rebuilding from the union with the same quantizer produce the same
-    * logical content — the property the append path's spec pins down. */
+    * logical content — the property the append path's spec pins down.
+    *
+    * In "overwrite" mode (a build or rebuild) the sidecars are refreshed
+    * too — the overwrite deletes the old ones with the directory, and an
+    * index without its quantizer could neither append nor report health.
+    * The health baseline rides the SAME write pass via `observe` (an
+    * accumulator-backed aggregate, zero extra scans, zero caching); in
+    * "append" mode the data lands and the build-time baseline stays, which
+    * is what drift is measured against. */
   def writeIvfIndexWith(embeddings: DataFrame, dir: String,
                         centroids: Array[(Int, Array[Double])],
-                        mode: String = "overwrite"): Unit =
-    assignToCentroids(embeddings, centroids)
-      .write.mode(mode).partitionBy("centroid_id").parquet(dir)
+                        mode: String = "overwrite"): Unit = {
+    val assigned = assignToCentroids(embeddings, centroids)
+    if (mode == "overwrite") {
+      val obs = org.apache.spark.sql.Observation(s"ivf_health_${obsSeq.incrementAndGet()}")
+      assigned.observe(obs, count(lit(1)).as("n"), avg(assignedSim(centroids)).as("mean_sim"))
+        .write.mode(mode).partitionBy("centroid_id").parquet(dir)
+      val spark = embeddings.sparkSession
+      saveQuantizer(spark, dir, centroids)
+      import spark.implicits._
+      Seq((obs.get("n").asInstanceOf[Long], obs.get("mean_sim").asInstanceOf[Double]))
+        .toDF("n", "mean_sim")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_health")
+    } else {
+      assigned.write.mode(mode).partitionBy("centroid_id").parquet(dir)
+    }
+  }
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Append new vectors to an existing index: assign against the PERSISTED
     * quantizer, write only the new rows (appended files land in their
@@ -229,15 +239,19 @@ object Similarity {
         r.getAs[Seq[Double]]("centroid").toArray))
       .sortBy(_._1)
 
-  /** Mean vector→assigned-centroid cosine over index rows — the quantity
-    * that decays as data drifts away from the centroids it was
-    * quantized with. One pass, no shuffle beyond the final aggregate. */
-  private def scanHealth(index: DataFrame,
-                         centroids: Array[(Int, Array[Double])]): (Long, Double) = {
-    val sim = coalesce(centroids.map { case (id, c) =>
+  /** Per-row vector→assigned-centroid cosine — the quantity whose mean
+    * decays as data drifts away from the centroids it was quantized
+    * with. */
+  private def assignedSim(centroids: Array[(Int, Array[Double])]): Column =
+    coalesce(centroids.map { case (id, c) =>
       when(col("centroid_id") === id, litCosine(col("embedding"), c))
     }.toIndexedSeq: _*)
-    val r = index.agg(count(lit(1)).as("n"), avg(sim).as("mean_sim")).first()
+
+  /** One-pass (count, mean assigned-cosine) over index rows. */
+  private def scanHealth(index: DataFrame,
+                         centroids: Array[(Int, Array[Double])]): (Long, Double) = {
+    val r = index.agg(count(lit(1)).as("n"),
+      avg(assignedSim(centroids)).as("mean_sim")).first()
     (r.getAs[Long]("n"), r.getAs[Double]("mean_sim"))
   }
 

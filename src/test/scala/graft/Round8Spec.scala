@@ -207,6 +207,16 @@ class Round8Spec extends SparkSpec {
     val fresh = Similarity.indexHealth(spark, dir)
     assert(math.abs(fresh.drift) < 1e-9 && fresh.growth === 1.0)
     assert(!fresh.shouldRecluster())
+    // a genuinely IN-distribution append (a slice of the same data under
+    // new ids) must not trip the DEFAULT thresholds — the advertised
+    // property, tested as advertised
+    val inDist = e.filter(col("vec_id") % 3 === 0)
+      .withColumn("vec_id", col("vec_id") + 2000000L)
+    Similarity.appendToIvfIndex(spark, dir, inDist)
+    val mid = Similarity.indexHealth(spark, dir)
+    assert(!mid.shouldRecluster(),
+      s"in-distribution append tripped recluster: drift=${mid.drift} growth=${mid.growth}")
+    assert(math.abs(mid.drift) < 0.05)
     // appending NEGATED vectors: worse-assigned than the data the
     // quantizer was trained on (measurably positive drift — though for
     // near-isotropic embeddings only mildly so: the max-cosine over 8
@@ -216,14 +226,15 @@ class Round8Spec extends SparkSpec {
       .withColumn("embedding", transform(col("embedding"), x => -x))
     Similarity.appendToIvfIndex(spark, dir, shifted)
     val after = Similarity.indexHealth(spark, dir)
-    assert(after.drift > 0.0, s"negated batch should show drift, got ${after.drift}")
+    assert(after.drift > mid.drift,
+      s"negated batch should worsen drift: ${mid.drift} -> ${after.drift}")
     // the two recluster signals fire on their thresholds independently
     assert(after.shouldRecluster(maxDrift = after.drift / 2, maxGrowth = 10.0),
       "drift beyond the bar must ask for recluster")
-    assert(after.shouldRecluster(maxDrift = 1.0, maxGrowth = 1.5),
+    assert(after.shouldRecluster(maxDrift = 1.0, maxGrowth = 2.0),
       "growth beyond the bar must ask for recluster")
     assert(!after.shouldRecluster(maxDrift = 1.0, maxGrowth = 10.0),
       "inside both bars, no recluster")
-    assert(after.nNow === 2 * after.nBuild)
+    assert(after.nNow === after.nBuild + inDist.count() + after.nBuild)
   }
 }

@@ -85,7 +85,13 @@ object SparkEntry {
     // streaming corpus ingest: quality gate + content-fingerprint dedup
     // over a replay with planted same-text/new-id re-deliveries
     "corpus_ingest_stream" -> tuned(
-      graft.streaming.CorpusIngest.ingestStreamFromDir(_, _))
+      graft.streaming.CorpusIngest.ingestStreamFromDir(_, _)),
+    // sliding-window chunking: scan-fused explode, coordinates +
+    // fingerprints only (chunk text goes to shards, not through the gate)
+    "doc_chunks" -> tuned(Chunker.fromDir),
+    // corpus TF-IDF, top-k terms per doc (vocabulary-sized df join,
+    // WindowGroupLimit top-k)
+    "tfidf_topk" -> tuned(TfIdf.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -135,7 +141,9 @@ object SparkEntry {
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
     "dedup_delta_lsh" -> DedupIndex.deltaOracle(),
     "dedup_stream" -> graft.streaming.EventStreams.dedupStreamOracle,
-    "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle()
+    "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle(),
+    "doc_chunks" -> Chunker.oracle(),
+    "tfidf_topk" -> TfIdf.oracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

@@ -168,6 +168,58 @@ class Round8Spec extends SparkSpec {
     assert(out.map(_.getAs[Long]("fingerprint")).distinct.length === out.length)
   }
 
+  // ------------------------------------------------ chunking and tf-idf
+
+  test("doc_chunks: window arithmetic, full coverage, fingerprint identity") {
+    import graft.operators.Chunker
+    val docs = Seq(
+      (1L, "x"),                 // len 1  -> 1 chunk
+      (2L, "a" * 150),           // len 150 -> 1 chunk (just inside stride)
+      (3L, "b" * 151),           // len 151 -> 2 chunks (1-char tail)
+      (4L, "c" * 500),           // -> 4 chunks: 0,150,300,450
+      (5L, "")                   // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = Chunker.chunks(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))).toMap
+    assert(!got.contains(5L))
+    assert(got(1L).map(r => (r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len"))).toSeq === Seq((0L, 1L)))
+    assert(got(2L).length === 1 && got(3L).length === 2)
+    assert(got(3L).last.getAs[Long]("chunk_len") === 1L)
+    assert(got(4L).map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 150L, 300L, 450L))
+    assert(got(4L).map(_.getAs[Long]("chunk_len")).toSeq === Seq(200L, 200L, 200L, 50L))
+    // coverage: chunk spans tile the text with overlap, no gaps
+    got.values.flatten.foreach { r =>
+      assert(r.getAs[Long]("chunk_len") >= 1L)
+    }
+    // fingerprint identity vs the scalar reference on the exact substring
+    val text4 = "c" * 500
+    val fp = got(4L)(3).getAs[Long]("chunk_fp")
+    assert(fp === graft.functions.Fingerprint.reference(text4.substring(450)))
+  }
+
+  test("tfidf_topk: hand-computed scores, tie broken by term") {
+    import graft.operators.TfIdf
+    val docs = Seq(
+      (1L, "a a b"), (2L, "a c"), (3L, "b b b c")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.topTerms(docs, k = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank"),
+        r.getAs[String]("term"), r.getAs[Double]("score_r")))
+    // N=3; every term has df=2 -> idf = round9(ln(4/3)+1); score = tf*idf
+    val idf = math.floor((math.log(4.0 / 3) + 1.0) * 1e9 + 0.5) / 1e9
+    def s(tf: Int) = math.floor(tf * idf * 1e6 + 0.5) / 1e6
+    assert(got.toSeq === Seq(
+      (1L, 1L, "a", s(2)), (1L, 2L, "b", s(1)),
+      (2L, 1L, "a", s(1)), (2L, 2L, "c", s(1)), // equal scores: term asc
+      (3L, 1L, "b", s(3)), (3L, 2L, "c", s(1))))
+  }
+
+  test("tfidf_topk plans the per-doc top-k as WindowGroupLimit") {
+    import graft.operators.TfIdf
+    val plan = TfIdf.fromDir(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
+
   // --------------------------------------------------- IVF maintenance
 
   private def tmpDir(prefix: String): String =

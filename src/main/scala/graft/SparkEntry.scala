@@ -91,7 +91,10 @@ object SparkEntry {
     "doc_chunks" -> tuned(Chunker.fromDir),
     // corpus TF-IDF, top-k terms per doc (vocabulary-sized df join,
     // WindowGroupLimit top-k)
-    "tfidf_topk" -> tuned(TfIdf.fromDir)
+    "tfidf_topk" -> tuned(TfIdf.fromDir),
+    // ROLLUP grouping sets: per-(source, lang) composition + subtotals,
+    // exact-integer stats (quality as 6-dp micros)
+    "corpus_rollup" -> tuned(CorpusStats.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -143,7 +146,8 @@ object SparkEntry {
     "dedup_stream" -> graft.streaming.EventStreams.dedupStreamOracle,
     "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle(),
     "doc_chunks" -> Chunker.oracle(),
-    "tfidf_topk" -> TfIdf.oracle()
+    "tfidf_topk" -> TfIdf.oracle(),
+    "corpus_rollup" -> CorpusStats.oracle
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

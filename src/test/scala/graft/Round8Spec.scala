@@ -220,6 +220,28 @@ class Round8Spec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("corpus_rollup: subtotals and grand total reconcile exactly") {
+    import graft.operators.CorpusStats
+    val rows = CorpusStats.fromDir(spark, sf).collect()
+    val leaves = rows.filter(r => r.getAs[String]("source") != "<all>" &&
+      r.getAs[String]("lang") != "<all>")
+    val subtotals = rows.filter(r => r.getAs[String]("source") != "<all>" &&
+      r.getAs[String]("lang") == "<all>")
+    val total = rows.filter(r => r.getAs[String]("source") == "<all>")
+    assert(total.length === 1, "exactly one grand-total row")
+    assert(total.head.getAs[String]("lang") === "<all>")
+    def nd(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.getAs[Long]("n_docs")).sum
+    def tc(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.getAs[Long]("total_chars")).sum
+    assert(nd(leaves) === nd(total) && nd(subtotals) === nd(total))
+    assert(tc(leaves) === tc(total) && tc(subtotals) === tc(total))
+    // per-source subtotal equals the sum of its language leaves
+    subtotals.foreach { s =>
+      val src = s.getAs[String]("source")
+      val mine = leaves.filter(_.getAs[String]("source") == src)
+      assert(nd(mine) === s.getAs[Long]("n_docs"), s"subtotal mismatch for $src")
+    }
+  }
+
   // --------------------------------------------------- IVF maintenance
 
   private def tmpDir(prefix: String): String =

@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * long documents into fixed-size overlapping windows (context-length
   * packing reads these, dedup runs per-chunk, retrieval indexes them).
   *
-  * Windows start at multiples of `stride` while inside the text, so a doc
-  * of length L yields `(L-1) div stride + 1` chunks; the last chunks may
-  * be shorter than `size` (every character is covered by at least one
-  * chunk, consecutive chunks overlap by `size - stride`).
+  * Windows start at multiples of `stride`; generation stops at the FIRST
+  * window that reaches the end of the text, so a doc of length L yields
+  * one chunk when `L <= size`, else `(L - size + stride - 1) div stride
+  * + 1` — every character is covered, consecutive chunks overlap by
+  * `size - stride`, and no window is a redundant subset of its
+  * predecessor (continuing past the end would emit tail windows fully
+  * contained in the previous one, inflating downstream per-chunk dedup
+  * and packing for nothing).
   *
   * The gate surface carries chunk COORDINATES plus a content fingerprint
   * — not the chunk text itself. At 100 TB the chunk text is written to
@@ -31,10 +35,11 @@ object Chunker {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         length(col("text")).cast("long").as("len"))
-      // (len-1) div stride: integer division (a double round-trip would be
-      // exact here, but div states the intent)
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0L), expr(s"(len - 1) div $stride"))))
+      // last window index: 0 when the doc fits in one window, else the
+      // first start whose window reaches the end (integer div, positive)
+      .withColumn("chunk_idx", explode(sequence(lit(0L), expr(
+        s"case when len <= $size then 0L " +
+          s"else (len - $size + ${stride - 1}) div $stride end"))))
       .withColumn("chunk_start", col("chunk_idx") * stride)
       .select(
         col("doc_id"), col("chunk_idx"), col("chunk_start"),
@@ -56,7 +61,8 @@ object Chunker {
        |  FROM documents WHERE LENGTH(text) > 0
        |), c AS (
        |  SELECT doc_id, text, len,
-       |         unnest(range(0, (len - 1) // $stride + 1)) AS chunk_idx
+       |         unnest(range(0, CASE WHEN len <= $size THEN 1
+       |                 ELSE (len - $size + ${stride - 1}) // $stride + 1 END)) AS chunk_idx
        |  FROM d
        |)
        |SELECT doc_id, chunk_idx,

@@ -35,7 +35,10 @@ object TfIdf {
   def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val df = toks.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df derives from tf — one row per distinct (doc, term) already — NOT
+    // from a second scan+explode+distinct of the corpus (Spark does not
+    // dedupe common subplans; the naive form reads everything twice)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val idf = df.crossJoin(broadcast(n))
       .select(col("term"), StableRound.stableRound(

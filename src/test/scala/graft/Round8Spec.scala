@@ -170,31 +170,43 @@ class Round8Spec extends SparkSpec {
 
   // ------------------------------------------------ chunking and tf-idf
 
-  test("doc_chunks: window arithmetic, full coverage, fingerprint identity") {
+  test("doc_chunks: window arithmetic, gap-free tiling, no redundant " +
+    "tails, fingerprint identity") {
     import graft.operators.Chunker
-    val docs = Seq(
-      (1L, "x"),                 // len 1  -> 1 chunk
-      (2L, "a" * 150),           // len 150 -> 1 chunk (just inside stride)
-      (3L, "b" * 151),           // len 151 -> 2 chunks (1-char tail)
-      (4L, "c" * 500),           // -> 4 chunks: 0,150,300,450
-      (5L, "")                   // empty -> no chunks
-    ).toDF("doc_id", "text")
+    val texts = Map(
+      1L -> "x",          // 1 chunk
+      2L -> "a" * 200,    // fits one window exactly -> 1 chunk
+      3L -> "b" * 201,    // 2 chunks: 0 (200) and 150 (51)
+      4L -> "c" * 500,    // 3 chunks: 0,150,300 — NOT a 4th at 450, whose
+                          //  span would be a subset of the chunk at 300
+      5L -> "",           // no chunks
+      6L -> "d" * 350)    // 2 chunks: window at 150 ends exactly at len
+    val docs = texts.toSeq.toDF("doc_id", "text")
     val got = Chunker.chunks(docs).collect()
       .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.sortBy(_.getAs[Long]("chunk_idx"))).toMap
     assert(!got.contains(5L))
     assert(got(1L).map(r => (r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len"))).toSeq === Seq((0L, 1L)))
     assert(got(2L).length === 1 && got(3L).length === 2)
-    assert(got(3L).last.getAs[Long]("chunk_len") === 1L)
-    assert(got(4L).map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 150L, 300L, 450L))
-    assert(got(4L).map(_.getAs[Long]("chunk_len")).toSeq === Seq(200L, 200L, 200L, 50L))
-    // coverage: chunk spans tile the text with overlap, no gaps
-    got.values.flatten.foreach { r =>
-      assert(r.getAs[Long]("chunk_len") >= 1L)
+    assert(got(3L).last.getAs[Long]("chunk_len") === 51L)
+    assert(got(4L).map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 150L, 300L))
+    assert(got(4L).map(_.getAs[Long]("chunk_len")).toSeq === Seq(200L, 200L, 200L))
+    assert(got(6L).map(_.getAs[Long]("chunk_start")).toSeq === Seq(0L, 150L))
+    // REAL tiling check on every doc: first window at 0, consecutive
+    // windows exactly one stride apart (gap-free since stride <= size),
+    // and the LAST window reaches the end of the text exactly
+    got.foreach { case (id, rs) =>
+      val len = texts(id).length.toLong
+      assert(rs.head.getAs[Long]("chunk_start") === 0L, s"doc $id")
+      rs.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("chunk_start") - a.getAs[Long]("chunk_start") === 150L)
+      }
+      val last = rs.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len") === len,
+        s"doc $id: last window does not reach the end")
     }
     // fingerprint identity vs the scalar reference on the exact substring
-    val text4 = "c" * 500
-    val fp = got(4L)(3).getAs[Long]("chunk_fp")
-    assert(fp === graft.functions.Fingerprint.reference(text4.substring(450)))
+    val fp = got(4L)(2).getAs[Long]("chunk_fp")
+    assert(fp === graft.functions.Fingerprint.reference(("c" * 500).substring(300)))
   }
 
   test("tfidf_topk: hand-computed scores, tie broken by term") {

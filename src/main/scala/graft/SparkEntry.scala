@@ -94,7 +94,9 @@ object SparkEntry {
     "tfidf_topk" -> tuned(TfIdf.fromDir),
     // ROLLUP grouping sets: per-(source, lang) composition + subtotals,
     // exact-integer stats (quality as 6-dp micros)
-    "corpus_rollup" -> tuned(CorpusStats.fromDir)
+    "corpus_rollup" -> tuned(CorpusStats.fromDir),
+    // template/boilerplate signal: windows recurring across distinct docs
+    "boilerplate_frac" -> tuned(Boilerplate.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,7 +149,8 @@ object SparkEntry {
     "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle(),
     "doc_chunks" -> Chunker.oracle(),
     "tfidf_topk" -> TfIdf.oracle(),
-    "corpus_rollup" -> CorpusStats.oracle
+    "corpus_rollup" -> CorpusStats.oracle,
+    "boilerplate_frac" -> Boilerplate.oracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

@@ -52,11 +52,12 @@ object Chunker {
   def fromDir(spark: SparkSession, dir: String): DataFrame =
     chunks(Tables.documents(spark, dir))
 
-  /** DuckDB twin: same window arithmetic (`//` == `div` on positives),
-    * same substring coordinates (both engines 1-based, character-counted),
-    * fingerprints through the single-sourced fold fragment. */
-  def oracle(size: Int = 200, stride: Int = 150): String =
-    s"""WITH d AS (
+  /** The chunk CTEs, shared by [[oracle]] and [[Boilerplate.oracle]] —
+    * ONE copy of the window arithmetic on the SQL side, like the Scala
+    * side shares [[chunks]]. Defines CTEs `d` and `c`; `c` has
+    * (doc_id, text, len, chunk_idx). */
+  def chunkCtesSql(size: Int, stride: Int): String =
+    s"""d AS (
        |  SELECT doc_id, text, LENGTH(text) AS len
        |  FROM documents WHERE LENGTH(text) > 0
        |), c AS (
@@ -64,10 +65,73 @@ object Chunker {
        |         unnest(range(0, CASE WHEN len <= $size THEN 1
        |                 ELSE (len - $size + ${stride - 1}) // $stride + 1 END)) AS chunk_idx
        |  FROM d
-       |)
+       |)""".stripMargin
+
+  /** The per-chunk fingerprint expression over CTE `c`'s columns. */
+  def chunkFpSql(size: Int, stride: Int): String =
+    Fingerprint.fingerprintSql(s"substr(text, chunk_idx * $stride + 1, $size)")
+
+  /** DuckDB twin: same window arithmetic (`//` == `div` on positives),
+    * same substring coordinates (both engines 1-based, character-counted),
+    * fingerprints through the single-sourced fold fragment. */
+  def oracle(size: Int = 200, stride: Int = 150): String =
+    s"""WITH ${chunkCtesSql(size, stride)}
        |SELECT doc_id, chunk_idx,
        |       chunk_idx * $stride AS chunk_start,
        |       LEAST($size, len - chunk_idx * $stride) AS chunk_len,
-       |       ${Fingerprint.fingerprintSql(s"substr(text, chunk_idx * $stride + 1, $size)")} AS chunk_fp
+       |       ${chunkFpSql(size, stride)} AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+}
+
+/** Boilerplate detection: windows whose exact content recurs across
+  * DISTINCT documents are template material (headers, footers, license
+  * blocks, navigation chrome) — a standard corpus-cleaning signal that
+  * pure per-doc quality scores cannot see. Composes [[Chunker]]: chunk →
+  * group by content fingerprint → flag fingerprints seen in >= minDocs
+  * documents → per-doc boilerplate fraction.
+  *
+  * Plan shape: the chunk stage is pinned once (it feeds both the
+  * fingerprint aggregate and the join back); both the aggregate and the
+  * join shuffle on the 8-byte fingerprint — never on chunk text. At
+  * 100 TB the fingerprint table is |windows|-sized but narrow, and the
+  * per-doc rollup is the standard partial-aggregated shuffle. Within-doc
+  * repeats do NOT count as boilerplate (the signal is CROSS-document
+  * recurrence — COUNT(DISTINCT doc_id)); they still appear in n_chunks.
+  */
+object Boilerplate {
+
+  def score(docs: DataFrame, size: Int = 200, stride: Int = 150,
+            minDocs: Int = 2): DataFrame = {
+    val ch = Dedup.pinned(
+      Chunker.chunks(docs, size, stride).select(col("doc_id"), col("chunk_fp")))
+    val byFp = ch.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_fp"))
+    ch.join(byFp, Seq("chunk_fp"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_fp") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"))
+      .select(col("doc_id"), col("n_chunks"), col("n_boilerplate"),
+        graft.functions.StableRound.stableRound(
+          col("n_boilerplate").cast("double") / col("n_chunks"), 6)
+          .as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    score(Tables.documents(spark, dir))
+
+  def oracle(size: Int = 200, stride: Int = 150, minDocs: Int = 2): String =
+    s"""WITH ${Chunker.chunkCtesSql(size, stride)}, f AS (
+       |  SELECT doc_id, ${Chunker.chunkFpSql(size, stride)} AS chunk_fp FROM c
+       |), fp AS (
+       |  SELECT chunk_fp, COUNT(DISTINCT doc_id) AS n_docs_fp
+       |  FROM f GROUP BY chunk_fp
+       |)
+       |SELECT f.doc_id, COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN fp.n_docs_fp >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       |       FLOOR(CAST(SUM(CASE WHEN fp.n_docs_fp >= $minDocs THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / COUNT(*) * 1e6 + 0.5) / 1e6 AS boilerplate_frac
+       |FROM f JOIN fp ON f.chunk_fp = fp.chunk_fp
+       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
 }

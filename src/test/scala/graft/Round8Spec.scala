@@ -232,6 +232,27 @@ class Round8Spec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
 
+  test("boilerplate: cross-doc repeated windows flagged, within-doc " +
+    "repeats are not") {
+    import graft.operators.Boilerplate
+    val shared = "S" * 200
+    val docs = Seq(
+      (1L, shared + "unique tail one " * 10),
+      (2L, shared + "a completely different tail " * 8),
+      (3L, "z" * 500), // 3 identical windows, but only THIS doc has them
+      (4L, "short unique doc")
+    ).toDF("doc_id", "text")
+    val got = Boilerplate.score(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_boilerplate"))).toMap
+    assert(got(1L)._2 >= 1L && got(2L)._2 >= 1L,
+      "the shared leading window must flag in both docs")
+    assert(got(3L) === ((3L, 0L)),
+      "within-doc repeats are not cross-document boilerplate")
+    assert(got(4L)._2 === 0L)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("corpus_rollup: subtotals and grand total reconcile exactly") {
     import graft.operators.CorpusStats
     val rows = CorpusStats.fromDir(spark, sf).collect()

@@ -30,7 +30,8 @@ object ScaleBench {
     Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders", "dedup_minhash_lsh",
       "corpus_shards", "dedup_clusters",
       "sessions", "running_revenue", "lsh_ann_topk", "text_repetition",
-      "text_redact", "dedup_delta_lsh")
+      "text_redact", "dedup_delta_lsh",
+      "doc_chunks", "tfidf_topk", "corpus_rollup", "boilerplate_frac")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

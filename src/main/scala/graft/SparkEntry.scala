@@ -96,7 +96,11 @@ object SparkEntry {
     // exact-integer stats (quality as 6-dp micros)
     "corpus_rollup" -> tuned(CorpusStats.fromDir),
     // template/boilerplate signal: windows recurring across distinct docs
-    "boilerplate_frac" -> tuned(Boilerplate.fromDir)
+    "boilerplate_frac" -> tuned(Boilerplate.fromDir),
+    // the STREAMING windowed agg under the batch oracle: append-mode
+    // watermarked replay must hash-match events_hourly's oracle
+    "events_hourly_streaming" -> tuned(
+      graft.streaming.EventStreams.hourlyStreamingFromDir(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,7 +154,8 @@ object SparkEntry {
     "doc_chunks" -> Chunker.oracle(),
     "tfidf_topk" -> TfIdf.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
-    "boilerplate_frac" -> Boilerplate.oracle()
+    "boilerplate_frac" -> Boilerplate.oracle(),
+    "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential
@@ -159,7 +164,8 @@ object SparkEntry {
     * warmup/repeat passes. Registered here, beside `queries`, so adding a
     * replay gate and classifying it happen in the same file. */
   val replayHarnessQueries: Set[String] =
-    Set("sessions_streaming", "dedup_stream", "corpus_ingest_stream")
+    Set("sessions_streaming", "dedup_stream", "corpus_ingest_stream",
+      "events_hourly_streaming")
   require(replayHarnessQueries.subsetOf(queries.keySet),
     "replayHarnessQueries names a query not registered in queries")
 }

@@ -168,6 +168,57 @@ object EventStreams {
     }
   }
 
+  /** Driver-gated STREAMING windowed aggregation: replays the events
+    * table through a `MemoryStream` in ts-ordered micro-batches, runs the
+    * SAME [[hourlyAgg]] the batch twin uses (watermarked, append mode —
+    * each window emits exactly once, when the watermark proves it final),
+    * flushes the tail with one far-future sentinel, and returns the sink
+    * shaped exactly like [[hourlyBatch]] — so the SAME [[hourlyOracle]]
+    * must hash-match it. In-order replay means every event is
+    * watermark-admitted; window sums are integer micros (associative), so
+    * the streaming answer is provably the batch answer.
+    *
+    * Driver-side collect is the MemoryStream replay harness (gate scale
+    * only), same adjudicated pattern as [[sessionsStreamingFromDir]]. */
+  def hourlyStreamingFromDir(spark: SparkSession, dir: String,
+                             nBatches: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs: Array[(java.sql.Timestamp, Long, String, Double)] =
+      Tables.events(spark, dir)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_type"), col("value"))
+        .as[(java.sql.Timestamp, Long, String, Double)].collect()
+    require(evs.nonEmpty, s"no events under $dir")
+    val sentinelType = " flush"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val agg = hourlyAgg(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "2 hours"))
+      .drop("approx_users")
+    val sink = s"graft_hourly_stream_${sinkSeq.incrementAndGet()}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(sink).start()
+    try {
+      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
+      evs.grouped(per).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+      // one far-future event pushes the watermark past every real window
+      val far = new java.sql.Timestamp(evs.last._1.getTime + 3L * 24 * 3600 * 1000)
+      mem.addData((far, -1L, sentinelType, 0.0)); q.processAllAvailable()
+      val out = spark.table(sink)
+        .filter(col("event_type") =!= sentinelType)
+        .orderBy(col("hour_start"), col("event_type"))
+      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.catalog.dropTempView(sink)
+    }
+  }
+
   /** The batch truth for [[dedupStreamFromDir]]: re-deliveries dropped ⇔
     * the raw events table, projected and formatted identically. */
   val dedupStreamOracle: String =

@@ -152,6 +152,14 @@ class Round8Spec extends SparkSpec {
     assert(out.select("event_id").distinct().count() === raw.count())
   }
 
+  test("events_hourly_streaming gate: append-mode windowed replay equals " +
+    "the batch twin exactly") {
+    val batch = graft.streaming.EventStreams.hourlyBatch(spark, sf).collect()
+    val streamed = graft.streaming.EventStreams.hourlyStreamingFromDir(spark, sf).collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
   test("corpus_ingest_stream gate: quality gate filters, content dedup " +
     "kills same-text re-deliveries with different ids") {
     val out = graft.streaming.CorpusIngest.ingestStreamFromDir(spark, sf).collect()

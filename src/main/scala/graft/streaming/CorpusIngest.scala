@@ -82,7 +82,6 @@ object CorpusIngest {
   def ingestStreamFromDir(spark: SparkSession, dir: String,
                           nBatches: Int = 8): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(batch: Int) = new java.sql.Timestamp(base.getTime + batch * 1000L)
     val docs: Array[(Long, String)] =
@@ -91,44 +90,22 @@ object CorpusIngest {
         .orderBy(col("doc_id"))
         .as[(Long, String)].collect()
     require(docs.nonEmpty, s"no documents under $dir")
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val cleansed = cleanse(
-      mem.toDF().toDF("doc_id", "ingest_ts", "text"), watermark = "1 hour")
-    val sink = s"graft_ingest_stream_${sinkSeq.incrementAndGet()}"
-    // narrow replay: state-store commit overhead scales with shuffle
-    // partitions, not data, at gate scale (see EventStreams.dedupStreamFromDir)
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = cleansed.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try {
-      val per = math.max(1, math.ceil(docs.length.toDouble / nBatches).toInt)
-      val batches = docs.grouped(per).toVector
-      val redeliveries = batches.map(_.zipWithIndex.collect {
-        case ((id, text), i) if i % 6 == 0 => (id + 10_000_000L, text)
-      })
-      batches.zipWithIndex.foreach { case (b, k) =>
-        val rows = b.toSeq ++ (if (k == 0) Nil else redeliveries(k - 1))
-        mem.addData(rows.map { case (id, t) => (id, at(k), t) })
-        q.processAllAvailable()
-      }
-      mem.addData(redeliveries.last.toSeq.map { case (id, t) =>
-        (id, at(batches.size), t)
-      })
-      q.processAllAvailable()
-      val out = spark.table(sink)
+    val batches = Replay.evenBatches(docs, nBatches)
+    val redeliveries = batches.map(_.zipWithIndex.collect {
+      case ((id, text), i) if i % 6 == 0 => (id + 10_000_000L, text)
+    })
+    // re-deliveries ride one batch behind their original, stamped with the
+    // deterministic per-batch arrival time (see scaladoc)
+    val timed = batches.zipWithIndex.map { case (b, k) =>
+      (b ++ (if (k == 0) Nil else redeliveries(k - 1)))
+        .map { case (id, t) => (id, at(k), t) }
+    } :+ redeliveries.last.map { case (id, t) => (id, at(batches.size), t) }
+    Replay.run(spark, timed, Seq("doc_id", "ingest_ts", "text"),
+      df => cleanse(df, watermark = "1 hour"),
+      out => out
         .select(col("doc_id"), col("quality_score"), col("fingerprint"))
-        .orderBy(col("doc_id"))
-      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.catalog.dropTempView(sink)
-    }
+        .orderBy(col("doc_id")))
   }
-
-  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The batch truth for [[ingestStreamFromDir]]: quality-filtered raw
     * table with its content fingerprint — planted re-deliveries gone

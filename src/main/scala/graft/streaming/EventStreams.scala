@@ -119,7 +119,6 @@ object EventStreams {
   def dedupStreamFromDir(spark: SparkSession, dir: String,
                          nBatches: Int = 8): DataFrame = {
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs: Array[(Long, java.sql.Timestamp, Long, String, Double)] =
       Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -128,44 +127,23 @@ object EventStreams {
       .as[(Long, java.sql.Timestamp, Long, String, Double)].collect()
     require(evs.nonEmpty, s"no events under $dir")
     val spanSec = (evs.last._2.getTime - evs.head._2.getTime) / 1000L + 3600L
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
-    val deduped = dedupStream(
-      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
-      watermark = s"$spanSec seconds")
-    val sink = s"graft_dedup_stream_${sinkSeq.incrementAndGet()}"
-    // gate-scale replay: per-micro-batch cost is dominated by state-store
-    // commits (one store per shuffle partition per stateful op), so run the
-    // replay narrow — the result is partition-count-independent
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try {
-      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
-      val batches = evs.grouped(per).toVector
-      // re-deliveries ride one batch behind their original (dupes of the
-      // last batch get a trailing batch of their own)
-      val redeliveries = batches.map(_.zipWithIndex.collect {
-        case (e, i) if i % 7 == 0 => e
-      })
-      batches.zipWithIndex.foreach { case (b, k) =>
-        val withDupes = if (k == 0) b.toSeq
-        else b.toSeq ++ redeliveries(k - 1)
-        mem.addData(withDupes); q.processAllAvailable()
-      }
-      mem.addData(redeliveries.last.toSeq); q.processAllAvailable()
-      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val out = spark.table(sink)
+    val batches = Replay.evenBatches(evs, nBatches)
+    // re-deliveries ride one batch behind their original (dupes of the
+    // last batch get a trailing batch of their own)
+    val redeliveries = batches.map(_.zipWithIndex.collect {
+      case (e, i) if i % 7 == 0 => e
+    })
+    val withDupes = batches.zipWithIndex.map { case (b, k) =>
+      if (k == 0) b else b ++ redeliveries(k - 1)
+    } :+ redeliveries.last
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Replay.run(spark, withDupes,
+      Seq("event_id", "ts", "user_id", "event_type", "value"),
+      df => dedupStream(df, watermark = s"$spanSec seconds"),
+      out => out
         .select(col("event_id"), date_format(col("ts"), fmt).as("ts"),
           col("user_id"), col("event_type"), col("value"))
-        .orderBy(col("event_id"))
-      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.catalog.dropTempView(sink)
-    }
+        .orderBy(col("event_id")))
   }
 
   /** Driver-gated STREAMING windowed aggregation: replays the events
@@ -183,7 +161,6 @@ object EventStreams {
   def hourlyStreamingFromDir(spark: SparkSession, dir: String,
                              nBatches: Int = 8): DataFrame = {
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs: Array[(java.sql.Timestamp, Long, String, Double)] =
       Tables.events(spark, dir)
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -191,32 +168,15 @@ object EventStreams {
         .as[(java.sql.Timestamp, Long, String, Double)].collect()
     require(evs.nonEmpty, s"no events under $dir")
     val sentinelType = " flush"
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(java.sql.Timestamp, Long, String, Double)]
-    val agg = hourlyAgg(
-      mem.toDF().toDF("ts", "user_id", "event_type", "value")
-        .withWatermark("ts", "2 hours"))
-      .drop("approx_users")
-    val sink = s"graft_hourly_stream_${sinkSeq.incrementAndGet()}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try {
-      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
-      evs.grouped(per).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
-      // one far-future event pushes the watermark past every real window
-      val far = new java.sql.Timestamp(evs.last._1.getTime + 3L * 24 * 3600 * 1000)
-      mem.addData((far, -1L, sentinelType, 0.0)); q.processAllAvailable()
-      val out = spark.table(sink)
+    // one far-future event pushes the watermark past every real window
+    val far = new java.sql.Timestamp(evs.last._1.getTime + 3L * 24 * 3600 * 1000)
+    val batches = Replay.evenBatches(evs, nBatches) :+
+      Seq((far, -1L, sentinelType, 0.0))
+    Replay.run(spark, batches, Seq("ts", "user_id", "event_type", "value"),
+      df => hourlyAgg(df.withWatermark("ts", "2 hours")).drop("approx_users"),
+      out => out
         .filter(col("event_type") =!= sentinelType)
-        .orderBy(col("hour_start"), col("event_type"))
-      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.catalog.dropTempView(sink)
-    }
+        .orderBy(col("hour_start"), col("event_type")))
   }
 
   /** The batch truth for [[dedupStreamFromDir]]: re-deliveries dropped ⇔
@@ -408,52 +368,31 @@ object EventStreams {
   def sessionsStreamingFromDir(spark: SparkSession, dir: String,
                                nBatches: Int = 8): DataFrame = {
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val evs = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("value"))
       .orderBy(col("ts"), col("user_id"), col("value"))
       .as[(Long, java.sql.Timestamp, Double)]
       .collect()
     require(evs.nonEmpty, s"no events under $dir")
-    val mem = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.sql.Timestamp, Double)]
-    val sessions = sessionizeStreaming(
-      mem.toDF().toDF("user_id", "ts", "value")
-        .withWatermark("ts", "10 minutes").as[SessionEvent])
-    val sink = s"graft_sessions_stream_${sinkSeq.incrementAndGet()}"
-    // narrow replay: per-micro-batch cost is state-store commits (one per
-    // shuffle partition), so don't run 32-wide over gate-scale data — the
-    // session content is independent of the partition count
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q = sessions.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(sink).start()
-    try {
-      val per = math.max(1, math.ceil(evs.length.toDouble / nBatches).toInt)
-      evs.grouped(per).foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
-      val far = new java.sql.Timestamp(evs.last._2.getTime + 3L * 24 * 3600 * 1000)
-      mem.addData((-1L, far, 0.0)); q.processAllAvailable()
-      mem.addData((-1L, new java.sql.Timestamp(far.getTime + 3600L * 1000), 0.0))
-      q.processAllAvailable()
-      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      val out = spark.table(sink)
+    // two far-future sentinel batches: the first advances the watermark
+    // past every real session's close; the second fires the armed timeouts
+    val far = new java.sql.Timestamp(evs.last._2.getTime + 3L * 24 * 3600 * 1000)
+    val batches = Replay.evenBatches(evs, nBatches) :+
+      Seq((-1L, far, 0.0)) :+
+      Seq((-1L, new java.sql.Timestamp(far.getTime + 3600L * 1000), 0.0))
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    Replay.run(spark, batches, Seq("user_id", "ts", "value"),
+      df => sessionizeStreaming(
+        df.withWatermark("ts", "10 minutes").as[SessionEvent]).toDF(),
+      out => out
         .filter(col("user_id") >= 0) // drop the flush sentinels
         .select(
           col("user_id"),
           date_format(col("session_start"), fmt).as("session_start"),
           date_format(col("session_end"), fmt).as("session_end"),
           col("n_events"), col("session_value"))
-        .orderBy(col("user_id"), col("session_start"))
-      // detach the result from the about-to-be-dropped sink view
-      spark.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally {
-      q.stop()
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.catalog.dropTempView(sink)
-    }
+        .orderBy(col("user_id"), col("session_start")))
   }
-
-  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Batch twin of sessionization via the window-gap pattern — verifies
     * [[sessionizeStateful]] on static data. */

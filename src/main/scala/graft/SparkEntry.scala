@@ -100,7 +100,11 @@ object SparkEntry {
     // the STREAMING windowed agg under the batch oracle: append-mode
     // watermarked replay must hash-match events_hourly's oracle
     "events_hourly_streaming" -> tuned(
-      graft.streaming.EventStreams.hourlyStreamingFromDir(_, _))
+      graft.streaming.EventStreams.hourlyStreamingFromDir(_, _)),
+    // leakage-safe train/val/test split: near-dup clusters are the split
+    // unit (near-dups never straddle splits), buckets content-addressed
+    // by the representative's fingerprint
+    "corpus_split" -> tuned(CorpusSplit.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -155,7 +159,8 @@ object SparkEntry {
     "tfidf_topk" -> TfIdf.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
-    "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle
+    "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,
+    "corpus_split" -> CorpusSplit.oracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

@@ -89,11 +89,15 @@ object NearDupClusters {
   def fromDir(spark: SparkSession, dir: String): DataFrame =
     connectedComponents(Dedup.ngramJaccardPairs(Tables.documents(spark, dir)))
 
-  /** DuckDB twin: same pair CTEs as [[Dedup.ngramJaccardOracle]], then a
-    * recursive transitive closure and MIN(reachable id) per node — exact
-    * on the same sparse pair graph. */
-  def oracle(n: Int = 5, thr: Double = 0.5): String =
-    s"""WITH RECURSIVE ${Dedup.shingleCtesSql("documents", n)},
+  /** Shared DuckDB CTE fragment: the exact n-gram-Jaccard pair graph's
+    * connected components over `documents` — same pair CTEs as
+    * [[Dedup.ngramJaccardOracle]], then a recursive transitive closure and
+    * MIN(reachable id) per node. Defines CTE `cc` (doc_id, cluster_id),
+    * holding ONLY clustered docs. The enclosing query must open with
+    * `WITH RECURSIVE`. Used by [[oracle]] AND [[CorpusSplit.oracle]], so
+    * the closure logic cannot drift between them (or from the Spark side). */
+  def ccCtesSql(n: Int = 5, thr: Double = 0.5): String =
+    s"""${Dedup.shingleCtesSql("documents", n)},
        |pairs AS (
        |  SELECT id1, id2 FROM inter
        |  JOIN card ca ON id1 = ca.doc_id
@@ -107,7 +111,12 @@ object NearDupClusters {
        |  SELECT id, id AS label FROM nodes
        |  UNION
        |  SELECT e.a AS id, r.label FROM edges e JOIN reach r ON e.b = r.id
-       |)
-       |SELECT id AS doc_id, MIN(label) AS cluster_id
-       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+       |),
+       |cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+       |       FROM reach GROUP BY id)""".stripMargin
+
+  /** DuckDB twin: the shared closure fragment, presented per doc. */
+  def oracle(n: Int = 5, thr: Double = 0.5): String =
+    s"""WITH RECURSIVE ${ccCtesSql(n, thr)}
+       |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.Fingerprint
+import graft.operators.CorpusSplit
+import org.apache.spark.sql.functions.col
+
+/** Round-9 behaviors: leakage-safe corpus splitting — near-dup clusters
+  * are the split unit, assignment is content-addressed, and the split is
+  * stable under doc_id renumbering. */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  // Two near-dups (one word differs out of ~40 → Jaccard >> 0.5), one
+  // unrelated doc, one short doc below the shingle length (no shingles →
+  // never clustered). Text is long enough for 5-gram shingles to overlap.
+  private val base = (1 to 40).map(i => s"w$i").mkString(" ")
+  private val nearDup = base.replace("w20", "w20x")
+  private val other = (1 to 40).map(i => s"z$i").mkString(" ")
+  private def frame(ids: (Long, Long, Long, Long)) = Seq(
+    (ids._1, base), (ids._2, nearDup), (ids._3, other), (ids._4, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("corpus_split: near-dups share a unit and therefore a split; singletons are their own unit") {
+    val out = CorpusSplit.split(frame((10L, 11L, 12L, 13L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L))
+    // the near-dup pair collapses onto the min-id representative
+    assert(out(10L)._1 == 10L && out(11L)._1 == 10L)
+    assert(out(10L)._3 == out(11L)._3, "clustered docs must land in ONE split")
+    // singletons are their own unit
+    assert(out(12L)._1 == 12L && out(13L)._1 == 13L)
+    // content-addressing: bucket == representative text's fingerprint % 100
+    assert(out(10L)._2 == Fingerprint.reference(base) % 100)
+    assert(out(11L)._2 == Fingerprint.reference(base) % 100)
+    assert(out(12L)._2 == Fingerprint.reference(other) % 100)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("corpus_split: renumbering doc_ids never moves a doc's content between splits") {
+    val a = CorpusSplit.split(frame((10L, 11L, 12L, 13L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val b = CorpusSplit.split(frame((507L, 900L, 1234L, 77L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    // same content, different ids → same (bucket, split) per doc position
+    assert(a(10L) == b(507L) && a(11L) == b(900L))
+    assert(a(12L) == b(1234L) && a(13L) == b(77L))
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("corpus_split: every unit maps to exactly one split, cut points respected (sf0.001)") {
+    val out = CorpusSplit.split(graft.sources.Tables.documents(spark, sf))
+    val rows = out.collect()
+    assert(rows.length == graft.sources.Tables.documents(spark, sf).count())
+    // one split per unit
+    val perUnit = rows.groupBy(_.getLong(1)).values
+    assert(perUnit.forall(_.map(_.getString(3)).distinct.length == 1))
+    // bucket ↔ split mapping is the declared case expression
+    assert(rows.forall { r =>
+      val (bucket, split) = (r.getLong(2), r.getString(3))
+      bucket >= 0 && bucket < 100 &&
+        split == (if (bucket < 90) "train" else if (bucket < 95) "val" else "test")
+    })
+    graft.operators.Dedup.releasePinned(spark)
+  }
+}

@@ -104,7 +104,11 @@ object SparkEntry {
     // leakage-safe train/val/test split: near-dup clusters are the split
     // unit (near-dups never straddle splits), buckets content-addressed
     // by the representative's fingerprint
-    "corpus_split" -> tuned(CorpusSplit.fromDir)
+    "corpus_split" -> tuned(CorpusSplit.fromDir),
+    // exact per-source token-count percentiles via the (source, count)
+    // histogram — rank math in integers, shuffle bounded by distinct
+    // count values, never corpus rows
+    "token_percentiles" -> tuned(CorpusStats.percentilesFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,7 +164,8 @@ object SparkEntry {
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,
-    "corpus_split" -> CorpusSplit.oracle()
+    "corpus_split" -> CorpusSplit.oracle(),
+    "token_percentiles" -> CorpusStats.percentilesOracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

@@ -16,6 +16,12 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** The ONE DuckDB twin of [[tokenCount]] — interpolated by every oracle
+    * that counts whitespace tokens (text_token_stats, token_percentiles),
+    * so the tokenization rule cannot drift between oracles. */
+  def tokenCountSql(textCol: String): String =
+    s"len(list_filter(string_split($textCol, ' '), t -> t <> ''))"
+
   /** Word n-gram shingles: join of each n-length sliding window.
     * Guarded: Spark's sequence(1, k) with k < 1 yields a DESCENDING
     * sequence (e.g. [1,0]), not an empty array. */

@@ -28,11 +28,11 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
 
   val tokenStatsOracle: String =
-    """SELECT doc_id, LENGTH(text) AS chars,
-      |       len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+    s"""SELECT doc_id, LENGTH(text) AS chars,
+      |       ${TF.tokenCountSql("text")} AS n_tokens,
       |       len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct_tokens,
       |       FLOOR(CAST(LENGTH(text) AS DOUBLE) /
-      |             GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1) * 1e6 + 0.5) / 1e6 AS avg_token_len
+      |             GREATEST(${TF.tokenCountSql("text")}, 1) * 1e6 + 0.5) / 1e6 AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Quality scoring: length/punct/stopword/digit components + composite. */

@@ -47,6 +47,44 @@ class Round9Spec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("token_percentiles: hand-derived ranks, percentile_disc semantics") {
+    // source A: token counts 1..10 → p25 = value at rank ceil(2.5)=3,
+    // p50 at 5, p75 at 8, p90 at 9, p99 at 10
+    // source B: all equal counts → every percentile is that value
+    val docs = ((1 to 10).map(k => ("A", (1 to k).map(i => s"t$i").mkString(" "))) ++
+      Seq.fill(4)(("B", "x y z"))).zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.CorpusStats.tokenPercentiles(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5),
+      a.getLong(6), a.getLong(7), a.getLong(8)) == ((10L, 1L, 3L, 5L, 8L, 9L, 10L, 10L)))
+    val b = out("B")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(7), b.getLong(8))
+      == ((4L, 3L, 3L, 3L, 3L)))
+  }
+
+  test("token_percentiles: histogram ranks == sorted-list ranks on real docs (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = graft.operators.CorpusStats.tokenPercentiles(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // independent recomputation: collect counts, sort, index directly
+    val counts = docs.select(col("source"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    assert(out.keySet == counts.keySet)
+    counts.foreach { case (src, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val n = sorted.length
+      def disc(p: Int) = sorted(((n.toLong * p + 99) / 100).toInt - 1)
+      val r = out(src)
+      assert(r.getLong(1) == n && r.getLong(2) == sorted.head && r.getLong(8) == sorted.last)
+      assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+        == ((disc(25), disc(50), disc(75), disc(90), disc(99))), s"source $src")
+    }
+  }
+
   test("corpus_split: every unit maps to exactly one split, cut points respected (sf0.001)") {
     val out = CorpusSplit.split(graft.sources.Tables.documents(spark, sf))
     val rows = out.collect()

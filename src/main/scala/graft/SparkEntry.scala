@@ -108,7 +108,10 @@ object SparkEntry {
     // exact per-source token-count percentiles via the (source, count)
     // histogram — rank math in integers, shuffle bounded by distinct
     // count values, never corpus rows
-    "token_percentiles" -> tuned(CorpusStats.percentilesFromDir)
+    "token_percentiles" -> tuned(CorpusStats.percentilesFromDir),
+    // per-type z-score outliers in exact integer arithmetic (no sqrt, no
+    // doubles): aggregate-then-broadcast-compare two-pass pattern
+    "event_outliers" -> tuned(EventOutliers.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -165,7 +168,8 @@ object SparkEntry {
     "boilerplate_frac" -> Boilerplate.oracle(),
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,
     "corpus_split" -> CorpusSplit.oracle(),
-    "token_percentiles" -> CorpusStats.percentilesOracle()
+    "token_percentiles" -> CorpusStats.percentilesOracle(),
+    "event_outliers" -> EventOutliers.oracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

@@ -85,6 +85,42 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("event_outliers: crafted spike is flagged, the tight cluster is not; boundary is exact") {
+    // 10 values at 100.0 plus one spike at 200.0: mean ≈ 109.09,
+    // σ_pop ≈ 28.75 → z(spike) ≈ 3.16 > 3, z(100) ≈ 0.32. And a second
+    // type whose values are all equal (σ = 0): nothing flags, including
+    // the boundary case lhs = rhs = 0 (strict >).
+    val rows = ((1 to 10).map(i => (i.toLong, "a", 100.0)) :+ (11L, "a", 200.0)) ++
+      (12 to 15).map(i => (i.toLong, "b", 50.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val out = graft.operators.EventOutliers.outliers(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(11L))
+    // sigmas=4 is past the spike's z ≈ 3.16 → nothing flags
+    assert(graft.operators.EventOutliers.outliers(df, sigmas = 4).count() == 0)
+  }
+
+  test("event_outliers: integer test == double z-score recomputation on real events (sf0.001)") {
+    val events = graft.sources.Tables.events(spark, sf)
+    val flagged = graft.operators.EventOutliers.outliers(events)
+      .collect().map(_.getLong(0)).toSet
+    // independent double-precision recomputation (safe away from the
+    // boundary: synthetic values are not adversarially close to 3σ)
+    val evs = events.select(col("event_id"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect()
+    val byType = evs.groupBy(_._2)
+    val expect = byType.values.flatMap { rows =>
+      val vm = rows.map(r => math.floor(r._3 * 1e6 + 0.5))
+      val n = vm.length.toDouble
+      val mean = vm.sum / n
+      val varPop = vm.map(v => (v - mean) * (v - mean)).sum / n
+      rows.zip(vm).collect {
+        case ((id, _, _), v) if (v - mean) * (v - mean) > 9 * varPop => id
+      }.toSeq
+    }.toSet
+    assert(flagged == expect)
+    assert(flagged.nonEmpty, "the heavy-tailed synthetic data must produce outliers")
+  }
+
   test("corpus_split: every unit maps to exactly one split, cut points respected (sf0.001)") {
     val out = CorpusSplit.split(graft.sources.Tables.documents(spark, sf))
     val rows = out.collect()

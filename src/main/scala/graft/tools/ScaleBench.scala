@@ -31,7 +31,8 @@ object ScaleBench {
       "corpus_shards", "dedup_clusters",
       "sessions", "running_revenue", "lsh_ann_topk", "text_repetition",
       "text_redact", "dedup_delta_lsh",
-      "doc_chunks", "tfidf_topk", "corpus_rollup", "boilerplate_frac")
+      "doc_chunks", "tfidf_topk", "corpus_rollup", "boilerplate_frac",
+      "text_bpe_merged", "corpus_split", "token_percentiles", "event_outliers")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

@@ -104,13 +104,20 @@ object Boilerplate {
             minDocs: Int = 2): DataFrame = {
     val ch = Dedup.pinned(
       Chunker.chunks(docs, size, stride).select(col("doc_id"), col("chunk_fp")))
-    val byFp = ch.groupBy(col("chunk_fp"))
+    // the >= minDocs cut runs BELOW the join: the unfiltered per-fp table
+    // is corpus-scale (one row per distinct window), but the RECURRING
+    // subset is boilerplate-sparse — joining only that side keeps the
+    // join's small side genuinely small (AQE can broadcast it from real
+    // post-shuffle stats), and the left join preserves every chunk row
+    // for the n_chunks denominator
+    val recurring = ch.groupBy(col("chunk_fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs_fp"))
-    ch.join(byFp, Seq("chunk_fp"))
+      .filter(col("n_docs_fp") >= minDocs)
+    ch.join(recurring, Seq("chunk_fp"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(when(col("n_docs_fp") >= minDocs, 1L).otherwise(0L)).as("n_boilerplate"))
+        sum(when(col("n_docs_fp").isNotNull, 1L).otherwise(0L)).as("n_boilerplate"))
       .select(col("doc_id"), col("n_chunks"), col("n_boilerplate"),
         graft.functions.StableRound.stableRound(
           col("n_boilerplate").cast("double") / col("n_chunks"), 6)

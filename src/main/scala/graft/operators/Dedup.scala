@@ -146,7 +146,15 @@ object Dedup {
     val card = arrs.select(col("doc_id"), size(col("sharr")).cast("long").as("n_shingles"))
     val a = sh.select(col("doc_id").as("id1"), col("shingle"))
     val b = sh.select(col("doc_id").as("id2"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    // merge hint: BOTH sides are the exploded corpus — a shuffle join is
+    // the only sane strategy at any scale, but Catalyst's width-ratio
+    // size estimate for a Generate output can collapse below the
+    // broadcast threshold, and whether it does depends on whether the
+    // pinned stage's stats are actual-cached or estimated at planning
+    // time. Unhinted, the x10 scale run bistably flipped to building a
+    // single-threaded multi-GB broadcast of the exploded side (75 s vs
+    // 600+ s for identical code and data); the hint pins the strategy.
+    val inter = a.hint("merge").join(b, Seq("shingle"))
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("n_common"))
@@ -172,6 +180,18 @@ object Dedup {
        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
+
+  /** Shared DuckDB CTE: the verified near-dup pair list (threshold applied)
+    * over [[shingleCtesSql]]'s `inter`/`card`. Defines CTE `pairs
+    * (id1, id2)`. Used by [[NearDupClusters.ccCtesSql]] AND
+    * [[SourceMatrix.oracle]], so the pair predicate is written once. */
+  def pairsCteSql(thr: Double): String =
+    s"""pairs AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN card ca ON id1 = ca.doc_id
+       |  JOIN card cb ON id2 = cb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= $thr
+       |)""".stripMargin
 
   def ngramJaccardOracle(n: Int = 5, threshold: Double = 0.5): String =
     s"""WITH ${shingleCtesSql("documents", n)}
@@ -249,7 +269,9 @@ object Dedup {
     val banded = bandedSignatures(signatures, numHashes, bands)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("id1"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("id2"))
-    l.join(r, Seq("band", "bucket"))
+    // merge hint: both sides are corpus × bands — never broadcastable
+    // (same exploded-side misestimate guard as the shingle self-join)
+    l.hint("merge").join(r, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
   }
@@ -402,7 +424,8 @@ object Dedup {
       col("doc_id").as("id1"), col("simhash").as("sig1"))
     val r = blocked.select(col("chunk"), col("key"),
       col("doc_id").as("id2"), col("simhash").as("sig2"))
-    l.join(r, Seq("chunk", "key"))
+    // merge hint: both sides are corpus × bit-chunks (same guard as above)
+    l.hint("merge").join(r, Seq("chunk", "key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("long").as("hamming"))

@@ -41,6 +41,13 @@ object NearDupClusters {
     val edges = Pinned.pin(
       pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b"))))
+    // materialize the sparse edge list ONCE, then free the corpus-scale
+    // upstream pins it derives from (shingle/array stages): the rounds
+    // below re-read EDGES only, and on a memory-bounded executor the
+    // corpus-sized blocks would otherwise crowd the storage pool for the
+    // whole iteration (measured 5x round-cost inflation at x10 local)
+    edges.count()
+    Pinned.releaseOthers(edges.sparkSession, Seq(edges))
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // initial label = min(self, direct neighbors): the first propagation
     // round fused into initialization — one groupBy instead of a distinct
@@ -98,12 +105,7 @@ object NearDupClusters {
     * the closure logic cannot drift between them (or from the Spark side). */
   def ccCtesSql(n: Int = 5, thr: Double = 0.5): String =
     s"""${Dedup.shingleCtesSql("documents", n)},
-       |pairs AS (
-       |  SELECT id1, id2 FROM inter
-       |  JOIN card ca ON id1 = ca.doc_id
-       |  JOIN card cb ON id2 = cb.doc_id
-       |  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= $thr
-       |),
+       |${Dedup.pairsCteSql(thr)},
        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
        |          UNION ALL SELECT id2, id1 FROM pairs),
        |nodes AS (SELECT DISTINCT a AS id FROM edges),

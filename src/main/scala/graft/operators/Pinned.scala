@@ -38,6 +38,29 @@ object Pinned {
     stage
   }
 
+  /** Unpersist every pinned stage EXCEPT `keep` (which stay tracked for
+    * the eventual [[release]]). For iterative consumers that distill a
+    * corpus-scale pinned stage into a small materialized one (e.g.
+    * connected components' edge list): once the small stage's blocks
+    * exist, the corpus-scale upstream pins only crowd the storage pool
+    * for the rest of the computation. Session-scoped like [[release]] —
+    * callers must own the session's live pins (true for the gated
+    * queries, which release everything per query anyway); a released
+    * stage stays valid and recomputes from lineage if re-read. */
+  def releaseOthers(spark: SparkSession, keep: Seq[DataFrame]): Int = {
+    val buf = registry.remove(spark)
+    if (buf == null) 0
+    else {
+      val keepIds = keep.map(System.identityHashCode).toSet
+      var n = 0
+      buf.forEach { df =>
+        if (keepIds.contains(System.identityHashCode(df))) track(df)
+        else { df.unpersist(blocking = false); n += 1 }
+      }
+      n
+    }
+  }
+
   /** Unpersist every stage pinned in `spark` since the last release; call
     * after the action consuming the result. Safe when nothing is pinned.
     * Returns the number of stages released. */

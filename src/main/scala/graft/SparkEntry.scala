@@ -111,7 +111,13 @@ object SparkEntry {
     "token_percentiles" -> tuned(CorpusStats.percentilesFromDir),
     // per-type z-score outliers in exact integer arithmetic (no sqrt, no
     // doubles): aggregate-then-broadcast-compare two-pass pattern
-    "event_outliers" -> tuned(EventOutliers.fromDir)
+    "event_outliers" -> tuned(EventOutliers.fromDir),
+    // embedding-prototype quality scoring: K literal codegen'd cosines
+    // fused into the one embeddings scan — zero shuffles, zero joins
+    "semantic_quality" -> tuned(Similarity.semanticQualityFromDir(_, _)),
+    // cross-source duplication matrix: verified pairs resolved to sources
+    // via ONE corpus scan + a pair-sized regroup
+    "dedup_source_matrix" -> tuned(SourceMatrix.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -169,7 +175,9 @@ object SparkEntry {
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,
     "corpus_split" -> CorpusSplit.oracle(),
     "token_percentiles" -> CorpusStats.percentilesOracle(),
-    "event_outliers" -> EventOutliers.oracle()
+    "event_outliers" -> EventOutliers.oracle(),
+    "semantic_quality" -> Similarity.semanticQualityOracle(),
+    "dedup_source_matrix" -> SourceMatrix.oracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

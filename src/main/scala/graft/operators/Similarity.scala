@@ -404,6 +404,66 @@ object Similarity {
       hashPlanes(dim, tables, bits))
   }
 
+  // ------------------------------------------------- semantic quality
+
+  /** Embedding-prototype quality scoring — the semantic corpus filter
+    * (score every document by its best cosine against a small curated
+    * "high-quality" prototype set, keep what clears a threshold). The
+    * classifier-based variants of this dominate modern corpus curation;
+    * the prototype-cosine form is the classifier-free baseline and the
+    * exact shape a learned-embedding filter runs at inference.
+    *
+    * Scale: prototypes are collected to the driver (O(K), the same
+    * adjudicated pattern as IVF's centroids) and enter the plan as
+    * LITERAL vectors, so scoring is K codegen'd dot products fused into
+    * the ONE embeddings scan — zero shuffles, zero joins, no state. The
+    * per-row norm subexpression is shared across the K cosines by
+    * whole-stage codegen subexpression elimination.
+    *
+    * Exactness: each cosine is the same dot/(norm·norm) shape the knn
+    * gate proves bit-equal to DuckDB's `list_cosine_similarity`; MAX of
+    * bit-equal doubles is bit-equal, and the surface rounds to 8 dp. */
+  def semanticQuality(embeddings: DataFrame, prototypes: Array[(Long, Array[Double])],
+                      threshold: Double): DataFrame = {
+    require(prototypes.nonEmpty, "need at least one prototype vector")
+    val e = col("embedding")
+    val cosines = prototypes.toIndexedSeq.map { case (_, p) => litCosine(e, p) }
+    val best = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+    val score = graft.functions.StableRound.stableRound(best, 8)
+    embeddings
+      .select(col("vec_id"), score.as("score_r"))
+      .withColumn("keep", col("score_r") >= threshold)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Gated query: the first `numProtos` vectors play the curated set. */
+  def semanticQualityFromDir(spark: SparkSession, dir: String,
+                             numProtos: Int = 8,
+                             threshold: Double = 0.25): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val protos = e.filter(col("vec_id") < numProtos)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    semanticQuality(e, protos, threshold)
+  }
+
+  /** DuckDB twin: same prototype set, same max-cosine, same 8-dp round,
+    * same threshold compare against the ROUNDED score. */
+  def semanticQualityOracle(numProtos: Int = 8, threshold: Double = 0.25): String =
+    s"""WITH p AS (
+       |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+       |  FROM embeddings WHERE vec_id < $numProtos
+       |), s AS (
+       |  SELECT e.vec_id,
+       |         MAX(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe)) AS score
+       |  FROM embeddings e CROSS JOIN p
+       |  GROUP BY e.vec_id
+       |)
+       |SELECT vec_id, FLOOR(score * 1e8 + 0.5) / 1e8 AS score_r,
+       |       FLOOR(score * 1e8 + 0.5) / 1e8 >= $threshold AS keep
+       |FROM s ORDER BY vec_id""".stripMargin
+
   /** DuckDB twin of [[lshAnnFromDir]]: planes from the same md5 formula,
     * projections via `list_inner_product` (a sequential fold — bit-equal
     * to the Spark side's `aggregate(zip_with(...))`), buckets as ordered

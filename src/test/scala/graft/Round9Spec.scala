@@ -136,4 +136,105 @@ class Round9Spec extends SparkSpec {
     })
     graft.operators.Dedup.releasePinned(spark)
   }
+
+  // ---- scale-stability guards: the corpus-scale self-joins must never
+  // broadcast (the exploded-side size misestimate bistably flipped the
+  // x10 run into single-threaded multi-GB broadcast builds), and the CC
+  // iteration must not run with the corpus-scale upstream pins resident.
+
+  test("shingle/band/chunk self-joins plan as shuffle joins, never broadcast") {
+    import graft.operators.Dedup
+    val docs = frame((1L, 2L, 3L, 4L))
+    def joinLines(plan: String, key: String): Seq[String] =
+      plan.linesIterator.filter(l => l.contains("Join") && l.contains(key)).toSeq
+    val ngram = Dedup.ngramJaccardPairs(docs).queryExecution.sparkPlan.toString
+    assert(joinLines(ngram, "shingle").nonEmpty, ngram)
+    assert(joinLines(ngram, "shingle").forall(_.contains("SortMergeJoin")), ngram)
+    val bands = Dedup.minhashLshCandidatesArr(
+      Dedup.minhashSignaturesArr(Dedup.hashedShingleArrays(docs, 5)),
+      64, 16).queryExecution.sparkPlan.toString
+    assert(joinLines(bands, "band").nonEmpty, bands)
+    assert(joinLines(bands, "band").forall(_.contains("SortMergeJoin")), bands)
+    val sim = Dedup.simhashNearDups(docs, 3)
+      .queryExecution.sparkPlan.toString
+    assert(joinLines(sim, "chunk").nonEmpty, sim)
+    assert(joinLines(sim, "chunk").forall(_.contains("SortMergeJoin")), sim)
+    Dedup.releasePinned(spark)
+  }
+
+  test("boilerplate joins only the recurring-fp subset (filter below the join)") {
+    val plan = graft.operators.Boilerplate.score(frame((1L, 2L, 3L, 4L)))
+      .queryExecution.optimizedPlan.toString
+    // the >= minDocs cut must sit under the join, not in the final agg
+    val joinIdx = plan.indexOf("Join LeftOuter")
+    val filterIdx = plan.indexOf(">= 2")
+    assert(joinIdx >= 0 && filterIdx > joinIdx, plan)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("connectedComponents releases corpus-scale upstream pins before iterating") {
+    import graft.operators.{Dedup, NearDupClusters, Pinned}
+    val docs = frame((1L, 2L, 3L, 4L))
+    val cc = NearDupClusters.connectedComponents(Dedup.ngramJaccardPairs(docs))
+    cc.collect()
+    // survivors: the pinned edge list + the final label round — the
+    // shingle-array pin must already be gone (released at edge build)
+    assert(Pinned.release(spark) == 2)
+  }
+
+  test("semantic_quality: prototypes score 1.0, orthogonal vectors score 0, threshold splits") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),  // the prototype
+      (1L, Array(2f, 0f, 0f, 0f)),  // parallel → cosine 1.0
+      (2L, Array(0f, 3f, 0f, 0f)),  // orthogonal → 0.0
+      (3L, Array(1f, 1f, 0f, 0f))   // 45° → √2/2 ≈ 0.70710678
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticQuality(emb,
+        Array((0L, Array(1.0, 0.0, 0.0, 0.0))), threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(out(0L) == ((1.0, true)) && out(1L) == ((1.0, true)))
+    assert(out(2L) == ((0.0, false)))
+    assert(out(3L)._1 == 0.70710678 && out(3L)._2)
+    // best-of-K: adding an orthogonal prototype lifts vec 2 to 1.0
+    val two = Similarity.semanticQuality(emb,
+        Array((0L, Array(1.0, 0.0, 0.0, 0.0)), (2L, Array(0.0, 1.0, 0.0, 0.0))),
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two(2L) == 1.0)
+  }
+
+  test("semantic_quality plans with zero exchanges below the presentation sort") {
+    val plan = graft.operators.Similarity
+      .semanticQualityFromDir(spark, sf).queryExecution.executedPlan.toString
+    // at most the final orderBy's range exchange; no joins, no aggregates
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
+  test("dedup_source_matrix: cross-source pair counted once, unordered canonicalization") {
+    import graft.operators.SourceMatrix
+    val docs = Seq(
+      (1L, base, "srcB"), (2L, nearDup, "srcA"),      // cross-source near-dup
+      (3L, other, "srcC"), (4L, other + " z41", "srcC"), // within-source near-dup
+      (5L, "tiny doc", "srcD")
+    ).toDF("doc_id", "text", "source")
+    val m = SourceMatrix.matrix(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (srcB, srcA) canonicalizes to (srcA, srcB)
+    assert(m == Map(("srcA", "srcB") -> 1L, ("srcC", "srcC") -> 1L))
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("releaseOthers keeps the kept frame tracked and frees the rest") {
+    import graft.operators.Pinned
+    val a = Pinned.pin(Seq((1L, "x")).toDF("id", "v"))
+    val b = Pinned.pin(Seq((2L, "y")).toDF("id", "v"))
+    a.count(); b.count()
+    assert(Pinned.releaseOthers(spark, Seq(b)) == 1)
+    assert(a.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(b.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(Pinned.release(spark) == 1) // b was re-tracked
+  }
 }

@@ -32,7 +32,8 @@ object ScaleBench {
       "sessions", "running_revenue", "lsh_ann_topk", "text_repetition",
       "text_redact", "dedup_delta_lsh",
       "doc_chunks", "tfidf_topk", "corpus_rollup", "boilerplate_frac",
-      "text_bpe_merged", "corpus_split", "token_percentiles", "event_outliers")
+      "text_bpe_merged", "corpus_split", "token_percentiles", "event_outliers",
+      "semantic_quality", "dedup_source_matrix")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

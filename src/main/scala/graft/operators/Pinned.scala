@@ -51,10 +51,9 @@ object Pinned {
     val buf = registry.remove(spark)
     if (buf == null) 0
     else {
-      val keepIds = keep.map(System.identityHashCode).toSet
       var n = 0
       buf.forEach { df =>
-        if (keepIds.contains(System.identityHashCode(df))) track(df)
+        if (keep.exists(_ eq df)) track(df)
         else { df.unpersist(blocking = false); n += 1 }
       }
       n

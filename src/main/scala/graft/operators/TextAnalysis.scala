@@ -201,6 +201,14 @@ object TextAnalysis {
 
   private val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlPattern = "https?://[^ ]+"
+  // E.164-ish international phone: '+', 9-16 digits with optional
+  // space/dash separators, digit-terminated. The trailing dash in the
+  // class is literal in both Java regex and RE2 — no escape divergence.
+  private val PhonePattern = "\\+[0-9][0-9 -]{7,14}[0-9]"
+  // IPv4-shaped dotted quad (no word boundaries: version strings that
+  // look like IPs are redacted too — the conservative direction for a
+  // privacy scrub, and the definition both engines implement identically)
+  private val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** Deterministic text normalization — the canonical-form stage of a
     * training-data pipeline: ASCII-fold (non-ASCII to spaces FIRST, so the
@@ -255,15 +263,22 @@ object TextAnalysis {
     * disagree about what PII is. One codegen'd pass, zero shuffles: the
     * 100 TB form of a pre-release privacy scrub. */
   def redact(docs: DataFrame): DataFrame = {
-    val redacted = regexp_replace(
+    // order: email (an address inside a URL path redacts first), then
+    // URL (swallows IP-hosts and phone-looking path segments whole),
+    // then phone, then IPv4 over what survives
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
       regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
-      UrlPattern, "<URL>")
+      UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
     docs.select(
       col("doc_id"),
       redacted.as("redacted_text"),
       length(redacted).cast("long").as("redacted_chars"),
       regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
-      regexp_count(col("text"), lit(UrlPattern)).cast("long").as("n_urls"))
+      regexp_count(col("text"), lit(UrlPattern)).cast("long").as("n_urls"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ipv4"))
       .orderBy(col("doc_id"))
   }
 
@@ -283,7 +298,13 @@ object TextAnalysis {
           lit("@example.com"))).otherwise(lit("")),
       when(col("doc_id") % 4 === 0,
         concat(lit(" see https://cdn.example.org/doc/"),
-          col("doc_id").cast("string"), lit("?ref=x"))).otherwise(lit("")))
+          col("doc_id").cast("string"), lit("?ref=x"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +212 555-0"),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
       .as("text")))
 
   val redactOracle: String =
@@ -294,18 +315,29 @@ object TextAnalysis {
        |            ELSE '' END
        |    || CASE WHEN doc_id % 4 = 0
        |            THEN ' see https://cdn.example.org/doc/' || CAST(doc_id AS VARCHAR) || '?ref=x'
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |            THEN ' call +212 555-0' || CAST(doc_id % 100 AS VARCHAR)
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
        |            ELSE '' END AS text
        |  FROM documents
        |), r AS (
        |  SELECT doc_id,
-       |         regexp_replace(regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
-       |                        '$UrlPattern', '<URL>', 'g') AS redacted_text,
+       |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |           text, '$EmailPattern', '<EMAIL>', 'g'),
+       |                 '$UrlPattern', '<URL>', 'g'),
+       |                 '$PhonePattern', '<PHONE>', 'g'),
+       |                 '$Ipv4Pattern', '<IP>', 'g') AS redacted_text,
        |         len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
-       |         len(regexp_extract_all(text, '$UrlPattern')) AS n_urls
+       |         len(regexp_extract_all(text, '$UrlPattern')) AS n_urls,
+       |         len(regexp_extract_all(text, '$PhonePattern')) AS n_phones,
+       |         len(regexp_extract_all(text, '$Ipv4Pattern')) AS n_ipv4
        |  FROM p
        |)
        |SELECT doc_id, redacted_text, LENGTH(redacted_text) AS redacted_chars,
-       |       n_emails, n_urls
+       |       n_emails, n_urls, n_phones, n_ipv4
        |FROM r ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------ BPE-ish token counts

@@ -117,7 +117,10 @@ object SparkEntry {
     "semantic_quality" -> tuned(Similarity.semanticQualityFromDir(_, _)),
     // cross-source duplication matrix: verified pairs resolved to sources
     // via ONE corpus scan + a pair-sized regroup
-    "dedup_source_matrix" -> tuned(SourceMatrix.fromDir)
+    "dedup_source_matrix" -> tuned(SourceMatrix.fromDir),
+    // quality-max canonical per near-dup cluster ("keep the BEST copy"):
+    // window over the sparse clustered minority only, anti-join back
+    "dedup_canonical" -> tuned(NearDupClusters.canonicalFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -177,7 +180,8 @@ object SparkEntry {
     "token_percentiles" -> CorpusStats.percentilesOracle(),
     "event_outliers" -> EventOutliers.oracle(),
     "semantic_quality" -> Similarity.semanticQualityOracle(),
-    "dedup_source_matrix" -> SourceMatrix.oracle()
+    "dedup_source_matrix" -> SourceMatrix.oracle(),
+    "dedup_canonical" -> NearDupClusters.canonicalOracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

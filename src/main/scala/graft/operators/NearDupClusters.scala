@@ -121,4 +121,62 @@ object NearDupClusters {
   def oracle(n: Int = 5, thr: Double = 0.5): String =
     s"""WITH RECURSIVE ${ccCtesSql(n, thr)}
        |SELECT doc_id, cluster_id FROM cc ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- canonical selection
+
+  /** Quality-max canonical selection — "keep the BEST copy, drop the
+    * rest": within each near-dup cluster the survivor is the highest
+    * quality-score doc (exact 6-dp micros; ties break to min doc_id),
+    * not the min-id representative. Min-id keeps whichever copy happened
+    * to be crawled first; quality-max keeps the cleanest one — the policy
+    * an actual curation pipeline wants.
+    *
+    * Scale: quality is scored only for CLUSTERED docs (the sparse
+    * minority — one broadcast of the cluster map against the corpus
+    * scan), the per-cluster window runs over those sparse rows, and the
+    * losers anti-join back sparse-vs-corpus. Singleton docs never enter
+    * a window: they survive by construction. */
+  def canonical(docs: DataFrame, n: Int = 5, thr: Double = 0.5): DataFrame = {
+    import graft.functions.{StableRound, TextFunctions => TF}
+    val clusters = connectedComponents(Dedup.ngramJaccardPairs(docs, n, thr))
+    val clustered = docs
+      .join(broadcast(clusters), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        StableRound.microsLong(TF.qualityScore(col("text"))).as("qmicros"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("qmicros").desc, col("doc_id").asc)
+    val losers = clustered
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") > 1)
+      .select(col("doc_id"))
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  def canonicalFromDir(spark: SparkSession, dir: String): DataFrame =
+    canonical(Tables.documents(spark, dir))
+
+  /** DuckDB twin: shared closure fragment + the single-sourced quality
+    * fragment; same window, same tie-break, same anti-join. */
+  def canonicalOracle(n: Int = 5, thr: Double = 0.5): String = {
+    import graft.functions.{StableRound, TextFunctions => TF}
+    s"""WITH RECURSIVE ${ccCtesSql(n, thr)},
+       |cq AS (
+       |  SELECT d.doc_id, cc.cluster_id,
+       |         ${StableRound.microsLongSql(TF.qualityScoreSql("d.text"))} AS qmicros
+       |  FROM documents d JOIN cc ON d.doc_id = cc.doc_id
+       |), losers AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |             ORDER BY qmicros DESC, doc_id ASC) AS rk
+       |    FROM cq
+       |  ) WHERE rk > 1
+       |)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |LEFT JOIN losers l ON d.doc_id = l.doc_id
+       |WHERE l.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

@@ -227,6 +227,24 @@ class Round9Spec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("dedup_canonical keeps the best-quality copy, not the min id") {
+    import graft.operators.NearDupClusters
+    // nearDup (id 1) vs base (id 2): identical except one word — but give
+    // the HIGHER id better quality by appending clean prose to it, so the
+    // quality-max policy must keep id 2 while min-id would keep id 1.
+    // Quality here differs because doc 1 gets digits appended (digit
+    // ratio lowers the score) while doc 2 gets words.
+    val docs = Seq(
+      (1L, base + " 111 222 333 444 555", 40L),
+      (2L, nearDup + " and some further pleasant clean prose here", 40L),
+      (3L, other, 40L)
+    ).toDF("doc_id", "text", "n_chars")
+    val kept = NearDupClusters.canonical(docs, n = 5, thr = 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"expected quality-max survivor 2, got $kept")
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("releaseOthers keeps the kept frame tracked and frees the rest") {
     import graft.operators.Pinned
     val a = Pinned.pin(Seq((1L, "x")).toDF("id", "v"))

@@ -120,7 +120,10 @@ object SparkEntry {
     "dedup_source_matrix" -> tuned(SourceMatrix.fromDir),
     // quality-max canonical per near-dup cluster ("keep the BEST copy"):
     // window over the sparse clustered minority only, anti-join back
-    "dedup_canonical" -> tuned(NearDupClusters.canonicalFromDir)
+    "dedup_canonical" -> tuned(NearDupClusters.canonicalFromDir),
+    // bigram collocations by PMI: in-row window generation, two
+    // vocabulary-sized count shuffles, one ln over a fixed-order ratio
+    "pmi_bigrams" -> tuned(Collocations.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -181,7 +184,8 @@ object SparkEntry {
     "event_outliers" -> EventOutliers.oracle(),
     "semantic_quality" -> Similarity.semanticQualityOracle(),
     "dedup_source_matrix" -> SourceMatrix.oracle(),
-    "dedup_canonical" -> NearDupClusters.canonicalOracle()
+    "dedup_canonical" -> NearDupClusters.canonicalOracle(),
+    "pmi_bigrams" -> Collocations.oracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

@@ -245,6 +245,25 @@ class Round9Spec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("pmi_bigrams: hand-computed PMI, minCount prune, tie-break by bigram") {
+    import graft.operators.Collocations
+    // tokens: x:4 y:3 z:1 (N_u=8); bigrams: "x y":3, "x z":1 (N_b=4)
+    // PMI(x,y) = ln((3*8*8)/(4*3*4)) = ln(4) = 1.386294361 at 9 dp
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"), (4L, "x z"))
+      .toDF("doc_id", "text")
+    val out = Collocations.pmiBigrams(docs, minCount = 2, k = 10).collect()
+    assert(out.length == 1)
+    assert(out.head.getString(0) == "x y" && out.head.getLong(1) == 3L)
+    assert(out.head.getDouble(2) == 1.386294361)
+    // equal-PMI ties order by bigram text: a fully symmetric corpus
+    val sym = Seq((1L, "a b"), (2L, "a b"), (3L, "c d"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val top = Collocations.pmiBigrams(sym, minCount = 2, k = 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(top == Seq("a b", "c d"))
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("releaseOthers keeps the kept frame tracked and frees the rest") {
     import graft.operators.Pinned
     val a = Pinned.pin(Seq((1L, "x")).toDF("id", "v"))

@@ -33,7 +33,8 @@ object ScaleBench {
       "text_redact", "dedup_delta_lsh",
       "doc_chunks", "tfidf_topk", "corpus_rollup", "boilerplate_frac",
       "text_bpe_merged", "corpus_split", "token_percentiles", "event_outliers",
-      "semantic_quality", "dedup_source_matrix")
+      "semantic_quality", "dedup_source_matrix", "dedup_canonical",
+      "pmi_bigrams")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

@@ -39,15 +39,19 @@ object Collocations {
     val bi = toks.select(explode(TF.shinglesOfTokens(col("ts"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
-    val nU = uni.agg(sum(col("c_w"))).first().getLong(0).toDouble
-    val nB = toks.select(
-        sum(greatest(size(col("ts")) - 1, lit(0)).cast("long")))
-      .first().getLong(0).toDouble
+    // SUM over zero rows is null — an empty/all-blank corpus must yield
+    // an empty result, not an NPE (and not a divide-by-zero NaN rank)
+    val nU = Option(uni.agg(sum(col("c_w"))).first().get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+    val nB = Option(toks.select(
+        sum(greatest(size(col("ts")) - 1, lit(0)).cast("long"))).first().get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
     val parts = split(col("bigram"), " ")
     val pmi = log(
       (col("c_ab").cast("double") * nU * nU) /
         (col("c_a").cast("double") * col("c_b") * nB))
-    bi.select(col("bigram"), col("c_ab"),
+    val base = if (nB > 0) bi else bi.limit(0)
+    base.select(col("bigram"), col("c_ab"),
         element_at(parts, 1).as("w1"), element_at(parts, 2).as("w2"))
       .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))

@@ -261,6 +261,11 @@ class Round9Spec extends SparkSpec {
     val top = Collocations.pmiBigrams(sym, minCount = 2, k = 10)
       .collect().map(_.getString(0)).toSeq
     assert(top == Seq("a b", "c d"))
+    // empty / all-blank corpus: empty result with the right schema, no NPE
+    val empty = Collocations.pmiBigrams(
+      Seq((1L, ""), (2L, " ")).toDF("doc_id", "text"), minCount = 1, k = 10)
+    assert(empty.columns.toSeq == Seq("bigram", "c_ab", "pmi_r"))
+    assert(empty.count() == 0)
     graft.operators.Dedup.releasePinned(spark)
   }
 

@@ -13,20 +13,30 @@ import org.apache.spark.sql.functions._
   * near-dup CLUSTER (connected component of the verified pair graph, see
   * [[NearDupClusters]]); singleton docs are their own unit.
   *
-  * Assignment is CONTENT-ADDRESSED: the unit's bucket is its
-  * representative document's content fingerprint mod 100, compared against
-  * the percentage cut points. Re-ingesting the same corpus under different
-  * doc_ids reproduces the same split (ids never enter the hash), and
-  * adding new documents never moves an existing unit between splits —
-  * the two properties that make a split stable across corpus versions.
+  * Assignment is CONTENT-ADDRESSED and ID-INDEPENDENT: the unit's bucket is
+  * the MINIMUM content fingerprint over its member documents, mod 100,
+  * compared against the percentage cut points. MIN over members is
+  * invariant under ANY doc_id renumbering — including one that reorders ids
+  * WITHIN a cluster (an id-chosen representative's fingerprint is not:
+  * renumbering that hands the smallest id to a different member would pick
+  * a different representative text and silently re-bucket the whole
+  * cluster). A unit's assignment changes only when the unit's MEMBERSHIP
+  * changes — a genuinely new near-dup joining (or bridging) the cluster —
+  * which is the correct behavior: the unit then literally contains
+  * different content, and keeping it pinned to the old bucket would let the
+  * new member leak across the boundary its cluster-mates sit behind.
+  * (`split_unit` itself is labeled by the cluster's min doc_id — a display
+  * key, not an input to the assignment.)
   *
   * Scale: the cluster table is near-dup-bounded (sparse by construction —
-  * LSH/pair-verified minority of the corpus), so both joins broadcast the
-  * sparse side against the one fingerprint scan: rep-fingerprint lookup
-  * (cluster reps × corpus fp) and member assignment (docs × cluster map)
-  * are map-side. The corpus-sized path is scan → fingerprint (codegen'd,
-  * in-row) → broadcast-join → project: ZERO corpus-wide shuffles beyond
-  * the pair graph itself, which dedup already paid for.
+  * LSH/pair-verified minority of the corpus), so the per-unit MIN and both
+  * joins against the corpus-sized fingerprint scan keep their big side
+  * shuffle-partitioned by AQE from REAL runtime sizes — deliberately no
+  * `broadcast()` hint: on a boilerplate-heavy corpus where MOST docs are
+  * clustered, a hard-coded hint would build a corpus-scale driver hash
+  * table, while AQE simply keeps the shuffle join. The corpus-sized path is
+  * scan → fingerprint (codegen'd, in-row) → join → project: no corpus-wide
+  * aggregation beyond the pair graph itself, which dedup already paid for.
   */
 object CorpusSplit {
 
@@ -40,19 +50,19 @@ object CorpusSplit {
       Fingerprint.docFingerprint(col("text")).as("fp"))
     val clusters = NearDupClusters.connectedComponents(
       Dedup.ngramJaccardPairs(docs, n, threshold))
-    // representative fingerprint per clustered doc: the sparse cluster map
-    // joins the fingerprint scan once on the representative id
-    val withRep = broadcast(clusters)
-      .join(fps.select(col("doc_id").as("cluster_id"), col("fp").as("rep_fp")),
-        Seq("cluster_id"))
-    val bucket = col("unit_fp") % 100
-    fps.join(broadcast(withRep.select(col("doc_id"), col("cluster_id"), col("rep_fp"))),
-        Seq("doc_id"), "left")
+    // id-independent unit fingerprint: MIN member fingerprint per cluster
+    // (cluster-bounded aggregate over the sparse clustered minority)
+    val unitFps = clusters.join(fps, Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(min(col("fp")).as("unit_fp"))
+    val members = clusters.join(unitFps, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("unit_fp"))
+    val bucket = col("ufp") % 100
+    fps.join(members, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("split_unit"),
         // singleton units are content-addressed by their OWN fingerprint —
-        // no join needed for the corpus majority
-        coalesce(col("rep_fp"), col("fp")).as("unit_fp"))
+        // no aggregate needed for the corpus majority
+        coalesce(col("unit_fp"), col("fp")).as("ufp"))
       .select(col("doc_id"), col("split_unit"), bucket.as("bucket"),
         when(bucket < trainPct, "train")
           .when(bucket < trainPct + valPct, "val")
@@ -74,14 +84,19 @@ object CorpusSplit {
        |  SELECT doc_id, ${Fingerprint.fingerprintSql("text")} AS fp
        |  FROM documents
        |),
+       |ufp AS (
+       |  SELECT cc.cluster_id, MIN(f.fp) AS unit_fp
+       |  FROM cc JOIN fp f ON cc.doc_id = f.doc_id
+       |  GROUP BY cc.cluster_id
+       |),
        |rep AS (
-       |  SELECT cc.doc_id, cc.cluster_id, rf.fp AS rep_fp
-       |  FROM cc JOIN fp rf ON cc.cluster_id = rf.doc_id
+       |  SELECT cc.doc_id, cc.cluster_id, u.unit_fp
+       |  FROM cc JOIN ufp u ON cc.cluster_id = u.cluster_id
        |),
        |u AS (
        |  SELECT f.doc_id,
        |         COALESCE(rep.cluster_id, f.doc_id) AS split_unit,
-       |         COALESCE(rep.rep_fp, f.fp) % 100 AS bucket
+       |         COALESCE(rep.unit_fp, f.fp) % 100 AS bucket
        |  FROM fp f LEFT JOIN rep ON f.doc_id = rep.doc_id
        |)
        |SELECT doc_id, split_unit, bucket,

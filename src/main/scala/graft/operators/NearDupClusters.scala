@@ -131,16 +131,20 @@ object NearDupClusters {
     * to be crawled first; quality-max keeps the cleanest one — the policy
     * an actual curation pipeline wants.
     *
-    * Scale: quality is scored only for CLUSTERED docs (the sparse
-    * minority — one broadcast of the cluster map against the corpus
-    * scan), the per-cluster window runs over those sparse rows, and the
-    * losers anti-join back sparse-vs-corpus. Singleton docs never enter
+    * Scale: quality is scored only for CLUSTERED docs (usually a sparse
+    * minority of the corpus), the per-cluster window runs over those
+    * sparse rows, and the losers anti-join back sparse-vs-corpus. Whether
+    * the sparse side broadcasts is deliberately left to AQE's runtime
+    * sizes — no `broadcast()` hint: on a boilerplate-heavy corpus the
+    * "sparse" side can be MOST of the corpus, and a hard-coded hint would
+    * build a corpus-scale driver hash table where AQE keeps the shuffle
+    * join (see the majority-clustered spec). Singleton docs never enter
     * a window: they survive by construction. */
   def canonical(docs: DataFrame, n: Int = 5, thr: Double = 0.5): DataFrame = {
     import graft.functions.{StableRound, TextFunctions => TF}
     val clusters = connectedComponents(Dedup.ngramJaccardPairs(docs, n, thr))
     val clustered = docs
-      .join(broadcast(clusters), Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"),
         StableRound.microsLong(TF.qualityScore(col("text"))).as("qmicros"))
     val w = org.apache.spark.sql.expressions.Window
@@ -150,7 +154,7 @@ object NearDupClusters {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") > 1)
       .select(col("doc_id"))
-    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    docs.join(losers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

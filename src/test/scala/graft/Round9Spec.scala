@@ -29,9 +29,11 @@ class Round9Spec extends SparkSpec {
     assert(out(10L)._3 == out(11L)._3, "clustered docs must land in ONE split")
     // singletons are their own unit
     assert(out(12L)._1 == 12L && out(13L)._1 == 13L)
-    // content-addressing: bucket == representative text's fingerprint % 100
-    assert(out(10L)._2 == Fingerprint.reference(base) % 100)
-    assert(out(11L)._2 == Fingerprint.reference(base) % 100)
+    // content-addressing: bucket == MIN member fingerprint % 100 for the
+    // cluster, own fingerprint for singletons
+    val unitFp = math.min(Fingerprint.reference(base), Fingerprint.reference(nearDup))
+    assert(out(10L)._2 == unitFp % 100)
+    assert(out(11L)._2 == unitFp % 100)
     assert(out(12L)._2 == Fingerprint.reference(other) % 100)
     graft.operators.Dedup.releasePinned(spark)
   }
@@ -44,6 +46,19 @@ class Round9Spec extends SparkSpec {
     // same content, different ids → same (bucket, split) per doc position
     assert(a(10L) == b(507L) && a(11L) == b(900L))
     assert(a(12L) == b(1234L) && a(13L) == b(77L))
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("corpus_split: renumbering that SWAPS which cluster member has the smaller id is a no-op") {
+    // In frame(a) `base` holds the min id of its cluster; in frame(c) the
+    // NEAR-DUP does. An id-chosen representative would re-bucket the whole
+    // cluster here; MIN(member fingerprint) cannot (it never reads ids).
+    val a = CorpusSplit.split(frame((10L, 11L, 12L, 13L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val c = CorpusSplit.split(frame((900L, 507L, 1234L, 77L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(a(10L) == c(900L) && a(11L) == c(507L))
+    assert(a(12L) == c(1234L) && a(13L) == c(77L))
     graft.operators.Dedup.releasePinned(spark)
   }
 
@@ -266,6 +281,35 @@ class Round9Spec extends SparkSpec {
       Seq((1L, ""), (2L, " ")).toDF("doc_id", "text"), minCount = 1, k = 10)
     assert(empty.columns.toSeq == Seq("bigram", "c_ab", "pmi_r"))
     assert(empty.count() == 0)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("canonical/split never hint broadcast: a majority-clustered corpus still plans (AQE decides)") {
+    import graft.operators.NearDupClusters
+    // EVERY doc sits in a near-dup pair — the "clustered docs are a sparse
+    // minority" assumption is maximally violated. With a hard-coded
+    // broadcast() hint this shape is the driver-OOM case at corpus scale;
+    // without hints AQE chooses from real sizes, so the plans must carry
+    // no broadcast strategy hint and the results must still be exact.
+    val docs = (0 until 12).map { i =>
+      val t = (1 to 40).map(j => s"w${i / 2}_$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) t else t.replace(s"w${i / 2}_20", "q"), 40L)
+    }.toDF("doc_id", "text", "n_chars")
+    val canon = NearDupClusters.canonical(docs)
+    assert(!canon.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "canonical must not pin a broadcast strategy")
+    assert(canon.collect().length == 6, "one survivor per near-dup pair")
+    graft.operators.Dedup.releasePinned(spark)
+    val sp = CorpusSplit.split(docs)
+    assert(!sp.queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "split must not pin a broadcast strategy")
+    val rows = sp.collect()
+    assert(rows.length == 12)
+    // pair-mates share unit and split
+    assert((0 until 12 by 2).forall { i =>
+      val m = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+      m(i.toLong) == m(i.toLong + 1)
+    })
     graft.operators.Dedup.releasePinned(spark)
   }
 

@@ -1,160 +1,107 @@
 package graft
 
+/** Benchmark harness.
+  *
+  * Default mode forks ONE FRESH JVM PER QUERY (graft.BenchWorker): rounds
+  * 6-8 each chased a different in-suite attribution artifact — residual
+  * state-store threads, deferred GC debt absorbed by the first heavy query
+  * after warmup, and finally dedup_canonical reading 79.7 s in-suite vs
+  * 5.8 s isolated (13.7×) with BOTH min-of-2 passes inflated, i.e. debt
+  * that `settle()` (cache clear + state-store stop + System.gc) provably
+  * does not clear. A fresh JVM per query is the only isolation that makes
+  * every number equal its isolated measurement BY CONSTRUCTION — the
+  * per-query cost is one SparkSession startup (~5 s), paid outside the
+  * timed window. `SPARK_GRAFT_FORK=0` keeps the old single-JVM path for
+  * quick local iteration.
+  *
+  * Within a worker the measurement discipline is unchanged: warmup pass
+  * (JIT + codegen + file-listing caches), then per-query MIN over
+  * SPARK_GRAFT_PASSES measured passes (a one-off absorption lands in one
+  * pass, not both), noop-sink materialization (count() lets EliminateSorts
+  * drop final sorts non-uniformly), replay-harness queries run exactly
+  * once (their time is the harness, not a plan). All per-pass times are
+  * emitted in the final JSON under "passes" so an inflated reading is
+  * self-diagnosing from the artifact alone.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
-    val spark = GraftSession.builder("graft-bench").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    // Settle the JVM between measurements so one query's residue doesn't
-    // tax the next one's number. Round 6 proved this matters: the six
-    // queries alphabetically before dedup_delta_lsh read 1.7–2.7× slower
-    // in-suite than in isolation — residual state-store providers +
-    // maintenance thread from the streaming replays and heap pressure from
-    // the index build, not plan regressions. The settle is OUTSIDE the
-    // timed window.
-    def settle(): Unit = {
-      graft.operators.Dedup.releasePinned(spark) // pinned persisted stages
-      org.apache.spark.sql.graftshim.GraftShims.stopStateStores()
-      spark.catalog.clearCache()
-      System.gc()
-      Thread.sleep(200)
+  private[graft] def sfDirEnv: String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  private[graft] def warmupsEnv: Int =
+    sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
+
+  private[graft] def passesEnv(warmups: Int): Int =
+    if (warmups == 0) 1 // cold mode: the first run IS the cold measurement
+    else {
+      val p = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
+      require(p.toIntOption.exists(_ >= 1),
+        s"SPARK_GRAFT_PASSES must be a positive integer, got '$p'")
+      p.toInt
     }
 
-    // per-measurement GC/heap telemetry (stderr only): round 7 showed one
-    // query absorbing ~16 s in-suite that vanished in isolation — these
-    // lines make any future absorption attributable (GC debt vs plan cost)
-    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    def gcStats(): (Long, Long) = {
-      var c = 0L; var t = 0L
-      gcBeans.forEach { b => c += b.getCollectionCount; t += b.getCollectionTime }
-      (c, t)
-    }
-
-    // a failed query reports -1.0 and is excluded from the total; it is
-    // also listed under "failed" and fails the process — wall time of a
-    // partial query set must not read as a valid (smaller!) measurement
-    def once(name: String): Double = {
-      val (c0, g0) = gcStats()
-      val t0 = System.nanoTime()
-      try {
-        // noop write, not count(): count() lets EliminateSorts drop each
-        // query's final global sort, flattering DataFrame-native queries
-        // while q3 (whose sort sits above an RDD boundary the optimizer
-        // can't see through) paid it in full. The noop sink materializes
-        // every output row uniformly.
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val secs = (System.nanoTime() - t0) / 1e9
-        val (c1, g1) = gcStats()
-        val rt = Runtime.getRuntime
-        System.err.println(f"[bench] $name $secs%.2fs gc+${c1 - c0} " +
-          f"${g1 - g0}ms heap ${(rt.totalMemory - rt.freeMemory) >> 20}MiB")
-        secs
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
-      } finally settle()
-    }
-
-    // SPARK_GRAFT_ONLY=q1_agg_orders,sessions narrows the run for local
-    // iteration; the driver never sets it, so round benches stay complete.
-    // Unknown names abort — a typo'd filter would otherwise measure ZERO
-    // queries and print total=0 as if it were a (spectacular) result.
+  /** Query names to run, honoring SPARK_GRAFT_ONLY (local narrowing; the
+    * driver never sets it). Unknown names abort — a typo'd filter would
+    * otherwise measure ZERO queries and print total=0 as if it were a
+    * (spectacular) result. */
+  private[graft] def selectedNames(): Seq[String] = {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { o =>
       require(o.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
       val unknown = o -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // MemoryStream replay gates: their time is the replay harness (10+
-    // sequential micro-batches through a stateful query), not a plan —
-    // warming them or measuring them twice burns minutes of wall for no
-    // regression signal, so they run exactly once, after warmup. The set
-    // lives NEXT TO the query registration (SparkEntry) so a new replay
-    // gate cannot be added without seeing it.
-    val planNames = names.filterNot(SparkEntry.replayHarnessQueries)
-    // warm-up pass: JIT + codegen compilation + file-listing caches; the
-    // measured pass reflects steady-state throughput (set
-    // SPARK_GRAFT_WARMUP=0 for cold numbers)
-    (1 to warmups).foreach(_ => planNames.foreach(once))
-    // TWO measured passes, per-query MIN: round 7's last attribution
-    // artifact was the first heavy query after warmup absorbing ~16 s of
-    // deferred JVM debt (in-suite 19.15 s vs 3.05 s isolated, identical
-    // method) — a one-off absorption lands in one pass, not both, so the
-    // min is the number that tracks the PLAN and stays regression-
-    // sensitive. Cold mode keeps a single pass (the first run IS the
-    // cold measurement).
-    val passes =
-      if (warmups == 0) 1
-      else {
-        val p = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
-        require(p.toIntOption.exists(_ >= 1),
-          s"SPARK_GRAFT_PASSES must be a positive integer, got '$p'")
-        p.toInt
-      }
-    val byPass = (1 to passes).map { p =>
-      val ns = if (p == 1) names else planNames
-      val r = ns.map(n => n -> once(n)).toMap
-      System.err.println(s"[bench] pass $p/$passes: " + ns.map(n =>
-        f"$n=${r(n)}%.2f").mkString(" "))
-      r
-    }
-    // a query that failed in ANY pass it ran in is reported failed — the
-    // min must never paper over an intermittent crash (a pass-1 success +
-    // pass-2 OOM is a real defect, not a measurement to keep)
-    val results0 = names.map { n =>
-      val vs = byPass.flatMap(_.get(n))
-      n -> (if (vs.isEmpty || vs.exists(_ < 0)) -1.0 else vs.min)
-    }
+  }
 
-    // dedup_delta_lsh's index build is memoized per JVM (DedupIndex.
-    // buildIndexFor), so with a warmup pass the measured entry above times
-    // the DELTA PATH alone — the number that shows the incremental index
-    // earning its keep (round 6 bundled a 30 s build into it, hiding the
-    // delta cost entirely). The one-time build is measured HERE as its own
-    // phase against a fresh directory, so both costs stay visible. With
-    // SPARK_GRAFT_WARMUP=0 the delta entry is cold and already includes the
-    // memoized build — an honest cold number — so the extra build phase is
-    // SKIPPED there: measuring a second full build would double-count the
-    // index cost in "total" and make cold and warm totals incomparable.
-    val results =
-      if (!names.contains("dedup_delta_lsh") || warmups == 0) results0
-      else {
-        val t0 = System.nanoTime()
-        val buildT =
-          try {
-            val tmp = java.nio.file.Files.createTempDirectory("graft_bench_idx")
-            try {
-              graft.operators.DedupIndex.write(
-                graft.sources.Tables.documents(spark, sfDir)
-                  .filter(org.apache.spark.sql.functions.col("doc_id")
-                    % graft.operators.DedupIndex.DeltaMod =!= 0),
-                tmp.toString)
-              (System.nanoTime() - t0) / 1e9
-            } finally {
-              // best-effort: cleanup failure must not void the measurement
-              try java.nio.file.Files.walk(tmp)
-                .sorted(java.util.Comparator.reverseOrder())
-                .forEach(p => java.nio.file.Files.deleteIfExists(p))
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
-          } catch {
-            case e: Throwable => System.err.println(s"[bench] dedup_index_build: $e"); -1.0
-          } finally settle()
-        results0 :+ ("dedup_index_build" -> buildT)
+  /** One-time build phases measured as their own entries (their consuming
+    * queries memoize the artifact, so warm measured passes time the
+    * CONSUME path alone — these keep the BUILD cost visible): key →
+    * (phase name, only run when this query is selected). */
+  private[graft] val buildPhases: Seq[(String, String)] = Seq(
+    "dedup_index_build" -> "dedup_delta_lsh",
+    "cluster_store_build" -> "dedup_canonical_indexed")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sfDirEnv
+    val warmups = warmupsEnv
+    val passes = passesEnv(warmups)
+    val names = selectedNames()
+    // build phases only make sense with a warmup pass: cold mode's consumer
+    // entry already includes the memoized build (an honest cold number) and
+    // a second build would double-count the cost in "total"
+    val phases =
+      if (warmups == 0) Seq.empty
+      else buildPhases.collect { case (p, q) if names.contains(q) => p }
+
+    val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    val results: Seq[(String, Double, Seq[Double])] =
+      if (fork) {
+        (names.map(n => runForked(s"q:$n", n, sfDir, warmups, passes))
+          ++ phases.map(p => runForked(s"phase:$p", p, sfDir, warmups, passes)))
+      } else {
+        val spark = GraftSession.builder("graft-bench").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
+        val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p))
+        spark.stop()
+        qs ++ ph
       }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val pp = results.map { case (k, _, ps) =>
+      "\"" + k + "\":" + ps.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
+        s""""mode":"${if (fork) "fork-per-query" else "single-jvm"}","passes":$pp}"""
     // the driver greps the sbt tail for the metric JSON and rounds 1-2
     // failed to parse it out of sbt's [info]-prefixed log noise — persist
     // it to bench.json (best-effort: a read-only cwd must not void the
@@ -162,9 +109,198 @@ object Bench {
     // (sbt prefixes stdout with "[info] "; stderr passes through bare)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
-    spark.stop()
     println(json)
     System.err.println(json)
     if (failed.nonEmpty) sys.exit(1)
+  }
+
+  /** Fork one worker JVM for `task`, inheriting this JVM's exact options
+    * (sbt's javaOptions: --add-opens, -Xmx, -D confs) and classpath. The
+    * worker writes "secs|p1,p2,..." to a temp file; a crash, non-zero
+    * exit, or 30-minute hang reports -1 (failed) without voiding the other
+    * measurements. */
+  private def runForked(task: String, label: String, sfDir: String,
+                        warmups: Int, passes: Int): (String, Double, Seq[Double]) = {
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments
+    val out = java.nio.file.Files.createTempFile("graft_bench_res", ".txt")
+    try {
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      cmd.addAll(jvmArgs)
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.BenchWorker")
+      cmd.add(out.toString); cmd.add(sfDir)
+      cmd.add(warmups.toString); cmd.add(passes.toString); cmd.add(task)
+      val pb = new ProcessBuilder(cmd)
+      // child stdout → parent stderr: the parent's stdout must stay clean
+      // for the one-line metric JSON the driver greps
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val pump = new Thread(() => {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream))
+        var line = in.readLine()
+        while (line != null) { System.err.println(line); line = in.readLine() }
+      })
+      pump.setDaemon(true); pump.start()
+      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); proc.waitFor() }
+      pump.join(5000)
+      val res =
+        if (done && proc.exitValue() == 0) {
+          val s = java.nio.file.Files.readString(out).trim
+          val Array(v, ps) = s.split('|')
+          (label, v.toDouble,
+            ps.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq)
+        } else {
+          System.err.println(s"[bench] $label: worker " +
+            (if (done) s"exit ${proc.exitValue()}" else "timed out after 30m"))
+          (label, -1.0, Seq.empty[Double])
+        }
+      res
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] $label: fork failed: $e")
+        (label, -1.0, Seq.empty)
+    } finally {
+      try java.nio.file.Files.deleteIfExists(out)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+}
+
+/** Child entry point: measures ONE task in a fresh JVM and writes
+  * "minSecs|pass1,pass2,..." to args(0). Task is "q:<query>" or
+  * "phase:<build phase>". */
+object BenchWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(outFile, sfDir, warmups, passes, task) = args
+    val spark = GraftSession.builder("graft-bench-worker").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (secs, passTimes) = task.split(":", 2) match {
+      case Array("q", name) =>
+        val r = BenchCore.measure(spark, sfDir, Seq(name), warmups.toInt, passes.toInt)
+        (r.head._2, r.head._3)
+      case Array("phase", name) =>
+        val (_, v, ps) = BenchCore.measurePhase(spark, sfDir, name)
+        (v, ps)
+      case other => sys.error(s"unknown bench task: ${other.mkString(":")}")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"$secs|${passTimes.mkString(",")}")
+    spark.stop()
+    if (secs < 0) sys.exit(1)
+  }
+}
+
+/** The measurement core, shared by the single-JVM path and the per-query
+  * workers. */
+private[graft] object BenchCore {
+  import org.apache.spark.sql.SparkSession
+
+  /** Settle the JVM between measurements so one query's residue doesn't
+    * tax the next one's number (matters in single-JVM mode and BETWEEN
+    * PASSES in a worker). The settle is OUTSIDE the timed window. */
+  private def settle(spark: SparkSession): Unit = {
+    graft.operators.Dedup.releasePinned(spark) // pinned persisted stages
+    org.apache.spark.sql.graftshim.GraftShims.stopStateStores()
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(200)
+  }
+
+  private val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+  private def gcStats(): (Long, Long) = {
+    var c = 0L; var t = 0L
+    gcBeans.forEach { b => c += b.getCollectionCount; t += b.getCollectionTime }
+    (c, t)
+  }
+
+  /** One timed run; -1.0 on failure (a failed query must be reported, not
+    * silently shrink the total). */
+  private def once(spark: SparkSession, sfDir: String, name: String): Double = {
+    val (c0, g0) = gcStats()
+    val t0 = System.nanoTime()
+    try {
+      // noop write, not count(): count() lets EliminateSorts drop each
+      // query's final global sort, flattering DataFrame-native queries
+      // while q3 (whose sort sits above an RDD boundary the optimizer
+      // can't see through) paid it in full. The noop sink materializes
+      // every output row uniformly.
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (c1, g1) = gcStats()
+      val rt = Runtime.getRuntime
+      System.err.println(f"[bench] $name $secs%.2fs gc+${c1 - c0} " +
+        f"${g1 - g0}ms heap ${(rt.totalMemory - rt.freeMemory) >> 20}MiB")
+      secs
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] $name: $e"); -1.0
+    } finally settle(spark)
+  }
+
+  /** Measure `names`: `warmups` warmup passes then `passes` measured
+    * passes, per-query MIN (a one-off JVM-debt absorption lands in one
+    * pass, not both — the min tracks the PLAN and stays regression-
+    * sensitive). Replay-harness queries run exactly once, unwarmed: their
+    * time is the harness (10+ sequential micro-batches through a stateful
+    * query), so warming or repeating them burns minutes of wall for no
+    * regression signal. A query that failed in ANY pass reports -1. */
+  def measure(spark: SparkSession, sfDir: String, names: Seq[String],
+              warmups: Int, passes: Int): Seq[(String, Double, Seq[Double])] = {
+    val planNames = names.filterNot(SparkEntry.replayHarnessQueries)
+    (1 to warmups).foreach(_ => planNames.foreach(n => once(spark, sfDir, n)))
+    val byPass = (1 to passes).map { p =>
+      val ns = if (p == 1) names else planNames
+      val r = ns.map(n => n -> once(spark, sfDir, n)).toMap
+      System.err.println(s"[bench] pass $p/$passes: " + ns.map(n =>
+        f"$n=${r(n)}%.2f").mkString(" "))
+      r
+    }
+    names.map { n =>
+      val vs = byPass.flatMap(_.get(n))
+      val v = if (vs.isEmpty || vs.exists(_ < 0)) -1.0 else vs.min
+      (n, v, vs)
+    }
+  }
+
+  /** A one-time artifact build measured as its own phase against a fresh
+    * directory (the consuming query memoizes per JVM, so its warm entry
+    * times the CONSUME path — this keeps the BUILD cost visible). */
+  def measurePhase(spark: SparkSession, sfDir: String,
+                   phase: String): (String, Double, Seq[Double]) = {
+    val t0 = System.nanoTime()
+    val v =
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bench_phase")
+        try {
+          phase match {
+            case "dedup_index_build" =>
+              graft.operators.DedupIndex.write(
+                graft.sources.Tables.documents(spark, sfDir)
+                  .filter(org.apache.spark.sql.functions.col("doc_id")
+                    % graft.operators.DedupIndex.DeltaMod =!= 0),
+                tmp.toString)
+            case "cluster_store_build" =>
+              graft.operators.ClusterStore.write(
+                graft.sources.Tables.documents(spark, sfDir), tmp.toString)
+            case other => sys.error(s"unknown bench phase: $other")
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // best-effort: cleanup failure must not void the measurement
+          try java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] $phase: $e"); -1.0
+      } finally settle(spark)
+    (phase, v, Seq(v))
   }
 }

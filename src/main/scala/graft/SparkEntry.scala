@@ -121,6 +121,10 @@ object SparkEntry {
     // quality-max canonical per near-dup cluster ("keep the BEST copy"):
     // window over the sparse clustered minority only, anti-join back
     "dedup_canonical" -> tuned(NearDupClusters.canonicalFromDir),
+    // the same selection CONSUMING the persisted ClusterStore artifact
+    // (pair graph paid once, read everywhere) — gated under the SAME
+    // oracle as dedup_canonical: artifact-consuming must equal from-scratch
+    "dedup_canonical_indexed" -> tuned(ClusterStore.canonicalIndexedFromDir),
     // bigram collocations by PMI: in-row window generation, two
     // vocabulary-sized count shuffles, one ln over a fixed-order ratio
     "pmi_bigrams" -> tuned(Collocations.fromDir)
@@ -185,6 +189,7 @@ object SparkEntry {
     "semantic_quality" -> Similarity.semanticQualityOracle(),
     "dedup_source_matrix" -> SourceMatrix.oracle(),
     "dedup_canonical" -> NearDupClusters.canonicalOracle(),
+    "dedup_canonical_indexed" -> NearDupClusters.canonicalOracle(),
     "pmi_bigrams" -> Collocations.oracle()
   )
 

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent near-dup pair-graph / cluster-map artifact.
+  *
+  * The shingle self-join behind the verified pair list is the single most
+  * expensive stage in the engine at corpus scale, and FOUR consumers need
+  * its output: cluster listing, canonical selection, leakage-safe
+  * splitting, and the cross-source matrix. A real curation pipeline pays
+  * that join ONCE per corpus version, persists the result, and reads it
+  * everywhere — exactly the economics [[DedupIndex]] already provides for
+  * MinHash signatures, extended here to the verified pairs and their
+  * connected components:
+  *
+  *   `<dir>/pairs`     (id1, id2, n_common, jaccard) — the threshold-
+  *                     verified near-dup pair graph.
+  *   `<dir>/clusters`  (doc_id, cluster_id)          — connected
+  *                     components of that graph (cluster_id = min member
+  *                     doc_id), clustered docs only: sparse by
+  *                     construction.
+  *   `<dir>/meta.properties`                         — shingle width and
+  *                     threshold; a consumer mixing artifacts computed
+  *                     under different parameters would silently produce
+  *                     garbage, so reads verify.
+  *
+  * Scale: both tables are pair-graph-bounded (the near-dup minority),
+  * typically orders of magnitude smaller than the corpus — a consumer
+  * reads them as an ordinary parquet side input and never re-shingles.
+  * Consumers: [[NearDupClusters.canonicalWith]], [[CorpusSplit.splitWith]],
+  * [[SourceMatrix.matrixWith]] — each proven equal to its from-scratch
+  * sibling (ClusterStoreSpec), with `dedup_canonical_indexed` driver-gated
+  * under the SAME oracle as `dedup_canonical`.
+  */
+object ClusterStore {
+
+  case class Config(n: Int = 5, threshold: Double = 0.5)
+
+  private def metaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "meta.properties")
+
+  private def writeMeta(dir: String, cfg: Config): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("n", cfg.n.toString)
+    p.setProperty("threshold", cfg.threshold.toString)
+    val out = java.nio.file.Files.newOutputStream(metaPath(dir))
+    try p.store(out, "graft near-dup cluster store") finally out.close()
+  }
+
+  /** The stored pair-graph config — consumers derive behavior from THIS,
+    * never from caller-supplied parameters that might drift. */
+  def readMeta(dir: String): Config = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(metaPath(dir))
+    try p.load(in) finally in.close()
+    Config(p.getProperty("n").toInt, p.getProperty("threshold").toDouble)
+  }
+
+  /** Build the store over `docs`: verify pairs, run connected components,
+    * persist both. The pair frame is persisted locally (it feeds the
+    * parquet write AND the CC iteration) and released on exit along with
+    * the CC scaffolding. */
+  def write(docs: DataFrame, dir: String, cfg: Config = Config()): Unit = {
+    val spark = docs.sparkSession
+    val pairs = Dedup.ngramJaccardPairs(docs, cfg.n, cfg.threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      writeMeta(dir, cfg)
+      // materialize pairs via the write; CC below then reads the persisted
+      // blocks (its edge-list count() frees the corpus-scale shingle pins)
+      pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+      NearDupClusters.connectedComponents(pairs)
+        .write.mode("overwrite").parquet(s"$dir/clusters")
+    } finally {
+      pairs.unpersist(blocking = false)
+      Dedup.releasePinned(spark)
+    }
+  }
+
+  def readPairs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pairs")
+
+  def readClusters(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/clusters")
+
+  /** One built store per (JVM, source dir): the point of the artifact is
+    * that the pair graph is paid ONCE and every consumer reads it, so the
+    * gate memoizes the build exactly like a production run would. The
+    * first consumer call pays the build (Verify's single pass and a cold
+    * bench both include it); repeat calls — bench's measured pass after
+    * warmup — time the CONSUME path alone. Bench measures the build as its
+    * own `cluster_store_build` phase against a fresh directory, so both
+    * costs stay visible. Temp dirs are removed on JVM exit. */
+  private val builtStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def buildStoreFor(spark: SparkSession, dir: String): String =
+    builtStores.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_cluster_store")
+      deleteRecursivelyOnExit(p)
+      write(Tables.documents(spark, dir), p.toString)
+      p.toString
+    })
+
+  private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      // best-effort cleanup: swallow non-fatal errors so the hook never
+      // dies mid-walk and skips its remaining deletions
+      try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }))
+
+  /** Gated query: quality-max canonical selection CONSUMING the persisted
+    * cluster map (building it first if this JVM hasn't). Same oracle as
+    * `dedup_canonical` — proving artifact-consuming equals from-scratch is
+    * the entire point of the gate. */
+  def canonicalIndexedFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val store = buildStoreFor(spark, dir)
+    NearDupClusters.canonicalWith(
+      Tables.documents(spark, dir), readClusters(spark, store))
+  }
+}

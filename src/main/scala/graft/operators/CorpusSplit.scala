@@ -44,12 +44,20 @@ object CorpusSplit {
     * are integer percent cut points on the fingerprint bucket. */
   def split(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
             n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    splitWith(docs, NearDupClusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, n, threshold)), trainPct, valPct)
+  }
+
+  /** Split against a caller-supplied cluster map — [[NearDupClusters]]
+    * output or the persisted [[ClusterStore]] artifact (the pair graph is
+    * the expensive stage; given the store, the split is fingerprint scan +
+    * two cluster-bounded joins). */
+  def splitWith(docs: DataFrame, clusters: DataFrame,
+                trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"need 0 < trainPct and trainPct + valPct < 100, got $trainPct/$valPct")
     val fps = docs.select(col("doc_id"),
       Fingerprint.docFingerprint(col("text")).as("fp"))
-    val clusters = NearDupClusters.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, n, threshold))
     // id-independent unit fingerprint: MIN member fingerprint per cluster
     // (cluster-bounded aggregate over the sparse clustered minority)
     val unitFps = clusters.join(fps, Seq("doc_id"))

@@ -140,9 +140,16 @@ object NearDupClusters {
     * build a corpus-scale driver hash table where AQE keeps the shuffle
     * join (see the majority-clustered spec). Singleton docs never enter
     * a window: they survive by construction. */
-  def canonical(docs: DataFrame, n: Int = 5, thr: Double = 0.5): DataFrame = {
+  def canonical(docs: DataFrame, n: Int = 5, thr: Double = 0.5): DataFrame =
+    canonicalWith(docs,
+      connectedComponents(Dedup.ngramJaccardPairs(docs, n, thr)))
+
+  /** Canonical selection against a caller-supplied cluster map — either
+    * [[connectedComponents]] output or [[ClusterStore.readClusters]] (the
+    * persisted artifact; `dedup_canonical_indexed` gates that path under
+    * the SAME oracle as the from-scratch one). */
+  def canonicalWith(docs: DataFrame, clusters: DataFrame): DataFrame = {
     import graft.functions.{StableRound, TextFunctions => TF}
-    val clusters = connectedComponents(Dedup.ngramJaccardPairs(docs, n, thr))
     val clustered = docs
       .join(clusters, Seq("doc_id"))
       .select(col("doc_id"), col("cluster_id"),

@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
 object SourceMatrix {
 
   /** (source_a, source_b, n_pairs) with source_a <= source_b. */
-  def matrix(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairs(docs, n, threshold)
-      .select(col("id1"), col("id2"))
+  def matrix(docs: DataFrame, n: Int = 5, threshold: Double = 0.5): DataFrame =
+    matrixWith(docs, Dedup.ngramJaccardPairs(docs, n, threshold))
+
+  /** Matrix against a caller-supplied verified pair list — the from-scratch
+    * graph or the persisted [[ClusterStore.readPairs]] artifact (given the
+    * store, the matrix costs one corpus scan + a pair-sized regroup). */
+  def matrixWith(docs: DataFrame, pairList: DataFrame): DataFrame = {
+    val pairs = pairList.select(col("id1"), col("id2"))
     val members = pairs.select(col("id1"), col("id2"),
       explode(array(col("id1"), col("id2"))).as("doc_id"))
     val src = docs.select(col("doc_id"), col("source"))

@@ -62,6 +62,9 @@ object SparkEntry {
     "text_repetition" -> tuned(TextAnalysis.repetitionFromDir),
     "text_normalize" -> tuned(TextAnalysis.normalizeFromDir),
     "lsh_ann_topk" -> tuned(Similarity.lshAnnFromDir(_, _)),
+    // the IVF pipeline under a deterministic md5-derived quantizer: the
+    // oracle reproduces assignment, probe set, candidates, re-score, ranks
+    "ivf_ann_topk" -> tuned(Similarity.ivfAnnFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
@@ -169,6 +172,7 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionOracle,
     "text_normalize" -> TextAnalysis.normalizeOracle,
     "lsh_ann_topk" -> Similarity.lshAnnOracle(),
+    "ivf_ann_topk" -> Similarity.ivfAnnOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,

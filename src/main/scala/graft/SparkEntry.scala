@@ -46,6 +46,9 @@ object SparkEntry {
     "text_langid" -> tuned(TextAnalysis.langIdFromDir),
     "text_fingerprint" -> tuned(TextAnalysis.fingerprintsFromDir),
     "multimodal_meta" -> tuned(Multimodal.metaFromDir),
+    // REAL payload features (histogram + byte mass + content hash) through
+    // the imperative mapPartitions decode seam — value-gated, not shape-gated
+    "multimodal_features" -> tuned(Multimodal.featuresFromDir),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
@@ -155,6 +158,7 @@ object SparkEntry {
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
     "text_quality" -> TextAnalysis.qualityOracle,
     "multimodal_meta" -> Multimodal.payloadMetaOracle,
+    "multimodal_features" -> Multimodal.byteFeaturesOracle,
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,

@@ -86,6 +86,86 @@ object Multimodal {
     spark.createDataFrame(rows, featureSchema)
   }
 
+  // ------------------------------------------------- real byte features
+
+  /** REAL feature extraction over the opaque payload (the upgrade of the
+    * decode stub from shape to substance): a 16-bin high-nibble byte
+    * histogram (the byte-level analogue of an image intensity histogram),
+    * total byte mass, and a polynomial content hash (base 131 mod 1e9+7 —
+    * deliberately a different base than [[graft.functions.Fingerprint]]'s
+    * 31, so text and payload hashes never collide by construction).
+    * Computed imperatively per payload inside the SAME mapPartitions batch
+    * seam a real codec plugs into — and, unlike a codec, reproducible in
+    * DuckDB SQL (hex expansion + list_reduce), so the driver gate checks
+    * the VALUES, not just the schema. */
+  def byteFeatures(payload: Array[Byte]): (Array[Long], Long, Long) = {
+    val hist = new Array[Long](16)
+    var sum = 0L
+    var h = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      hist(b >> 4) += 1
+      sum += b
+      h = (h * 131 + b) % 1000000007L
+      i += 1
+    }
+    (hist, sum, h)
+  }
+
+  private val byteFeatureSchema = StructType(
+    Seq(StructField("media_id", LongType, nullable = false),
+      StructField("byte_length", LongType, nullable = false),
+      StructField("sum_bytes", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)) ++
+      (0 until 16).map(i => StructField(s"h$i", LongType, nullable = false)))
+
+  /** Per-partition batched feature extraction — payloads never shuffle;
+    * the narrow feature rows do. */
+  def extractByteFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val (hist, sum, h) = byteFeatures(payload)
+        Row.fromSeq(r.getLong(0) +: payload.length.toLong +: sum +: h +: hist.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, byteFeatureSchema)
+  }
+
+  /** Gated query: byte features over every document payload. */
+  def featuresFromDir(spark: SparkSession, dir: String): DataFrame =
+    extractByteFeatures(asBinaryPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+
+  /** DuckDB twin: the payload's bytes via hex expansion (two hex chars per
+    * byte — same byte view as the metadata oracle), histogram bins by
+    * high nibble, the hash via the same list_reduce fold shape as
+    * [[graft.functions.Fingerprint.fingerprintSql]], seeded 0 so an empty
+    * payload folds to 0 like the imperative loop. Sums cast back to
+    * BIGINT (DuckDB aggregates BIGINT into HUGEINT). */
+  val byteFeaturesOracle: String = {
+    val bins = (0 until 16).map(i =>
+      s"CAST(len(list_filter(bs, v -> v // 16 = $i)) AS BIGINT) AS h$i").mkString(",\n       ")
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents
+       |), bytes AS (
+       |  SELECT media_id, n,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST(n AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |)
+       |SELECT media_id, n AS byte_length,
+       |       CAST(COALESCE(list_sum(bs), 0) AS BIGINT) AS sum_bytes,
+       |       list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+       |                   (acc, c) -> (acc * 131 + c) % 1000000007) AS phash,
+       |       $bins
+       |FROM bytes ORDER BY media_id""".stripMargin
+  }
+
   /** Frame sampling over a binary payload — the video/audio "every Nth
     * frame" access pattern as pure expressions: fixed-size windows at a
     * stride, each with its own hash. No decode needed for the plumbing;

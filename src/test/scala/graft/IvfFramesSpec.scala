@@ -73,6 +73,24 @@ class IvfFramesSpec extends SparkSpec {
     }
   }
 
+  test("multimodal byte features: hand-computed histogram/sum/hash, multi-byte UTF-8 counted as bytes") {
+    import spark.implicits._
+    // "Aé" = bytes [0x41, 0xC3, 0xA9]: nibbles 4, 12, 10; sum 0x41+0xC3+0xA9
+    val (hist, sum, h) = Multimodal.byteFeatures("Aé".getBytes("UTF-8"))
+    assert(hist(4) == 1 && hist(12) == 1 && hist(10) == 1 && hist.sum == 3)
+    assert(sum == 0x41L + 0xC3L + 0xA9L)
+    assert(h == ((0x41L * 131 + 0xC3L) % 1000000007L * 131 + 0xA9L) % 1000000007L)
+    // empty payload: all zero, hash folds to 0
+    val (eh, es, ep) = Multimodal.byteFeatures(Array.emptyByteArray)
+    assert(eh.forall(_ == 0L) && es == 0L && ep == 0L)
+    // end-to-end: histogram mass equals byte_length for every doc
+    val out = Multimodal.extractByteFeatures(Multimodal.asBinaryPayloads(
+      Seq((1L, "Aé", "s"), (2L, "hello world", "s")).toDF("doc_id", "text", "source")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 3L)
+    assert((0 until 16).map(i => out(2L).getLong(4 + i)).sum == out(2L).getLong(1))
+  }
+
   test("frame sampling: count and size formula hold") {
     val media = Multimodal.asBinaryPayloads(Tables.documents(spark, sf))
     val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 128).cache()

@@ -64,6 +64,10 @@ object ClusterStore {
     * the CC scaffolding. */
   def write(docs: DataFrame, dir: String, cfg: Config = Config()): Unit = {
     val spark = docs.sparkSession
+    // marker BEFORE the pair pipeline: CC's mid-iteration release then
+    // frees exactly the shingle-stage pins this build created, never a
+    // composite caller's own pinned stages
+    val m = Pinned.marker(spark)
     val pairs = Dedup.ngramJaccardPairs(docs, cfg.n, cfg.threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -72,11 +76,11 @@ object ClusterStore {
       // materialize pairs via the write; CC below then reads the persisted
       // blocks (its edge-list count() frees the corpus-scale shingle pins)
       pairs.write.mode("overwrite").parquet(s"$dir/pairs")
-      NearDupClusters.connectedComponents(pairs)
+      NearDupClusters.connectedComponents(pairs, Some(m))
         .write.mode("overwrite").parquet(s"$dir/clusters")
     } finally {
       pairs.unpersist(blocking = false)
-      Dedup.releasePinned(spark)
+      Pinned.releaseSince(spark, m, Seq.empty)
     }
   }
 

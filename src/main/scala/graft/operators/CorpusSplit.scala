@@ -44,8 +44,8 @@ object CorpusSplit {
     * are integer percent cut points on the fingerprint bucket. */
   def split(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
             n: Int = 5, threshold: Double = 0.5): DataFrame = {
-    splitWith(docs, NearDupClusters.connectedComponents(
-      Dedup.ngramJaccardPairs(docs, n, threshold)), trainPct, valPct)
+    splitWith(docs, NearDupClusters.clustersOf(docs, n, threshold),
+      trainPct, valPct)
   }
 
   /** Split against a caller-supplied cluster map — [[NearDupClusters]]

@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   * — no sqrt, no division, no doubles, so Spark and DuckDB agree
   * bit-for-bit even at the flag boundary (a rounded z-score would flip
   * across engines on last-ulp ties). Squares ride in DECIMAL(38,0)
-  * (DuckDB: HUGEINT), good to ~10⁹ rows per type at |value| ≤ 10³; past
-  * that, rescale micros→millis or split the sum.
+  * (DuckDB: HUGEINT), good to ~10⁹ rows per type at |value| ≤ 10³; the
+  * bound is ENFORCED from the stats aggregate (assert_true per type):
+  * exceeding it fails the job loudly instead of NULL-unflagging the very
+  * outliers the query exists to catch. Past the bound, rescale
+  * micros→millis or split the sum.
   *
   * Scale: one partial-aggregated shuffle for the per-type stats (5 rows
   * per type per task), then the stats BROADCAST back against the event
@@ -35,10 +38,26 @@ object EventOutliers {
     val dec = "decimal(38,0)"
     val e = events.select(col("event_id"), col("event_type"), col("value"),
       StableRound.microsLong(col("value")).as("vm"))
-    val stats = e.groupBy(col("event_type")).agg(
+    val stats0 = e.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("vm")).as("s"),
-      sum(col("vm").cast(dec) * col("vm").cast(dec)).as("q"))
+      sum(col("vm").cast(dec) * col("vm").cast(dec)).as("q"),
+      max(abs(col("vm"))).as("vmax"))
+    // HEADROOM ENFORCED, not just documented: under the non-ANSI session a
+    // DECIMAL(38,0) overflow NULLs the comparison and silently UNFLAGS
+    // exactly the extreme rows this query exists to catch (DuckDB's
+    // HUGEINT raises instead — the engines would diverge). |n·vμ − S| ≤
+    // 2·n·max|vμ|, so 2·n·max|vμ| < 10¹⁹ bounds the square (and n·Q ≤
+    // (n·max|vμ|)² bounds the rhs) inside 38 digits. assert_true rides
+    // the per-type stats rows — zero extra scans, thrown loudly at run
+    // time; the isNull filter keeps the assertion referenced through
+    // column pruning.
+    val headroom = lit(new java.math.BigDecimal("10000000000000000000")) // 10^19
+    val stats = stats0.filter(assert_true(
+      col("n").cast(dec) * col("vmax") * 2 < headroom,
+      lit("event_outliers: n·max|value| exceeds exact-arithmetic headroom — " +
+        "rescale micros to millis or split the sum")).isNull)
+      .drop("vmax")
     // n promotes to decimal BEFORE the multiply: long n·vμ would overflow
     // first, at ~10⁹ rows per type
     val lhsRoot = (col("n").cast(dec) * col("vm") - col("s")).cast(dec)

@@ -36,8 +36,16 @@ import org.apache.spark.sql.functions._
 object NearDupClusters {
 
   /** (doc_id, cluster_id) for every doc in `pairs`; cluster_id = min
-    * doc_id of its connected component. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * doc_id of its connected component.
+    *
+    * `upstreamMarker`: a [[Pinned.marker]] taken BEFORE the pair pipeline
+    * was built scopes the mid-iteration release to exactly that pipeline's
+    * pins, so a composite caller's earlier pinned stages survive (see
+    * [[clustersOf]], which handles the marker for the docs→CC path).
+    * Without one the release is session-wide — correct only when the
+    * caller owns every live pin, as the gated queries do. */
+  def connectedComponents(pairs: DataFrame,
+                          upstreamMarker: Option[Long] = None): DataFrame = {
     val edges = Pinned.pin(
       pairs.select(col("id1").as("a"), col("id2").as("b"))
         .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b"))))
@@ -47,7 +55,10 @@ object NearDupClusters {
     // corpus-sized blocks would otherwise crowd the storage pool for the
     // whole iteration (measured 5x round-cost inflation at x10 local)
     edges.count()
-    Pinned.releaseOthers(edges.sparkSession, Seq(edges))
+    upstreamMarker match {
+      case Some(m) => Pinned.releaseSince(edges.sparkSession, m, Seq(edges))
+      case None    => Pinned.releaseOthers(edges.sparkSession, Seq(edges))
+    }
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // initial label = min(self, direct neighbors): the first propagation
     // round fused into initialization — one groupBy instead of a distinct
@@ -92,9 +103,17 @@ object NearDupClusters {
       .orderBy(col("doc_id"))
   }
 
+  /** CC over `docs`' verified n-gram-Jaccard pair graph, with the pair
+    * pipeline's pins scoped (a composite caller's own pinned stages
+    * survive the mid-iteration release). */
+  def clustersOf(docs: DataFrame, n: Int = 5, thr: Double = 0.5): DataFrame = {
+    val m = Pinned.marker(docs.sparkSession)
+    connectedComponents(Dedup.ngramJaccardPairs(docs, n, thr), Some(m))
+  }
+
   /** Gated query: components of the exact n-gram-Jaccard pair graph. */
   def fromDir(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(Dedup.ngramJaccardPairs(Tables.documents(spark, dir)))
+    clustersOf(Tables.documents(spark, dir))
 
   /** Shared DuckDB CTE fragment: the exact n-gram-Jaccard pair graph's
     * connected components over `documents` — same pair CTEs as
@@ -141,8 +160,7 @@ object NearDupClusters {
     * join (see the majority-clustered spec). Singleton docs never enter
     * a window: they survive by construction. */
   def canonical(docs: DataFrame, n: Int = 5, thr: Double = 0.5): DataFrame =
-    canonicalWith(docs,
-      connectedComponents(Dedup.ngramJaccardPairs(docs, n, thr)))
+    canonicalWith(docs, clustersOf(docs, n, thr))
 
   /** Canonical selection against a caller-supplied cluster map — either
     * [[connectedComponents]] output or [[ClusterStore.readClusters]] (the

@@ -261,7 +261,17 @@ object TextAnalysis {
     * deterministic). Patterns are the same single-sourced RE2-safe
     * definitions the counts use — the redactor and the counter can never
     * disagree about what PII is. One codegen'd pass, zero shuffles: the
-    * 100 TB form of a pre-release privacy scrub. */
+    * 100 TB form of a pre-release privacy scrub.
+    *
+    * The n_* columns are RAW-TEXT MATCH COUNTS (occurrences of each
+    * pattern in the input), not tags-emitted counts: because replacements
+    * compose in sequence, a match of a later pattern can be swallowed by
+    * an earlier replacement — an IP-hosted URL counts 1 in n_ipv4 yet
+    * surfaces only as <URL> in redacted_text (no <IP> tag). That is the
+    * right audit surface (how much PII-shaped content the INPUT carried);
+    * count sentinel tokens in redacted_text to audit emitted tags
+    * instead. Identical composition on both engines, so the gate pins
+    * the semantics either way. */
   def redact(docs: DataFrame): DataFrame = {
     // order: email (an address inside a URL path redacts first), then
     // URL (swallows IP-hosts and phone-looking path segments whole),

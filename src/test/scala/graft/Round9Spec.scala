@@ -114,6 +114,37 @@ class Round9Spec extends SparkSpec {
     assert(graft.operators.EventOutliers.outliers(df, sigmas = 4).count() == 0)
   }
 
+  test("event_outliers: exceeding the exact-arithmetic headroom fails loudly, not by unflagging") {
+    // one event at 6e12: vm = 6e18, so 2·n·max|vm| = 1.2e19 ≥ 1e19 — under
+    // the non-ANSI session the squares would NULL out and the spike would
+    // silently vanish from the result; the guard must throw instead
+    val df = Seq((1L, "a", 6.0e12), (2L, "a", 1.0)).toDF("event_id", "event_type", "value")
+    val ex = intercept[Exception] {
+      graft.operators.EventOutliers.outliers(df).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("headroom")), ex.toString)
+    // comfortably inside the bound: values ≤ 10³, n = 11 (one spike among
+    // ten gives z ≈ 3.16 > 3; with fewer rows a lone spike can't exceed
+    // √(n−1)σ) — the guard passes and the spike flags
+    val ok = ((1L, "a", 1000.0) +: (2L to 11L).map(i => (i, "a", 1.0)))
+      .toDF("event_id", "event_type", "value")
+    assert(graft.operators.EventOutliers.outliers(ok).collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("clustersOf scopes its release: a composite caller's earlier pin survives") {
+    import graft.operators.{NearDupClusters, Pinned}
+    val mine = Pinned.pin(Seq((1L, "caller stage")).toDF("id", "v"))
+    mine.count()
+    NearDupClusters.clustersOf(frame((1L, 2L, 3L, 4L))).collect()
+    // pre-round-9 the CC iteration's session-wide releaseOthers silently
+    // unpersisted `mine`; the scoped release must leave it resident
+    assert(mine.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+      "composite caller's pin was stolen by the CC release")
+    assert(Pinned.release(spark) >= 3) // mine + edges + surviving round
+  }
+
   test("event_outliers: integer test == double z-score recomputation on real events (sf0.001)") {
     val events = graft.sources.Tables.events(spark, sf)
     val flagged = graft.operators.EventOutliers.outliers(events)

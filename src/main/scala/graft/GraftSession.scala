@@ -37,6 +37,28 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
+      .withExtraConfs
+
+  /** SPARK_GRAFT_CONF="k=v;k=v" applies ad-hoc session confs — the knob
+    * for A/B experiments through the unmodified Bench/ScaleBench harnesses
+    * (e.g. aggregate fast-map sizing for the pmi knee) without a code
+    * change per hypothesis. Applied last, so it can override the
+    * defaults above. */
+  private implicit class ExtraConfs(val b: SparkSession.Builder) {
+    def withExtraConfs: SparkSession.Builder = {
+      extraConfs.foreach { case (k, v) => b.config(k, v) }
+      b
+    }
+  }
+
+  private def extraConfs: Seq[(String, String)] =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        (kv.substring(0, i).trim, kv.substring(i + 1).trim)
+      }
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -53,6 +75,11 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // runtime-settable subset of the SPARK_GRAFT_CONF experiment knob
+    extraConfs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException => () } // static conf: builder-only
+    }
     spark
   }
 }

@@ -133,7 +133,10 @@ object SparkEntry {
     "dedup_canonical_indexed" -> tuned(ClusterStore.canonicalIndexedFromDir),
     // bigram collocations by PMI: in-row window generation, two
     // vocabulary-sized count shuffles, one ln over a fixed-order ratio
-    "pmi_bigrams" -> tuned(Collocations.fromDir)
+    "pmi_bigrams" -> tuned(Collocations.fromDir),
+    // unigram-LM log-prob quality proxy: multiplicity decomposition, long
+    // sums of micros-rounded lns, one exact-long division for the mean
+    "unigram_logprob" -> tuned(UnigramLm.fromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -198,7 +201,8 @@ object SparkEntry {
     "dedup_source_matrix" -> SourceMatrix.oracle(),
     "dedup_canonical" -> NearDupClusters.canonicalOracle(),
     "dedup_canonical_indexed" -> NearDupClusters.canonicalOracle(),
-    "pmi_bigrams" -> Collocations.oracle()
+    "pmi_bigrams" -> Collocations.oracle(),
+    "unigram_logprob" -> UnigramLm.oracle
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential

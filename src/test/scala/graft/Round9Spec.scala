@@ -344,6 +344,31 @@ class Round9Spec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("unigram_logprob: hand-computed micros, multiplicity decomposition, empty corpus") {
+    import graft.operators.UnigramLm
+    // corpus: a:2 b:2 c:1, N=5. micros(ln(2/5)) = floor(-916290.73+0.5) =
+    // -916291; micros(ln(1/5)) = -1609438.
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = UnigramLm.logProbs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 3L * -916291L, (3L * -916291L).toDouble / 3)))
+    assert(out(2L) == ((2L, -916291L + -1609438L, (-916291L + -1609438L).toDouble / 2)))
+    graft.operators.Dedup.releasePinned(spark)
+    // gibberish scores below plain text under the corpus's own distribution
+    val mixed = (1L to 8L).map(i => (i, "the quick brown fox jumps over the lazy dog")) :+
+      (9L, "zxqv wqpt kjhg zxqv")
+    val scored = UnigramLm.logProbs(mixed.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(scored(9L) < scored(1L), "rare-token doc must score lower")
+    graft.operators.Dedup.releasePinned(spark)
+    // all-blank corpus: empty result, right schema, no NPE
+    val empty = UnigramLm.logProbs(Seq((1L, ""), (2L, "  ")).toDF("doc_id", "text"))
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "logprob_micros", "avg_lp_micros"))
+    assert(empty.count() == 0)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("releaseOthers keeps the kept frame tracked and frees the rest") {
     import graft.operators.Pinned
     val a = Pinned.pin(Seq((1L, "x")).toDF("id", "v"))

@@ -34,7 +34,9 @@ object ScaleBench {
       "doc_chunks", "tfidf_topk", "corpus_rollup", "boilerplate_frac",
       "text_bpe_merged", "corpus_split", "token_percentiles", "event_outliers",
       "semantic_quality", "dedup_source_matrix", "dedup_canonical",
-      "pmi_bigrams")
+      "pmi_bigrams",
+      "ivf_ann_topk", "multimodal_features", "unigram_logprob",
+      "dedup_canonical_indexed")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */
@@ -148,6 +150,27 @@ object ScaleBench {
     }
     // one-time index build per scale, measured against a fresh directory
     // (mirrors Bench's dedup_index_build phase)
+    // one-time cluster-store build per scale (mirrors Bench's
+    // cluster_store_build phase; the dedup_canonical_indexed rows above
+    // time the CONSUME path, warm via the memoized per-dir build)
+    if (headline.contains("dedup_canonical_indexed")) {
+      for ((label, dir, rel) <- scales) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_scale_cstore")
+        val t0 = System.nanoTime()
+        try {
+          graft.operators.ClusterStore.write(
+            graft.sources.Tables.documents(spark, dir), tmp.toString)
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"""{"scale":"$label","rel_volume":$rel,"query":"cluster_store_build","sec":$sec}""")
+        } finally {
+          try java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          catch { case scala.util.control.NonFatal(_) => () }
+          Pinned.release(spark)
+        }
+      }
+    }
     if (headline.contains("dedup_delta_lsh")) {
       for ((label, dir, rel) <- scales) {
         val tmp = java.nio.file.Files.createTempDirectory("graft_scale_idx")

@@ -131,6 +131,10 @@ object SparkEntry {
     // (pair graph paid once, read everywhere) — gated under the SAME
     // oracle as dedup_canonical: artifact-consuming must equal from-scratch
     "dedup_canonical_indexed" -> tuned(ClusterStore.canonicalIndexedFromDir),
+    // incremental pair-graph maintenance: delta docs join the persisted
+    // store without re-running the backlog self-join; the appended cluster
+    // map must equal the from-scratch full-corpus components
+    "cluster_append" -> tuned(ClusterStore.appendFromDir),
     // bigram collocations by PMI: in-row window generation, two
     // vocabulary-sized count shuffles, one ln over a fixed-order ratio
     "pmi_bigrams" -> tuned(Collocations.fromDir),
@@ -201,6 +205,7 @@ object SparkEntry {
     "dedup_source_matrix" -> SourceMatrix.oracle(),
     "dedup_canonical" -> NearDupClusters.canonicalOracle(),
     "dedup_canonical_indexed" -> NearDupClusters.canonicalOracle(),
+    "cluster_append" -> NearDupClusters.oracle(),
     "pmi_bigrams" -> Collocations.oracle(),
     "unigram_logprob" -> UnigramLm.oracle
   )

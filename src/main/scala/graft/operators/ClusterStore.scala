@@ -127,4 +127,91 @@ object ClusterStore {
     NearDupClusters.canonicalWith(
       Tables.documents(spark, dir), readClusters(spark, store))
   }
+
+  // ------------------------------------------------------- incremental append
+
+  /** Append a delta to the store WITHOUT re-running the backlog's shingle
+    * self-join — the daily-ingest path for the pair graph, closing the
+    * same loop [[DedupIndex]] closes for MinHash signatures:
+    *
+    *   - delta-touching pairs come from joining the OLD corpus's exploded
+    *     shingles (one scan + in-row shingling, NO old×old self-join —
+    *     that quadratic-candidate stage is exactly what the store already
+    *     paid for) against the delta's shingles, plus the delta-internal
+    *     self-join (delta-sized);
+    *   - the merged pair list (stored ∪ delta) is pair-graph-bounded, so
+    *     re-running connected components over it costs edge-list work,
+    *     never corpus work — and handles the hard case where a new doc
+    *     BRIDGES two existing clusters (their labels must merge, which no
+    *     per-cluster patching gets right for free);
+    *   - pairs append; clusters rewrite (they are labels over the merged
+    *     graph, and label identity can change when components merge).
+    *
+    * Exactness: same shingle rule, same integer Jaccard, same threshold
+    * from the stored meta — append(backlog store, delta) produces the
+    * identical pair set and cluster map as a from-scratch build over the
+    * union, which is precisely what the `cluster_append` gate checks
+    * against the full-corpus oracle. */
+  def append(spark: SparkSession, dir: String,
+             oldDocs: DataFrame, newDocs: DataFrame): Unit = {
+    val cfg = readMeta(dir)
+    val m = Pinned.marker(spark)
+    val newArrs = Pinned.pin(Dedup.shingleArrays(newDocs, cfg.n))
+    val oldArrs = Dedup.shingleArrays(oldDocs, cfg.n)
+    val newSh = newArrs.select(col("doc_id"), explode(col("sharr")).as("shingle"))
+    val oldSh = oldArrs.select(col("doc_id"), explode(col("sharr")).as("shingle"))
+    // old↔new shared-shingle rows: the corpus-sized side streams through
+    // ONE scan; AQE picks the join strategy from the delta's real size
+    val cross = oldSh.select(col("shingle"), col("doc_id").as("oid"))
+      .join(newSh.select(col("shingle"), col("doc_id").as("nid")), Seq("shingle"))
+      .select(least(col("oid"), col("nid")).as("id1"),
+        greatest(col("oid"), col("nid")).as("id2"))
+    // new↔new: the delta-internal self-join (delta-sized; merge-hinted for
+    // the same Generate-misestimate reason as the full self-join)
+    val l = newSh.select(col("shingle"), col("doc_id").as("id1"))
+    val r = newSh.select(col("shingle"), col("doc_id").as("id2"))
+    val within = l.hint("merge").join(r, Seq("shingle"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+    val inter = cross.unionAll(within)
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_common"))
+    val card = oldArrs.unionByName(newArrs)
+      .select(col("doc_id"), size(col("sharr")).cast("long").as("n_shingles"))
+    val deltaPairs = inter
+      .join(card.select(col("doc_id").as("id1"), col("n_shingles").as("n1")), Seq("id1"))
+      .join(card.select(col("doc_id").as("id2"), col("n_shingles").as("n2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n1") + col("n2") - col("n_common")))
+      .filter(col("jaccard") >= cfg.threshold)
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+    try {
+      deltaPairs.write.mode("append").parquet(s"$dir/pairs")
+      // CC over the MERGED pair list: pair-graph-bounded, corpus-free
+      NearDupClusters.connectedComponents(readPairs(spark, dir), Some(m))
+        .write.mode("overwrite").parquet(s"$dir/clusters")
+    } finally Pinned.releaseSince(spark, m, Seq.empty)
+  }
+
+  /** One appended store per (JVM, source dir): backlog built from every
+    * doc except the [[DedupIndex.DeltaMod]] residue class, then the delta
+    * appended — the same split the signature index gates with, so the two
+    * incremental paths are directly comparable. */
+  private val appendedStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `cluster_append`: the cluster map after an incremental
+    * append must equal the from-scratch full-corpus map — the oracle IS
+    * [[NearDupClusters.oracle]] over `documents`. */
+  def appendFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val store = appendedStores.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_cluster_append")
+      deleteRecursivelyOnExit(p)
+      val docs = Tables.documents(spark, dir)
+      val backlog = docs.filter(col("doc_id") % DedupIndex.DeltaMod =!= 0)
+      val delta = docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0)
+      write(backlog, p.toString)
+      append(spark, p.toString, backlog, delta)
+      p.toString
+    })
+    readClusters(spark, store).orderBy(col("doc_id"))
+  }
 }

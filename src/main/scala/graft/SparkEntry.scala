@@ -135,6 +135,10 @@ object SparkEntry {
     // store without re-running the backlog self-join; the appended cluster
     // map must equal the from-scratch full-corpus components
     "cluster_append" -> tuned(ClusterStore.appendFromDir),
+    // the other two store consumers, gated under their from-scratch
+    // oracles (one shared memoized store build feeds all three)
+    "corpus_split_indexed" -> tuned(ClusterStore.splitIndexedFromDir),
+    "dedup_source_matrix_indexed" -> tuned(ClusterStore.matrixIndexedFromDir),
     // bigram collocations by PMI: in-row window generation, two
     // vocabulary-sized count shuffles, one ln over a fixed-order ratio
     "pmi_bigrams" -> tuned(Collocations.fromDir),
@@ -206,6 +210,8 @@ object SparkEntry {
     "dedup_canonical" -> NearDupClusters.canonicalOracle(),
     "dedup_canonical_indexed" -> NearDupClusters.canonicalOracle(),
     "cluster_append" -> NearDupClusters.oracle(),
+    "corpus_split_indexed" -> CorpusSplit.oracle(),
+    "dedup_source_matrix_indexed" -> SourceMatrix.oracle(),
     "pmi_bigrams" -> Collocations.oracle(),
     "unigram_logprob" -> UnigramLm.oracle
   )

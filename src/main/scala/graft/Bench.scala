@@ -20,8 +20,10 @@ package graft
   * pass, not both), noop-sink materialization (count() lets EliminateSorts
   * drop final sorts non-uniformly), replay-harness queries run exactly
   * once (their time is the harness, not a plan). All per-pass times are
-  * emitted in the final JSON under "passes" so an inflated reading is
-  * self-diagnosing from the artifact alone.
+  * recorded in bench.json under "passes" so an inflated reading is
+  * self-diagnosing from the artifact alone — the STDOUT metric line stays
+  * compact, because round 9's passes-bearing ~4.7 KB line was truncated by
+  * the driver's tail capture and the round recorded parsed:null.
   */
 object Bench {
 
@@ -86,7 +88,7 @@ object Bench {
         val spark = GraftSession.builder("graft-bench").getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
         val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
-        val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p))
+        val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p, warmups, passes))
         spark.stop()
         qs ++ ph
       }
@@ -98,19 +100,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
+    // the emitted metric line must stay COMPACT: round 9 put the per-pass
+    // map on it, the line grew to ~4.7 KB, and the driver's tail capture
+    // truncated it mid-array — BENCH_r09.json recorded parsed:null. The
+    // line carries total + per-query mins + failures; per-pass detail
+    // lives only in bench.json, where nothing truncates it.
+    val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
-        s""""mode":"${if (fork) "fork-per-query" else "single-jvm"}","passes":$pp}"""
+        s""""mode":"${if (fork) "fork-per-query" else "single-jvm"}"}"""
+    val full = compact.dropRight(1) + s""","passes":$pp}"""
     // the driver greps the sbt tail for the metric JSON and rounds 1-2
     // failed to parse it out of sbt's [info]-prefixed log noise — persist
-    // it to bench.json (best-effort: a read-only cwd must not void the
-    // measurement), and emit the bare line LAST on BOTH stdout and stderr
-    // (sbt prefixes stdout with "[info] "; stderr passes through bare)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    // the full record to bench.json (best-effort: a read-only cwd must not
+    // void the measurement), and emit the compact line LAST on BOTH stdout
+    // and stderr (sbt prefixes stdout with "[info] "; stderr passes bare)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
-    println(json)
-    System.err.println(json)
+    println(compact)
+    System.err.println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -192,7 +200,8 @@ object BenchWorker {
           passes.toInt, warmReplays = true)
         (r.head._2, r.head._3)
       case Array("phase", name) =>
-        val (_, v, ps) = BenchCore.measurePhase(spark, sfDir, name)
+        val (_, v, ps) = BenchCore.measurePhase(spark, sfDir, name,
+          warmups.toInt, passes.toInt)
         (v, ps)
       case other => sys.error(s"unknown bench task: ${other.mkString(":")}")
     }
@@ -279,11 +288,18 @@ private[graft] object BenchCore {
 
   /** A one-time artifact build measured as its own phase against a fresh
     * directory (the consuming query memoizes per JVM, so its warm entry
-    * times the CONSUME path — this keeps the BUILD cost visible). */
-  def measurePhase(spark: SparkSession, sfDir: String,
-                   phase: String): (String, Double, Seq[Double]) = {
-    val t0 = System.nanoTime()
-    val v =
+    * times the CONSUME path — this keeps the BUILD cost visible). Phases
+    * get the SAME warmup + min-of-passes discipline as queries: the round-9
+    * single un-warmed measurement read dedup_index_build at 7.74 s in a
+    * fork-cold worker vs 3.97 s late in round 8's warm shared JVM — a
+    * measurement artifact, not a plan change. Each pass builds into its own
+    * fresh temp directory, so no pass reads another's file-listing warmth
+    * on the OUTPUT side; the input-scan/codegen/JIT warmth is exactly what
+    * the warmup pass is for. */
+  def measurePhase(spark: SparkSession, sfDir: String, phase: String,
+                   warmups: Int, passes: Int): (String, Double, Seq[Double]) = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
       try {
         val tmp = java.nio.file.Files.createTempDirectory("graft_bench_phase")
         try {
@@ -299,7 +315,9 @@ private[graft] object BenchCore {
                 graft.sources.Tables.documents(spark, sfDir), tmp.toString)
             case other => sys.error(s"unknown bench phase: $other")
           }
-          (System.nanoTime() - t0) / 1e9
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $phase $secs%.2fs")
+          secs
         } finally {
           // best-effort: cleanup failure must not void the measurement
           try java.nio.file.Files.walk(tmp)
@@ -310,6 +328,10 @@ private[graft] object BenchCore {
       } catch {
         case e: Throwable => System.err.println(s"[bench] $phase: $e"); -1.0
       } finally settle(spark)
-    (phase, v, Seq(v))
+    }
+    (1 to warmups).foreach(_ => once())
+    val vs = (1 to passes).map(_ => once())
+    val v = if (vs.isEmpty || vs.exists(_ < 0)) -1.0 else vs.min
+    (phase, v, vs)
   }
 }

@@ -68,6 +68,12 @@ object SparkEntry {
     // the IVF pipeline under a deterministic md5-derived quantizer: the
     // oracle reproduces assignment, probe set, candidates, re-score, ranks
     "ivf_ann_topk" -> tuned(Similarity.ivfAnnFromDir(_, _)),
+    // the PERSISTED index lifecycle under the SAME oracle: save →
+    // quantizer reload → partition-pruned probe must equal in-memory IVF
+    "ivf_probe_indexed" -> tuned(Similarity.ivfProbeIndexedFromDir(_, _)),
+    // O(batch) index ingestion: append the DeltaMod delta to the backlog
+    // index, probe — must equal a same-quantizer rebuild over the union
+    "ivf_index_append" -> tuned(Similarity.ivfAppendProbeFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
@@ -139,6 +145,10 @@ object SparkEntry {
     // oracles (one shared memoized store build feeds all three)
     "corpus_split_indexed" -> tuned(ClusterStore.splitIndexedFromDir),
     "dedup_source_matrix_indexed" -> tuned(ClusterStore.matrixIndexedFromDir),
+    // the composed incremental-curation loop: append a delta to the
+    // ClusterStore, split FROM the updated store — must equal the
+    // from-scratch full-corpus split (closes daily-ingest end-to-end)
+    "corpus_split_append" -> tuned(ClusterStore.splitAppendFromDir),
     // bigram collocations by PMI: in-row window generation, two
     // vocabulary-sized count shuffles, one ln over a fixed-order ratio
     "pmi_bigrams" -> tuned(Collocations.fromDir),
@@ -188,6 +198,8 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.normalizeOracle,
     "lsh_ann_topk" -> Similarity.lshAnnOracle(),
     "ivf_ann_topk" -> Similarity.ivfAnnOracle(),
+    "ivf_probe_indexed" -> Similarity.ivfAnnOracle(),
+    "ivf_index_append" -> Similarity.ivfAnnOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
@@ -212,6 +224,7 @@ object SparkEntry {
     "cluster_append" -> NearDupClusters.oracle(),
     "corpus_split_indexed" -> CorpusSplit.oracle(),
     "dedup_source_matrix_indexed" -> SourceMatrix.oracle(),
+    "corpus_split_append" -> CorpusSplit.oracle(),
     "pmi_bigrams" -> Collocations.oracle(),
     "unigram_logprob" -> UnigramLm.oracle
   )

@@ -40,10 +40,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusSplit {
 
+  private def validatePcts(trainPct: Int, valPct: Int): Unit =
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct and trainPct + valPct < 100, got $trainPct/$valPct")
+
   /** (doc_id, split_unit, bucket, split) for every doc. `trainPct`/`valPct`
-    * are integer percent cut points on the fingerprint bucket. */
+    * are integer percent cut points on the fingerprint bucket — validated
+    * BEFORE the cluster map is built: `clustersOf` runs an eager
+    * corpus-scale Spark job during construction, which bad percentages
+    * must not pay for. */
   def split(docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
             n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    validatePcts(trainPct, valPct)
     splitWith(docs, NearDupClusters.clustersOf(docs, n, threshold),
       trainPct, valPct)
   }
@@ -54,8 +62,7 @@ object CorpusSplit {
     * two cluster-bounded joins). */
   def splitWith(docs: DataFrame, clusters: DataFrame,
                 trainPct: Int = 90, valPct: Int = 5): DataFrame = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
-      s"need 0 < trainPct and trainPct + valPct < 100, got $trainPct/$valPct")
+    validatePcts(trainPct, valPct)
     val fps = docs.select(col("doc_id"),
       Fingerprint.docFingerprint(col("text")).as("fp"))
     // id-independent unit fingerprint: MIN member fingerprint per cluster

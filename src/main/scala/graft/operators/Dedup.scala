@@ -141,7 +141,15 @@ object Dedup {
     // per-doc distinct is in-row set dedup (the row-form pipeline paid a
     // corpus-wide distinct shuffle here), and cardinalities read
     // size(sharr) instead of a count aggregate
-    val arrs = pinned(shingleArrays(docs, n))
+    jaccardPairsFromArrays(pinned(shingleArrays(docs, n)), threshold)
+  }
+
+  /** [[ngramJaccardPairs]] over a CALLER-pinned shingle-array stage — for
+    * composite callers ([[ClusterStore.write]]) that also derive other
+    * outputs (the persisted per-doc cardinalities) from the same stage and
+    * must not pay a second corpus scan + shingling for them. */
+  private[operators] def jaccardPairsFromArrays(arrs: DataFrame,
+                                                threshold: Double): DataFrame = {
     val sh = arrs.select(col("doc_id"), explode(col("sharr")).as("shingle"))
     val card = arrs.select(col("doc_id"), size(col("sharr")).cast("long").as("n_shingles"))
     val a = sh.select(col("doc_id").as("id1"), col("shingle"))

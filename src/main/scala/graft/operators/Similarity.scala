@@ -125,8 +125,8 @@ object Similarity {
   /** Per-query nProbe nearest centroids, with the query embedding carried.
     * Tie-break on centroid_id keeps the probe set deterministic (and
     * oracle-reproducible) even for exactly-equal centroid cosines. */
-  private def queryProbes(queries: DataFrame, centroids: Array[(Int, Array[Double])],
-                          nProbe: Int): DataFrame = {
+  private[graft] def queryProbes(queries: DataFrame, centroids: Array[(Int, Array[Double])],
+                                 nProbe: Int): DataFrame = {
     val probeSims = centroids.map { case (id, c) =>
       struct(litCosine(col("qe"), c).as("sim"), lit(id).as("centroid_id"))
     }
@@ -500,6 +500,78 @@ object Similarity {
        |)
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------- gated persisted-index lifecycle
+
+  /** One persisted hash-quantizer IVF index per (JVM, source dir) — the
+    * same memoize-the-build economics as [[ClusterStore.buildStoreFor]]:
+    * a production deployment writes the index once and every probe reads
+    * it, so the gate's warm passes time the PROBE path alone. Temp dirs
+    * are removed on JVM exit. */
+  private val ivfIndexStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def requireOracleDim(e: DataFrame, dir: String): Int = {
+    val dim = embeddingDim(e)
+    require(dim == LshOracleDim,
+      s"embeddings under $dir are $dim-wide but ivfAnnOracle generates " +
+        s"$LshOracleDim-dim centroids — regenerate the oracle with dim=$dim")
+    dim
+  }
+
+  private def buildHashIndex(e: DataFrame, prefix: String, dim: Int,
+                             numCentroids: Int): String = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    ClusterStore.deleteRecursivelyOnExit(tmp)
+    val idx = tmp.resolve("index").toString
+    writeIvfIndexWith(e, idx, hashCentroids(dim, numCentroids))
+    idx
+  }
+
+  /** Gated query `ivf_probe_indexed`: ANN over the PERSISTED IVF index —
+    * [[writeIvfIndex]]'s partitioned layout probed via partition pruning,
+    * under the [[hashCentroids]] quantizer so the oracle is the SAME
+    * [[ivfAnnOracle]] as the in-memory `ivf_ann_topk` gate. Probing reads
+    * the quantizer back from the index's `_quantizer` sidecar (the
+    * self-containment a later session relies on), so the gate proves the
+    * full persisted path: save → reload → probe ≡ in-memory IVF ≡ DuckDB. */
+  def ivfProbeIndexedFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                             k: Int = 10, numCentroids: Int = 16,
+                             nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val idx = ivfIndexStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e, "graft_ivf_index", requireOracleDim(e, dir), numCentroids))
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** One BACKLOG index per (JVM, source dir): every vector except the
+    * [[DedupIndex.DeltaMod]] residue class — the same split the other
+    * incremental gates use, so the paths are directly comparable. */
+  private val ivfBacklogStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_index_append`: the O(batch) ingestion path proven
+    * end-to-end — append the delta to a copy of the memoized backlog index
+    * ([[appendToIvfIndex]]: assign against the persisted quantizer, land
+    * files in the cells' partition directories, never rewrite or re-read
+    * old data), then probe the appended index. Assignment is a pure
+    * per-vector function of the quantizer, so append + probe must equal a
+    * same-quantizer rebuild over the union — i.e. the full-corpus
+    * [[ivfAnnOracle]], the SAME oracle as `ivf_ann_topk`. The store copy
+    * is gate scaffolding (timed separately, see
+    * [[ClusterStore.copyStore]]); a production append mutates in place. */
+  def ivfAppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                            k: Int = 10, numCentroids: Int = 16,
+                            nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val backlogIdx = ivfBacklogStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        "graft_ivf_backlog", requireOracleDim(e, dir), numCentroids))
+    val idx = ClusterStore.copyStore(backlogIdx, "graft_ivf_append")
+    appendToIvfIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
 
   // ------------------------------------------------- semantic quality
 

@@ -62,14 +62,21 @@ class IvfFramesSpec extends SparkSpec {
       val cos = sorted.map(_.getDouble(3)).toSeq
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
     }
-    // every returned neighbor sits in one of its query's probed cells
+    // every returned neighbor sits in one of its query's nProbe probed
+    // cells — the cell-bounding invariant that makes IVF sub-corpus work
     val assigned = Similarity.assignToCentroids(emb, centroids)
       .select(col("vec_id").as("neighbor_id"), col("centroid_id")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val queryCells = Similarity.assignToCentroids(queries, centroids).collect()
-    assert(queryCells.nonEmpty) // probes ⊇ own cell only when nProbe ≥ 1
+    val probeSets = Similarity.queryProbes(queries, centroids, nProbe = 4)
+      .select(col("query_id"), col("centroid_id")).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getInt(1)).toSet }
+    assert(probeSets.nonEmpty && probeSets.values.forall(_.size == 4))
     out.foreach { r =>
-      assert(assigned.contains(r.getLong(2)))
+      val q = r.getLong(0); val nb = r.getLong(2)
+      assert(assigned.contains(nb))
+      assert(probeSets(q).contains(assigned(nb)),
+        s"neighbor $nb of query $q sits in cell ${assigned(nb)} " +
+          s"outside the probe set ${probeSets(q)}")
     }
   }
 

@@ -36,7 +36,16 @@ object ScaleBench {
       "semantic_quality", "dedup_source_matrix", "dedup_canonical",
       "pmi_bigrams",
       "ivf_ann_topk", "multimodal_features", "unigram_logprob",
-      "dedup_canonical_indexed")
+      "dedup_canonical_indexed",
+      "cluster_append", "corpus_split_indexed", "dedup_source_matrix_indexed",
+      "corpus_split_append", "ivf_probe_indexed", "ivf_index_append")
+
+  /** Queries whose gate copies a persisted store before mutating it (gate
+    * scaffolding a production in-place append never pays): their rows get
+    * a `copy_sec` field so the recurring-cost claim can cite the copy-free
+    * number. */
+  private val storeCopyQueries =
+    Set("cluster_append", "corpus_split_append", "ivf_index_append")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */
@@ -146,7 +155,11 @@ object ScaleBench {
     for ((label, dir, rel) <- scales; name <- headline) {
       timeQuery(name, dir)
       val sec = timeQuery(name, dir)
-      println(s"""{"scale":"$label","rel_volume":$rel,"query":"$name","sec":$sec}""")
+      val copy =
+        if (storeCopyQueries(name))
+          s""","copy_sec":${graft.operators.ClusterStore.lastStoreCopySecs}"""
+        else ""
+      println(s"""{"scale":"$label","rel_volume":$rel,"query":"$name","sec":$sec$copy}""")
     }
     // one-time index build per scale, measured against a fresh directory
     // (mirrors Bench's dedup_index_build phase)

@@ -80,6 +80,39 @@ class Round10Spec extends SparkSpec {
     assert(pairs.filter($"id1" === $"id2").count() == 0)
   }
 
+  test("incremental re-label: low-churn delta relabels only the touched component, equals a scratch rebuild") {
+    import spark.implicits._
+    // four independent backlog clusters — the delta touches ONE, so the
+    // touched fraction (1/4) sits under IncrementalChurnCutoff and the
+    // append takes the subgraph path: {3,4}/{5,6}/{7,8} rows carry over,
+    // the touched component relabels
+    assert(0.25 <= ClusterStore.IncrementalChurnCutoff)
+    val texts = Seq("a", "b", "c", "d").map(p => (1 to 40).map(i => s"$p$i").mkString(" "))
+    val backlog = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((2L * i + 1, t), (2L * i + 2, t.replace(s"${"abcd"(i)}20", "q")))
+    }.toDF("doc_id", "text")
+    val delta = Seq((9L, texts.head.replace("a21", "x"))).toDF("doc_id", "text")
+    val p = java.nio.file.Files.createTempDirectory("graft_incr_spec")
+    ClusterStore.write(backlog, p.toString, ClusterStore.Config(5, 0.45))
+    // force the subgraph path: `auto` would take full CC below the pair
+    // floor — the MECHANISM's equality with from-scratch is what this
+    // spec pins, the POLICY is measured in SCALE.md
+    spark.conf.set(ClusterStore.RelabelConf, "incremental")
+    try ClusterStore.append(spark, p.toString, backlog, delta)
+    finally spark.conf.unset(ClusterStore.RelabelConf)
+    val after = ClusterStore.readClusters(spark, p.toString)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 9L -> 1L,
+      3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    // and equals the from-scratch union build
+    val scratch = java.nio.file.Files.createTempDirectory("graft_incr_scratch")
+    ClusterStore.write(backlog.unionAll(delta), scratch.toString,
+      ClusterStore.Config(5, 0.45))
+    assert(rows(ClusterStore.readClusters(spark, p.toString)) ==
+      rows(ClusterStore.readClusters(spark, scratch.toString)))
+    Dedup.releasePinned(spark)
+  }
+
   test("store cards table holds the exact per-doc shingle cardinalities") {
     val docs = Tables.documents(spark, sf)
     val cfg = ClusterStore.Config()

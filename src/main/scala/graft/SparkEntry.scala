@@ -74,6 +74,9 @@ object SparkEntry {
     // O(batch) index ingestion: append the DeltaMod delta to the backlog
     // index, probe — must equal a same-quantizer rebuild over the union
     "ivf_index_append" -> tuned(Similarity.ivfAppendProbeFromDir(_, _)),
+    // the health scan over a built+appended index, in exact integers
+    // (micros-rounded assigned cosines, long sums — no float aggregation)
+    "ivf_index_health" -> tuned(Similarity.indexHealthGateFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
@@ -200,6 +203,7 @@ object SparkEntry {
     "ivf_ann_topk" -> Similarity.ivfAnnOracle(),
     "ivf_probe_indexed" -> Similarity.ivfAnnOracle(),
     "ivf_index_append" -> Similarity.ivfAnnOracle(),
+    "ivf_index_health" -> Similarity.indexHealthOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,

@@ -573,6 +573,74 @@ object Similarity {
       e.filter(col("vec_id") < numQueries), k, nProbe)
   }
 
+  /** One APPENDED index per (JVM, source dir) for the health gate: the
+    * backlog index (shared memo) copied once, delta appended once — the
+    * post-lifecycle state health is meant to be read from. */
+  private val ivfHealthStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_index_health`: the [[indexHealth]] SCAN math,
+    * value-gated over an index that went through the full lifecycle
+    * (build + append). Emits the exact-integer form of IvfHealth's four
+    * signals — build/now row counts and build/now assigned-cosine mass —
+    * with the per-row cosine rounded to micros BEFORE a long sum (the
+    * [[graft.operators.UnigramLm]] discipline: float SUMS are
+    * partition-order-dependent and can never hash-match an oracle;
+    * integer sums of rounded terms are exact on both engines). The
+    * "build" slice is the [[DedupIndex.DeltaMod]] backlog predicate —
+    * appends never rewrite old rows, so the backlog slice of the appended
+    * index IS the build-time population. Growth/drift are one division
+    * away for a consumer; the gate pins the scan. */
+  def indexHealthGateFromDir(spark: SparkSession, dir: String,
+                             numCentroids: Int = 16): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val backlogIdx = ivfBacklogStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        "graft_ivf_backlog", requireOracleDim(e, dir), numCentroids))
+    val idx = ivfHealthStores.computeIfAbsent(dir, _ => {
+      val c = ClusterStore.copyStore(backlogIdx, "graft_ivf_health")
+      appendToIvfIndex(spark, c,
+        e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+      c
+    })
+    val centroids = readQuantizer(spark, idx)
+    val micro = floor(assignedSim(centroids) * 1e6 + 0.5).cast("long")
+    val isBuild = col("vec_id") % DedupIndex.DeltaMod =!= 0
+    spark.read.parquet(idx).agg(
+      count(when(isBuild, lit(1))).as("n_build"),
+      count(lit(1)).as("n_now"),
+      sum(when(isBuild, micro)).as("sim_build_micros"),
+      sum(micro).as("sim_now_micros"))
+  }
+
+  /** DuckDB twin of [[indexHealthGateFromDir]]: same md5 quantizer, same
+    * argmax assignment (ties to the larger centroid id, as everywhere in
+    * the IVF gates), same micros rounding, same integer sums. */
+  def indexHealthOracle(numCentroids: Int = 16, dim: Int = LshOracleDim): String =
+    s"""WITH centroids AS (
+       |  SELECT t AS cid,
+       |         list_transform(range(0, $dim), d ->
+       |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
+       |             / 576460752303423488.0 - 1.0) AS c
+       |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
+       |), sims AS (
+       |  SELECT e.vec_id, ct.cid,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |  FROM embeddings e CROSS JOIN centroids ct
+       |), assign AS (
+       |  SELECT vec_id, sim FROM (
+       |    SELECT vec_id, sim, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM sims
+       |  ) WHERE rk = 1
+       |), m AS (
+       |  SELECT vec_id, CAST(FLOOR(sim * 1e6 + 0.5) AS BIGINT) AS micro FROM assign
+       |)
+       |SELECT CAST(COUNT(CASE WHEN vec_id % ${DedupIndex.DeltaMod} <> 0 THEN 1 END) AS BIGINT) AS n_build,
+       |       CAST(COUNT(*) AS BIGINT) AS n_now,
+       |       CAST(SUM(CASE WHEN vec_id % ${DedupIndex.DeltaMod} <> 0 THEN micro END) AS BIGINT) AS sim_build_micros,
+       |       CAST(SUM(micro) AS BIGINT) AS sim_now_micros
+       |FROM m""".stripMargin
+
   // ------------------------------------------------- semantic quality
 
   /** Embedding-prototype quality scoring — the semantic corpus filter

@@ -26,6 +26,20 @@ class Round10Spec extends SparkSpec {
     assert(appended == inMemory)
   }
 
+  test("ivf_index_health: counts split on the DeltaMod predicate; repeat reads identical") {
+    val r = Similarity.indexHealthGateFromDir(spark, sf).collect().head
+    val e = Tables.embeddings(spark, sf)
+    val total = e.count()
+    val delta = e.filter(
+      col("vec_id") % graft.operators.DedupIndex.DeltaMod === 0).count()
+    assert(r.getAs[Long]("n_now") == total)
+    assert(r.getAs[Long]("n_build") == total - delta)
+    // the micros sums are exact integers — a second scan must reproduce
+    // them bit-for-bit (the property float avg() could never give a gate)
+    val r2 = Similarity.indexHealthGateFromDir(spark, sf).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
   // ---------------------------------------------- composed append → split
 
   test("corpus_split_append: split from the appended store equals from-scratch split") {

@@ -49,6 +49,9 @@ object SparkEntry {
     // REAL payload features (histogram + byte mass + content hash) through
     // the imperative mapPartitions decode seam — value-gated, not shape-gated
     "multimodal_features" -> tuned(Multimodal.featuresFromDir),
+    // frame sampling (every-Nth-frame windows) value-gated via the
+    // hex-twin fingerprint surface (DuckDB lacks BLOB substring/md5)
+    "multimodal_frames" -> tuned(Multimodal.framesGateFromDir(_, _)),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
@@ -183,6 +186,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.qualityOracle,
     "multimodal_meta" -> Multimodal.payloadMetaOracle,
     "multimodal_features" -> Multimodal.byteFeaturesOracle,
+    "multimodal_frames" -> Multimodal.framesOracle(),
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,

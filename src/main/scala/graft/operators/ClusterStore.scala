@@ -375,11 +375,17 @@ object ClusterStore {
       }
       // both paths read the OLD clusters directory (the incremental one
       // structurally, the full one only for the churn counts), so the new
-      // map lands in a sibling dir and swaps in once fully written — also
-      // the crash-safe order: a torn write never clobbers the live artifact
+      // map lands in a sibling dir and swaps in once fully written. Swap
+      // order keeps a complete map on disk at every instant: retire the
+      // live dir by RENAME (not delete), promote the new one, then drop
+      // the retired copy — a crash mid-swap leaves clusters_old and/or
+      // clusters_new to roll forward from, never a half-deleted live dir.
       val live = java.nio.file.Paths.get(s"$dir/clusters")
-      deleteRecursively(live)
+      val retired = java.nio.file.Paths.get(s"$dir/clusters_old")
+      deleteRecursively(retired) // residue from a crashed earlier swap
+      java.nio.file.Files.move(live, retired)
       java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/clusters_new"), live)
+      deleteRecursively(retired)
       val (nNew, maxNew) = corpusStamp(newDocs)
       writeMeta(dir, cfg, nStored + nNew, math.max(maxStored, maxNew))
       lap("swap + stamp advance")

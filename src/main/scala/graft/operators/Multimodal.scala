@@ -170,7 +170,16 @@ object Multimodal {
     * frame" access pattern as pure expressions: fixed-size windows at a
     * stride, each with its own hash. No decode needed for the plumbing;
     * a real codec replaces the byte-slice with a frame extractor. */
-  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 128): DataFrame = {
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 128): DataFrame =
+    explodedFrames(media, frameSize, stride)
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+
+  /** The shared frame-window stage: (media_id, frame_idx, frame) — one
+    * fixed-size byte window per stride step, generated in-row (explode of
+    * a transform over an index sequence; zero shuffles). */
+  private def explodedFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     val nFrames = greatest(lit(0),
       floor((length(col("payload")) - frameSize) / stride) + 1).cast("int")
     // sequence(1, 0) yields a DESCENDING [1,0] in Spark, not empty — guard
@@ -182,10 +191,43 @@ object Multimodal {
           i => struct(i.as("frame_idx"),
             substring(col("payload"), (i - 1) * stride + 1, lit(frameSize)).as("frame"))))
           .as("f"))
-      .select(col("media_id"), col("f.frame_idx"),
-        length(col("f.frame")).as("frame_bytes"),
-        md5(col("f.frame")).as("frame_md5"))
+      .select(col("media_id"), col("f.frame_idx").as("frame_idx"), col("f.frame").as("frame"))
   }
+
+  /** Gated query `multimodal_frames`: the frame-sampling plumbing
+    * value-checked cross-engine. DuckDB has neither BLOB substring nor
+    * md5(BLOB), so the GATE's fingerprint surface is md5 over the frame's
+    * HEX encoding (both engines' hex is uppercase; same bytes → same hex
+    * string → same md5) — the established hex-twin pattern of the other
+    * multimodal gates. The production [[sampleFrames]] keeps the direct
+    * byte md5; the two differ only in the final fingerprint encoding of
+    * IDENTICAL frame windows, which is exactly what this gate pins. */
+  def framesGateFromDir(spark: SparkSession, dir: String,
+                        frameSize: Int = 64, stride: Int = 128): DataFrame =
+    explodedFrames(asBinaryPayloads(Tables.documents(spark, dir)), frameSize, stride)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(hex(col("frame"))).as("frame_hexmd5"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** DuckDB twin of [[framesGateFromDir]]: the payload's hex string is
+    * sliced at 2× the byte offsets (hex is byte-aligned by construction,
+    * so a window that splits a multi-byte UTF-8 char still matches). */
+  def framesOracle(frameSize: Int = 64, stride: Int = 128): String =
+    s"""WITH h AS (
+       |  SELECT doc_id AS media_id, upper(hex(encode(text))) AS hx,
+       |         octet_length(encode(text)) AS n
+       |  FROM documents
+       |), f AS (
+       |  SELECT media_id, CAST(i.i AS BIGINT) AS frame_idx,
+       |         substr(hx, (i.i - 1) * ${stride * 2} + 1, ${frameSize * 2}) AS fh
+       |  FROM h, LATERAL unnest(range(1,
+       |         CAST(GREATEST(0, FLOOR((n - $frameSize) / $stride) + 1) AS BIGINT) + 1)) AS i(i)
+       |)
+       |SELECT media_id, frame_idx,
+       |       CAST(length(fh) / 2 AS BIGINT) AS frame_bytes,
+       |       md5(fh) AS frame_hexmd5
+       |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */

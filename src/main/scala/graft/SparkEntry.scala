@@ -110,6 +110,9 @@ object SparkEntry {
     // corpus TF-IDF, top-k terms per doc (vocabulary-sized df join,
     // WindowGroupLimit top-k)
     "tfidf_topk" -> tuned(TfIdf.fromDir),
+    // BM25 retrieval: deterministic top-df query terms, micros-exact
+    // per-term scores, long sums, TakeOrderedAndProject top-k
+    "bm25_topk" -> tuned(Bm25.fromDir(_, _)),
     // ROLLUP grouping sets: per-(source, lang) composition + subtotals,
     // exact-integer stats (quality as 6-dp micros)
     "corpus_rollup" -> tuned(CorpusStats.fromDir),
@@ -219,6 +222,7 @@ object SparkEntry {
     "corpus_ingest_stream" -> graft.streaming.CorpusIngest.ingestOracle(),
     "doc_chunks" -> Chunker.oracle(),
     "tfidf_topk" -> TfIdf.oracle(),
+    "bm25_topk" -> Bm25.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,

@@ -49,6 +49,36 @@ class Round10Spec extends SparkSpec {
     assert(composed == scratch)
   }
 
+  // ---------------------------------------------- BM25 retrieval
+
+  test("bm25: formula-exact on a hand-built corpus; docs without a query term are unscored; multi-term sums") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    // d1: x×2 y×1 (dl 3), d2: x z (dl 2), d3: y×4 (dl 4); N=3, mass=9
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y y y y"))
+      .toDF("doc_id", "text")
+    // independent mirror of the scoring math (identical op order/literals)
+    val avgdl = 9L.toDouble / 3L.toDouble
+    def idf(df: Long) =
+      math.floor(math.log(1.0 + ((3L - df).toDouble + 0.5) / (df.toDouble + 0.5))
+        * 1e9 + 0.5) / 1e9
+    def sc(df: Long, tf: Long, dl: Long): Long =
+      math.floor(idf(df) * ((tf.toDouble * (1.2 + 1.0))
+        / (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.toDouble / avgdl))))
+        * 1e6 + 0.5).toLong
+    val x = Bm25.topDocs(docs, Seq("x"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // d3 has no 'x' and must be absent; tf=2 outranks tf=1 at similar dl
+    assert(x.map(_._1).toSeq == Seq(1L, 2L))
+    assert(x.toMap == Map(1L -> sc(2, 2, 3), 2L -> sc(2, 1, 2)))
+    // multi-term query: per-doc score is the long SUM of per-term micros
+    val xy = Bm25.topDocs(docs, Seq("x", "y"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(xy(1L) == sc(2, 2, 3) + sc(2, 1, 3))
+    assert(xy(3L) == sc(2, 4, 4))
+    assert(xy(2L) == sc(2, 1, 2))
+  }
+
   // ---------------------------------------------- append-path guards
 
   test("append rejects an oldDocs frame that drifted from the build corpus") {

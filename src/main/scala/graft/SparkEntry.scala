@@ -41,6 +41,12 @@ object SparkEntry {
       Dedup.simhashNearDups(graft.sources.Tables.documents(s, dir))),
     "dedup_embedding_cosine" -> tuned(Dedup.embeddingFromDir),
     "knn_cosine_topk" -> tuned(Similarity.knnFromDir(_, _)),
+    // label-noise screen: leave-one-out kNN majority label vs own label
+    // (neighbor generation is the swappable component — IVF at scale)
+    "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
+    // the scale path gated end-to-end: every-vector IVF self-kNN under
+    // the md5 hash quantizer; corpus-sized probes shuffle, never broadcast
+    "label_knn_agreement_ivf" -> tuned(LabelNoise.ivfFromDir(_, _)),
     "text_token_stats" -> tuned(TextAnalysis.tokenStatsFromDir),
     "text_quality" -> tuned(TextAnalysis.qualityFromDir),
     "text_langid" -> tuned(TextAnalysis.langIdFromDir),
@@ -113,6 +119,9 @@ object SparkEntry {
     // BM25 retrieval: deterministic top-df query terms, micros-exact
     // per-term scores, long sums, TakeOrderedAndProject top-k
     "bm25_topk" -> tuned(Bm25.fromDir(_, _)),
+    // cross-doc duplicated 8-gram coverage: one pinned shingle stage,
+    // singleton-majority filtered before the merge-hinted dup join
+    "dup_ngram_coverage" -> tuned(DupCoverage.fromDir(_, _)),
     // ROLLUP grouping sets: per-(source, lang) composition + subtotals,
     // exact-integer stats (quality as 6-dp micros)
     "corpus_rollup" -> tuned(CorpusStats.fromDir),
@@ -185,6 +194,8 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsOracle(),
     "knn_cosine_topk" -> Similarity.knnOracle(),
+    "label_knn_agreement" -> LabelNoise.oracle(),
+    "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
     "text_quality" -> TextAnalysis.qualityOracle,
     "multimodal_meta" -> Multimodal.payloadMetaOracle,
@@ -223,6 +234,7 @@ object SparkEntry {
     "doc_chunks" -> Chunker.oracle(),
     "tfidf_topk" -> TfIdf.oracle(),
     "bm25_topk" -> Bm25.oracle(),
+    "dup_ngram_coverage" -> DupCoverage.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,

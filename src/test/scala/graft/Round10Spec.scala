@@ -79,6 +79,53 @@ class Round10Spec extends SparkSpec {
     assert(xy(2L) == sc(2, 1, 2))
   }
 
+  test("dup coverage: shared n-gram counts, same-doc-only repeats don't, short docs score zero") {
+    import spark.implicits._
+    import graft.operators.DupCoverage
+    // n=2: d1/d2 share "b c" (1 of each doc's 2 windows); d3 is too short
+    // for any window; d4's "e e" repeats ONLY within d4 (k=2, one doc)
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "x"), (4L, "e e e"))
+      .toDF("doc_id", "text")
+    val got = DupCoverage.coverage(docs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, 0.0), (4L, 2L, 0L, 0.0)))
+  }
+
+  test("label noise: planted mislabel is the only kNN-majority disagreement") {
+    import spark.implicits._
+    import graft.operators.LabelNoise
+    // two tight 4-clusters; v8 sits in cluster B but carries cluster A's
+    // label — with k=3 every vector's neighbors are its 3 cluster-mates
+    def a(x: Double) = Array(1.0f, x.toFloat, 0.0f)
+    def b(x: Double) = Array(0.0f, x.toFloat, 1.0f)
+    val emb = Seq(
+      (1L, a(0.10), 0), (2L, a(0.12), 0), (3L, a(0.14), 0), (4L, a(0.16), 0),
+      (5L, b(0.10), 1), (6L, b(0.12), 1), (7L, b(0.14), 1), (8L, b(0.16), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = LabelNoise.knnLabelAgreement(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    assert(got.filter(!_._4).toSeq == Seq((8L, 0, 1, false)))
+    // true cluster-B members still agree despite the planted intruder:
+    // their 3 neighbors vote (1,1,0) and majority holds
+    assert(got.count(_._4) == 7)
+  }
+
+  test("label noise: IVF variant equals brute force at full probe coverage") {
+    import spark.implicits._
+    import graft.operators.{LabelNoise, Similarity}
+    // deterministic 30-vector corpus, 8-dim, 4 classes
+    val emb = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(j => (((i * 37 + j * 11) % 101) / 101.0).toFloat), i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    val brute = LabelNoise.knnLabelAgreement(emb, k = 5).collect().toSeq
+    // nProbe == numCentroids probes EVERY cell → candidates = all-pairs
+    val ivf = LabelNoise.knnLabelAgreementIvf(emb, k = 5, nProbe = 4,
+      centroids = Similarity.hashCentroids(8, 4)).collect().toSeq
+    assert(ivf == brute)
+  }
+
   // ---------------------------------------------- append-path guards
 
   test("append rejects an oldDocs frame that drifted from the build corpus") {

@@ -119,6 +119,8 @@ object SparkEntry {
     // BM25 retrieval: deterministic top-df query terms, micros-exact
     // per-term scores, long sums, TakeOrderedAndProject top-k
     "bm25_topk" -> tuned(Bm25.fromDir(_, _)),
+    // interpolated bigram-LM log-prob (fluency step up from unigram_logprob)
+    "bigram_logprob" -> tuned(BigramLm.fromDir),
     // cross-doc duplicated 8-gram coverage: one pinned shingle stage,
     // singleton-majority filtered before the merge-hinted dup join
     "dup_ngram_coverage" -> tuned(DupCoverage.fromDir(_, _)),
@@ -235,6 +237,7 @@ object SparkEntry {
     "tfidf_topk" -> TfIdf.oracle(),
     "bm25_topk" -> Bm25.oracle(),
     "dup_ngram_coverage" -> DupCoverage.oracle(),
+    "bigram_logprob" -> BigramLm.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.{StableRound, TextFunctions => TF}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document interpolated bigram language-model log-probability — the
+  * context-aware step up from [[UnigramLm]]'s perplexity proxy: score
+  * each bigram position (w1, w2) by
+  *
+  *     ln( λ · c(w1 w2)/c(w1)  +  (1−λ) · c(w2)/N )
+  *
+  * (Jelinek–Mercer interpolation with the corpus's own counts — the
+  * unigram back-off term keeps unseen-in-context words finite without a
+  * discounting scheme both engines would have to replicate). Fluent text
+  * rides high-count transitions; shuffled or machine-mangled text falls
+  * to the back-off term and scores visibly lower than its unigram score —
+  * the gap (avg bigram lp − avg unigram lp) is itself a fluency signal.
+  *
+  * Exactness: the interpolation is a FIXED-ORDER IEEE expression
+  * (λ·(c_ab/c_a) + (1−λ)·(c_b/N), two divisions, two multiplies, one
+  * add — bit-identical cross-engine over exact long counts), the one ln
+  * rounds to integer micros immediately (the UnigramLm/pmi precedent),
+  * and everything downstream is LONG sums plus one exact final division.
+  *
+  * Scale, in stages (the [[UnigramLm]] multiplicity discipline, one
+  * bigram wider):
+  *   1. ONE pinned token-array stage feeds both count branches;
+  *   2. per-doc bigram multiplicities ((doc_id, bigram) groupBy): the
+  *      corpus shuffle, Zipf head diluted by the doc_id key; pinned —
+  *      the global bigram table re-aggregates it, never the corpus;
+  *   3. scoring joins: (doc, bigram) rows ⋈ bigram counts on bigram,
+  *      then two vocabulary-sized unigram joins on w1/w2 — AQE covers
+  *      the hot-key tail; each row contributes k·lp in one multiply and
+  *      collapses to |docs| rows.
+  */
+object BigramLm {
+
+  /** (doc_id, n_bigrams, logprob_micros, avg_lp_micros) per doc with ≥2
+    * tokens (a doc with no bigram window has no transition to score). */
+  def logProbs(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val toks = Pinned.pin(docs.select(col("doc_id"), TF.tokens(col("text")).as("ts")))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val db = Pinned.pin(toks
+      .select(col("doc_id"), explode(TF.shinglesOfTokens(col("ts"), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
+    val gb = db.groupBy(col("bigram")).agg(sum(col("k")).as("c_ab"))
+    // one driver scalar (the adjudicated pattern; see UnigramLm)
+    val n = Option(uni.agg(sum(col("c_w"))).first().get(0))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)
+    val base = if (n > 0) db else db.limit(0)
+    val parts = split(col("bigram"), " ")
+    val p = lit(lambda) * (col("c_ab").cast("double") / col("c_a")) +
+      lit(1.0 - lambda) * (col("c_b").cast("double") / n)
+    val lp = StableRound.microsLong(log(p))
+    base.join(gb, Seq("bigram"))
+      .select(col("doc_id"), col("k"), col("c_ab"),
+        element_at(parts, 1).as("w1"), element_at(parts, 2).as("w2"))
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"))
+      .select(col("doc_id"), col("k"), (col("k") * lp).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("contrib")).as("logprob_micros"))
+      .select(col("doc_id"), col("n_bigrams"), col("logprob_micros"),
+        (col("logprob_micros").cast("double") / col("n_bigrams")).as("avg_lp_micros"))
+      .orderBy(col("doc_id"))
+  }
+
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    logProbs(Tables.documents(spark, dir))
+
+  /** DuckDB twin: same filtered tokenization (single-sourced rule), same
+    * bigram windows as the pmi oracle, same fixed-order interpolation
+    * into one ln, same micros-then-long-sums, same exact division. λ and
+    * 1−λ interpolate as shortest-repr decimal literals — both engines
+    * parse them to the identical double. */
+  def oracle(lambda: Double = 0.75): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       |  FROM documents
+       |), uni AS (
+       |  SELECT w, COUNT(*) AS c_w FROM toks, LATERAL unnest(ts) AS u(w) GROUP BY 1
+       |), db AS (
+       |  SELECT doc_id, ts[i.i] || ' ' || ts[i.i + 1] AS bigram, COUNT(*) AS k
+       |  FROM toks, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1, 2
+       |), gb AS (
+       |  SELECT bigram, CAST(SUM(k) AS BIGINT) AS c_ab FROM db GROUP BY 1
+       |), n AS (
+       |  SELECT CAST(SUM(c_w) AS DOUBLE) AS n FROM uni
+       |), lp AS (
+       |  SELECT db.doc_id, db.k,
+       |         db.k * ${StableRound.microsLongSql(
+                  s"LN($lambda * (CAST(g.c_ab AS DOUBLE) / ua.c_w) " +
+                  s"+ ${1.0 - lambda} * (CAST(ub.c_w AS DOUBLE) / n.n))")} AS contrib
+       |  FROM db JOIN gb g USING (bigram)
+       |          JOIN uni ua ON ua.w = string_split(db.bigram, ' ')[1]
+       |          JOIN uni ub ON ub.w = string_split(db.bigram, ' ')[2]
+       |          CROSS JOIN n
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(contrib) AS BIGINT) AS logprob_micros
+       |  FROM lp GROUP BY 1
+       |)
+       |SELECT doc_id, n_bigrams, logprob_micros,
+       |       CAST(logprob_micros AS DOUBLE) / n_bigrams AS avg_lp_micros
+       |FROM agg ORDER BY doc_id""".stripMargin
+}

@@ -39,7 +39,8 @@ object ScaleBench {
       "dedup_canonical_indexed",
       "cluster_append", "corpus_split_indexed", "dedup_source_matrix_indexed",
       "corpus_split_append", "ivf_probe_indexed", "ivf_index_append",
-      "bm25_topk", "dup_ngram_coverage", "label_knn_agreement_ivf")
+      "bm25_topk", "dup_ngram_coverage", "label_knn_agreement_ivf",
+      "bigram_logprob")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

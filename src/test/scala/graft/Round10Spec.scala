@@ -126,6 +126,27 @@ class Round10Spec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("bigram lm: formula-exact interpolation; sub-2-token docs unscored; repeated transition outscores back-off") {
+    import spark.implicits._
+    import graft.operators.BigramLm
+    // unigrams: a:3 b:2 c:1 x:1 (N=7 — the bigram-less "x" still counts
+    // toward the unigram back-off mass); bigrams: "a b":2, "a c":1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    def lp(cab: Long, ca: Long, cb: Long): Long =
+      math.floor(math.log(0.75 * (cab.toDouble / ca) + 0.25 * (cb.toDouble / 7.0))
+        * 1e6 + 0.5).toLong
+    val got = BigramLm.logProbs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // d4 has no bigram window and is absent; the common "a b" transition
+    // scores above d3's back-off-heavy "a c"
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(got(0) == ((1L, 1L, lp(2, 3, 2), lp(2, 3, 2).toDouble)))
+    assert(got(1) == ((2L, 1L, lp(2, 3, 2), lp(2, 3, 2).toDouble)))
+    assert(got(2) == ((3L, 1L, lp(1, 3, 1), lp(1, 3, 1).toDouble)))
+    assert(lp(2, 3, 2) > lp(1, 3, 1))
+  }
+
   // ---------------------------------------------- append-path guards
 
   test("append rejects an oldDocs frame that drifted from the build corpus") {

@@ -46,10 +46,22 @@ object CorpusClean {
     apply(Tables.documents(spark, dir))
 
   def oracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5): String =
-    s"""WITH scored AS (
+    s"""WITH ${cleanedCtesSql("documents", qualityMin, n, thr)}
+       |SELECT doc_id, quality_score FROM cleaned
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shared DuckDB CTE fragment: the full cleaning chain over `relation`,
+    * defining `cleaned (doc_id, text, quality_score)` (plus its
+    * intermediate CTEs `scored`/`surviving`/`canon`/`losers` and an
+    * unprefixed [[Dedup.shingleCtesSql]] instantiation). Used by
+    * [[oracle]] AND CurateE2e's composed pipeline, so the cleaning rules
+    * are written once. */
+  def cleanedCtesSql(relation: String, qualityMin: Double = 0.5,
+                     n: Int = 5, thr: Double = 0.5): String =
+    s"""scored AS (
        |  SELECT doc_id, text,
        |         ${TF.qualityScoreSql("text")} AS quality_score
-       |  FROM documents
+       |  FROM $relation
        |), surviving AS (
        |  SELECT * FROM scored WHERE quality_score >= $qualityMin
        |), canon AS (
@@ -62,9 +74,10 @@ object CorpusClean {
        |  JOIN card ca ON p.id1 = ca.doc_id
        |  JOIN card cb ON p.id2 = cb.doc_id
        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= $thr
-       |)
-       |SELECT c.doc_id, c.quality_score FROM canon c
-       |LEFT JOIN losers l ON c.doc_id = l.doc_id
-       |WHERE l.doc_id IS NULL
-       |ORDER BY c.doc_id""".stripMargin
+       |),
+       |cleaned AS (
+       |  SELECT c.doc_id, c.text, c.quality_score FROM canon c
+       |  LEFT JOIN losers l ON c.doc_id = l.doc_id
+       |  WHERE l.doc_id IS NULL
+       |)""".stripMargin
 }

@@ -54,18 +54,24 @@ object Curation {
   /** Remove training documents that share ANY word `n`-gram with the
     * benchmark/eval set — the standard exact-overlap decontamination pass.
     * Returns the surviving train docs. */
-  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame = {
+  def decontaminate(train: DataFrame, eval: DataFrame, n: Int = 8): DataFrame =
+    train
+      .join(contaminatedIds(train, eval, n), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The shared overlap rule: ids of `train` docs sharing ANY word
+    * `n`-gram with `eval` (eval shingles broadcast — benchmark suites are
+    * small by definition). Single-sourced so [[decontaminate]] and
+    * CurateE2e's composed pipeline cannot drift. */
+  def contaminatedIds(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
     val evalShingles = eval
       .select(explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
       .distinct()
-    val contaminated = train
+    train
       .select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
       .join(broadcast(evalShingles), Seq("shingle"))
       .select(col("doc_id")).distinct()
-    train
-      .join(contaminated, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** Gated variant: every 20th doc_id plays the held-out benchmark set. */

@@ -179,25 +179,29 @@ object Dedup {
   /** Shared DuckDB CTE fragment: distinct word-n-gram shingles + per-doc
     * cardinalities + shared-shingle pair intersections over `relation` —
     * the SQL twin of [[shingles]]. Used by this oracle AND CorpusClean's,
-    * so the two cannot drift from each other (or from the Spark side). */
-  def shingleCtesSql(relation: String, n: Int): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM $relation),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
-       |card AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
-       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    * so the two cannot drift from each other (or from the Spark side).
+    * `prefix` renames every defined CTE (`toks`→`${prefix}toks`, …) so a
+    * composed oracle can instantiate the fragment over TWO relations in
+    * one WITH chain (CurateE2e: the clean stage's pair graph AND the
+    * split stage's) without name collisions. */
+  def shingleCtesSql(relation: String, n: Int, prefix: String = ""): String =
+    s"""${prefix}toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM $relation),
+       |${prefix}sh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |       FROM ${prefix}toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |${prefix}card AS (SELECT doc_id, COUNT(*) AS n_sh FROM ${prefix}sh GROUP BY 1),
+       |${prefix}inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+       |          FROM ${prefix}sh a JOIN ${prefix}sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2)""".stripMargin
 
   /** Shared DuckDB CTE: the verified near-dup pair list (threshold applied)
-    * over [[shingleCtesSql]]'s `inter`/`card`. Defines CTE `pairs
-    * (id1, id2)`. Used by [[NearDupClusters.ccCtesSql]] AND
+    * over [[shingleCtesSql]]'s `inter`/`card` (same `prefix`). Defines CTE
+    * `${prefix}pairs (id1, id2)`. Used by [[NearDupClusters.ccCtesSql]] AND
     * [[SourceMatrix.oracle]], so the pair predicate is written once. */
-  def pairsCteSql(thr: Double): String =
-    s"""pairs AS (
-       |  SELECT id1, id2 FROM inter
-       |  JOIN card ca ON id1 = ca.doc_id
-       |  JOIN card cb ON id2 = cb.doc_id
+  def pairsCteSql(thr: Double, prefix: String = ""): String =
+    s"""${prefix}pairs AS (
+       |  SELECT id1, id2 FROM ${prefix}inter
+       |  JOIN ${prefix}card ca ON id1 = ca.doc_id
+       |  JOIN ${prefix}card cb ON id2 = cb.doc_id
        |  WHERE CAST(n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - n_common) >= $thr
        |)""".stripMargin
 

@@ -118,23 +118,27 @@ object NearDupClusters {
   /** Shared DuckDB CTE fragment: the exact n-gram-Jaccard pair graph's
     * connected components over `documents` — same pair CTEs as
     * [[Dedup.ngramJaccardOracle]], then a recursive transitive closure and
-    * MIN(reachable id) per node. Defines CTE `cc` (doc_id, cluster_id),
-    * holding ONLY clustered docs. The enclosing query must open with
-    * `WITH RECURSIVE`. Used by [[oracle]] AND [[CorpusSplit.oracle]], so
-    * the closure logic cannot drift between them (or from the Spark side). */
-  def ccCtesSql(n: Int = 5, thr: Double = 0.5): String =
-    s"""${Dedup.shingleCtesSql("documents", n)},
-       |${Dedup.pairsCteSql(thr)},
-       |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-       |          UNION ALL SELECT id2, id1 FROM pairs),
-       |nodes AS (SELECT DISTINCT a AS id FROM edges),
-       |reach AS (
-       |  SELECT id, id AS label FROM nodes
+    * MIN(reachable id) per node. Defines CTE `${prefix}cc`
+    * (doc_id, cluster_id), holding ONLY clustered docs. The enclosing
+    * query must open with `WITH RECURSIVE`. Used by [[oracle]] AND
+    * [[CorpusSplit.oracle]], so the closure logic cannot drift between
+    * them (or from the Spark side). `relation`/`prefix` let a composed
+    * oracle (CurateE2e) run the closure over a derived corpus alongside
+    * another instantiation of the shingle fragment. */
+  def ccCtesSql(n: Int = 5, thr: Double = 0.5,
+                relation: String = "documents", prefix: String = ""): String =
+    s"""${Dedup.shingleCtesSql(relation, n, prefix)},
+       |${Dedup.pairsCteSql(thr, prefix)},
+       |${prefix}edges AS (SELECT id1 AS a, id2 AS b FROM ${prefix}pairs
+       |          UNION ALL SELECT id2, id1 FROM ${prefix}pairs),
+       |${prefix}nodes AS (SELECT DISTINCT a AS id FROM ${prefix}edges),
+       |${prefix}reach AS (
+       |  SELECT id, id AS label FROM ${prefix}nodes
        |  UNION
-       |  SELECT e.a AS id, r.label FROM edges e JOIN reach r ON e.b = r.id
+       |  SELECT e.a AS id, r.label FROM ${prefix}edges e JOIN ${prefix}reach r ON e.b = r.id
        |),
-       |cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id
-       |       FROM reach GROUP BY id)""".stripMargin
+       |${prefix}cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+       |       FROM ${prefix}reach GROUP BY id)""".stripMargin
 
   /** DuckDB twin: the shared closure fragment, presented per doc. */
   def oracle(n: Int = 5, thr: Double = 0.5): String =

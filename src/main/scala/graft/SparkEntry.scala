@@ -61,6 +61,10 @@ object SparkEntry {
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
+    // the daily curation DAG composed end-to-end: clean -> decontaminate
+    // -> leakage-safe split, every stage the same single-sourced rule its
+    // standalone gate runs
+    "corpus_curate_e2e" -> tuned(CurateE2e.fromDir),
     "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
@@ -121,6 +125,12 @@ object SparkEntry {
     "bm25_topk" -> tuned(Bm25.fromDir(_, _)),
     // interpolated bigram-LM log-prob (fluency step up from unigram_logprob)
     "bigram_logprob" -> tuned(BigramLm.fromDir),
+    // the persisted inverted index: probe reads only the query terms'
+    // bucket partitions; same oracle as bm25_topk (save->reload->probe)
+    "bm25_indexed" -> tuned(Bm25Index.probeIndexedFromDir(_, _)),
+    // O(delta + vocab) ingestion: append to a backlog-index copy, probe
+    // must equal the full-corpus oracle (global df/N/mass advanced)
+    "bm25_index_append" -> tuned(Bm25Index.appendProbeFromDir(_, _)),
     // cross-doc duplicated 8-gram coverage: one pinned shingle stage,
     // singleton-majority filtered before the merge-hinted dup join
     "dup_ngram_coverage" -> tuned(DupCoverage.fromDir(_, _)),
@@ -207,6 +217,7 @@ object SparkEntry {
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
     "corpus_clean" -> CorpusClean.oracle(),
+    "corpus_curate_e2e" -> CurateE2e.oracle(),
     "shipping_priority_topk" -> ShippingPriority.oracle(),
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
@@ -236,6 +247,8 @@ object SparkEntry {
     "doc_chunks" -> Chunker.oracle(),
     "tfidf_topk" -> TfIdf.oracle(),
     "bm25_topk" -> Bm25.oracle(),
+    "bm25_indexed" -> Bm25.oracle(),
+    "bm25_index_append" -> Bm25.oracle(),
     "dup_ngram_coverage" -> DupCoverage.oracle(),
     "bigram_logprob" -> BigramLm.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,

@@ -39,7 +39,7 @@ object Bm25 {
     * common subplans; unpinned, the executed plan re-ran the tokenize +
     * tf shuffle per branch — observed in the round-10 plan audit).
     * Released by the harness's per-query [[Dedup.releasePinned]]. */
-  private def tfStage(docs: DataFrame): DataFrame =
+  private[operators] def tfStage(docs: DataFrame): DataFrame =
     Pinned.pin(docs
       .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
@@ -60,6 +60,17 @@ object Bm25 {
     val consts = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum(col("dl")).as("mass")))
     val qt = df.filter(col("term").isin(queryTerms: _*))
+    scoreTail(tf.filter(col("term").isin(queryTerms: _*)), dl, qt, consts,
+      k, k1, b)
+  }
+
+  /** The shared scoring tail: query-term tf rows ⋈ idf ⋈ dl → micros →
+    * per-doc long sums → top-k. Single-sourced between the in-memory path
+    * and [[Bm25Index.probe]] so the score math cannot drift from the
+    * oracle. `qt` is (term, df); `consts` one (n, mass) row. */
+  private[operators] def scoreTail(tfSlice: DataFrame, dl: DataFrame,
+                                   qt: DataFrame, consts: DataFrame, k: Int,
+                                   k1: Double, b: Double): DataFrame = {
     val idf = qt.crossJoin(broadcast(consts))
       .select(col("term"),
         StableRound.stableRound(
@@ -70,7 +81,7 @@ object Bm25 {
     val termScore = col("idf") * ((col("tf").cast("double") * lit(k1 + 1.0))
       / (col("tf").cast("double")
         + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
-    tf.join(idf, Seq("term"))
+    tfSlice.join(idf, Seq("term"))
       .join(dl, Seq("doc_id"))
       .select(col("doc_id"),
         floor(termScore * 1e6 + 0.5).cast("long").as("micros"))

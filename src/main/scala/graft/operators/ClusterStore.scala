@@ -395,7 +395,7 @@ object ClusterStore {
     }
   }
 
-  private def deleteRecursively(root: java.nio.file.Path): Unit =
+  private[operators] def deleteRecursively(root: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(root))
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))

@@ -40,14 +40,16 @@ object ScaleBench {
       "cluster_append", "corpus_split_indexed", "dedup_source_matrix_indexed",
       "corpus_split_append", "ivf_probe_indexed", "ivf_index_append",
       "bm25_topk", "dup_ngram_coverage", "label_knn_agreement_ivf",
-      "bigram_logprob")
+      "bigram_logprob", "corpus_curate_e2e", "bm25_indexed",
+      "bm25_index_append")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
     * a `copy_sec` field so the recurring-cost claim can cite the copy-free
     * number. */
   private val storeCopyQueries =
-    Set("cluster_append", "corpus_split_append", "ivf_index_append")
+    Set("cluster_append", "corpus_split_append", "ivf_index_append",
+      "bm25_index_append")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

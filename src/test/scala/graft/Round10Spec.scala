@@ -147,6 +147,60 @@ class Round10Spec extends SparkSpec {
     assert(lp(2, 3, 2) > lp(1, 3, 1))
   }
 
+  test("curate e2e: each stage drops its doc — low quality, exact dup, near dup, contaminated — and split units come from the shipped corpus") {
+    import spark.implicits._
+    import graft.operators.CurateE2e
+    val good1 = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, good1),                                                  // kept
+      (2L, good1),                                                  // exact dup of 1
+      (3L, "1 2 3"),                                                // low quality
+      (4L, "the quick brown fox jumps over the lazy dog tonight"),  // near dup of 1 (J=5/7)
+      (5L, "we should not forget that alpha beta gamma delta epsilon zeta eta theta is a fine sequence"), // contaminated
+      (6L, "a calm evening by the shore with gentle waves and warm light")) // kept
+      .toDF("doc_id", "text")
+    val eval = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val got = CurateE2e.curate(docs, eval).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 6L))
+    // both survivors are singletons in the SHIPPED corpus: unit = own id
+    assert(got.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 1L), (6L, 6L)))
+    assert(got.forall(_.getDouble(1) >= 0.5))
+    assert(got.forall(r => Set("train", "val", "test")(r.getString(4))))
+  }
+
+  test("bm25 index: probe == in-memory; append+probe == full rebuild; postings scan partition-prunes on bucket") {
+    import graft.operators.{Bm25, Bm25Index, DedupIndex}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx_spec")
+    try {
+      val idx = tmp.resolve("full").toString
+      Bm25Index.write(docs, idx)
+      val terms = Bm25Index.topTerms(spark, idx, 3)
+      val probed = Bm25Index.probe(spark, idx, terms)
+      val inMem = Bm25.topDocs(docs, terms).collect().map(_.toSeq).toSeq
+      assert(probed.collect().map(_.toSeq).toSeq == inMem)
+      // the bucket filter reaches the postings scan as a PARTITION filter:
+      // only the query terms' bucket directories are listed/read
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+        s"probe must partition-prune, got:\n${plan.take(2000)}")
+      // append path: global df/N/mass must advance, not just the postings
+      val idx2 = tmp.resolve("backlog").toString
+      Bm25Index.write(docs.filter(col("doc_id") % DedupIndex.DeltaMod =!= 0), idx2)
+      Bm25Index.append(docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0), idx2)
+      val terms2 = Bm25Index.topTerms(spark, idx2, 3)
+      assert(terms2 == terms)
+      assert(Bm25Index.probe(spark, idx2, terms2).collect().map(_.toSeq).toSeq == inMem)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // ---------------------------------------------- append-path guards
 
   test("append rejects an oldDocs frame that drifted from the build corpus") {

@@ -201,6 +201,41 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("bm25 index: streaming foreachBatch ingest equals a batch rebuild") {
+    import spark.implicits._
+    import graft.operators.Bm25Index
+    import graft.sources.Tables
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25idx_stream")
+    try {
+      // backlog built batch-side; the rest arrives as micro-batches, each
+      // appended by the SAME append() the gated batch path proves
+      val idx = tmp.resolve("streamed").toString
+      Bm25Index.write(docs.filter(col("doc_id") % 4 === 0), idx)
+      val rest = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Bm25Index.append(b, idx))
+        .start()
+      try rest.grouped(rest.length / 3 + 1)
+        .foreach { g => mem.addData(g.toSeq); q.processAllAvailable() }
+      finally q.stop()
+      val full = tmp.resolve("full").toString
+      Bm25Index.write(docs, full)
+      val terms = Bm25Index.topTerms(spark, full, 3)
+      assert(Bm25Index.topTerms(spark, idx, 3) == terms)
+      assert(Bm25Index.probe(spark, idx, terms).collect().map(_.toSeq).toSeq ==
+        Bm25Index.probe(spark, full, terms).collect().map(_.toSeq).toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   // ---------------------------------------------- append-path guards
 
   test("append rejects an oldDocs frame that drifted from the build corpus") {

@@ -134,6 +134,9 @@ object SparkEntry {
     // cross-doc duplicated 8-gram coverage: one pinned shingle stage,
     // singleton-majority filtered before the merge-hinted dup join
     "dup_ngram_coverage" -> tuned(DupCoverage.fromDir(_, _)),
+    // the transform that report feeds: drop every position covered by a
+    // cross-doc-dup window, rebuild text position-ordered
+    "dup_span_removal" -> tuned(DupCoverage.removeFromDir(_, _)),
     // ROLLUP grouping sets: per-(source, lang) composition + subtotals,
     // exact-integer stats (quality as 6-dp micros)
     "corpus_rollup" -> tuned(CorpusStats.fromDir),
@@ -250,6 +253,7 @@ object SparkEntry {
     "bm25_indexed" -> Bm25.oracle(),
     "bm25_index_append" -> Bm25.oracle(),
     "dup_ngram_coverage" -> DupCoverage.oracle(),
+    "dup_span_removal" -> DupCoverage.removeOracle(),
     "bigram_logprob" -> BigramLm.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),

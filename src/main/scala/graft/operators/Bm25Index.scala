@@ -57,7 +57,13 @@ object Bm25Index {
   /** Append a batch: postings files land inside the buckets' partition
     * directories, norms append, the dict merges the delta's dfs, meta
     * counters advance. Old postings/norms files are never read or
-    * rewritten — the dict merge is the only vocabulary-sized step. */
+    * rewritten — the dict merge is the only vocabulary-sized step (it
+    * lands distributed in a sibling dir and swap-promotes, the
+    * ClusterStore clusters-swap discipline). NOT atomic across the four
+    * tables: a crash mid-append leaves landed postings with a stale
+    * dict/meta — re-run the batch against the pre-append copy (the gate's
+    * copy-then-append shape IS that recovery protocol); appends are not
+    * idempotent in place because postings land in append mode. */
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val meta = readMeta(spark, dir)

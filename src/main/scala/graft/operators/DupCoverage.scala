@@ -61,6 +61,85 @@ object DupCoverage {
   def fromDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
     coverage(Tables.documents(spark, dir), n)
 
+  /** The transform [[coverage]] is the report for: REMOVE every token
+    * position covered by a cross-doc-duplicated n-gram window and
+    * re-assemble the text — Lee et al.'s exact-substring dedup applied
+    * at span granularity (boilerplate dies, the unique prose survives,
+    * no document is dropped whole).
+    *
+    * Shape at scale: one pinned token-array stage feeds the position
+    * explode AND the window explode; covered positions explode only from
+    * DUP window starts (the sparse minority), the kept-token anti-join
+    * is per-doc-bounded, and reassembly is one partial-aggregated
+    * sort-by-position fold — order is carried by the position key, so
+    * the rebuild is deterministic under any partitioning. */
+  def removeSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    // ONE corpus scan: the pinned token-array stage feeds the position
+    // explode AND the window explode
+    val arrs = Pinned.pin(docs.select(col("doc_id"), split(col("text"), " ").as("a")))
+    val positions = arrs.select(col("doc_id"), posexplode(col("a")).as(Seq("p", "w")))
+    // window starts by position (0-based), same raw-split windows as
+    // coverage; k-multiplicity is irrelevant here so keep starts distinct
+    val starts = arrs.select(col("doc_id"),
+      posexplode(TF.shinglesOfTokens(col("a"), n)).as(Seq("s", "shingle")))
+    val dup = starts.select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("shingle"))
+    val covered = starts.hint("merge").join(dup, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+    val kept = positions.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          e => e.getField("w")), " ").as("text_clean"))
+    docs.select(col("doc_id"))
+      .join(positions.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens")),
+        Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  def removeFromDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame =
+    removeSpans(Tables.documents(spark, dir), n)
+
+  /** DuckDB twin of [[removeSpans]]: same raw-split positions, same
+    * 0-based window starts, same ≥2-distinct-doc dup rule, covered =
+    * start..start+n−1 union, rebuild via position-ordered string_agg. */
+  def removeOracle(n: Int = 8): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |pos AS (SELECT doc_id, i.i - 1 AS p, a[i.i] AS w
+       |        FROM toks, LATERAL unnest(range(1, len(a) + 1)) AS i(i)),
+       |starts AS (SELECT doc_id, i.i - 1 AS s,
+       |                  array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |           FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |dup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM starts)
+       |        GROUP BY shingle HAVING COUNT(*) >= 2),
+       |covered AS (SELECT DISTINCT st.doc_id, st.s + o.o AS p
+       |            FROM starts st JOIN dup d USING (shingle),
+       |                 LATERAL unnest(range(0, $n)) AS o(o)),
+       |kept AS (
+       |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(p.w, ' ' ORDER BY p.p) AS text_clean
+       |  FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.p = c.p
+       |  WHERE c.doc_id IS NULL GROUP BY p.doc_id
+       |),
+       |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+       |        FROM pos GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(t.n_tokens, 0) AS n_tokens,
+       |       COALESCE(k.n_kept, 0) AS n_kept,
+       |       COALESCE(k.text_clean, '') AS text_clean
+       |FROM documents d
+       |LEFT JOIN tot t USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB twin: same raw-split tokens, same 1-based window starts as
     * [[Curation.decontaminateOracle]], same ≥2-distinct-doc dup rule,
     * same single-division double. */

@@ -41,7 +41,7 @@ object ScaleBench {
       "corpus_split_append", "ivf_probe_indexed", "ivf_index_append",
       "bm25_topk", "dup_ngram_coverage", "label_knn_agreement_ivf",
       "bigram_logprob", "corpus_curate_e2e", "bm25_indexed",
-      "bm25_index_append")
+      "bm25_index_append", "dup_span_removal")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

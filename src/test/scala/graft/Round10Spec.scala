@@ -236,6 +236,24 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("dup span removal: covered windows die, unique prose survives exactly, overlapping windows union") {
+    import spark.implicits._
+    import graft.operators.DupCoverage
+    // n=2 windows; "b c" and "c d" are cross-doc dups, so d1 loses
+    // positions 1..3 (union of [1,2] and [2,3]) and keeps "a e"
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d"),    // fully covered → empty rebuild
+      (3L, "x y"))      // untouched → exact original text back
+      .toDF("doc_id", "text")
+    val got = DupCoverage.removeSpans(docs, n = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 2L, "a e"),
+      (2L, 3L, 0L, ""),
+      (3L, 2L, 2L, "x y")))
+  }
+
   // ---------------------------------------------- append-path guards
 
   test("append rejects an oldDocs frame that drifted from the build corpus") {

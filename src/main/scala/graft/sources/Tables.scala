@@ -23,13 +23,25 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as a long. */
+  /** events.parquet's `ts` physical encoding has varied across driver
+    * regenerations — INT64 TIMESTAMP(NANOS) (surfaces as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (surfaces as TIMESTAMP_NTZ under Spark's
+    * default NTZ inference). Normalize BOTH to session-zone TimestampType
+    * here, at the one load point: the session zone is pinned to UTC
+    * (GraftSession), so the NTZ→LTZ cast is wall-clock-identity and
+    * `ts.cast("long")` epoch math stays equal to the DuckDB oracle's
+    * naive `epoch(ts)`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", nsToTimestampExpr("ts"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", nsToTimestampExpr("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Nanosecond-epoch long column → TimestampType, floor-truncated to
@@ -49,5 +61,10 @@ object Tables {
     * reference exposes through Trino catalogs (reference README.md:198-227);
     * here `spark.sql("SELECT ... FROM lineitem ...")` works the same way. */
   def registerViews(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach {
+      // events goes through its ts-normalizing loader so the SQL surface
+      // sees the same TimestampType the DataFrame operators see
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

@@ -62,18 +62,30 @@ object EventStreams {
 
   /** Streaming variant: file source → watermark → windowed agg. The glob
     * defaults to the test corpus's single file; pass "*.parquet" for a
-    * watch directory of arriving part files. */
+    * watch directory of arriving part files.
+    *
+    * The file source needs an explicit schema, and `ts`'s physical
+    * encoding has varied across testdata regenerations (ns-as-long vs
+    * TIMESTAMP_NTZ micros — see Tables.events). One batch-reader schema
+    * probe picks the matching on-read type, then the stream normalizes to
+    * TimestampType exactly as the batch loader does. */
   def hourlyStream(spark: SparkSession, dir: String,
                    glob: String = "events.parquet"): DataFrame = {
+    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema("ts").dataType
     val raw = spark.readStream
       .schema(StructType(eventSchema.fields.map {
-        case f if f.name == "ts" => StructField("ts", LongType) // ns-as-long
+        case f if f.name == "ts" => StructField("ts", onDisk)
         case f => f
       }))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", Tables.nsToTimestampExpr("ts"))
-    hourlyAgg(raw.withWatermark("ts", "2 hours"))
+    val ticked = onDisk match {
+      case LongType => raw.withColumn("ts", Tables.nsToTimestampExpr("ts"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+    hourlyAgg(ticked.withWatermark("ts", "2 hours"))
   }
 
   /** Run the stream over a static directory to completion (test/demo). */

@@ -90,6 +90,13 @@ object SparkEntry {
     // the health scan over a built+appended index, in exact integers
     // (micros-rounded assigned cosines, long sums — no float aggregation)
     "ivf_index_health" -> tuned(Similarity.indexHealthGateFromDir(_, _)),
+    // compaction is content-preserving: build + append + compact (rewrite
+    // cells coalesced, promote the next generation) + probe == the SAME
+    // full-corpus oracle as every other IVF gate
+    "ivf_index_compact" -> tuned(Similarity.ivfCompactProbeFromDir(_, _)),
+    // growth maintenance: re-quantize to C=32 and probe — must equal a
+    // from-scratch build at the new C (the oracle at numCentroids=32)
+    "ivf_requantize" -> tuned(Similarity.ivfRequantizeProbeFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
@@ -131,6 +138,10 @@ object SparkEntry {
     // O(delta + vocab) ingestion: append to a backlog-index copy, probe
     // must equal the full-corpus oracle (global df/N/mass advanced)
     "bm25_index_append" -> tuned(Bm25Index.appendProbeFromDir(_, _)),
+    // epoch compaction: build + append + compact (collapse committed
+    // epochs to one file per bucket, manifest flip) + probe == the SAME
+    // full-corpus oracle — calendar time must not change content
+    "bm25_index_compact" -> tuned(Bm25Index.compactProbeFromDir(_, _)),
     // cross-doc duplicated 8-gram coverage: one pinned shingle stage,
     // singleton-majority filtered before the merge-hinted dup join
     "dup_ngram_coverage" -> tuned(DupCoverage.fromDir(_, _)),
@@ -237,6 +248,8 @@ object SparkEntry {
     "ivf_ann_topk" -> Similarity.ivfAnnOracle(),
     "ivf_probe_indexed" -> Similarity.ivfAnnOracle(),
     "ivf_index_append" -> Similarity.ivfAnnOracle(),
+    "ivf_index_compact" -> Similarity.ivfAnnOracle(),
+    "ivf_requantize" -> Similarity.ivfAnnOracle(numCentroids = 32),
     "ivf_index_health" -> Similarity.indexHealthOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
@@ -252,6 +265,7 @@ object SparkEntry {
     "bm25_topk" -> Bm25.oracle(),
     "bm25_indexed" -> Bm25.oracle(),
     "bm25_index_append" -> Bm25.oracle(),
+    "bm25_index_compact" -> Bm25.oracle(),
     "dup_ngram_coverage" -> DupCoverage.oracle(),
     "dup_span_removal" -> DupCoverage.removeOracle(),
     "bigram_logprob" -> BigramLm.oracle(),
@@ -283,4 +297,28 @@ object SparkEntry {
       "events_hourly_streaming")
   require(replayHarnessQueries.subsetOf(queries.keySet),
     "replayHarnessQueries names a query not registered in queries")
+
+  /** Bench entries dropped FIRST from the driver-facing compact metric
+    * line when it would breach the tail-capture byte budget
+    * (Bench.LineCap): the from-scratch oracle-anchor twins whose
+    * production (indexed/IVF) path is also on the line, plus the replay
+    * harnesses (their wall time prices the harness, not a plan). Every
+    * entry here is still MEASURED every round and always lands with full
+    * precision in bench.json — this set only decides who falls off the
+    * 2000-char driver tail first. A failed (-1) entry is never dropped. */
+  val lowPriorityBench: Set[String] = replayHarnessQueries ++ Set(
+    "dedup_canonical",     // production path: dedup_canonical_indexed
+    "dedup_source_matrix", // production path: dedup_source_matrix_indexed
+    "corpus_split",        // production path: corpus_split_indexed
+    "dedup_clusters",      // production path: the ClusterStore consumers
+    "bm25_topk",           // production path: bm25_indexed
+    "knn_cosine_topk",     // brute O(N·K) anchor; scale path ivf_ann_topk
+    "label_knn_agreement", // quadratic anchor; scale path label_knn_agreement_ivf
+    "ivf_ann_topk",        // in-memory build+probe; production path ivf_probe_indexed
+    "dedup_minhash_lsh",   // from-scratch LSH; production path dedup_delta_lsh
+    "lsh_ann_topk",        // banded-ANN alternative; scale path is the IVF family
+    "dedup_ngram_jaccard", // from-scratch pair graph; paid once in cluster_store_build
+    "dedup_simhash")       // alternative near-dup signal; primary is the MinHash family
+  require(lowPriorityBench.subsetOf(queries.keySet),
+    "lowPriorityBench names a query not registered in queries")
 }

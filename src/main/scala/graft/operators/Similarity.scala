@@ -182,35 +182,113 @@ object Similarity {
 
   // ------------------------------------------------------ IVF maintenance
 
+  /** Index layout (since round 11, generation-versioned):
+    *   dir/data_v<g>/centroid_id=<c>/   the corpus, partitioned by cell
+    *   dir/_quantizer_v<g>/             the coarse centroids
+    *   dir/_health_v<g>/                build-time health baseline
+    *   dir/_manifest.properties         THE commit point: the live gen g
+    *
+    * Every whole-index rewrite — a rebuild, [[compactIvfIndex]], or
+    * [[requantizeIvfIndex]] — stages a complete next generation beside
+    * the live one and publishes it with ONE atomic manifest rename, then
+    * deletes the retired generation: a reader resolves the manifest
+    * first, so it sees a complete index before, during, and after, and a
+    * crash mid-rewrite leaves only invisible residue that re-running the
+    * op heals (the [[ClusterStore]] clusters-swap discipline, promoted
+    * store-wide; rename atomicity is the filesystem's contract).
+    * Appends land files INSIDE the live generation's cell dirs — a
+    * single-table write under parquet's commit protocol, no cross-table
+    * window to protect. */
+  private def ivfManifestPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_manifest.properties")
+
+  private[graft] def ivfGen(dir: String): Long = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(ivfManifestPath(dir))
+    try p.load(in) finally in.close()
+    p.getProperty("gen").toLong
+  }
+
+  private def commitIvfGen(dir: String, gen: Long): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("gen", gen.toString)
+    val tmp = java.nio.file.Paths.get(dir, "_manifest.properties.staged")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try p.store(out, "graft ivf index manifest") finally out.close()
+    java.nio.file.Files.move(tmp, ivfManifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def ivfDataDir(dir: String): String =
+    s"$dir/data_v${ivfGen(dir)}"
+
   /** Write index data from PRE-TRAINED centroids. Assignment is a pure
     * per-vector function of the quantizer, so appending a batch and
     * rebuilding from the union with the same quantizer produce the same
     * logical content — the property the append path's spec pins down.
     *
-    * In "overwrite" mode (a build or rebuild) the sidecars are refreshed
-    * too — the overwrite deletes the old ones with the directory, and an
-    * index without its quantizer could neither append nor report health.
-    * The health baseline rides the SAME write pass via `observe` (an
-    * accumulator-backed aggregate, zero extra scans, zero caching); in
-    * "append" mode the data lands and the build-time baseline stays, which
-    * is what drift is measured against. */
+    * In "overwrite" mode (a build or rebuild) this stages and promotes a
+    * full next generation — data, quantizer, and health baseline (the
+    * baseline rides the SAME write pass via `observe`: an
+    * accumulator-backed aggregate, zero extra scans). In "append" mode
+    * the new rows land inside the live generation's cell directories and
+    * the build-time baseline stays, which is what drift is measured
+    * against. */
   def writeIvfIndexWith(embeddings: DataFrame, dir: String,
                         centroids: Array[(Int, Array[Double])],
-                        mode: String = "overwrite"): Unit = {
-    val assigned = assignToCentroids(embeddings, centroids)
-    if (mode == "overwrite") {
+                        mode: String = "overwrite"): Unit =
+    if (mode == "append")
+      assignToCentroids(embeddings, centroids)
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(ivfDataDir(dir))
+    else
+      promoteGeneration(embeddings.sparkSession, dir, embeddings, centroids,
+        preserveHealthBaseline = false, coalesceCells = false)
+
+  /** Stage generation g+1 (data + quantizer + health) beside the live
+    * one, commit with one manifest rename, delete the retired
+    * generation. The shared primitive behind rebuild / compact /
+    * requantize — they differ only in which rows, which centroids, and
+    * whether the health baseline carries over (compaction preserves it:
+    * content is unchanged, so drift measured against the ORIGINAL build
+    * must keep accumulating; a requantize resets it — the new quantizer
+    * is the new baseline). */
+  private def promoteGeneration(spark: SparkSession, dir: String,
+                                rows: DataFrame,
+                                centroids: Array[(Int, Array[Double])],
+                                preserveHealthBaseline: Boolean,
+                                coalesceCells: Boolean): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val cur = if (java.nio.file.Files.exists(ivfManifestPath(dir)))
+      Some(ivfGen(dir)) else None
+    val next = cur.map(_ + 1).getOrElse(0L)
+    // heal: residue of a crashed earlier promote sits at exactly gen
+    // `next` (the manifest never advanced) — remove before re-staging
+    for (a <- Seq(s"data_v$next", s"_quantizer_v$next", s"_health_v$next"))
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/$a"))
+    val assigned = assignToCentroids(rows, centroids)
+    val toWrite = if (coalesceCells)
+      // one writer per cell → one file per cell dir, the compaction target
+      assigned.repartition(col("centroid_id"))
+    else assigned
+    if (preserveHealthBaseline) {
+      toWrite.write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
+      spark.read.parquet(s"$dir/_health_v${cur.get}")
+        .coalesce(1).write.parquet(s"$dir/_health_v$next")
+    } else {
       val obs = org.apache.spark.sql.Observation(s"ivf_health_${obsSeq.incrementAndGet()}")
-      assigned.observe(obs, count(lit(1)).as("n"), avg(assignedSim(centroids)).as("mean_sim"))
-        .write.mode(mode).partitionBy("centroid_id").parquet(dir)
-      val spark = embeddings.sparkSession
-      saveQuantizer(spark, dir, centroids)
+      toWrite.observe(obs, count(lit(1)).as("n"), avg(assignedSim(centroids)).as("mean_sim"))
+        .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
       import spark.implicits._
       Seq((obs.get("n").asInstanceOf[Long], obs.get("mean_sim").asInstanceOf[Double]))
         .toDF("n", "mean_sim")
-        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_health")
-    } else {
-      assigned.write.mode(mode).partitionBy("centroid_id").parquet(dir)
+        .coalesce(1).write.parquet(s"$dir/_health_v$next")
     }
+    saveQuantizer(spark, s"$dir/_quantizer_v$next", centroids)
+    commitIvfGen(dir, next)
+    for (g <- cur; a <- Seq(s"data_v$g", s"_quantizer_v$g", s"_health_v$g"))
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/$a"))
   }
 
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -220,24 +298,79 @@ object Similarity {
     * cells' partition directories — the old data is not rewritten, and at
     * 100 TB never re-read). Centroids are unchanged by design: recall
     * degrades only as the data DRIFTS from them, which [[indexHealth]]
-    * measures and [[IvfHealth.shouldRecluster]] turns into the rebuild
-    * decision — the alternative (recluster on every append) would make
-    * ingestion O(corpus) instead of O(batch). */
+    * measures and [[IvfHealth.shouldRecluster]] turns into the
+    * [[maybeRequantize]] decision — the alternative (recluster on every
+    * append) would make ingestion O(corpus) instead of O(batch). */
   def appendToIvfIndex(spark: SparkSession, dir: String, newVectors: DataFrame): Unit =
     writeIvfIndexWith(newVectors, dir, readQuantizer(spark, dir), mode = "append")
 
-  private def saveQuantizer(spark: SparkSession, dir: String,
+  /** Rewrite the live generation's cells coalesced — ONE file per cell —
+    * and promote: N daily appends leave N file sets in every cell dir, so
+    * probe cost grows with calendar time, not data size; compaction
+    * returns it to O(1) files per probed cell. Same quantizer, same
+    * logical content (the `ivf_index_compact` gate re-passes the SAME
+    * oracle over a compacted index), original health baseline preserved.
+    * At real scale "one file per cell" is the numCentroids sizing rule
+    * (cells ≈ healthy parquet files); a size-tiered split within a cell
+    * would change only the repartition key, not the promote mechanics. */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    val centroids = readQuantizer(spark, dir)
+    val rows = spark.read.parquet(ivfDataDir(dir)).drop("centroid_id")
+    promoteGeneration(spark, dir, rows, centroids,
+      preserveHealthBaseline = true, coalesceCells = true)
+  }
+
+  /** Re-quantize with caller-supplied centroids (typically at a
+    * [[sizedCentroidCount]] after growth) and promote: the maintenance op
+    * [[IvfHealth.shouldRecluster]]'s triggers exist for. A full rebuild
+    * at the new C — by design: re-quantizing IS re-partitioning space, so
+    * every row must re-assign; what stays O(batch) is the daily append,
+    * and this pay-once rewrite is amortized across the appends that
+    * triggered it. */
+  def requantizeIvfIndex(spark: SparkSession, dir: String,
+                         centroids: Array[(Int, Array[Double])]): Unit = {
+    val rows = spark.read.parquet(ivfDataDir(dir)).drop("centroid_id")
+    promoteGeneration(spark, dir, rows, centroids,
+      preserveHealthBaseline = false, coalesceCells = true)
+  }
+
+  /** The measured quantizer sizing rule, C ∝ N: cells stay probe-sized
+    * only while n stays within a constant factor of what C was chosen
+    * for (SCALE.md: the pinned C=16 gate quantizer read 51.0 s at ×20
+    * where C=320 — 16 scaled by the ×20 — read 14.6 s, 3.5× faster, via
+    * tools/LabelNoiseProbe). */
+  def sizedCentroidCount(currentC: Int, growth: Double): Int =
+    math.max(currentC, math.ceil(currentC * growth).toInt)
+
+  /** The automated maintenance decision: read [[indexHealth]] (one scan),
+    * and when its growth/drift triggers fire, re-quantize with C sized by
+    * the measured rule — centroids re-trained on the index's own rows.
+    * Returns the new centroid count if a requantize ran. */
+  def maybeRequantize(spark: SparkSession, dir: String,
+                      maxDrift: Double = 0.05, maxGrowth: Double = 4.0,
+                      seed: Long = 11L): Option[Int] = {
+    val h = indexHealth(spark, dir)
+    if (!h.shouldRecluster(maxDrift, maxGrowth)) None
+    else {
+      val newC = sizedCentroidCount(readQuantizer(spark, dir).length, h.growth)
+      val rows = spark.read.parquet(ivfDataDir(dir)).drop("centroid_id")
+      requantizeIvfIndex(spark, dir, trainCentroids(rows, newC, seed = seed))
+      Some(newC)
+    }
+  }
+
+  private def saveQuantizer(spark: SparkSession, quantizerDir: String,
                             centroids: Array[(Int, Array[Double])]): Unit = {
     import spark.implicits._
     centroids.toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("centroid_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_quantizer")
+      .coalesce(1).write.mode("overwrite").parquet(quantizerDir)
   }
 
-  /** The persisted coarse quantizer (O(centroids·dim) — driver-sized by
-    * construction). */
+  /** The persisted coarse quantizer of the live generation
+    * (O(centroids·dim) — driver-sized by construction). */
   def readQuantizer(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
-    spark.read.parquet(s"$dir/_quantizer").collect()
+    spark.read.parquet(s"$dir/_quantizer_v${ivfGen(dir)}").collect()
       .map(r => (r.getAs[Int]("centroid_id"),
         r.getAs[Seq[Double]]("centroid").toArray))
       .sortBy(_._1)
@@ -274,8 +407,8 @@ object Similarity {
 
   def indexHealth(spark: SparkSession, dir: String): IvfHealth = {
     val centroids = readQuantizer(spark, dir)
-    val base = spark.read.parquet(s"$dir/_health").first()
-    val (n, sim) = scanHealth(spark.read.parquet(dir), centroids)
+    val base = spark.read.parquet(s"$dir/_health_v${ivfGen(dir)}").first()
+    val (n, sim) = scanHealth(spark.read.parquet(ivfDataDir(dir)), centroids)
     IvfHealth(base.getAs[Long]("n"), n, base.getAs[Double]("mean_sim"), sim)
   }
 
@@ -290,7 +423,7 @@ object Similarity {
     // O(|centroids|) driver values — the probed-cell union, never data
     val probedCells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(dir)
+    val cells = spark.read.parquet(ivfDataDir(dir))
       .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreProbed(probes, cells, k)
@@ -573,6 +706,55 @@ object Similarity {
       e.filter(col("vec_id") < numQueries), k, nProbe)
   }
 
+  /** Gated query `ivf_index_compact`: the probe-cost maintenance op
+    * proven content-preserving — build backlog + append delta (the state
+    * whose cell dirs hold one file set per batch) + [[compactIvfIndex]]
+    * (rewrite coalesced, promote the next generation) + probe, under the
+    * SAME full-corpus [[ivfAnnOracle]] as the other IVF gates. The
+    * one-file-per-cell claim is asserted by the lifecycle spec; the gate
+    * pins that compaction changed no content. */
+  def ivfCompactProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                             k: Int = 10, numCentroids: Int = 16,
+                             nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val backlogIdx = ivfBacklogStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        "graft_ivf_backlog", requireOracleDim(e, dir), numCentroids))
+    val idx = ClusterStore.copyStore(backlogIdx, "graft_ivf_compact")
+    appendToIvfIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    compactIvfIndex(spark, idx)
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_requantize`: the growth-maintenance op proven
+    * end-to-end — build backlog at C, append the delta, then
+    * [[requantizeIvfIndex]] to `newC` cells and probe. The oracle is
+    * [[ivfAnnOracle]] AT newC over the full corpus: a re-quantized index
+    * must be indistinguishable from one built from scratch at the new C
+    * (assignment is a pure function of the quantizer, and requantize
+    * re-assigns every row). The gate re-quantizes with the deterministic
+    * [[hashCentroids]] so DuckDB reproduces the new quantizer;
+    * [[maybeRequantize]] — the trained-centroid trigger path over the
+    * same primitive — is spec-covered (trained centroids are
+    * float-sum-order sensitive, so they cannot be oracle-hashed). */
+  def ivfRequantizeProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                k: Int = 10, numCentroids: Int = 16,
+                                newC: Int = 32, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = requireOracleDim(e, dir)
+    val backlogIdx = ivfBacklogStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        "graft_ivf_backlog", dim, numCentroids))
+    val idx = ClusterStore.copyStore(backlogIdx, "graft_ivf_requant")
+    appendToIvfIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    requantizeIvfIndex(spark, idx, hashCentroids(dim, newC))
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
   /** One APPENDED index per (JVM, source dir) for the health gate: the
     * backlog index (shared memo) copied once, delta appended once — the
     * post-lifecycle state health is meant to be read from. */
@@ -605,7 +787,7 @@ object Similarity {
     val centroids = readQuantizer(spark, idx)
     val micro = floor(assignedSim(centroids) * 1e6 + 0.5).cast("long")
     val isBuild = col("vec_id") % DedupIndex.DeltaMod =!= 0
-    spark.read.parquet(idx).agg(
+    spark.read.parquet(ivfDataDir(idx)).agg(
       count(when(isBuild, lit(1))).as("n_build"),
       count(lit(1)).as("n_now"),
       sum(when(isBuild, micro)).as("sim_build_micros"),

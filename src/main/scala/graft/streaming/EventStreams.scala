@@ -68,11 +68,20 @@ object EventStreams {
     * encoding has varied across testdata regenerations (ns-as-long vs
     * TIMESTAMP_NTZ micros — see Tables.events). One batch-reader schema
     * probe picks the matching on-read type, then the stream normalizes to
-    * TimestampType exactly as the batch loader does. */
+    * TimestampType exactly as the batch loader does. On an EMPTY watch
+    * directory (no file matches the glob yet) the probe cannot infer and
+    * falls back to ns-as-long (the historical default), so a stream may
+    * start before its first file arrives. Consequence of probing once: all
+    * files a watch directory will ever receive must share ONE ts encoding
+    * — a mid-stream encoding flip would be read under the frozen schema
+    * (normalize encodings at file-write time; the driver corpora are
+    * single-encoding per directory). */
   def hourlyStream(spark: SparkSession, dir: String,
                    glob: String = "events.parquet"): DataFrame = {
-    val onDisk = spark.read.option("pathGlobFilter", glob).parquet(dir)
-      .schema("ts").dataType
+    val onDisk = scala.util.Try(
+        spark.read.option("pathGlobFilter", glob).parquet(dir)
+          .schema("ts").dataType)
+      .getOrElse(LongType)
     val raw = spark.readStream
       .schema(StructType(eventSchema.fields.map {
         case f if f.name == "ts" => StructField("ts", onDisk)

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-facing metric line: rounds 9 AND 10 both lost their official
+  * bench record because the one-line JSON outgrew the driver's 2000-char
+  * tail capture. This spec is the growth guard the verdict asked for: it
+  * renders the line for the CURRENT full query set (plus headroom for
+  * future gates) and fails the build the moment it would truncate again. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  // every real query + both build phases, with worst-case-width values
+  // (two digits before the point → 6-char renders, wider than typical)
+  private def fullResults(v: Double = 12.345678): Seq[(String, Double)] =
+    (SparkEntry.queries.keys.toSeq.sorted ++
+      Bench.buildPhases.map(_._1)).map(_ -> v)
+
+  test("fmtSecs: 1 ms precision, trailing zeros trimmed, failures intact") {
+    assert(Bench.fmtSecs(9.642186593) === "9.642")
+    assert(Bench.fmtSecs(0.5) === "0.5")
+    assert(Bench.fmtSecs(12.0) === "12")
+    assert(Bench.fmtSecs(0.0004) === "0")
+    assert(Bench.fmtSecs(-1.0) === "-1")
+  }
+
+  test("metric line for the current full suite fits the driver tail budget") {
+    val (line, _) = Bench.compactLine(fullResults(), "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"line is ${line.length} chars")
+    assert(line.length <= Bench.LineCap + 40) // greedy never overshoots by more than one entry
+    val parsed = mapper.readTree(line)
+    assert(parsed.get("metric").asText === "total")
+    assert(parsed.get("unit").asText === "sec")
+    assert(parsed.get("sf").asText === "sf0.1")
+    // the reference-surface headline queries are NEVER dropped
+    for (q <- Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders",
+      "s5_row_counts", "s7_snapshot_scan", "o20_summary"))
+      assert(parsed.get("queries").has(q), s"$q must stay on the line")
+  }
+
+  test("headroom: six future gates still fit before the hard require trips") {
+    val future = (1 to 6).map(i => f"future_gate_$i%02d" -> 12.345678)
+    val (line, omitted) =
+      Bench.compactLine(fullResults() ++ future, "/root/testdata/sf0.1")
+    assert(line.length < 1800, s"line is ${line.length} chars — " +
+      "grow SparkEntry.lowPriorityBench before adding more gates")
+    val parsed = mapper.readTree(line)
+    for ((k, _) <- future) assert(parsed.get("queries").has(k))
+    // the budget was paid by dropping low-priority anchors, visibly
+    assert(omitted.nonEmpty)
+    assert(parsed.get("more").asInt === omitted.size)
+  }
+
+  test("omitted entries come only from lowPriorityBench; failures always stay") {
+    val results = fullResults().map {
+      case ("dedup_canonical", _) => ("dedup_canonical", -1.0) // failed anchor
+      case r => r
+    } ++ (1 to 6).map(i => f"future_gate_$i%02d" -> 12.345678)
+    val (line, omitted) = Bench.compactLine(results, "/root/testdata/sf0.1")
+    assert(omitted.nonEmpty)
+    for ((k, _) <- omitted)
+      assert(SparkEntry.lowPriorityBench.contains(k), s"$k is not droppable")
+    val parsed = mapper.readTree(line)
+    assert(parsed.get("queries").has("dedup_canonical"),
+      "a FAILED low-priority entry must still reach the driver")
+    assert(parsed.get("queries").get("dedup_canonical").asInt === -1)
+    assert(parsed.get("failed").toString.contains("dedup_canonical"))
+  }
+
+  test("when everything fits, nothing is dropped and no 'more' field appears") {
+    val few = Seq("q1_agg_orders" -> 1.5, "dedup_canonical" -> 9.642186593)
+    val (line, omitted) = Bench.compactLine(few, "/root/testdata/sf0.1")
+    assert(omitted.isEmpty)
+    val parsed = mapper.readTree(line)
+    assert(!parsed.has("more"))
+    assert(parsed.get("queries").get("dedup_canonical").asDouble === 9.642)
+    assert(math.abs(parsed.get("value").asDouble - 11.142) < 0.0015)
+  }
+}

@@ -49,6 +49,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hourly stream starts on an EMPTY watch directory and picks up arriving files") {
+    import spark.implicits._
+    // no files match the glob yet — the schema probe cannot infer and must
+    // fall back to the ns-as-long default instead of throwing
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_watch").toString
+    val q = EventStreams.hourlyStream(spark, dir, glob = "*.parquet").writeStream
+      .outputMode("append").format("memory").queryName("empty_watch_test").start()
+    try {
+      q.processAllAvailable() // zero batches, zero rows — but the stream is LIVE
+      assert(spark.table("empty_watch_test").count() === 0)
+      def ns(iso: String): Long =
+        java.time.Instant.parse(iso).toEpochMilli * 1000000L
+      Seq((1L, ns("2024-02-01T10:05:00Z"), 1L, "x", 1.0, "{}"),
+          (2L, ns("2024-02-01T15:05:00Z"), 1L, "x", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      Seq((3L, ns("2024-02-01T23:55:00Z"), 1L, "x", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable() // advances the watermark past the 10:00/15:00 windows
+      val out = spark.table("empty_watch_test")
+      assert(out.filter(col("hour_start") === "2024-02-01 10:00:00").count() === 1,
+        "files that arrive AFTER an empty start must flow through the fallback schema")
+    } finally q.stop()
+  }
+
   test("streaming snapshot ingest: later micro-batches win per key") {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_stream_store").toString

@@ -1,0 +1,191 @@
+package graft
+
+import graft.operators.{Bm25Index, DedupIndex, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 store maintenance: crash-safe manifest commits, epoch/cell
+  * compaction, and quantizer re-sizing — the lifecycle claims the driver
+  * gates (`bm25_index_compact`, `ivf_index_compact`, `ivf_requantize`)
+  * pin by CONTENT and this suite pins by MECHANISM (file counts,
+  * crash-window visibility, trigger math). */
+class Round11Spec extends SparkSpec {
+
+  private def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) Seq.empty
+    else java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p)).toSeq
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("idx").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq
+
+  // ------------------------------------------------------------- BM25
+
+  test("bm25 append is crash-safe: uncommitted staging is invisible; re-run recovers") {
+    val docs = Tables.documents(spark, sf)
+    val backlog = docs.filter(col("doc_id") % DedupIndex.DeltaMod =!= 0)
+    val delta = docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0)
+    val idx = tmpDir("bm25_crash")
+    Bm25Index.write(backlog, idx)
+    val terms = Bm25Index.topTerms(spark, idx, 3)
+    val before = rows(Bm25Index.probe(spark, idx, terms))
+
+    // CRASH INJECTION: stage the append fully (postings + norms landed in
+    // the new epoch, next dict generation written) but die before the
+    // manifest commit — the exact window the round-10 design documented
+    // as unsafe
+    Bm25Index.stageAppend(delta, idx)
+    assert(rows(Bm25Index.probe(spark, idx, terms)) === before,
+      "a reader between staging and commit must see the PRE-append index " +
+        "— stale but consistent, never landed postings with a stale dict")
+    val m0 = Bm25Index.readManifest(idx)
+    assert(m0.epochs === Seq(0L) && m0.dictGen === 0L,
+      "the manifest must not have advanced")
+
+    // RECOVERY: re-running the same append IS the protocol — staging
+    // heals the residue at the frozen epoch/gen names, then commits
+    Bm25Index.append(delta, idx)
+    val full = tmpDir("bm25_crash_full")
+    Bm25Index.write(docs, full)
+    val t2 = Bm25Index.topTerms(spark, full, 3)
+    assert(Bm25Index.topTerms(spark, idx, 3) === t2)
+    assert(rows(Bm25Index.probe(spark, idx, t2)) ===
+      rows(Bm25Index.probe(spark, full, t2)),
+      "recovered append must equal a from-scratch full-corpus index")
+    val m1 = Bm25Index.readManifest(idx)
+    assert(m1.epochs === Seq(0L, 1L) && m1.dictGen === 1L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$idx/dict_v0")),
+      "the retired dict generation is deleted after commit")
+  }
+
+  test("bm25 compaction collapses epochs to one file per bucket; content unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("bm25_compact")
+    val nb = 16
+    Bm25Index.write(docs.filter(col("doc_id") % 4 === 0), idx, numBuckets = nb)
+    for (r <- 1 to 3)
+      Bm25Index.append(docs.filter(col("doc_id") % 4 === r), idx)
+    val terms = Bm25Index.topTerms(spark, idx, 3)
+    val before = rows(Bm25Index.probe(spark, idx, terms))
+    val filesBefore = parquetFiles(s"$idx/postings").size
+    val mBefore = Bm25Index.readManifest(idx)
+    assert(mBefore.epochs.size === 4, "each append commits its own epoch")
+
+    Bm25Index.compact(spark, idx)
+
+    val m = Bm25Index.readManifest(idx)
+    assert(m.epochs.size === 1, "committed epochs collapse to one")
+    val filesAfter = parquetFiles(s"$idx/postings").size
+    assert(filesAfter <= nb, s"one file per bucket after compaction " +
+      s"(got $filesAfter for $nb buckets)")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(rows(Bm25Index.probe(spark, idx, terms)) === before,
+      "compaction must not change probe content")
+    // probe math unchanged too: n/mass survived the epoch rewrite
+    assert(m.n === mBefore.n && m.mass === mBefore.mass)
+  }
+
+  // -------------------------------------------------------------- IVF
+
+  test("ivf compaction: one file per cell after appends; probe content unchanged") {
+    val e = Tables.embeddings(spark, sf)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val idx = tmpDir("ivf_compact")
+    val cents = Similarity.hashCentroids(dim, 8)
+    Similarity.writeIvfIndexWith(e.filter(col("vec_id") % 4 === 0), idx, cents)
+    for (r <- 1 to 3)
+      Similarity.appendToIvfIndex(spark, idx,
+        e.filter(col("vec_id") % 4 === r))
+    val q = e.filter(col("vec_id") < 4)
+    val before = rows(Similarity.probeIvfIndex(spark, idx, cents, q))
+    val filesBefore = parquetFiles(s"$idx/data_v0").size
+
+    Similarity.compactIvfIndex(spark, idx)
+
+    val dataDir = Similarity.ivfDataDir(idx)
+    assert(dataDir.endsWith("data_v1"), "compaction promotes the generation")
+    val filesAfter = parquetFiles(dataDir).size
+    assert(filesAfter <= 8, s"one file per cell (got $filesAfter for 8 cells)")
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    assert(rows(Similarity.probeIvfIndex(spark, idx,
+      Similarity.readQuantizer(spark, idx), q)) === before)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/data_v0")),
+      "the retired generation is deleted after commit")
+    // the health BASELINE survives compaction (content is unchanged, so
+    // drift keeps being measured against the original build)
+    val h = Similarity.indexHealth(spark, idx)
+    assert(h.nBuild < h.nNow, "baseline still reflects the pre-append build")
+  }
+
+  test("ivf promote heals crashed-staging residue and ignores it until commit") {
+    val e = Tables.embeddings(spark, sf)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val idx = tmpDir("ivf_heal")
+    val cents = Similarity.hashCentroids(dim, 8)
+    Similarity.writeIvfIndexWith(e, idx, cents)
+    val q = e.filter(col("vec_id") < 4)
+    val before = rows(Similarity.probeIvfIndex(spark, idx, cents, q))
+    // residue of a crashed promote: a half-written next generation
+    val junk = java.nio.file.Paths.get(s"$idx/data_v1/centroid_id=0")
+    java.nio.file.Files.createDirectories(junk)
+    java.nio.file.Files.writeString(junk.resolve("part-junk.parquet"), "not parquet")
+    // readers resolve the manifest: the residue is invisible
+    assert(rows(Similarity.probeIvfIndex(spark, idx, cents, q)) === before)
+    // the next promote stages at gen 1, healing the residue first
+    Similarity.compactIvfIndex(spark, idx)
+    assert(rows(Similarity.probeIvfIndex(spark, idx,
+      Similarity.readQuantizer(spark, idx), q)) === before)
+  }
+
+  test("maybeRequantize: fires on growth, sizes C by the measured rule, resets the baseline") {
+    val e = Tables.embeddings(spark, sf)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val idx = tmpDir("ivf_requant")
+    // build tiny (every 8th vector), then append the rest: growth = 8 > 4
+    Similarity.writeIvfIndexWith(e.filter(col("vec_id") % 8 === 0), idx,
+      Similarity.hashCentroids(dim, 4))
+    Similarity.appendToIvfIndex(spark, idx, e.filter(col("vec_id") % 8 =!= 0))
+    val h = Similarity.indexHealth(spark, idx)
+    assert(h.growth > 4.0 && h.shouldRecluster())
+    val expectedC = Similarity.sizedCentroidCount(4, h.growth) // C ∝ N
+    assert(expectedC >= 4 * 4)
+
+    val ran = Similarity.maybeRequantize(spark, idx)
+    assert(ran === Some(expectedC))
+    assert(Similarity.readQuantizer(spark, idx).length === expectedC)
+    val h2 = Similarity.indexHealth(spark, idx)
+    assert(h2.growth < 1.0001 && h2.growth > 0.9999,
+      "requantize resets the health baseline to the rewritten population")
+    assert(Similarity.maybeRequantize(spark, idx) === None,
+      "no second fire without further growth")
+  }
+
+  test("requantized index equals a from-scratch build at the new quantizer") {
+    val e = Tables.embeddings(spark, sf)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val idx = tmpDir("ivf_requant_eq")
+    Similarity.writeIvfIndexWith(
+      e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0), idx,
+      Similarity.hashCentroids(dim, 16))
+    Similarity.appendToIvfIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    val newCents = Similarity.hashCentroids(dim, 32)
+    Similarity.requantizeIvfIndex(spark, idx, newCents)
+    val scratch = tmpDir("ivf_requant_scratch")
+    Similarity.writeIvfIndexWith(e, scratch, newCents)
+    val q = e.filter(col("vec_id") < 8)
+    assert(rows(Similarity.probeIvfIndex(spark, idx,
+        Similarity.readQuantizer(spark, idx), q)) ===
+      rows(Similarity.probeIvfIndex(spark, scratch, newCents, q)))
+  }
+}

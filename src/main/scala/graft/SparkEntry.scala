@@ -103,6 +103,10 @@ object SparkEntry {
     // REAL BPE: pre-tokenizer segments merged through the checked-in rank
     // table (boundary-anchored sweep == min-rank encode, see BpeMerge)
     "text_bpe_merged" -> tuned(TextAnalysis.bpeMergedFromDir),
+    // BPE tokenizer TRAINING: the iterative N-merge loop over the word-
+    // frequency dict — vocab-sized pair-count shuffles, 1-row argmax per
+    // iteration, two-level-separator replace == greedy merge (BpeTrain)
+    "text_bpe_vocab" -> tuned(BpeTrain.fromDir),
     // redaction over deterministically-planted PII (the raw corpus has
     // none — a pass-through redactor must FAIL this hash, see redactFromDir)
     "text_redact" -> tuned(TextAnalysis.redactFromDir),
@@ -255,6 +259,7 @@ object SparkEntry {
     "distinct_users" -> SkewTools.distinctUsersOracle,
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
     "text_bpe_merged" -> TextAnalysis.bpeMergedOracle,
+    "text_bpe_vocab" -> BpeTrain.oracle(),
     "text_redact" -> TextAnalysis.redactOracle,
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
     "dedup_delta_lsh" -> DedupIndex.deltaOracle(),

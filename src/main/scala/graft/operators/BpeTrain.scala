@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE tokenizer TRAINING — the N-merge loop to a target vocab
+  * that completes the BPE story ([[graft.functions.BpeMerge]] gates the
+  * single-step merge-count primitive and the encoder; this trains the
+  * rank table those consume). Classic word-dict BPE (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units"):
+  * train on the word-FREQUENCY table, not the corpus — each iteration
+  * counts adjacent symbol pairs weighted by word frequency, merges the
+  * argmax pair everywhere (greedy left-to-right), repeats.
+  *
+  * Distribution shape, per iteration:
+  *   - pair counting is one explode + hash-agg SHUFFLE over the dict —
+  *     VOCABULARY-sized, never corpus-sized (the corpus is touched once,
+  *     to build the dict);
+  *   - the argmax is `orderBy.limit(1)` (TakeOrderedAndProject) — ONE row
+  *     to the driver per iteration, the same O(model) collect budget as
+  *     the IVF centroids;
+  *   - the merge is a per-row codegen'd string replace, no shuffle;
+  *   - dict state round-trips through a parquet generation dir each
+  *     iteration (write state_i+1, read it back, drop state_i) — the
+  *     plan stays CONSTANT-depth across iterations. The persist/unpersist
+  *     rotation the loop first shipped with does NOT bound an iterative
+  *     plan: lineage still nests one generation per merge and every
+  *     cached generation retains its ancestors' InMemoryRelations —
+  *     measured here as 8 merges = 8.5 s but 30 merges = OOM of an 8 GiB
+  *     driver at sf0.001. Materialize-and-reread is the same cure the
+  *     BM25 dict swap and MLlib's periodic checkpointing apply, and the
+  *     per-iteration cost is vocabulary-sized I/O.
+  * The learned merge table itself is driver-sized BY DESIGN (it IS the
+  * model, like the quantizer) — numMerges rows.
+  *
+  * Cross-engine exactness (the `text_bpe_vocab` gate): symbol sequences
+  * are stored DOUBLE-space separated and merges run as plain `replace`
+  * over the single-space-wrapped string — ' L  R ' → ' LR '. The
+  * two-level separator makes one non-overlapping left-to-right replace
+  * (identical semantics in Java's String.replace and DuckDB's replace)
+  * equal the greedy BPE merge INCLUDING chained occurrences: consuming a
+  * match eats one inner separator but leaves the next occurrence's outer
+  * boundary intact (" a  b  a  b " → " ab  ab "), and L=R runs merge
+  * non-overlapping (" a  a  a " → " aa  a "). A single-space encoding
+  * fails exactly those two cases. Pair COUNTS are overlapping-adjacent
+  * (zip(t, t[1:]) — count 2 in [a,a,a]), matching the reference
+  * algorithm's get_stats. Ties break (cnt DESC, lft ASC, rgt ASC) on
+  * both engines; the dict cap ties break (freq DESC, word ASC).
+  *
+  * Reference scope: the reference system has no tokenizer training
+  * (dags/pipeline.py:408-687 is SQL aggregation); this is
+  * training-data-pipeline extension tier. */
+object BpeTrain {
+
+  /** Top-of-mass dict cap: the training dict is the top `DictCap` words
+    * by frequency — bounded oracle cost, and at real scale the
+    * long-tail singletons contribute no merge-decision mass anyway. */
+  val DictCap = 2000
+
+  /** Merges to learn in the gated run (a production vocab is 30k+; the
+    * loop is the same, the gate pins N exactly). */
+  val NumMerges = 30
+
+  /** Lowercased alpha words with frequencies, capped deterministically. */
+  private def wordDict(docs: DataFrame, dictCap: Int): DataFrame =
+    docs.select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(dictCap)
+
+  /** Character-split seed state: "low" → "l  o  w". */
+  private def initialSeqs(docs: DataFrame, dictCap: Int): DataFrame =
+    wordDict(docs, dictCap)
+      .select(trim(regexp_replace(col("word"), "(.)", "$1  ")).as("seq"), col("freq"))
+
+  /** Frequency-weighted adjacent-pair counts over the current state. */
+  private def pairCounts(dict: DataFrame): DataFrame = {
+    val t = split(col("seq"), "  ")
+    dict
+      .select(col("freq"), explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (l, r) => struct(l.as("lft"), r.as("rgt")))).as("pr"))
+      .groupBy(col("pr.lft").as("lft"), col("pr.rgt").as("rgt"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** One greedy merge of (l, r) everywhere — the two-level-separator
+    * replace described above. */
+  private def mergePair(dict: DataFrame, l: String, r: String): DataFrame =
+    dict.withColumn("seq",
+      trim(replace(concat(lit(" "), col("seq"), lit(" ")),
+        lit(s" $l  $r "), lit(s" $l$r "))))
+
+  /** The training loop. Returns the learned merge table
+    * (rank, lft, rgt, merged, cnt) — the model. */
+  def train(docs: DataFrame, numMerges: Int = NumMerges,
+            dictCap: Int = DictCap): Seq[(Int, String, String, String, Long)] = {
+    val spark = docs.sparkSession
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_train")
+    ClusterStore.deleteRecursivelyOnExit(tmp)
+    initialSeqs(docs, dictCap).write.parquet(s"$tmp/state_0")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (!exhausted && rank <= numMerges) {
+      val dict = spark.read.parquet(s"$tmp/state_${rank - 1}")
+      val best = pairCounts(dict)
+        .orderBy(col("cnt").desc, col("lft").asc, col("rgt").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((rank, l, r, l + r, c))
+        mergePair(dict, l, r).write.parquet(s"$tmp/state_$rank")
+        ClusterStore.deleteRecursively(tmp.resolve(s"state_${rank - 1}"))
+        rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Gated query `text_bpe_vocab`. */
+  def fromDir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    train(Tables.documents(spark, dir))
+      .toDF("rank", "lft", "rgt", "merged", "cnt")
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB twin: the same loop UNROLLED into one CTE chain — per
+    * iteration a pair-count CTE, an argmax CTE, and a replace CTE, all
+    * `AS MATERIALIZED` so the chain evaluates each state once. Validated
+    * against an independent reference BPE implementation during
+    * development (identical merge tables at sf0.001 and sf0.01). */
+  def oracle(numMerges: Int = NumMerges, dictCap: Int = DictCap): String = {
+    val head =
+      s"""words AS (
+         |  SELECT w AS word, COUNT(*) AS freq FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |    FROM documents) GROUP BY 1),
+         |bdict AS (SELECT word, freq FROM words
+         |          ORDER BY freq DESC, word ASC LIMIT $dictCap),
+         |s0 AS MATERIALIZED (
+         |  SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq, freq
+         |  FROM bdict)""".stripMargin
+    val iters = (0 until numMerges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr[1] AS lft, pr[2] AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(seq, '  ') AS t, freq FROM s$i),
+         |       LATERAL (SELECT unnest(list_zip(t[1:-1], t[2:])) AS pr)
+         |  WHERE pr[2] IS NOT NULL GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$i
+         |        ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1),
+         |s${i + 1} AS MATERIALIZED (
+         |  SELECT trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT lft FROM b$i) || '  ' || (SELECT rgt FROM b$i) || ' ',
+         |    ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ')) AS seq,
+         |    freq
+         |  FROM s$i)""".stripMargin
+    }
+    val sel = (0 until numMerges).map(i =>
+      s"SELECT ${i + 1} AS rank, lft, rgt, lft || rgt AS merged, cnt FROM b$i")
+    (head +: iters).mkString("WITH ", ",\n", "\n") +
+      sel.mkString(" UNION ALL ") + " ORDER BY rank"
+  }
+}

@@ -170,6 +170,34 @@ class Round11Spec extends SparkSpec {
       "no second fire without further growth")
   }
 
+  // -------------------------------------------------------------- BPE
+
+  test("BPE training: greedy-merge edge cases and a hand-checked merge table") {
+    import spark.implicits._
+    // 'ababab': pair (a,b) count 3 -> greedy L2R merge gives [ab,ab,ab];
+    // 'aaa': run of identical symbols merges non-overlapping -> [aa,a]
+    val docs = Seq((1L, "ababab ababab aaa")).toDF("doc_id", "text")
+    val merges = graft.operators.BpeTrain.train(docs, numMerges = 3)
+    // pair counts at step 1: (a,b)=6, (b,a)=4, (a,a)=2 (two docs' words:
+    // ababab twice -> (a,b) 3 each = 6; aaa -> (a,a) overlapping-adjacent = 2)
+    assert(merges.head === ((1, "a", "b", "ab", 6L)))
+    // after merging 'ab': words are [ab,ab,ab] x2 and [aa? no: 'aaa' still
+    // [a,a,a]] -> best pair (ab,ab)=4 vs (a,a)=2
+    assert(merges(1) === ((2, "ab", "ab", "abab", 4L)))
+    // then [abab, ab] x2 and [a,a,a] -> (abab,ab)=2, (a,a)=2 -> tie breaks
+    // lexicographically: (a,a) < (abab,ab)
+    assert(merges(2) === ((3, "a", "a", "aa", 2L)))
+  }
+
+  test("BPE training loop terminates when every word is fully merged") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val merges = graft.operators.BpeTrain.train(docs, numMerges = 50)
+    // only two merges exist: (a,b) then (c,d) — the loop must stop, not
+    // spin 48 more empty iterations
+    assert(merges.map(m => (m._2, m._3)) === Seq(("a", "b"), ("c", "d")))
+  }
+
   test("requantized index equals a from-scratch build at the new quantizer") {
     val e = Tables.embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).first().getInt(0)

@@ -21,9 +21,14 @@ package graft
   * drop final sorts non-uniformly), replay-harness queries run exactly
   * once (their time is the harness, not a plan). All per-pass times are
   * recorded in bench.json under "passes" so an inflated reading is
-  * self-diagnosing from the artifact alone — the STDOUT metric line stays
-  * compact, because round 9's passes-bearing ~4.7 KB line was truncated by
-  * the driver's tail capture and the round recorded parsed:null.
+  * self-diagnosing from the artifact alone — the STDOUT metric line is
+  * assembled under an explicit byte budget ([[LineCap]] + a hard
+  * require) because BOTH round 9 (passes on the line, ~4.7 KB) and
+  * round 10 (full-precision doubles, 2,458 chars) outgrew the driver's
+  * 2,000-char tail capture and recorded parsed:null. Values are 1 ms
+  * rounded; when the full entry list would still not fit, the
+  * [[SparkEntry.lowPriorityBench]] anchors overflow to bench.json and
+  * the line carries a "more":N count.
   */
 object Bench {
 
@@ -333,7 +338,9 @@ private[graft] object BenchCore {
   def measure(spark: SparkSession, sfDir: String, names: Seq[String],
               warmups: Int, passes: Int,
               warmReplays: Boolean = false): Seq[(String, Double, Seq[Double])] = {
-    val planNames = names.filterNot(SparkEntry.replayHarnessQueries)
+    val harness = (n: String) => SparkEntry.replayHarnessQueries(n) ||
+      SparkEntry.iterativeHarnessQueries(n)
+    val planNames = names.filterNot(harness)
     val warmNames = if (warmReplays) names else planNames
     (1 to warmups).foreach(_ => warmNames.foreach(n => once(spark, sfDir, n)))
     val byPass = (1 to passes).map { p =>

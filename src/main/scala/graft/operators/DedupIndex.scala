@@ -11,17 +11,28 @@ import org.apache.spark.sql.functions._
   * derived tables the LSH pipeline needs, so a delta run touches the old
   * corpus's raw text ZERO times:
   *
-  *   `<dir>/bands`     (doc_id, band, bucket)  — the banded signatures,
-  *                     written partitioned by `band`: the delta-vs-index
-  *                     join key leads with the partition column, and a
-  *                     narrower probe (e.g. re-checking one band) prunes
-  *                     to 1/bands of the store.
-  *   `<dir>/shingles`  (doc_id, harr)          — per-doc distinct hashed
-  *                     shingle arrays, read candidate-bounded (semi-join
-  *                     on candidate ids) for exact-Jaccard verification.
-  *   `<dir>/meta.properties`                   — the signature config; a
-  *                     delta computed under different parameters would
-  *                     silently produce garbage buckets, so reads verify.
+  *   `<dir>/bands/epoch=<e>/band=<b>/  (doc_id, band, bucket) — the
+  *                     banded signatures: the delta-vs-index join key
+  *                     leads with the partition column, and a narrower
+  *                     probe (e.g. re-checking one band) prunes to
+  *                     1/bands of the store.
+  *   `<dir>/shingles/epoch=<e>/        (doc_id, harr) — per-doc distinct
+  *                     hashed shingle arrays, read candidate-bounded
+  *                     (semi-join on candidate ids) for exact-Jaccard
+  *                     verification.
+  *   `<dir>/_manifest.properties`      — THE commit point (since r11,
+  *                     the store-wide manifest discipline): the signature
+  *                     config (a delta computed under different
+  *                     parameters would silently produce garbage buckets,
+  *                     so reads verify) plus the committed epoch list.
+  *
+  * Append is crash-safe: a batch's bands and shingles land in a NEW
+  * epoch directory, invisible until one atomic manifest rename commits
+  * both tables at once; recovery from a crash in between is re-running
+  * the append (staging deletes residue at the frozen next-epoch name).
+  * [[compact]] collapses the committed epochs into one — one file per
+  * band — so delta-probe cost stays O(1) files per pruned band
+  * regardless of how many daily appends the store has absorbed.
   *
   * Scale: the index holds fixed-width integer rows (bands·|corpus| band
   * rows, |corpus| shingle arrays) — a ~100-byte-per-doc footprint that
@@ -34,28 +45,42 @@ object DedupIndex {
   case class Config(n: Int = 5, numHashes: Int = 64, bands: Int = 16,
                     seed: Long = 42L)
 
-  private def metaPath(dir: String) =
-    java.nio.file.Paths.get(dir, "meta.properties")
+  private[graft] case class Manifest(cfg: Config, epochs: Seq[Long],
+                                     nextEpoch: Long)
 
-  private def writeMeta(dir: String, cfg: Config): Unit = {
+  private def manifestPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_manifest.properties")
+
+  private[graft] def commitManifest(dir: String, m: Manifest): Unit = {
     val p = new java.util.Properties()
-    p.setProperty("n", cfg.n.toString)
-    p.setProperty("numHashes", cfg.numHashes.toString)
-    p.setProperty("bands", cfg.bands.toString)
-    p.setProperty("seed", cfg.seed.toString)
-    val out = java.nio.file.Files.newOutputStream(metaPath(dir))
-    try p.store(out, "graft MinHash signature index") finally out.close()
+    p.setProperty("n", m.cfg.n.toString)
+    p.setProperty("numHashes", m.cfg.numHashes.toString)
+    p.setProperty("bands", m.cfg.bands.toString)
+    p.setProperty("seed", m.cfg.seed.toString)
+    p.setProperty("epochs", m.epochs.mkString(","))
+    p.setProperty("nextEpoch", m.nextEpoch.toString)
+    val tmp = java.nio.file.Paths.get(dir, "_manifest.properties.staged")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try p.store(out, "graft MinHash signature index manifest") finally out.close()
+    java.nio.file.Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[graft] def readManifest(dir: String): Manifest = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(manifestPath(dir))
+    try p.load(in) finally in.close()
+    Manifest(
+      Config(p.getProperty("n").toInt, p.getProperty("numHashes").toInt,
+        p.getProperty("bands").toInt, p.getProperty("seed").toLong),
+      p.getProperty("epochs").split(',').filter(_.nonEmpty).map(_.toLong).toSeq,
+      p.getProperty("nextEpoch").toLong)
   }
 
   /** The stored signature config — every delta derives its signatures
     * from THIS, never from caller-supplied parameters that might drift. */
-  def readMeta(dir: String): Config = {
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(metaPath(dir))
-    try p.load(in) finally in.close()
-    Config(p.getProperty("n").toInt, p.getProperty("numHashes").toInt,
-      p.getProperty("bands").toInt, p.getProperty("seed").toLong)
-  }
+  def readMeta(dir: String): Config = readManifest(dir).cfg
 
   /** Derived (bands, shingles) frames for one document set under `cfg`.
     * `arrs` comes back persisted (the banded signatures and the shingle
@@ -79,23 +104,69 @@ object DedupIndex {
     val (banded, arrs) = derive(docs, cfg)
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-      writeMeta(dir, cfg)
-      banded.write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
-      arrs.write.mode("overwrite").parquet(s"$dir/shingles")
+      banded.withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch", "band").parquet(s"$dir/bands")
+      arrs.withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/shingles")
+      commitManifest(dir, Manifest(cfg, epochs = Seq(0L), nextEpoch = 1L))
     } finally arrs.unpersist(blocking = false)
   }
 
   /** Append `docs` (already deduped against the index — the usual epilogue
     * of a [[dedupDelta]] run) to the index. Signatures are per-doc, so
-    * append(old, delta) ≡ write(old ∪ delta) row-for-row. Like [[write]],
-    * unpersists exactly its own derived stage. */
-  def append(docs: DataFrame, dir: String): Unit = {
-    val cfg = readMeta(dir)
-    val (banded, arrs) = derive(docs, cfg)
+    * append(old, delta) ≡ write(old ∪ delta) row-for-row. Crash-safe:
+    * both tables stage in a new epoch dir, then one manifest rename
+    * commits them together; recovery = re-run. Like [[write]], unpersists
+    * exactly its own derived stage. */
+  def append(docs: DataFrame, dir: String): Unit =
+    commitManifest(dir, stageAppend(docs, dir))
+
+  /** The staging half of [[append]] (exposed for the crash spec):
+    * everything lands, nothing is visible until the returned manifest is
+    * committed. */
+  private[graft] def stageAppend(docs: DataFrame, dir: String): Manifest = {
+    val m = readManifest(dir)
+    val e = m.nextEpoch
+    // heal residue of a crashed earlier append at the frozen epoch name
+    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/bands/epoch=$e"))
+    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/shingles/epoch=$e"))
+    val (banded, arrs) = derive(docs, m.cfg)
     try {
-      banded.write.mode("append").partitionBy("band").parquet(s"$dir/bands")
-      arrs.write.mode("append").parquet(s"$dir/shingles")
+      banded.withColumn("epoch", lit(e))
+        .write.mode("append").partitionBy("epoch", "band").parquet(s"$dir/bands")
+      arrs.withColumn("epoch", lit(e))
+        .write.mode("append").partitionBy("epoch").parquet(s"$dir/shingles")
     } finally arrs.unpersist(blocking = false)
+    m.copy(epochs = m.epochs :+ e, nextEpoch = e + 1)
+  }
+
+  /** Collapse the committed epochs into one — one file per band, shingles
+    * coalesced — then commit and delete the retired epoch dirs. Content
+    * is unchanged (the `dedup_index_compact` gate re-passes the delta
+    * oracle over a compacted store); what changes is that a delta probe
+    * opens O(1) files per pruned band instead of O(appends). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = readManifest(dir)
+    val e = m.nextEpoch
+    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/bands/epoch=$e"))
+    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/shingles/epoch=$e"))
+    val committed = m.epochs.map(java.lang.Long.valueOf)
+    spark.read.parquet(s"$dir/bands")
+      .filter(col("epoch").isin(committed: _*))
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .repartition(m.cfg.bands, col("band")) // one writer per band → one file
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch", "band").parquet(s"$dir/bands")
+    spark.read.parquet(s"$dir/shingles")
+      .filter(col("epoch").isin(committed: _*))
+      .select(col("doc_id"), col("harr"))
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/shingles")
+    commitManifest(dir, m.copy(epochs = Seq(e), nextEpoch = e + 1))
+    for (old <- m.epochs) {
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/bands/epoch=$old"))
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/shingles/epoch=$old"))
+    }
   }
 
   /** Near-dup pairs of `newDocs` against the index AND within `newDocs`
@@ -110,14 +181,16 @@ object DedupIndex {
     * ([[Dedup.releasePinned]]). */
   def dedupDelta(spark: SparkSession, dir: String, newDocs: DataFrame,
                  threshold: Double = 0.5): DataFrame = {
-    val cfg = readMeta(dir)
-    val (deltaBands0, deltaArrs0) = derive(newDocs, cfg)
+    val manifest = readManifest(dir)
+    val committed = manifest.epochs.map(java.lang.Long.valueOf)
+    val (deltaBands0, deltaArrs0) = derive(newDocs, manifest.cfg)
     // derive() persisted deltaArrs without registering it; register here so
     // the caller's releasePinned() frees it with the other stages
     val deltaArrs = Pinned.track(deltaArrs0)
     val deltaBands = Dedup.pinned(deltaBands0)
 
     val indexBands = spark.read.parquet(s"$dir/bands")
+      .filter(col("epoch").isin(committed: _*))
     // delta ↔ index candidates: equi-join on the band bucket; id1 < id2
     // normalizes pair identity (delta ids interleave with indexed ids)
     val cross = deltaBands.select(col("band"), col("bucket"), col("doc_id").as("did"))
@@ -140,6 +213,8 @@ object DedupIndex {
     val candIds = cands.select(col("id1").as("doc_id"))
       .union(cands.select(col("id2").as("doc_id"))).distinct()
     val indexArrs = spark.read.parquet(s"$dir/shingles")
+      .filter(col("epoch").isin(committed: _*))
+      .select(col("doc_id"), col("harr"))
       .join(candIds, Seq("doc_id"), "left_semi")
     val allArrs = Dedup.pinned(deltaArrs.unionByName(indexArrs))
     val sh = allArrs.select(col("doc_id"), explode(col("harr")).as("h"))
@@ -201,4 +276,31 @@ object DedupIndex {
   def deltaOracle(threshold: Double = 0.5): String =
     Dedup.minhashLshOracle(threshold = threshold,
       pairFilter = Some(s"i.id1 % $DeltaMod = 0 OR i.id2 % $DeltaMod = 0"))
+
+  /** One HALF-backlog index per (JVM, source dir): the even-id half of
+    * the backlog, so the compact gate has a real append to absorb. */
+  private val halfIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `dedup_index_compact`: the signature store's full
+    * lifecycle — build (half the backlog) + append (the other half) +
+    * [[compact]] (collapse the two epochs to one file per band) + the
+    * delta probe — under the SAME [[deltaOracle]] as `dedup_delta_lsh`:
+    * after append+compact the store must be indistinguishable from a
+    * from-scratch backlog index. The store copy is gate scaffolding
+    * ([[ClusterStore.copyStore]]); a production compact mutates in
+    * place. */
+  def compactDeltaFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val backlog = docs.filter(col("doc_id") % DeltaMod =!= 0)
+    val base = halfIdx.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_dedup_half")
+      deleteRecursivelyOnExit(p)
+      write(backlog.filter(col("doc_id") % 2 === 0), p.toString)
+      p.toString
+    })
+    val idx = ClusterStore.copyStore(base, "graft_dedup_compact")
+    append(backlog.filter(col("doc_id") % 2 =!= 0), idx)
+    compact(spark, idx)
+    dedupDelta(spark, idx, docs.filter(col("doc_id") % DeltaMod === 0))
+  }
 }

@@ -41,7 +41,9 @@ object ScaleBench {
       "corpus_split_append", "ivf_probe_indexed", "ivf_index_append",
       "bm25_topk", "dup_ngram_coverage", "label_knn_agreement_ivf",
       "bigram_logprob", "corpus_curate_e2e", "bm25_indexed",
-      "bm25_index_append", "dup_span_removal")
+      "bm25_index_append", "dup_span_removal",
+      "bm25_index_compact", "ivf_index_compact", "ivf_requantize",
+      "text_bpe_vocab")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -49,7 +51,8 @@ object ScaleBench {
     * number. */
   private val storeCopyQueries =
     Set("cluster_append", "corpus_split_append", "ivf_index_append",
-      "bm25_index_append")
+      "bm25_index_append", "bm25_index_compact", "ivf_index_compact",
+      "ivf_requantize")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

@@ -94,6 +94,41 @@ class Round11Spec extends SparkSpec {
     assert(m.n === mBefore.n && m.mass === mBefore.mass)
   }
 
+  // ------------------------------------------------- dedup signature index
+
+  test("dedup index: crash-safe append + epoch compaction, delta probe unchanged") {
+    val docs = Tables.documents(spark, sf)
+    val backlog = docs.filter(col("doc_id") % DedupIndex.DeltaMod =!= 0)
+    val delta = docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0)
+    val idx = tmpDir("dedup_lifecycle")
+    DedupIndex.write(backlog.filter(col("doc_id") % 2 === 0), idx)
+    val before = rows(DedupIndex.dedupDelta(spark, idx, delta))
+    graft.operators.Dedup.releasePinned(spark)
+
+    // crash injection: stage the second half, die before commit
+    DedupIndex.stageAppend(backlog.filter(col("doc_id") % 2 =!= 0), idx)
+    assert(rows(DedupIndex.dedupDelta(spark, idx, delta)) === before,
+      "uncommitted epoch must be invisible to delta probes")
+    graft.operators.Dedup.releasePinned(spark)
+
+    // recovery = re-run; then compact; probe equals a from-scratch backlog index
+    DedupIndex.append(backlog.filter(col("doc_id") % 2 =!= 0), idx)
+    val filesBefore = parquetFiles(s"$idx/bands").size
+    DedupIndex.compact(spark, idx)
+    val m = DedupIndex.readManifest(idx)
+    assert(m.epochs.size === 1)
+    val filesAfter = parquetFiles(s"$idx/bands").size
+    assert(filesAfter <= m.cfg.bands && filesAfter < filesBefore,
+      s"one file per band after compaction ($filesBefore -> $filesAfter)")
+    val scratch = tmpDir("dedup_lifecycle_scratch")
+    DedupIndex.write(backlog, scratch)
+    val expected = rows(DedupIndex.dedupDelta(spark, scratch, delta))
+    graft.operators.Dedup.releasePinned(spark)
+    assert(rows(DedupIndex.dedupDelta(spark, idx, delta)) === expected,
+      "append+compact must equal a from-scratch backlog index")
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   // -------------------------------------------------------------- IVF
 
   test("ivf compaction: one file per cell after appends; probe content unchanged") {

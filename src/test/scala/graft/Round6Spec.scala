@@ -103,8 +103,11 @@ class Round6Spec extends SparkSpec {
     DedupIndex.write(old, a)
     DedupIndex.append(delta, a)
     DedupIndex.write(docs, b)
-    val ba = spark.read.parquet(s"$a/bands")
-    val bb = spark.read.parquet(s"$b/bands")
+    // epoch is physical layout (which append batch landed the row), not
+    // content — write(old)+append(delta) has epochs {0,1} vs the union
+    // build's {0}; logical equality is everything else
+    val ba = spark.read.parquet(s"$a/bands").drop("epoch")
+    val bb = spark.read.parquet(s"$b/bands").drop("epoch")
     assert(ba.count() === bb.count())
     assert(ba.exceptAll(bb).count() === 0)
     assert(DedupIndex.readMeta(a) === DedupIndex.readMeta(b))

@@ -107,6 +107,9 @@ object SparkEntry {
     // frequency dict — vocab-sized pair-count shuffles, 1-row argmax per
     // iteration, two-level-separator replace == greedy merge (BpeTrain)
     "text_bpe_vocab" -> tuned(BpeTrain.fromDir),
+    // the trained tokenizer APPLIED: every dict word's segmentation under
+    // the learned merge table (the training state IS the application)
+    "text_bpe_segments" -> tuned(BpeTrain.segmentsFromDir),
     // redaction over deterministically-planted PII (the raw corpus has
     // none — a pass-through redactor must FAIL this hash, see redactFromDir)
     "text_redact" -> tuned(TextAnalysis.redactFromDir),
@@ -264,6 +267,7 @@ object SparkEntry {
     "text_bpe_tokens" -> TextAnalysis.bpeTokenStatsOracle,
     "text_bpe_merged" -> TextAnalysis.bpeMergedOracle,
     "text_bpe_vocab" -> BpeTrain.oracle(),
+    "text_bpe_segments" -> BpeTrain.segmentsOracle(),
     "text_redact" -> TextAnalysis.redactOracle,
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
     "dedup_delta_lsh" -> DedupIndex.deltaOracle(),
@@ -314,7 +318,8 @@ object SparkEntry {
     * per suite (warmed only in fork mode, where the JVM is cold) —
     * repeating a deterministic loop buys minutes of wall for zero
     * regression signal. */
-  val iterativeHarnessQueries: Set[String] = Set("text_bpe_vocab")
+  val iterativeHarnessQueries: Set[String] =
+    Set("text_bpe_vocab", "text_bpe_segments")
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -343,7 +348,8 @@ object SparkEntry {
     "corpus_clean",          // composed inside corpus_curate_e2e (same rule fragments)
     "dedup_embedding_cosine", // brute embedding near-dup; scale path is the IVF family
     "unigram_logprob",       // superseded by bigram_logprob (same discipline, order up)
-    "text_bpe_tokens")       // BPE-ish proxy; text_bpe_merged/vocab are the real path
+    "text_bpe_tokens",       // BPE-ish proxy; text_bpe_merged/vocab are the real path
+    "text_bpe_segments")     // same training loop as text_bpe_vocab (cost twin)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

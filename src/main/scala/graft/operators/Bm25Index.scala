@@ -222,6 +222,17 @@ object Bm25Index {
     }
   }
 
+  /** The automated maintenance decision, mirroring
+    * [[Similarity.maybeRequantize]]: compact when the committed epoch
+    * count reaches `maxEpochs` — the point where probe file-open cost
+    * (O(epochs) per pruned bucket) has grown enough to repay one
+    * postings rewrite. Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String, maxEpochs: Int = 8): Boolean = {
+    val due = readManifest(dir).epochs.size >= maxEpochs
+    if (due) compact(spark, dir)
+    due
+  }
+
   // ------------------------------------------------------------ probe
 
   /** Top-k docs for `queryTerms` from the persisted index: postings read

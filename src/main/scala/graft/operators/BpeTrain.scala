@@ -95,7 +95,15 @@ object BpeTrain {
   /** The training loop. Returns the learned merge table
     * (rank, lft, rgt, merged, cnt) — the model. */
   def train(docs: DataFrame, numMerges: Int = NumMerges,
-            dictCap: Int = DictCap): Seq[(Int, String, String, String, Long)] = {
+            dictCap: Int = DictCap): Seq[(Int, String, String, String, Long)] =
+    runTraining(docs, numMerges, dictCap)._1
+
+  /** The loop, also returning the FINAL state — every dict word's
+    * segmentation under the learned table (what [[segmentsFromDir]]
+    * gates). The state frame reads the last generation parquet (alive
+    * for the JVM; removed on exit). */
+  private def runTraining(docs: DataFrame, numMerges: Int, dictCap: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val spark = docs.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_train")
     ClusterStore.deleteRecursivelyOnExit(tmp)
@@ -118,8 +126,31 @@ object BpeTrain {
         rank += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, spark.read.parquet(s"$tmp/state_${rank - 1}"))
   }
+
+  /** Gated query `text_bpe_segments`: the trained tokenizer APPLIED —
+    * each dict word's token count under the learned merge table. Free on
+    * both engines because the training state IS the application: the
+    * final generation's seq is exactly the word segmented by the learned
+    * merges (strip separators to recover the word, count tokens to price
+    * it). Closes the loop train → apply that a tokenizer ships as. */
+  def segmentsFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val (_, state) = runTraining(Tables.documents(spark, dir), NumMerges, DictCap)
+    state.select(
+      replace(col("seq"), lit(" "), lit("")).as("word"),
+      size(split(col("seq"), "  ")).cast("long").as("n_tokens"),
+      col("freq"))
+      .orderBy(col("word"))
+  }
+
+  /** DuckDB twin of [[segmentsFromDir]]: the same unrolled training
+    * chain, selecting the final state instead of the merge list. */
+  def segmentsOracle(numMerges: Int = NumMerges, dictCap: Int = DictCap): String =
+    trainingCtes(numMerges, dictCap) +
+      s"""SELECT replace(seq, ' ', '') AS word,
+         |       len(string_split(seq, '  ')) AS n_tokens, freq
+         |FROM s$numMerges ORDER BY word""".stripMargin
 
   /** Gated query `text_bpe_vocab`. */
   def fromDir(spark: SparkSession, dir: String): DataFrame = {
@@ -135,6 +166,14 @@ object BpeTrain {
     * against an independent reference BPE implementation during
     * development (identical merge tables at sf0.001 and sf0.01). */
   def oracle(numMerges: Int = NumMerges, dictCap: Int = DictCap): String = {
+    val sel = (0 until numMerges).map(i =>
+      s"SELECT ${i + 1} AS rank, lft, rgt, lft || rgt AS merged, cnt FROM b$i")
+    trainingCtes(numMerges, dictCap) +
+      sel.mkString(" UNION ALL ") + " ORDER BY rank"
+  }
+
+  /** The shared unrolled WITH chain (ends ready for a final SELECT). */
+  private def trainingCtes(numMerges: Int, dictCap: Int): String = {
     val head =
       s"""words AS (
          |  SELECT w AS word, COUNT(*) AS freq FROM (
@@ -160,9 +199,6 @@ object BpeTrain {
          |    freq
          |  FROM s$i)""".stripMargin
     }
-    val sel = (0 until numMerges).map(i =>
-      s"SELECT ${i + 1} AS rank, lft, rgt, lft || rgt AS merged, cnt FROM b$i")
-    (head +: iters).mkString("WITH ", ",\n", "\n") +
-      sel.mkString(" UNION ALL ") + " ORDER BY rank"
+    (head +: iters).mkString("WITH ", ",\n", "\n")
   }
 }

@@ -169,6 +169,15 @@ object DedupIndex {
     }
   }
 
+  /** The automated maintenance decision, mirroring
+    * [[Similarity.maybeRequantize]]: compact when the committed epoch
+    * count reaches `maxEpochs`. Returns whether a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String, maxEpochs: Int = 8): Boolean = {
+    val due = readManifest(dir).epochs.size >= maxEpochs
+    if (due) compact(spark, dir)
+    due
+  }
+
   /** Near-dup pairs of `newDocs` against the index AND within `newDocs`
     * itself — exactly the pairs a full-corpus [[Dedup.minhashLsh]] over
     * (indexed ∪ new) emits that involve at least one new doc. Old↔old

@@ -233,6 +233,32 @@ class Round11Spec extends SparkSpec {
     assert(merges.map(m => (m._2, m._3)) === Seq(("a", "b"), ("c", "d")))
   }
 
+  test("BPE segments: the final state is each word tokenized by the learned table") {
+    import spark.implicits._
+    // the default 30-round budget exhausts this corpus: training runs
+    // merges until no pair remains ((a,b), (ab,c), (ab,d)), so BOTH words
+    // end fully merged — and the word must reconstruct exactly from the
+    // separator-stripped state
+    val docs = Seq((1L, "abc abc abd")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bpe_seg_spec")
+    docs.write.mode("overwrite").parquet(tmp.resolve("documents.parquet").toString)
+    val got = graft.operators.BpeTrain.segmentsFromDir(spark, tmp.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("abc", 1L, 2L), ("abd", 1L, 1L)))
+  }
+
+  test("maybeCompact: fires at the epoch threshold, not before, and collapses") {
+    val docs = Tables.documents(spark, sf)
+    val idx = tmpDir("bm25_maybe")
+    Bm25Index.write(docs.filter(col("doc_id") % 4 === 0), idx, numBuckets = 8)
+    Bm25Index.append(docs.filter(col("doc_id") % 4 === 1), idx)
+    assert(!Bm25Index.maybeCompact(spark, idx, maxEpochs = 3),
+      "2 committed epochs < 3: no compaction")
+    Bm25Index.append(docs.filter(col("doc_id") % 4 === 2), idx)
+    assert(Bm25Index.maybeCompact(spark, idx, maxEpochs = 3))
+    assert(Bm25Index.readManifest(idx).epochs.size === 1)
+  }
+
   test("requantized index equals a from-scratch build at the new quantizer") {
     val e = Tables.embeddings(spark, sf)
     val dim = e.select(size(col("embedding"))).first().getInt(0)

@@ -15,25 +15,40 @@ import org.apache.spark.sql.functions._
   * MinHash signatures, extended here to the verified pairs and their
   * connected components:
   *
-  *   `<dir>/pairs`     (id1, id2, n_common, jaccard) — the threshold-
-  *                     verified near-dup pair graph.
-  *   `<dir>/clusters`  (doc_id, cluster_id)          — connected
+  *   `<dir>/pairs/epoch=<e>/    (id1, id2, n_common, jaccard) — the
+  *                     threshold-verified near-dup pair graph.
+  *   `<dir>/clusters_v<g>/      (doc_id, cluster_id) — connected
   *                     components of that graph (cluster_id = min member
   *                     doc_id), clustered docs only: sparse by
-  *                     construction.
-  *   `<dir>/cards`     (doc_id, n_shingles)          — per-doc shingle
+  *                     construction; generation-versioned (labels can
+  *                     change wholesale when components merge).
+  *   `<dir>/cards/epoch=<e>/    (doc_id, n_shingles) — per-doc shingle
   *                     cardinalities, derived from the SAME pinned shingle
   *                     stage the pair join reads (no extra corpus scan at
   *                     build). [[append]] reads old cardinalities from
   *                     here, which is what keeps the delta path at ONE
   *                     scan of the old corpus.
-  *   `<dir>/meta.properties`                         — shingle width,
-  *                     threshold, and a corpus stamp (doc count + max
-  *                     doc_id); a consumer mixing artifacts computed
-  *                     under different parameters — or an [[append]] fed
-  *                     an oldDocs frame that drifted from the corpus the
-  *                     store was built over — would silently produce
-  *                     garbage, so reads and appends verify.
+  *   `<dir>/_manifest.properties` — THE commit point (since r11, the
+  *                     store-wide manifest discipline): shingle width,
+  *                     threshold, the corpus stamp (doc count + max
+  *                     doc_id), the committed epoch list, and the live
+  *                     clusters generation. A consumer mixing artifacts
+  *                     computed under different parameters — or an
+  *                     [[append]] fed an oldDocs frame that drifted from
+  *                     the corpus the store was built over — would
+  *                     silently produce garbage, so reads and appends
+  *                     verify against it.
+  *
+  * [[append]] is crash-safe: the delta's pairs and cards land in a NEW
+  * epoch, the re-labeled cluster map lands in the NEXT generation dir,
+  * and one atomic manifest rename publishes all three tables plus the
+  * advanced corpus stamp at once (this replaces the round-10
+  * clusters_new/clusters_old rename dance, whose swap was crash-safe but
+  * whose pairs/cards/stamp were not). A reader resolves the manifest
+  * first and sees the pre-append store until the instant of commit;
+  * recovery from a crash anywhere in staging is re-running the append —
+  * staging deletes residue at the manifest's frozen next-epoch/next-gen
+  * names, so the re-run cannot double-append.
   *
   * Scale: both tables are pair-graph-bounded (the near-dup minority),
   * typically orders of magnitude smaller than the corpus — a consumer
@@ -71,39 +86,53 @@ object ClusterStore {
     * from-scratch this way), `full` (always re-label the whole graph). */
   val RelabelConf = "spark.graft.clusterstore.relabel"
 
-  private def metaPath(dir: String) =
-    java.nio.file.Paths.get(dir, "meta.properties")
+  /** The store's commit point: config + corpus stamp + committed epochs
+    * + the live clusters generation, published only by one atomic rename
+    * of `_manifest.properties`. */
+  private[graft] case class Manifest(cfg: Config, nDocs: Long, maxDocId: Long,
+                                     epochs: Seq[Long], nextEpoch: Long,
+                                     clustersGen: Long)
 
-  private def writeMeta(dir: String, cfg: Config,
-                        nDocs: Long, maxDocId: Long): Unit = {
+  private def manifestPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_manifest.properties")
+
+  private[graft] def commitManifest(dir: String, m: Manifest): Unit = {
     val p = new java.util.Properties()
-    p.setProperty("n", cfg.n.toString)
-    p.setProperty("threshold", cfg.threshold.toString)
-    p.setProperty("n_docs", nDocs.toString)
-    p.setProperty("max_doc_id", maxDocId.toString)
-    val out = java.nio.file.Files.newOutputStream(metaPath(dir))
-    try p.store(out, "graft near-dup cluster store") finally out.close()
+    p.setProperty("n", m.cfg.n.toString)
+    p.setProperty("threshold", m.cfg.threshold.toString)
+    p.setProperty("n_docs", m.nDocs.toString)
+    p.setProperty("max_doc_id", m.maxDocId.toString)
+    p.setProperty("epochs", m.epochs.mkString(","))
+    p.setProperty("nextEpoch", m.nextEpoch.toString)
+    p.setProperty("clustersGen", m.clustersGen.toString)
+    val tmp = java.nio.file.Paths.get(dir, "_manifest.properties.staged")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try p.store(out, "graft near-dup cluster store manifest") finally out.close()
+    java.nio.file.Files.move(tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def readProps(dir: String): java.util.Properties = {
+  private[graft] def readManifest(dir: String): Manifest = {
     val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(metaPath(dir))
+    val in = java.nio.file.Files.newInputStream(manifestPath(dir))
     try p.load(in) finally in.close()
-    p
+    Manifest(
+      Config(p.getProperty("n").toInt, p.getProperty("threshold").toDouble),
+      p.getProperty("n_docs").toLong, p.getProperty("max_doc_id").toLong,
+      p.getProperty("epochs").split(',').filter(_.nonEmpty).map(_.toLong).toSeq,
+      p.getProperty("nextEpoch").toLong, p.getProperty("clustersGen").toLong)
   }
 
   /** The stored pair-graph config — consumers derive behavior from THIS,
     * never from caller-supplied parameters that might drift. */
-  def readMeta(dir: String): Config = {
-    val p = readProps(dir)
-    Config(p.getProperty("n").toInt, p.getProperty("threshold").toDouble)
-  }
+  def readMeta(dir: String): Config = readManifest(dir).cfg
 
   /** The corpus stamp recorded at build (and advanced by [[append]]):
     * (doc count, max doc_id) of the store's corpus. */
   def readCorpusStamp(dir: String): (Long, Long) = {
-    val p = readProps(dir)
-    (p.getProperty("n_docs").toLong, p.getProperty("max_doc_id").toLong)
+    val m = readManifest(dir)
+    (m.nDocs, m.maxDocId)
   }
 
   /** (count, max doc_id) of `docs` — the corpus fingerprint compared
@@ -133,33 +162,44 @@ object ClusterStore {
     try {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       val (nDocs, maxId) = corpusStamp(docs)
-      writeMeta(dir, cfg, nDocs, maxId)
       // cards FIRST: the write materializes the pinned shingle stage, so
       // the pair pipeline below reads the cached arrays instead of
       // re-scanning the corpus
       arrs.select(col("doc_id"), size(col("sharr")).cast("long").as("n_shingles"))
-        .write.mode("overwrite").parquet(s"$dir/cards")
+        .withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/cards")
       // materialize pairs via the write; CC below then reads the persisted
       // blocks (its edge-list count() frees the corpus-scale shingle pins)
-      pairs.write.mode("overwrite").parquet(s"$dir/pairs")
+      pairs.withColumn("epoch", lit(0L))
+        .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/pairs")
       NearDupClusters.connectedComponents(pairs, Some(m))
-        .write.mode("overwrite").parquet(s"$dir/clusters")
+        .write.mode("overwrite").parquet(s"$dir/clusters_v0")
+      commitManifest(dir, Manifest(cfg, nDocs, maxId,
+        epochs = Seq(0L), nextEpoch = 1L, clustersGen = 0L))
     } finally {
       pairs.unpersist(blocking = false)
       Pinned.releaseSince(spark, m, Seq.empty)
     }
   }
 
-  def readPairs(spark: SparkSession, dir: String): DataFrame =
+  def readPairs(spark: SparkSession, dir: String): DataFrame = {
+    val committed = readManifest(dir).epochs.map(java.lang.Long.valueOf)
     spark.read.parquet(s"$dir/pairs")
+      .filter(col("epoch").isin(committed: _*))
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+  }
 
   def readClusters(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/clusters")
+    spark.read.parquet(s"$dir/clusters_v${readManifest(dir).clustersGen}")
 
   /** Per-doc shingle cardinalities of the store's corpus (docs with ≥1
     * shingle — the same domain the pair graph is defined over). */
-  def readCards(spark: SparkSession, dir: String): DataFrame =
+  def readCards(spark: SparkSession, dir: String): DataFrame = {
+    val committed = readManifest(dir).epochs.map(java.lang.Long.valueOf)
     spark.read.parquet(s"$dir/cards")
+      .filter(col("epoch").isin(committed: _*))
+      .select(col("doc_id"), col("n_shingles"))
+  }
 
   /** One built store per (JVM, source dir): the point of the artifact is
     * that the pair graph is paid ONCE and every consumer reads it, so the
@@ -258,13 +298,34 @@ object ClusterStore {
     * against the full-corpus oracle. */
   def append(spark: SparkSession, dir: String,
              oldDocs: DataFrame, newDocs: DataFrame): Unit = {
-    val cfg = readMeta(dir)
-    val (nStored, maxStored) = readCorpusStamp(dir)
+    val (staged, cleanup) = stageAppend(spark, dir, oldDocs, newDocs)
+    commitManifest(dir, staged)
+    cleanup()
+  }
+
+  /** The staging half of [[append]] (exposed for the crash spec): the
+    * delta's pairs/cards epoch, the next cluster generation, and the
+    * advanced stamp all land invisibly; nothing is published until the
+    * returned manifest commits. The cleanup (retired clusters
+    * generation) runs AFTER the commit. */
+  private[graft] def stageAppend(spark: SparkSession, dir: String,
+                                 oldDocs: DataFrame,
+                                 newDocs: DataFrame): (Manifest, () => Unit) = {
+    val manifest = readManifest(dir)
+    val cfg = manifest.cfg
+    val (nStored, maxStored) = (manifest.nDocs, manifest.maxDocId)
     val (nOld, maxOld) = corpusStamp(oldDocs)
     require(nOld == nStored && maxOld == maxStored,
       s"oldDocs (count=$nOld, max doc_id=$maxOld) does not match the corpus " +
         s"this store was built over (count=$nStored, max doc_id=$maxStored) — " +
         "appending against a drifted backlog would persist an incomplete pair graph")
+    val e = manifest.nextEpoch
+    val g = manifest.clustersGen + 1
+    // heal residue of a crashed earlier append at the frozen names — the
+    // manifest never advanced, so a re-run cannot double-append
+    deleteRecursively(java.nio.file.Paths.get(s"$dir/pairs/epoch=$e"))
+    deleteRecursively(java.nio.file.Paths.get(s"$dir/cards/epoch=$e"))
+    deleteRecursively(java.nio.file.Paths.get(s"$dir/clusters_v$g"))
     val m = Pinned.marker(spark)
     val newArrs = Pinned.pin(Dedup.shingleArrays(newDocs, cfg.n))
     val newCards = newArrs
@@ -308,10 +369,16 @@ object ClusterStore {
       t0 = t1
     }
     try {
-      deltaP.write.mode("append").parquet(s"$dir/pairs")
+      deltaP.withColumn("epoch", lit(e))
+        .write.mode("append").partitionBy("epoch").parquet(s"$dir/pairs")
       lap("delta-pairs discover+write")
-      newCards.write.mode("append").parquet(s"$dir/cards")
+      newCards.withColumn("epoch", lit(e))
+        .write.mode("append").partitionBy("epoch").parquet(s"$dir/cards")
       lap("delta-cards write")
+      // the merged pair list: COMMITTED epochs from disk + the staged
+      // delta from its in-memory persist (the staged epoch is invisible
+      // to readPairs until commit, by design)
+      val allPairs = readPairs(spark, dir).unionByName(deltaP)
       // INCREMENTAL re-label: merging can only happen through a delta
       // pair, so a component none of whose members touches one is
       // unchanged — its stored (doc_id, cluster_id) rows carry over
@@ -350,8 +417,8 @@ object ClusterStore {
       }
       if (!incremental) {
         // full re-label over the merged pair list (pair-graph-bounded)
-        NearDupClusters.connectedComponents(readPairs(spark, dir), Some(m))
-          .write.mode("overwrite").parquet(s"$dir/clusters_new")
+        NearDupClusters.connectedComponents(allPairs, Some(m))
+          .write.mode("overwrite").parquet(s"$dir/clusters_v$g")
         lap("full CC re-label")
       } else {
         val seeds = deltaP.select(col("id1").as("doc_id"))
@@ -364,35 +431,64 @@ object ClusterStore {
         // exactly the affected components' edges; delta pairs always have
         // id1 in seeds
         val touched = affectedDocs.unionAll(seeds).distinct()
-        val sub = readPairs(spark, dir)
+        val sub = allPairs
           .join(touched.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_semi")
         val relabeled = NearDupClusters.connectedComponents(sub, Some(m))
         val untouched = oldClusters.join(affected, Seq("cluster_id"), "left_anti")
           .select(col("doc_id"), col("cluster_id"))
         untouched.unionByName(relabeled)
-          .write.mode("overwrite").parquet(s"$dir/clusters_new")
+          .write.mode("overwrite").parquet(s"$dir/clusters_v$g")
         lap("incremental CC re-label (touched subgraph)")
       }
-      // both paths read the OLD clusters directory (the incremental one
-      // structurally, the full one only for the churn counts), so the new
-      // map lands in a sibling dir and swaps in once fully written. Swap
-      // order keeps a complete map on disk at every instant: retire the
-      // live dir by RENAME (not delete), promote the new one, then drop
-      // the retired copy — a crash mid-swap leaves clusters_old and/or
-      // clusters_new to roll forward from, never a half-deleted live dir.
-      val live = java.nio.file.Paths.get(s"$dir/clusters")
-      val retired = java.nio.file.Paths.get(s"$dir/clusters_old")
-      deleteRecursively(retired) // residue from a crashed earlier swap
-      java.nio.file.Files.move(live, retired)
-      java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/clusters_new"), live)
-      deleteRecursively(retired)
+      // nothing is live yet: the staged epoch, the next cluster
+      // generation, and the advanced stamp all publish together in the
+      // caller's ONE manifest rename (the pre-r11 clusters_new/old rename
+      // dance protected only the cluster map; the manifest protects all
+      // three tables plus the stamp)
       val (nNew, maxNew) = corpusStamp(newDocs)
-      writeMeta(dir, cfg, nStored + nNew, math.max(maxStored, maxNew))
-      lap("swap + stamp advance")
+      lap("stamp advance staged")
+      val retiredGen = manifest.clustersGen
+      (manifest.copy(nDocs = nStored + nNew,
+        maxDocId = math.max(maxStored, maxNew),
+        epochs = manifest.epochs :+ e, nextEpoch = e + 1, clustersGen = g),
+        () => deleteRecursively(
+          java.nio.file.Paths.get(s"$dir/clusters_v$retiredGen")))
     } finally {
       deltaP.unpersist(blocking = false)
       Pinned.releaseSince(spark, m, Seq.empty)
     }
+  }
+
+  /** Collapse the committed pairs/cards epochs into one (coalesced
+    * files), publish through the manifest, delete the retired epoch dirs.
+    * Unlike the bucketed stores there is no pruning key to preserve —
+    * the win is file-count: consumers scan pairs/cards wholesale, and N
+    * daily appends otherwise leave N file sets to list and open. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val m = readManifest(dir)
+    val e = m.nextEpoch
+    deleteRecursively(java.nio.file.Paths.get(s"$dir/pairs/epoch=$e"))
+    deleteRecursively(java.nio.file.Paths.get(s"$dir/cards/epoch=$e"))
+    readPairs(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism / 4 max 1)
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/pairs")
+    readCards(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism / 4 max 1)
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/cards")
+    commitManifest(dir, m.copy(epochs = Seq(e), nextEpoch = e + 1))
+    for (old <- m.epochs) {
+      deleteRecursively(java.nio.file.Paths.get(s"$dir/pairs/epoch=$old"))
+      deleteRecursively(java.nio.file.Paths.get(s"$dir/cards/epoch=$old"))
+    }
+  }
+
+  /** The automated maintenance decision, mirroring the other stores'. */
+  def maybeCompact(spark: SparkSession, dir: String, maxEpochs: Int = 8): Boolean = {
+    val due = readManifest(dir).epochs.size >= maxEpochs
+    if (due) compact(spark, dir)
+    due
   }
 
   private[operators] def deleteRecursively(root: java.nio.file.Path): Unit =

@@ -129,6 +129,52 @@ class Round11Spec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  // ------------------------------------------------------ cluster store
+
+  test("cluster-store append is crash-safe: staging invisible, re-run recovers, stamp atomic") {
+    import graft.operators.ClusterStore
+    val docs = Tables.documents(spark, sf)
+    val backlog = docs.filter(col("doc_id") % DedupIndex.DeltaMod =!= 0)
+    val delta = docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0)
+    val store = tmpDir("cstore_crash")
+    ClusterStore.write(backlog, store)
+    val stampBefore = ClusterStore.readCorpusStamp(store)
+    val clustersBefore = rows(ClusterStore.readClusters(spark, store).orderBy("doc_id"))
+    val pairsBefore = ClusterStore.readPairs(spark, store).count()
+
+    // CRASH INJECTION: stage fully (pairs/cards epoch landed, next cluster
+    // generation written, stamp computed) but die before the manifest commit
+    ClusterStore.stageAppend(spark, store, backlog, delta)
+    graft.operators.Dedup.releasePinned(spark)
+    assert(ClusterStore.readCorpusStamp(store) === stampBefore,
+      "the stamp must not advance before commit")
+    assert(ClusterStore.readPairs(spark, store).count() === pairsBefore,
+      "staged pairs must be invisible")
+    assert(rows(ClusterStore.readClusters(spark, store).orderBy("doc_id"))
+      === clustersBefore, "staged cluster generation must be invisible")
+
+    // RECOVERY: re-run the same append (staging heals the residue), then
+    // the store must equal a from-scratch build over the union
+    ClusterStore.append(spark, store, backlog, delta)
+    graft.operators.Dedup.releasePinned(spark)
+    val scratch = tmpDir("cstore_crash_scratch")
+    ClusterStore.write(docs, scratch)
+    graft.operators.Dedup.releasePinned(spark)
+    assert(rows(ClusterStore.readClusters(spark, store).orderBy("doc_id")) ===
+      rows(ClusterStore.readClusters(spark, scratch).orderBy("doc_id")))
+    assert(ClusterStore.readCorpusStamp(store) ===
+      ClusterStore.readCorpusStamp(scratch))
+    // and maintenance: compaction collapses the two epochs, content intact
+    val filesBefore = parquetFiles(s"$store/pairs").size
+    assert(!ClusterStore.maybeCompact(spark, store, maxEpochs = 3))
+    ClusterStore.compact(spark, store)
+    assert(parquetFiles(s"$store/pairs").size <= filesBefore)
+    assert(rows(ClusterStore.readClusters(spark, store).orderBy("doc_id")) ===
+      rows(ClusterStore.readClusters(spark, scratch).orderBy("doc_id")))
+    assert(ClusterStore.readPairs(spark, store).count() ===
+      ClusterStore.readPairs(spark, scratch).count())
+  }
+
   // -------------------------------------------------------------- IVF
 
   test("ivf compaction: one file per cell after appends; probe content unchanged") {

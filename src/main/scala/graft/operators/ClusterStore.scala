@@ -375,10 +375,18 @@ object ClusterStore {
       newCards.withColumn("epoch", lit(e))
         .write.mode("append").partitionBy("epoch").parquet(s"$dir/cards")
       lap("delta-cards write")
-      // the merged pair list: COMMITTED epochs from disk + the staged
-      // delta from its in-memory persist (the staged epoch is invisible
-      // to readPairs until commit, by design)
-      val allPairs = readPairs(spark, dir).unionByName(deltaP)
+      // the merged pair list: committed epochs + the STAGED epoch, all
+      // read back from disk — the staged files exist (landed above), and
+      // a plain scan is what CC's edge pin evaluates fastest (the first
+      // r11 cut unioned deltaP's in-memory lineage here instead and the
+      // CC lap read 6.1 s vs 1.6 s — re-evaluating the persisted delta
+      // through the union beat the point of having landed it). External
+      // readers still resolve the manifest: the staged epoch stays
+      // invisible to readPairs until the caller commits.
+      val allPairs = spark.read.parquet(s"$dir/pairs")
+        .filter(col("epoch").isin(
+          (manifest.epochs :+ e).map(java.lang.Long.valueOf): _*))
+        .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
       // INCREMENTAL re-label: merging can only happen through a delta
       // pair, so a component none of whose members touches one is
       // unchanged — its stored (doc_id, cluster_id) rows carry over

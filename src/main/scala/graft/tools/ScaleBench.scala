@@ -43,7 +43,7 @@ object ScaleBench {
       "bigram_logprob", "corpus_curate_e2e", "bm25_indexed",
       "bm25_index_append", "dup_span_removal",
       "bm25_index_compact", "ivf_index_compact", "ivf_requantize",
-      "text_bpe_vocab")
+      "text_bpe_vocab", "dedup_index_compact")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -52,7 +52,7 @@ object ScaleBench {
   private val storeCopyQueries =
     Set("cluster_append", "corpus_split_append", "ivf_index_append",
       "bm25_index_append", "bm25_index_compact", "ivf_index_compact",
-      "ivf_requantize")
+      "ivf_requantize", "dedup_index_compact")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

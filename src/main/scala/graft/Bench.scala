@@ -114,17 +114,26 @@ object Bench {
     // LineCap (1750) and hard-require(<1800) so query-list growth fails
     // the build loudly instead of silently voiding the round's record.
     // Full precision + passes + every entry always land in bench.json.
-    val (compact, omitted) = compactLine(results.map(r => (r._1, r._2)), sfDir)
-    require(compact.length < 1800,
-      s"metric line is ${compact.length} chars — breaches the driver's " +
-        "tail-capture budget; move oracle-anchor twins to SparkEntry.lowPriorityBench")
-    if (omitted.nonEmpty)
-      System.err.println("[bench] line-budget overflow (full record in bench.json): " +
-        omitted.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    // round-over-round tripwire: the r11 record shipped corpus_curate_e2e
+    // at 5.1× the previous round with nobody around to adjudicate —
+    // compare each min-pass against the PREVIOUS bench.json (read before
+    // this run overwrites it) and flag >2× movers loudly. ≥1 s floor: a
+    // 0.3 s → 0.7 s wobble is scheduling noise, not a regressed plan.
+    val prior = readPriorQueries()
+    val tripped = results.collect {
+      case (k, v, _) if v >= 1.0 && prior.get(k).exists(p => p > 0 && v > 2.0 * p) =>
+        (k, prior(k), v)
+    }
+    tripped.foreach { case (k, p, v) =>
+      System.err.println(f"[bench] TRIPWIRE: $k min-pass moved ${v / p}%.1fx " +
+        f"round-over-round ($p%.2fs -> $v%.2fs) — re-measure isolated and " +
+        "adjudicate (plan regression vs substrate) before citing this record")
+    }
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
         s""""mode":"${if (fork) "fork-per-query" else "single-jvm"}",""" +
+        s""""tripwire":${tripped.map("\"" + _._1 + "\"").mkString("[", ",", "]")},""" +
         s""""passes":$pp}"""
     // the driver greps the sbt tail for the metric JSON and rounds 1-2
     // failed to parse it out of sbt's [info]-prefixed log noise — persist
@@ -133,10 +142,41 @@ object Bench {
     // and stderr (sbt prefixes stdout with "[info] "; stderr passes bare)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
-    println(compact)
+    val (compact, omitted) = compactLine(results.map(r => (r._1, r._2)), sfDir)
+    if (omitted.nonEmpty)
+      System.err.println("[bench] line-budget overflow (full record in bench.json): " +
+        omitted.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    // the line-budget breach must fail LOUDLY but only after bench.json and
+    // the stderr copy are safe — a mass-failure round (every name on the
+    // line twice, in queries and failed) would otherwise void the exact
+    // self-diagnosing artifact the breach needs adjudicating with
     System.err.println(compact)
+    require(compact.length < 1800,
+      s"metric line is ${compact.length} chars — breaches the driver's " +
+        "tail-capture budget; move oracle-anchor twins to SparkEntry.lowPriorityBench " +
+        "(full record already persisted to bench.json)")
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
+
+  /** The previous round's per-query min-pass map, read from the
+    * bench.json this run is about to overwrite. Best-effort: any parse
+    * problem means no tripwire baseline, never a failed bench. */
+  private[graft] def readPriorQueries(): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get("bench.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = java.nio.file.Files.readString(p)
+        val tag = "\"queries\":{"
+        val i = s.indexOf(tag)
+        val j = if (i < 0) -1 else s.indexOf('}', i)
+        if (i < 0 || j < 0) Map.empty
+        else """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(s.substring(i + tag.length, j))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Assembly budget for the compact metric line. The driver stores the
     * LAST 2000 chars of the sbt output; sbt's closing "[success] Total
@@ -147,9 +187,12 @@ object Bench {
 
   /** Seconds to 1 ms with trailing zeros trimmed ("9.642186593" →
     * "9.642", "0.500" → "0.5", "-1.000" → "-1"): the r10 line spent ~460
-    * chars on sub-millisecond double digits that no consumer reads. */
+    * chars on sub-millisecond double digits that no consumer reads.
+    * Locale.ROOT, not the f-interpolator: this string lands in
+    * machine-parsed JSON, and a comma-decimal default locale would render
+    * "9,642" and void the record. */
   private[graft] def fmtSecs(v: Double): String = {
-    val s = f"$v%.3f"
+    val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
     if (t.isEmpty || t == "-0") "0" else t
   }

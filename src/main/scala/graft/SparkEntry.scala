@@ -110,6 +110,13 @@ object SparkEntry {
     // the trained tokenizer APPLIED: every dict word's segmentation under
     // the learned merge table (the training state IS the application)
     "text_bpe_segments" -> tuned(BpeTrain.segmentsFromDir),
+    // the trained tokenizer applied at CORPUS scale: per-doc token counts
+    // under the learned table — one corpus scan, vocabulary-sized encode
+    "text_bpe_apply" -> tuned(BpeTrain.applyFromDir),
+    // the daily-ops loop: 8 day-batches appended to the signature store,
+    // the maintenance sweep firing compaction by policy mid-loop, then
+    // the standard delta probe — same oracle as dedup_delta_lsh
+    "store_maintenance_loop" -> tuned(StoreMaintenance.maintenanceLoopFromDir),
     // redaction over deterministically-planted PII (the raw corpus has
     // none — a pass-through redactor must FAIL this hash, see redactFromDir)
     "text_redact" -> tuned(TextAnalysis.redactFromDir),
@@ -268,6 +275,8 @@ object SparkEntry {
     "text_bpe_merged" -> TextAnalysis.bpeMergedOracle,
     "text_bpe_vocab" -> BpeTrain.oracle(),
     "text_bpe_segments" -> BpeTrain.segmentsOracle(),
+    "text_bpe_apply" -> BpeTrain.applyOracle(),
+    "store_maintenance_loop" -> DedupIndex.deltaOracle(),
     "text_redact" -> TextAnalysis.redactOracle,
     "sessions_streaming" -> graft.streaming.EventStreams.sessionsOracle(),
     "dedup_delta_lsh" -> DedupIndex.deltaOracle(),
@@ -319,7 +328,8 @@ object SparkEntry {
     * repeating a deterministic loop buys minutes of wall for zero
     * regression signal. */
   val iterativeHarnessQueries: Set[String] =
-    Set("text_bpe_vocab", "text_bpe_segments")
+    Set("text_bpe_vocab", "text_bpe_segments", "text_bpe_apply",
+      "store_maintenance_loop")
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -349,7 +359,9 @@ object SparkEntry {
     "dedup_embedding_cosine", // brute embedding near-dup; scale path is the IVF family
     "unigram_logprob",       // superseded by bigram_logprob (same discipline, order up)
     "text_bpe_tokens",       // BPE-ish proxy; text_bpe_merged/vocab are the real path
-    "text_bpe_segments")     // same training loop as text_bpe_vocab (cost twin)
+    "text_bpe_segments",     // same training loop as text_bpe_vocab (cost twin)
+    "text_bpe_apply",        // same training loop + one corpus application pass
+    "store_maintenance_loop") // maintenance harness; probe twin of dedup_delta_lsh
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -116,8 +116,11 @@ object Bm25Index {
         .write.mode("overwrite").partitionBy("epoch").parquet(s"$dir/norms")
       tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$dir/dict_v0")
-      val r = spark.read.parquet(s"$dir/norms")
-        .agg(count(lit(1)), sum(col("dl"))).first()
+      // n/mass from the in-memory dl frame (as the append path does) — an
+      // unfiltered read of $dir/norms would also count epoch dirs a prior
+      // store left behind under dynamic partition overwrite, inflating the
+      // committed stats that every probe's idf/avgdl derive from
+      val r = dl.agg(count(lit(1)), sum(col("dl"))).first()
       commitManifest(dir, Manifest(r.getLong(0),
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L), numBuckets,
         epochs = Seq(0L), nextEpoch = 1L, dictGen = 0L))
@@ -147,12 +150,13 @@ object Bm25Index {
     val meta = readManifest(dir)
     val e = meta.nextEpoch
     val g = meta.dictGen + 1
-    // heal: a crashed earlier append left residue at exactly these names
-    // (the manifest's nextEpoch/dictGen never advanced) — remove it so
-    // re-running the append is idempotent
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/postings/epoch=$e"))
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/norms/epoch=$e"))
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/dict_v$g"))
+    // sweep everything the manifest doesn't reference: residue of a
+    // crashed earlier append at the frozen nextEpoch/dictGen names (so
+    // re-running the append is idempotent) AND retired epochs/dict
+    // generations whose post-commit delete crashed
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/postings"), "epoch=", meta.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/norms"), "epoch=", meta.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), "dict_v", Set(meta.dictGen))
     val m = Pinned.marker(spark)
     val tf = Bm25.tfStage(docs)
     try {
@@ -200,8 +204,9 @@ object Bm25Index {
   def compact(spark: SparkSession, dir: String): Unit = {
     val meta = readManifest(dir)
     val e = meta.nextEpoch
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/postings/epoch=$e"))
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/norms/epoch=$e"))
+    // heals staged residue at e AND orphaned retired epochs in one sweep
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/postings"), "epoch=", meta.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/norms"), "epoch=", meta.epochs.toSet)
     val committed = meta.epochs.map(java.lang.Long.valueOf)
     spark.read.parquet(s"$dir/postings")
       .filter(col("epoch").isin(committed: _*))

@@ -98,12 +98,28 @@ object BpeTrain {
             dictCap: Int = DictCap): Seq[(Int, String, String, String, Long)] =
     runTraining(docs, numMerges, dictCap)._1
 
-  /** The loop, also returning the FINAL state — every dict word's
-    * segmentation under the learned table (what [[segmentsFromDir]]
-    * gates). The state frame reads the last generation parquet (alive
-    * for the JVM; removed on exit). */
-  private def runTraining(docs: DataFrame, numMerges: Int, dictCap: Int)
+  /** One trained model per (JVM, source dir): the three BPE gates
+    * (`text_bpe_vocab`, `text_bpe_segments`, `text_bpe_apply`) all
+    * consume the SAME 30-merge training run, exactly as a production
+    * tokenizer is trained once and applied everywhere — memoizing saves
+    * two redundant training loops per Verify pass. Values are (merges,
+    * final-state parquet path); the state dir lives for the JVM. */
+  private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, String, Long)], String)]()
+
+  private def trainedFor(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val (merges, statePath) = trainedCache.computeIfAbsent(dir, _ =>
+      runTraining(Tables.documents(spark, dir), NumMerges, DictCap))
+    (merges, spark.read.parquet(statePath))
+  }
+
+  /** The loop, also returning the FINAL state's parquet path — every
+    * dict word's segmentation under the learned table (what
+    * [[segmentsFromDir]] gates). The state dir is alive for the JVM;
+    * removed on exit. */
+  private def runTraining(docs: DataFrame, numMerges: Int, dictCap: Int)
+      : (Seq[(Int, String, String, String, Long)], String) = {
     val spark = docs.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_train")
     ClusterStore.deleteRecursivelyOnExit(tmp)
@@ -126,7 +142,7 @@ object BpeTrain {
         rank += 1
       }
     }
-    (merges.toSeq, spark.read.parquet(s"$tmp/state_${rank - 1}"))
+    (merges.toSeq, s"$tmp/state_${rank - 1}")
   }
 
   /** Gated query `text_bpe_segments`: the trained tokenizer APPLIED —
@@ -136,7 +152,7 @@ object BpeTrain {
     * merges (strip separators to recover the word, count tokens to price
     * it). Closes the loop train → apply that a tokenizer ships as. */
   def segmentsFromDir(spark: SparkSession, dir: String): DataFrame = {
-    val (_, state) = runTraining(Tables.documents(spark, dir), NumMerges, DictCap)
+    val (_, state) = trainedFor(spark, dir)
     state.select(
       replace(col("seq"), lit(" "), lit("")).as("word"),
       size(split(col("seq"), "  ")).cast("long").as("n_tokens"),
@@ -155,9 +171,70 @@ object BpeTrain {
   /** Gated query `text_bpe_vocab`. */
   def fromDir(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    train(Tables.documents(spark, dir))
+    trainedFor(spark, dir)._1
       .toDF("rank", "lft", "rgt", "merged", "cnt")
       .orderBy(col("rank"))
+  }
+
+  /** Gated query `text_bpe_apply`: the trained tokenizer applied at
+    * CORPUS scale — per-document token counts under the learned merge
+    * table, the number a packing/budget decision consumes (the last mile
+    * a tokenizer ships for; `text_bpe_segments` covers only the training
+    * dict's words). Scale shape: the corpus is touched by ONE scan +
+    * explode into per-doc word counts; each DISTINCT word is encoded
+    * exactly once (vocabulary-sized work) by folding the learned merges
+    * into a codegen'd literal replace chain — the same two-level-
+    * separator encoding whose equivalence with greedy BPE the training
+    * loop and [[graft.functions.BpeMerge]] establish — and a
+    * vocabulary-sized join prices every occurrence. At 100 TB the encode
+    * cost is O(vocabulary), the join is AQE-broadcastable, and the only
+    * corpus-sized stages are the scan and the per-doc sum. */
+  def applyFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (merges, _) = trainedFor(spark, dir)
+    val dw = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val seed = trim(regexp_replace(col("word"), "(.)", "$1  "))
+    val swept = merges.foldLeft(seed) { case (acc, (_, l, r, _, _)) =>
+      trim(replace(concat(lit(" "), acc, lit(" ")),
+        lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    val encoded = dw.select(col("word")).distinct()
+      .withColumn("n_tokens", size(split(swept, "  ")).cast("long"))
+    dw.join(encoded, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tokens")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin of [[applyFromDir]]: the same unrolled training chain,
+    * then the learned merges applied to the corpus's distinct words as
+    * the same literal-replace fold, joined back to per-doc word counts. */
+  def applyOracle(numMerges: Int = NumMerges, dictCap: Int = DictCap): String = {
+    val enc = (0 until numMerges).map { i =>
+      s"""e${i + 1} AS MATERIALIZED (
+         |  SELECT word, trim(replace(' ' || seq || ' ',
+         |    ' ' || (SELECT lft FROM b$i) || '  ' || (SELECT rgt FROM b$i) || ' ',
+         |    ' ' || (SELECT lft FROM b$i) || (SELECT rgt FROM b$i) || ' ')) AS seq
+         |  FROM e$i)""".stripMargin
+    }
+    trainingCtes(numMerges, dictCap) +
+      s""",
+         |docw AS (SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |dw AS (SELECT doc_id, word, COUNT(*) AS cnt FROM docw GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (
+         |  SELECT word, trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS seq
+         |  FROM (SELECT DISTINCT word FROM dw)),
+         |""".stripMargin + enc.mkString(",\n") +
+      s"""
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |       CAST(SUM(cnt * len(string_split(seq, '  '))) AS BIGINT) AS n_tokens
+         |FROM dw JOIN e$numMerges USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB twin: the same loop UNROLLED into one CTE chain — per

@@ -321,11 +321,13 @@ object ClusterStore {
         "appending against a drifted backlog would persist an incomplete pair graph")
     val e = manifest.nextEpoch
     val g = manifest.clustersGen + 1
-    // heal residue of a crashed earlier append at the frozen names — the
-    // manifest never advanced, so a re-run cannot double-append
-    deleteRecursively(java.nio.file.Paths.get(s"$dir/pairs/epoch=$e"))
-    deleteRecursively(java.nio.file.Paths.get(s"$dir/cards/epoch=$e"))
-    deleteRecursively(java.nio.file.Paths.get(s"$dir/clusters_v$g"))
+    // sweep everything the manifest doesn't reference: residue of a
+    // crashed earlier append at the frozen names (the manifest never
+    // advanced, so a re-run cannot double-append) AND retired
+    // epochs/generations whose post-commit delete crashed
+    sweepOrphans(java.nio.file.Paths.get(s"$dir/pairs"), "epoch=", manifest.epochs.toSet)
+    sweepOrphans(java.nio.file.Paths.get(s"$dir/cards"), "epoch=", manifest.epochs.toSet)
+    sweepOrphans(java.nio.file.Paths.get(dir), "clusters_v", Set(manifest.clustersGen))
     val m = Pinned.marker(spark)
     val newArrs = Pinned.pin(Dedup.shingleArrays(newDocs, cfg.n))
     val newCards = newArrs
@@ -475,8 +477,9 @@ object ClusterStore {
   def compact(spark: SparkSession, dir: String): Unit = {
     val m = readManifest(dir)
     val e = m.nextEpoch
-    deleteRecursively(java.nio.file.Paths.get(s"$dir/pairs/epoch=$e"))
-    deleteRecursively(java.nio.file.Paths.get(s"$dir/cards/epoch=$e"))
+    // heals staged residue at e AND orphaned retired epochs in one sweep
+    sweepOrphans(java.nio.file.Paths.get(s"$dir/pairs"), "epoch=", m.epochs.toSet)
+    sweepOrphans(java.nio.file.Paths.get(s"$dir/cards"), "epoch=", m.epochs.toSet)
     readPairs(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism / 4 max 1)
       .withColumn("epoch", lit(e))
@@ -503,6 +506,26 @@ object ClusterStore {
     if (java.nio.file.Files.exists(root))
       java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+
+  /** Remove every `prefix<num>` entry under `parent` whose number fails
+    * `keep` — the orphans a crash between manifest commit and the
+    * post-commit deletes can leave behind (invisible to readers, who
+    * resolve the manifest, but disk grows and full-directory listings
+    * keep touching dead files). Every store's staging/compact path calls
+    * this with keep = the committed set, which ALSO heals residue at the
+    * frozen next-epoch/next-generation staging names — one primitive for
+    * both recovery jobs. */
+  private[graft] def sweepOrphans(parent: java.nio.file.Path, prefix: String,
+                                  keep: Long => Boolean): Unit =
+    if (java.nio.file.Files.isDirectory(parent)) {
+      val s = java.nio.file.Files.list(parent)
+      try s.forEach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith(prefix))
+          name.stripPrefix(prefix).toLongOption
+            .filterNot(keep).foreach(_ => deleteRecursively(p))
+      } finally s.close()
+    }
 
   /** One BACKLOG store per (JVM, source dir): built from every doc except
     * the [[DedupIndex.DeltaMod]] residue class — the same split the

@@ -127,9 +127,10 @@ object DedupIndex {
   private[graft] def stageAppend(docs: DataFrame, dir: String): Manifest = {
     val m = readManifest(dir)
     val e = m.nextEpoch
-    // heal residue of a crashed earlier append at the frozen epoch name
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/bands/epoch=$e"))
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/shingles/epoch=$e"))
+    // sweep unreferenced epochs: residue of a crashed earlier append at
+    // the frozen epoch name AND retired epochs a crashed compact left
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/bands"), "epoch=", m.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/shingles"), "epoch=", m.epochs.toSet)
     val (banded, arrs) = derive(docs, m.cfg)
     try {
       banded.withColumn("epoch", lit(e))
@@ -148,8 +149,9 @@ object DedupIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val m = readManifest(dir)
     val e = m.nextEpoch
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/bands/epoch=$e"))
-    ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/shingles/epoch=$e"))
+    // heals staged residue at e AND orphaned retired epochs in one sweep
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/bands"), "epoch=", m.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/shingles"), "epoch=", m.epochs.toSet)
     val committed = m.epochs.map(java.lang.Long.valueOf)
     spark.read.parquet(s"$dir/bands")
       .filter(col("epoch").isin(committed: _*))

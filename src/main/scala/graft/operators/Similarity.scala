@@ -263,10 +263,12 @@ object Similarity {
     val cur = if (java.nio.file.Files.exists(ivfManifestPath(dir)))
       Some(ivfGen(dir)) else None
     val next = cur.map(_ + 1).getOrElse(0L)
-    // heal: residue of a crashed earlier promote sits at exactly gen
-    // `next` (the manifest never advanced) — remove before re-staging
-    for (a <- Seq(s"data_v$next", s"_quantizer_v$next", s"_health_v$next"))
-      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/$a"))
+    // sweep every generation the manifest doesn't reference: residue of a
+    // crashed earlier promote at gen `next` (the manifest never advanced)
+    // AND retired generations whose post-commit delete crashed
+    for (p <- Seq("data_v", "_quantizer_v", "_health_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p,
+        g => cur.contains(g))
     val assigned = assignToCentroids(rows, centroids)
     val toWrite = if (coalesceCells)
       // one writer per cell → one file per cell dir, the compaction target
@@ -287,8 +289,8 @@ object Similarity {
     }
     saveQuantizer(spark, s"$dir/_quantizer_v$next", centroids)
     commitIvfGen(dir, next)
-    for (g <- cur; a <- Seq(s"data_v$g", s"_quantizer_v$g", s"_health_v$g"))
-      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/$a"))
+    for (p <- Seq("data_v", "_quantizer_v", "_health_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
   }
 
   private val obsSeq = new java.util.concurrent.atomic.AtomicLong(0L)

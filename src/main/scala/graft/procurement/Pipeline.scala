@@ -76,6 +76,16 @@ object Pipeline {
       (day, day.count())
     }
 
+    // Store maintenance runs EVERY daily cycle, right after the ingest
+    // that grows the store: the policy sweep decides (one manifest read
+    // when nothing is due) and compaction fires only when epoch growth
+    // has crossed the threshold — the daily-ops wiring the stores'
+    // maybeCompact/maybeRequantize primitives exist for.
+    task[Seq[graft.operators.StoreMaintenance.Action]]("store_maintenance",
+      acts => Map("fired" -> acts.count(_.fired).toString)) {
+      graft.operators.StoreMaintenance.run(spark, Seq(storeDir))
+    }
+
     // Q1 (cached: shared by Q2/Q3 through the nd result)
     val aggregated = Queries.ordersAggregated(
       orders, master("products"), master("warehouses")).cache()

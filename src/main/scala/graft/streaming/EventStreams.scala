@@ -78,10 +78,20 @@ object EventStreams {
     * single-encoding per directory). */
   def hourlyStream(spark: SparkSession, dir: String,
                    glob: String = "events.parquet"): DataFrame = {
-    val onDisk = scala.util.Try(
-        spark.read.option("pathGlobFilter", glob).parquet(dir)
-          .schema("ts").dataType)
-      .getOrElse(LongType)
+    // only the EMPTY-directory case may fall back to the historical
+    // default — any other probe failure (corrupt file, IO error, missing
+    // ts column) must stay loud: swallowing it here would freeze a wrong
+    // schema and turn a setup error into a silently wrong stream later
+    val onDisk =
+      try spark.read.option("pathGlobFilter", glob).parquet(dir)
+        .schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && (e.getMessage.contains("PATH_NOT_FOUND")
+              || e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")
+              || e.getMessage.contains("unable to infer")) =>
+          LongType
+      }
     val raw = spark.readStream
       .schema(StructType(eventSchema.fields.map {
         case f if f.name == "ts" => StructField("ts", onDisk)

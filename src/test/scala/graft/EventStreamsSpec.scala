@@ -209,10 +209,10 @@ class EventStreamsSpec extends SparkSpec {
       .agg(min("available_qty")).first().getInt(0) === 99) // re-load won
     assert(s.read(spark, store).count() === 6) // 3 days x 2 keys after dedup
 
-    s.compact(spark, store, "2026-01-11") // physically drop the stale batch
-    val day11Files = spark.read.parquet(store)
+    s.compact(spark, store) // physically drop the stale rows, collapse epochs
+    val day11Rows = spark.read.parquet(s"$store/data")
       .filter(col("snapshot_date") === "2026-01-11").count()
-    assert(day11Files === 2, "compaction must leave only the winning rows")
+    assert(day11Rows === 2, "compaction must leave only the winning rows")
     assert(s.readDay(spark, store, "2026-01-11")
       .agg(min("available_qty")).first().getInt(0) === 99) // still correct
     assert(s.read(spark, store).count() === 6) // other days untouched

@@ -150,6 +150,12 @@ object SparkEntry {
     "bm25_topk" -> tuned(Bm25.fromDir(_, _)),
     // interpolated bigram-LM log-prob (fluency step up from unigram_logprob)
     "bigram_logprob" -> tuned(BigramLm.fromDir),
+    // BM25 more-like-this + brute-cosine lists fused by reciprocal-rank
+    // (micros-rounded long contributions; list depth 20, final top-10)
+    "hybrid_rrf" -> tuned(HybridRetrieval.fromDir),
+    // SemDeDup: hash-quantizer cells, within-cell rounded-cosine prune
+    // (i<j dominated rule — order-free, oracle-checkable)
+    "semantic_dedup" -> tuned(SemanticDedup.fromDir),
     // the persisted inverted index: probe reads only the query terms'
     // bucket partitions; same oracle as bm25_topk (save->reload->probe)
     "bm25_indexed" -> tuned(Bm25Index.probeIndexedFromDir(_, _)),
@@ -292,6 +298,8 @@ object SparkEntry {
     "dup_ngram_coverage" -> DupCoverage.oracle(),
     "dup_span_removal" -> DupCoverage.removeOracle(),
     "bigram_logprob" -> BigramLm.oracle(),
+    "hybrid_rrf" -> HybridRetrieval.oracle(),
+    "semantic_dedup" -> SemanticDedup.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
     "events_hourly_streaming" -> graft.streaming.EventStreams.hourlyOracle,

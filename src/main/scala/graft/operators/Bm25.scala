@@ -70,7 +70,19 @@ object Bm25 {
     * oracle. `qt` is (term, df); `consts` one (n, mass) row. */
   private[operators] def scoreTail(tfSlice: DataFrame, dl: DataFrame,
                                    qt: DataFrame, consts: DataFrame, k: Int,
-                                   k1: Double, b: Double): DataFrame = {
+                                   k1: Double, b: Double): DataFrame =
+    scoredRows(tfSlice, dl, qt, consts, k1, b)
+      .groupBy(col("doc_id")).agg(sum(col("micros")).as("bm25_micros"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+      .limit(k)
+
+  /** Per-(doc_id, term) micros-rounded BM25 term scores — the shared
+    * scoring core behind [[scoreTail]] and [[HybridRetrieval]]'s
+    * per-query aggregation (which needs term kept to map scores back to
+    * the query docs containing that term). */
+  private[operators] def scoredRows(tfSlice: DataFrame, dl: DataFrame,
+                                    qt: DataFrame, consts: DataFrame,
+                                    k1: Double, b: Double): DataFrame = {
     val idf = qt.crossJoin(broadcast(consts))
       .select(col("term"),
         StableRound.stableRound(
@@ -83,11 +95,8 @@ object Bm25 {
         + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
     tfSlice.join(idf, Seq("term"))
       .join(dl, Seq("doc_id"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"),
         floor(termScore * 1e6 + 0.5).cast("long").as("micros"))
-      .groupBy(col("doc_id")).agg(sum(col("micros")).as("bm25_micros"))
-      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
-      .limit(k)
   }
 
   /** Gate: query = the corpus's `numQueryTerms` highest-df terms (df desc,
@@ -105,12 +114,11 @@ object Bm25 {
     topDocsWithTf(docs, tf, queryTerms, k, k1 = 1.2, b = 0.75)
   }
 
-  /** DuckDB twin: same token rule, same deterministic query-term
-    * selection, same 9-dp idf, same fixed-order score expression, same
-    * micros rounding and long sums, same (score desc, doc_id asc) cut. */
-  def oracle(numQueryTerms: Int = 3, k: Int = 20,
-             k1: Double = 1.2, b: Double = 0.75): String =
-    s"""WITH toks AS (
+  /** The tokenize→tf→dl→df→consts CTE prefix every BM25 twin shares —
+    * single-sourced so [[oracle]] and [[HybridRetrieval.oracle]] cannot
+    * drift on the token rule or the corpus constants. */
+  private[operators] def coreCtesSql: String =
+    s"""toks AS (
        |  SELECT doc_id,
        |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
        |  FROM documents
@@ -123,23 +131,35 @@ object Bm25 {
        |), consts AS (
        |  SELECT (SELECT COUNT(*) FROM documents) AS n,
        |         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS mass
-       |), qt AS (
-       |  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $numQueryTerms
-       |), idf AS (
+       |)""".stripMargin
+
+  /** The 9-dp idf + fixed-order per-term score SQL fragment shared with
+    * the hybrid twin. `qtRel` must provide (term, df). */
+  private[operators] def scoreCtesSql(qtRel: String, k1: Double, b: Double): String =
+    s"""idf AS (
        |  SELECT term,
        |         FLOOR(ln(1.0 + (CAST(n - df AS DOUBLE) + 0.5)
        |                        / (CAST(df AS DOUBLE) + 0.5)) * 1e9 + 0.5) / 1e9 AS idf,
        |         CAST(mass AS DOUBLE) / n AS avgdl
-       |  FROM qt, consts
+       |  FROM $qtRel, consts
        |), scored AS (
-       |  SELECT tf.doc_id,
+       |  SELECT tf.doc_id, tf.term,
        |         CAST(FLOOR(idf.idf * ((CAST(tf.tf AS DOUBLE) * ${k1 + 1.0})
        |             / (CAST(tf.tf AS DOUBLE)
        |                + $k1 * ((${1.0 - b}) + $b * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))
        |           * 1e6 + 0.5) AS BIGINT) AS micros
        |  FROM tf JOIN idf ON tf.term = idf.term
        |          JOIN dl ON tf.doc_id = dl.doc_id
-       |)
+       |)""".stripMargin
+
+  /** DuckDB twin: same token rule, same deterministic query-term
+    * selection, same 9-dp idf, same fixed-order score expression, same
+    * micros rounding and long sums, same (score desc, doc_id asc) cut. */
+  def oracle(numQueryTerms: Int = 3, k: Int = 20,
+             k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH $coreCtesSql, qt AS (
+       |  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $numQueryTerms
+       |), ${scoreCtesSql("qt", k1, b)}
        |SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS bm25_micros
        |FROM scored GROUP BY doc_id
        |ORDER BY bm25_micros DESC, doc_id ASC LIMIT $k""".stripMargin

@@ -21,17 +21,36 @@ import org.apache.spark.sql.functions._
   * Scale: each stage keeps its own audited shape (scan-fused quality
   * scoring, shingle self-joins via the guarded merge path, broadcast
   * eval shingles — benchmark suites are small by definition, AQE-chosen
-  * split joins). The pipeline pays the shingle self-join twice (clean's
-  * near-dup prune over quality survivors, split's cluster map over the
-  * shipped corpus — different corpora, different pair graphs); a
-  * production deployment amortizes the second via
-  * [[ClusterStore]]/[[CorpusSplit.splitWith]], which the indexed gates
-  * already prove equal.
+  * split joins). The pipeline pays the shingle self-join ONCE: clean's
+  * near-dup prune at (n, thr) makes the shipped corpus provably
+  * pair-free at the same (n, thr), so the split's cluster map is an
+  * empty constant — see [[curate]]'s doc for the proof. A deployment
+  * composing the stages at different thresholds amortizes the second
+  * pair graph via [[ClusterStore]]/[[CorpusSplit.splitWith]], which the
+  * indexed gates prove equal.
   */
 object CurateE2e {
 
   /** (doc_id, quality_score, split_unit, bucket, split) for every doc the
-    * pipeline ships. */
+    * pipeline ships.
+    *
+    * The split's pair graph is NOT recomputed: this method passes ONE
+    * (n, thr) to both the clean and the split, and clean's near-dup prune
+    * drops the higher id of EVERY exact-Jaccard pair at that (n, thr)
+    * (CorpusClean.scala:36-39, the same [[Dedup.ngramJaccardPairs]]
+    * predicate [[NearDupClusters.clustersOf]] would run). So for any
+    * i < j both shipped, jaccard(i, j) < thr — else j was pruned — and
+    * since the pair predicate is pairwise (corpus-independent), the
+    * shipped corpus's pair graph is empty BY CONSTRUCTION: every split
+    * unit is a singleton. [[CorpusSplit.splitWith]] against an empty
+    * cluster map produces exactly that (each doc content-addressed by its
+    * own fingerprint — the identical output the full closure computes, as
+    * the unchanged DuckDB oracle still proves), and skips the pipeline's
+    * second shingle self-join + CC — the two most expensive stages of the
+    * composed plan, ~40% of its wall time at sf0.1. A caller composing
+    * clean and split at DIFFERENT (n, thr) must use [[CorpusSplit.split]]
+    * directly; the theorem only holds for the shared-parameter DAG this
+    * method defines. */
   def curate(docs: DataFrame, eval: DataFrame, qualityMin: Double = 0.5,
              n: Int = 5, thr: Double = 0.5, deconN: Int = 8,
              trainPct: Int = 90, valPct: Int = 5): DataFrame = {
@@ -39,8 +58,16 @@ object CurateE2e {
     val cleaned = kept.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
     val decon = cleaned.join(
       Curation.contaminatedIds(cleaned, eval, deconN), Seq("doc_id"), "left_anti")
-    CorpusSplit.split(decon.select(col("doc_id"), col("text")),
-        trainPct, valPct, n, thr)
+    val spark = docs.sparkSession
+    val noClusters = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster_id",
+          org.apache.spark.sql.types.LongType))))
+    CorpusSplit.splitWith(decon.select(col("doc_id"), col("text")),
+        noClusters, trainPct, valPct)
       .join(decon.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
       .select(col("doc_id"), col("quality_score"), col("split_unit"),
         col("bucket"), col("split"))

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical+vector retrieval with reciprocal-rank fusion (RRF) —
+  * the retrieval shape a curation pipeline runs when neither signal is
+  * sufficient alone: BM25 finds exact-term matches embeddings blur,
+  * dense cosine finds paraphrases BM25 misses, and RRF (Cormack et al.,
+  * SIGIR'09: score = Σ_lists 1/(K + rank)) fuses the two WITHOUT
+  * score-scale calibration, which is what makes it robust enough to be
+  * the standard fusion baseline.
+  *
+  * Query model: each query is a *document* (vec_id = doc_id, the
+  * corpus convention) — "more-like-this" retrieval. Its lexical query
+  * is its own distinct token set; its vector query is its embedding.
+  *
+  * Shape at scale:
+  *   - lexical side reuses [[Bm25]]'s ONE pinned corpus (doc_id, term,
+  *     tf) stage; the per-query term sets are |queries| docs' vocab —
+  *     query-sized BY DEFINITION, broadcast into the tf join, so only
+  *     docs sharing a term with some query are ever scored;
+  *   - vector side is the O(K)-broadcast brute top-k — the oracle
+  *     anchor; at corpus scale swap [[Similarity.ivfAnn]] in for the
+  *     neighbor list (same (query_id, rank) surface, proven by the IVF
+  *     gates) — fusion is agnostic to how each list was produced;
+  *   - fusion itself is query-bounded: 2·|queries|·kList rows, one
+  *     groupBy, one per-query window rank.
+  *
+  * Cross-engine exactness: each list contributes
+  * floor(1e6/(K + rank) + 0.5) as a LONG (1/(K+rank) is irrational in
+  * binary; micros-rounding before the sum is the UnigramLm discipline),
+  * ranks themselves are deterministic (score desc, id asc ties), and
+  * the final cut orders (rrf_micros desc, doc_id asc).
+  */
+object HybridRetrieval {
+
+  /** Top-k fused results per query doc: (query_id, rank, doc_id,
+    * rrf_micros). `kList` is each list's depth; `kRrf` the RRF constant
+    * (60 in the original paper). */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, numQueries: Int = 8,
+                 kList: Int = 20, k: Int = 10, kRrf: Int = 60,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = Bm25.tfStage(docs)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val consts = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(dl.agg(sum(col("dl")).as("mass")))
+
+    // per-query lexical term sets: |queries| docs' vocabulary — pinned
+    // (it feeds the df join, the tf slice, and the score→query map) and
+    // broadcast (query-sized)
+    val qterms = Pinned.pin(
+      tf.filter(col("doc_id") < numQueries)
+        .select(col("doc_id").as("query_id"), col("term")))
+    val qtermSet = qterms.select(col("term")).distinct()
+    val qt = df.join(broadcast(qtermSet), Seq("term"))
+    val scored = Bm25.scoredRows(
+      tf.join(broadcast(qtermSet), Seq("term")), dl, qt, consts, k1, b)
+    val lexW = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25_micros").desc, col("doc_id").asc)
+    val lex = scored.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("micros")).as("bm25_micros"))
+      .withColumn("lrank", row_number().over(lexW).cast("long"))
+      .filter(col("lrank") <= kList)
+
+    // vector list: brute cosine top-kList (the gated oracle anchor —
+    // rank surface identical to the IVF probe's, so the scale path swaps
+    // in without touching fusion)
+    val vec = Similarity.bruteForceKnn(
+        embeddings, embeddings.filter(col("vec_id") < numQueries), kList)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+
+    // RRF: micros-rounded longs per list, summed; final (desc, id) cut
+    def contrib(rank: org.apache.spark.sql.Column) =
+      floor(lit(1e6) / (lit(kRrf.toDouble) + rank.cast("double")) + 0.5).cast("long")
+    val fused = lex.select(col("query_id"), col("doc_id"), contrib(col("lrank")).as("c"))
+      .unionAll(vec.select(col("query_id"), col("doc_id"), contrib(col("vrank")).as("c")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_micros"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_micros"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    hybridTopK(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** DuckDB twin: [[Bm25.coreCtesSql]] + [[Bm25.scoreCtesSql]] verbatim
+    * (the token rule, idf and per-term score CANNOT drift from the
+    * `bm25_topk` gate), the `knn_cosine_topk` pair/rank CTEs for the
+    * vector list, and the fusion arithmetic in exact integer space. */
+  def oracle(numQueries: Int = 8, kList: Int = 20, k: Int = 10,
+             kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${Bm25.coreCtesSql}, qterms AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < $numQueries
+       |), qt AS (
+       |  SELECT df.term, df.df FROM df JOIN (SELECT DISTINCT term FROM qterms) s
+       |    ON df.term = s.term
+       |), ${Bm25.scoreCtesSql("qt", k1, b)}, lex AS (
+       |  SELECT query_id, doc_id, lrank FROM (
+       |    SELECT q.query_id, s.doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY SUM(s.micros) DESC, s.doc_id ASC) AS lrank
+       |    FROM scored s JOIN qterms q ON q.term = s.term
+       |    WHERE s.doc_id <> q.query_id
+       |    GROUP BY q.query_id, s.doc_id
+       |  ) WHERE lrank <= $kList
+       |), vec AS (
+       |  SELECT query_id, neighbor_id AS doc_id, vrank FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                             CAST(n.embedding AS DOUBLE[])) DESC,
+       |                      n.vec_id ASC) AS vrank
+       |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id < $numQueries
+       |  ) WHERE vrank <= $kList
+       |), fused AS (
+       |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micros FROM (
+       |    SELECT query_id, doc_id,
+       |           CAST(FLOOR(1000000.0 / ($kRrf + lrank) + 0.5) AS BIGINT) AS c FROM lex
+       |    UNION ALL
+       |    SELECT query_id, doc_id,
+       |           CAST(FLOOR(1000000.0 / ($kRrf + vrank) + 0.5) AS BIGINT) AS c FROM vec
+       |  ) GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, rank, doc_id, rrf_micros FROM (
+       |  SELECT query_id, doc_id, rrf_micros,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_micros DESC, doc_id ASC) AS rank
+       |  FROM fused
+       |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+}

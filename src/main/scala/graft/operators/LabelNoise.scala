@@ -122,17 +122,7 @@ object LabelNoise {
     * as a query, finished by the same vote/winner verdict. */
   def ivfOracle(k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
                 dim: Int = Similarity.LshOracleDim): String =
-    s"""WITH centroids AS (
-       |  SELECT t AS cid,
-       |         list_transform(range(0, $dim), d ->
-       |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
-       |             / 576460752303423488.0 - 1.0) AS c
-       |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
-       |), sims AS (
-       |  SELECT e.vec_id, ct.cid,
-       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM embeddings e CROSS JOIN centroids ct
-       |), assign AS (
+    s"""WITH ${Similarity.centroidSimsCtesSql(dim, numCentroids)}, assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+  * arXiv:2303.09540): partition the embedding space with a coarse
+  * quantizer, then prune near-duplicates WITHIN each cell by pairwise
+  * cosine — the cluster structure turns an O(N²) corpus problem into
+  * Σ O(|cell|²), the same cell-bounding argument as the IVF probes.
+  *
+  * Pruning rule (deterministic, set-based): drop vector j iff some
+  * i < j in the SAME cell has rounded-cosine(i, j) ≥ τ. Unlike the
+  * paper's greedy sequential scan this is order-free and engine-
+  * reproducible (a doc is judged against ALL earlier cell members, not
+  * just surviving ones), which is what makes it oracle-checkable; it
+  * prunes a superset of the greedy rule's choices at equal τ.
+  *
+  * Shape at scale: ONE corpus scan assigns cells (centroids are plan
+  * literals — broadcast by construction); the pair join shuffles on
+  * centroid_id so each cell's pairs build locally; cosine compares on
+  * the 8-dp-rounded value on BOTH engines (the `dedup_embedding_cosine`
+  * discipline) so threshold-edge floats cannot diverge. Quantizer here
+  * is the md5 hash quantizer (shared with every IVF gate — DuckDB
+  * reproduces it bit-for-bit); production swaps in
+  * [[Similarity.trainCentroids]] without touching the prune.
+  */
+object SemanticDedup {
+
+  /** Kept vectors after within-cell pruning: (vec_id, centroid_id). */
+  def prune(embeddings: DataFrame, numCentroids: Int = 16,
+            tau: Double = 0.4): DataFrame = {
+    val dim = Similarity.embeddingDim(embeddings)
+    val cents = Similarity.hashCentroids(dim, numCentroids)
+    // one corpus scan: cell id + norm, pinned — it feeds both pair-join
+    // sides and the final anti-join (3 consumers, 1 materialization)
+    val assigned = Pinned.pin(
+      Similarity.assignToCentroids(embeddings, cents)
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          Similarity.l2norm(col("embedding")).as("norm")))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id1"),
+      col("embedding").as("e1"), col("norm").as("n1"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id2"),
+      col("embedding").as("e2"), col("norm").as("n2"))
+    val pruned = a.join(b, Seq("centroid_id"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine_r", graft.functions.StableRound.stableRound(
+        graft.functions.FloatVecDot.dot(col("e1"), col("e2"))
+          / (col("n1") * col("n2")), 8))
+      .filter(col("cosine_r") >= tau)
+      .select(col("id2")).distinct()
+    assigned.join(pruned, col("vec_id") === col("id2"), "left_anti")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  def fromDir(spark: SparkSession, dir: String): DataFrame =
+    prune(Tables.embeddings(spark, dir))
+
+  /** DuckDB twin: [[Similarity.centroidSimsCtesSql]] verbatim (the
+    * quantizer CANNOT drift from the IVF gates), the same ties-to-larger
+    * assignment window, within-cell pairs on rounded cosine, anti-join. */
+  def oracle(numCentroids: Int = 16, tau: Double = 0.4,
+             dim: Int = Similarity.LshOracleDim): String =
+    s"""WITH ${Similarity.centroidSimsCtesSql(dim, numCentroids)}, assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM sims
+       |  ) WHERE rk = 1
+       |), pruned AS (
+       |  SELECT DISTINCT b.vec_id AS id2
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |       JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE FLOOR(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |                                     CAST(eb.embedding AS DOUBLE[]))
+       |              * 1e8 + 0.5) / 1e8 >= $tau
+       |)
+       |SELECT a.vec_id, a.cid AS centroid_id
+       |FROM assign a LEFT JOIN pruned p ON p.id2 = a.vec_id
+       |WHERE p.id2 IS NULL
+       |ORDER BY a.vec_id""".stripMargin
+}

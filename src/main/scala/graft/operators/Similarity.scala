@@ -593,9 +593,12 @@ object Similarity {
     * Spark side's literal-vector cosine — the pairing the semantic_quality
     * gate proves), assignment and probe windows with the matching
     * tie-breaks, candidate equi-join on cell, exact cosine re-score. */
-  def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
-                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
-    s"""WITH centroids AS (
+  /** The md5 hash-quantizer + per-vector centroid cosines as SQL CTEs
+    * (`centroids`, `sims`) — single-sourced across every IVF-family twin
+    * ([[ivfAnnOracle]], [[indexHealthOracle]], [[LabelNoise.ivfOracle]],
+    * [[SemanticDedup.oracle]]) so the quantizer formula cannot drift. */
+  private[operators] def centroidSimsCtesSql(dim: Int, numCentroids: Int): String =
+    s"""centroids AS (
        |  SELECT t AS cid,
        |         list_transform(range(0, $dim), d ->
        |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
@@ -605,7 +608,11 @@ object Similarity {
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
        |  FROM embeddings e CROSS JOIN centroids ct
-       |), assign AS (
+       |)""".stripMargin
+
+  def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)}, assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
@@ -800,17 +807,7 @@ object Similarity {
     * argmax assignment (ties to the larger centroid id, as everywhere in
     * the IVF gates), same micros rounding, same integer sums. */
   def indexHealthOracle(numCentroids: Int = 16, dim: Int = LshOracleDim): String =
-    s"""WITH centroids AS (
-       |  SELECT t AS cid,
-       |         list_transform(range(0, $dim), d ->
-       |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
-       |             / 576460752303423488.0 - 1.0) AS c
-       |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
-       |), sims AS (
-       |  SELECT e.vec_id, ct.cid,
-       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM embeddings e CROSS JOIN centroids ct
-       |), assign AS (
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)}, assign AS (
        |  SELECT vec_id, sim FROM (
        |    SELECT vec_id, sim, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk

@@ -153,6 +153,9 @@ object SparkEntry {
     // BM25 more-like-this + brute-cosine lists fused by reciprocal-rank
     // (micros-rounded long contributions; list depth 20, final top-10)
     "hybrid_rrf" -> tuned(HybridRetrieval.fromDir),
+    // the scale variant: vector list from the IVF probe path (cell-bounded
+    // candidates) — only the list source moves, lex + fusion identical
+    "hybrid_rrf_ivf" -> tuned(HybridRetrieval.fromDirIvf),
     // SemDeDup: hash-quantizer cells, within-cell rounded-cosine prune
     // (i<j dominated rule — order-free, oracle-checkable)
     "semantic_dedup" -> tuned(SemanticDedup.fromDir),
@@ -299,6 +302,7 @@ object SparkEntry {
     "dup_span_removal" -> DupCoverage.removeOracle(),
     "bigram_logprob" -> BigramLm.oracle(),
     "hybrid_rrf" -> HybridRetrieval.oracle(),
+    "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
     "semantic_dedup" -> SemanticDedup.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
@@ -369,7 +373,8 @@ object SparkEntry {
     "text_bpe_tokens",       // BPE-ish proxy; text_bpe_merged/vocab are the real path
     "text_bpe_segments",     // same training loop as text_bpe_vocab (cost twin)
     "text_bpe_apply",        // same training loop + one corpus application pass
-    "store_maintenance_loop") // maintenance harness; probe twin of dedup_delta_lsh
+    "store_maintenance_loop", // maintenance harness; probe twin of dedup_delta_lsh
+    "hybrid_rrf")            // brute vector-list anchor; scale path hybrid_rrf_ivf
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -43,6 +43,34 @@ object HybridRetrieval {
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, numQueries: Int = 8,
                  kList: Int = 20, k: Int = 10, kRrf: Int = 60,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // vector list: brute cosine top-kList (the gated oracle anchor)
+    val vec = Similarity.bruteForceKnn(
+        embeddings, embeddings.filter(col("vec_id") < numQueries), kList)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    fuse(lexList(docs, numQueries, kList, k1, b), vec, k, kRrf)
+  }
+
+  /** The scale variant: the vector list comes from the IVF probe path
+    * (cell-bounded candidates under the shared hash quantizer) instead
+    * of the brute crossJoin — the ONLY thing that moves; the lexical
+    * list and the fusion are byte-identical. Gated under an oracle whose
+    * vector CTEs are the `ivf_ann_topk` chain verbatim. */
+  def hybridTopKIvf(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    kList: Int = 20, k: Int = 10, kRrf: Int = 60,
+                    numCentroids: Int = 16, nProbe: Int = 4,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val vec = Similarity.ivfAnnFromDir(spark, dir, numQueries, kList,
+        numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    fuse(lexList(Tables.documents(spark, dir), numQueries, kList, k1, b),
+      vec, k, kRrf)
+  }
+
+  /** The per-query BM25 more-like-this list: (query_id, doc_id, lrank). */
+  private def lexList(docs: DataFrame, numQueries: Int, kList: Int,
+                      k1: Double, b: Double): DataFrame = {
     val tf = Bm25.tfStage(docs)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -61,22 +89,18 @@ object HybridRetrieval {
       tf.join(broadcast(qtermSet), Seq("term")), dl, qt, consts, k1, b)
     val lexW = Window.partitionBy(col("query_id"))
       .orderBy(col("bm25_micros").desc, col("doc_id").asc)
-    val lex = scored.join(broadcast(qterms), Seq("term"))
+    scored.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("micros")).as("bm25_micros"))
       .withColumn("lrank", row_number().over(lexW).cast("long"))
       .filter(col("lrank") <= kList)
+  }
 
-    // vector list: brute cosine top-kList (the gated oracle anchor —
-    // rank surface identical to the IVF probe's, so the scale path swaps
-    // in without touching fusion)
-    val vec = Similarity.bruteForceKnn(
-        embeddings, embeddings.filter(col("vec_id") < numQueries), kList)
-      .select(col("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("vrank"))
-
-    // RRF: micros-rounded longs per list, summed; final (desc, id) cut
+  /** RRF: micros-rounded long contributions per list, summed; final
+    * (rrf desc, doc_id asc) cut. Query-bounded: 2·|Q|·kList rows in. */
+  private def fuse(lex: DataFrame, vec: DataFrame, k: Int,
+                   kRrf: Int): DataFrame = {
     def contrib(rank: org.apache.spark.sql.Column) =
       floor(lit(1e6) / (lit(kRrf.toDouble) + rank.cast("double")) + 0.5).cast("long")
     val fused = lex.select(col("query_id"), col("doc_id"), contrib(col("lrank")).as("c"))
@@ -94,13 +118,16 @@ object HybridRetrieval {
   def fromDir(spark: SparkSession, dir: String): DataFrame =
     hybridTopK(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
 
-  /** DuckDB twin: [[Bm25.coreCtesSql]] + [[Bm25.scoreCtesSql]] verbatim
-    * (the token rule, idf and per-term score CANNOT drift from the
-    * `bm25_topk` gate), the `knn_cosine_topk` pair/rank CTEs for the
-    * vector list, and the fusion arithmetic in exact integer space. */
-  def oracle(numQueries: Int = 8, kList: Int = 20, k: Int = 10,
-             kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): String =
-    s"""WITH ${Bm25.coreCtesSql}, qterms AS (
+  def fromDirIvf(spark: SparkSession, dir: String): DataFrame =
+    hybridTopKIvf(spark, dir)
+
+  /** The lexical-list CTE chain, ending in `lex (query_id, doc_id,
+    * lrank)` — [[Bm25.coreCtesSql]] + [[Bm25.scoreCtesSql]] verbatim (the
+    * token rule, idf and per-term score CANNOT drift from the `bm25_topk`
+    * gate). Shared by both fusion twins. */
+  private def lexCtesSql(numQueries: Int, kList: Int,
+                         k1: Double, b: Double): String =
+    s"""${Bm25.coreCtesSql}, qterms AS (
        |  SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < $numQueries
        |), qt AS (
        |  SELECT df.term, df.df FROM df JOIN (SELECT DISTINCT term FROM qterms) s
@@ -114,17 +141,11 @@ object HybridRetrieval {
        |    WHERE s.doc_id <> q.query_id
        |    GROUP BY q.query_id, s.doc_id
        |  ) WHERE lrank <= $kList
-       |), vec AS (
-       |  SELECT query_id, neighbor_id AS doc_id, vrank FROM (
-       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-       |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-       |                                             CAST(n.embedding AS DOUBLE[])) DESC,
-       |                      n.vec_id ASC) AS vrank
-       |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-       |    WHERE q.vec_id < $numQueries
-       |  ) WHERE vrank <= $kList
-       |), fused AS (
+       |)""".stripMargin
+
+  /** The integer-exact RRF tail over `lex` and `vec`. */
+  private def fusionTailSql(k: Int, kRrf: Int): String =
+    s""", fused AS (
        |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micros FROM (
        |    SELECT query_id, doc_id,
        |           CAST(FLOOR(1000000.0 / ($kRrf + lrank) + 0.5) AS BIGINT) AS c FROM lex
@@ -139,4 +160,34 @@ object HybridRetrieval {
        |           ORDER BY rrf_micros DESC, doc_id ASC) AS rank
        |  FROM fused
        |) WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of [[hybridTopK]]: shared lex chain, the
+    * `knn_cosine_topk` pair/rank CTEs for the vector list, shared fusion. */
+  def oracle(numQueries: Int = 8, kList: Int = 20, k: Int = 10,
+             kRrf: Int = 60, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${lexCtesSql(numQueries, kList, k1, b)}, vec AS (
+       |  SELECT query_id, neighbor_id AS doc_id, vrank FROM (
+       |    SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                             CAST(n.embedding AS DOUBLE[])) DESC,
+       |                      n.vec_id ASC) AS vrank
+       |    FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |    WHERE q.vec_id < $numQueries
+       |  ) WHERE vrank <= $kList
+       |)${fusionTailSql(k, kRrf)}""".stripMargin
+
+  /** DuckDB twin of [[hybridTopKIvf]]: the SAME lex chain and fusion
+    * tail; the vector list is [[Similarity.ivfRankedCtesSql]] verbatim
+    * (prefixed `v_` — the BM25 fragment also defines a `scored`). */
+  def oracleIvf(numQueries: Int = 8, kList: Int = 20, k: Int = 10,
+                kRrf: Int = 60, numCentroids: Int = 16, nProbe: Int = 4,
+                dim: Int = Similarity.LshOracleDim,
+                k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${lexCtesSql(numQueries, kList, k1, b)},
+       |${Similarity.centroidSimsCtesSql(dim, numCentroids)},
+       |${Similarity.ivfRankedCtesSql(numQueries, nProbe, "v_")}, vec AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS vrank
+       |  FROM v_ranked WHERE rank <= $kList
+       |)${fusionTailSql(k, kRrf)}""".stripMargin
 }

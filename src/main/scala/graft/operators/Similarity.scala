@@ -610,36 +610,48 @@ object Similarity {
        |  FROM embeddings e CROSS JOIN centroids ct
        |)""".stripMargin
 
-  def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
-                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
-    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)}, assign AS (
+  /** The IVF probe chain (assignment → probe selection → cell-bounded
+    * candidates → exact re-score → per-query rank) as SQL CTEs, ending in
+    * `${p}ranked (query_id, neighbor_id, cosine, rank)`. Assumes
+    * `centroids`/`sims` are in scope ([[centroidSimsCtesSql]]). `p`
+    * prefixes every CTE so a composed oracle ([[HybridRetrieval]]'s IVF
+    * twin) can place this chain beside the BM25 fragment (which also
+    * defines a `scored`). */
+  private[operators] def ivfRankedCtesSql(numQueries: Int, nProbe: Int,
+                                          p: String = ""): String =
+    s"""${p}assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
        |    FROM sims
        |  ) WHERE rk = 1
-       |), probes AS (
+       |), ${p}probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid ASC) AS rk
        |    FROM sims WHERE vec_id < $numQueries
        |  ) WHERE rk <= $nProbe
-       |), cand AS (
+       |), ${p}cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
-       |  FROM probes p JOIN assign a ON a.cid = p.cid
+       |  FROM ${p}probes p JOIN ${p}assign a ON a.cid = p.cid
        |  WHERE a.vec_id <> p.query_id
-       |), scored AS (
+       |), ${p}scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
        |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
-       |  FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  FROM ${p}cand c JOIN embeddings qe ON qe.vec_id = c.query_id
        |              JOIN embeddings ne ON ne.vec_id = c.neighbor_id
-       |), ranked AS (
+       |), ${p}ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM scored
-       |)
+       |  FROM ${p}scored
+       |)""".stripMargin
+
+  def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
+       |${ivfRankedCtesSql(numQueries, nProbe)}
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 

@@ -46,6 +46,18 @@ class HybridSemanticSpec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("IVF-fused hybrid == brute-fused hybrid at full probe coverage") {
+    // nProbe = numCentroids probes every cell, so the IVF candidate set is
+    // the whole corpus and fusion must agree with the brute twin exactly —
+    // the property that makes the vector list swappable without touching
+    // the lexical list or the fusion
+    val brute = HybridRetrieval.fromDir(spark, sf).collect().map(_.toSeq).toSeq
+    val ivf = HybridRetrieval.hybridTopKIvf(spark, sf,
+      numCentroids = 16, nProbe = 16).collect().map(_.toSeq).toSeq
+    assert(ivf == brute)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("semantic dedup: identical vectors in one cell collapse, singletons survive") {
     // 8-dim (the quantizer's oracle dim isn't required off-gate, any dim
     // works for the operator itself)

@@ -156,6 +156,13 @@ object SparkEntry {
     // the scale variant: vector list from the IVF probe path (cell-bounded
     // candidates) — only the list source moves, lex + fusion identical
     "hybrid_rrf_ivf" -> tuned(HybridRetrieval.fromDirIvf),
+    // ANCE-style contrastive mining: BM25-top docs the embedding space
+    // places far away (rounded cosine < tau) — query-bounded re-score
+    "hard_negatives" -> tuned(HybridRetrieval.hardNegativesFromDir),
+    // TRAINED quality filter: logistic regression on hashed token
+    // features, full-batch GD in integer micros (iterative harness —
+    // T driver-paced gradient collects, D+1 longs each)
+    "quality_classifier" -> tuned((s, dir) => QualityClassifier.fromDir(s, dir)),
     // SemDeDup: hash-quantizer cells, within-cell rounded-cosine prune
     // (i<j dominated rule — order-free, oracle-checkable)
     "semantic_dedup" -> tuned(SemanticDedup.fromDir),
@@ -303,6 +310,8 @@ object SparkEntry {
     "bigram_logprob" -> BigramLm.oracle(),
     "hybrid_rrf" -> HybridRetrieval.oracle(),
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
+    "hard_negatives" -> HybridRetrieval.hardNegativesOracle(),
+    "quality_classifier" -> QualityClassifier.oracle(),
     "semantic_dedup" -> SemanticDedup.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
@@ -341,7 +350,8 @@ object SparkEntry {
     * regression signal. */
   val iterativeHarnessQueries: Set[String] =
     Set("text_bpe_vocab", "text_bpe_segments", "text_bpe_apply",
-      "store_maintenance_loop")
+      "store_maintenance_loop",
+      "quality_classifier") // T gradient rounds, D+1-long collects
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -374,7 +384,11 @@ object SparkEntry {
     "text_bpe_segments",     // same training loop as text_bpe_vocab (cost twin)
     "text_bpe_apply",        // same training loop + one corpus application pass
     "store_maintenance_loop", // maintenance harness; probe twin of dedup_delta_lsh
-    "hybrid_rrf")            // brute vector-list anchor; scale path hybrid_rrf_ivf
+    "hybrid_rrf",            // brute vector-list anchor; scale path hybrid_rrf_ivf
+    "quality_classifier",    // iterative training harness (the BPE-trio rationale)
+    "corpus_split_append",   // cost twin: cluster_append + corpus_split_indexed, both on the line
+    "hard_negatives",        // query-bounded re-score over hybrid_rrf_ivf's lex stage
+    "ivf_requantize")        // same promote-generation primitive as ivf_index_compact (on the line)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -121,6 +121,55 @@ object HybridRetrieval {
   def fromDirIvf(spark: SparkSession, dir: String): DataFrame =
     hybridTopKIvf(spark, dir)
 
+  /** ANCE-style hard-negative mining for retrieval training (Xiong et
+    * al. 2020, arXiv:2007.00808 — negatives that the LEXICAL retriever
+    * ranks highly but the embedding space places far away are the
+    * training pairs that move a dense model most): for each query doc,
+    * every BM25 top-`kList` doc whose rounded cosine to the query is
+    * below `tau`. Output (query_id, doc_id, lrank, cosine_r).
+    *
+    * Cost shape: the lexical list is the shared [[lexList]] stage; the
+    * cosine re-score touches ONLY the |Q|·kList mined candidates (a
+    * broadcast of the |Q| query embeddings into a query-bounded join) —
+    * never a corpus pair join. */
+  def hardNegatives(docs: DataFrame, embeddings: DataFrame,
+                    numQueries: Int = 8, kList: Int = 20,
+                    tau: Double = 0.1, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val lex = lexList(docs, numQueries, kList, k1, b)
+    val q = embeddings.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val n = embeddings.select(col("vec_id").as("doc_id"),
+      col("embedding").as("ne"))
+    lex.join(broadcast(q.filter(col("query_id") < numQueries)), Seq("query_id"))
+      .join(n, Seq("doc_id"))
+      .withColumn("cosine_r", graft.functions.StableRound.stableRound(
+        Similarity.cosine(col("qe"), col("ne")), 8))
+      .filter(col("cosine_r") < tau)
+      .select(col("query_id"), col("doc_id"), col("lrank"), col("cosine_r"))
+      .orderBy(col("query_id"), col("lrank"))
+  }
+
+  def hardNegativesFromDir(spark: SparkSession, dir: String): DataFrame =
+    hardNegatives(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+
+  /** DuckDB twin: the shared lex chain + a cosine re-score over the
+    * mined candidates only, filtered on the SAME rounded value. */
+  def hardNegativesOracle(numQueries: Int = 8, kList: Int = 20,
+                          tau: Double = 0.1, k1: Double = 1.2,
+                          b: Double = 0.75): String =
+    s"""WITH ${lexCtesSql(numQueries, kList, k1, b)}
+       |SELECT l.query_id, l.doc_id, l.lrank,
+       |       FLOOR(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                    CAST(ne.embedding AS DOUBLE[]))
+       |             * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM lex l JOIN embeddings qe ON qe.vec_id = l.query_id
+       |           JOIN embeddings ne ON ne.vec_id = l.doc_id
+       |WHERE FLOOR(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                   CAST(ne.embedding AS DOUBLE[]))
+       |            * 1e8 + 0.5) / 1e8 < $tau
+       |ORDER BY query_id, lrank""".stripMargin
+
   /** The lexical-list CTE chain, ending in `lex (query_id, doc_id,
     * lrank)` — [[Bm25.coreCtesSql]] + [[Bm25.scoreCtesSql]] verbatim (the
     * token rule, idf and per-term score CANNOT drift from the `bm25_topk`

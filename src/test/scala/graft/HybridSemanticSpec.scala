@@ -58,6 +58,26 @@ class HybridSemanticSpec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("quality classifier learns a separable corpus to 100% accuracy") {
+    // positives (lang=en) carry planted tokens the negatives never use;
+    // full-batch GD in integer micros must find the boundary
+    val docs = (0 until 16).map { i =>
+      val pos = i % 2 == 0
+      (i.toLong,
+        if (pos) s"alpha beta common filler token$i" else s"gamma delta common filler token$i",
+        if (pos) "en" else "de")
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.operators.QualityClassifier.trainAndScore(docs).collect()
+    assert(out.length == 16)
+    assert(out.forall(r => r.getLong(3) == r.getLong(1)),
+      s"every pred must equal its label, got ${out.map(r => (r.getLong(1), r.getLong(3))).toSeq}")
+    // probabilities actually separate (not a degenerate all-0.5 fit)
+    val pPos = out.filter(_.getLong(1) == 1L).map(_.getLong(2))
+    val pNeg = out.filter(_.getLong(1) == 0L).map(_.getLong(2))
+    assert(pPos.min > pNeg.max)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("semantic dedup: identical vectors in one cell collapse, singletons survive") {
     // 8-dim (the quantizer's oracle dim isn't required off-gate, any dim
     // works for the operator itself)

@@ -43,7 +43,9 @@ object ScaleBench {
       "bigram_logprob", "corpus_curate_e2e", "bm25_indexed",
       "bm25_index_append", "dup_span_removal",
       "bm25_index_compact", "ivf_index_compact", "ivf_requantize",
-      "text_bpe_vocab", "dedup_index_compact")
+      "text_bpe_vocab", "dedup_index_compact",
+      "semantic_dedup", "hybrid_rrf_ivf", "hard_negatives",
+      "quality_classifier")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

@@ -70,7 +70,12 @@ object Bench {
     * (phase name, only run when this query is selected). */
   private[graft] val buildPhases: Seq[(String, String)] = Seq(
     "dedup_index_build" -> "dedup_delta_lsh",
-    "cluster_store_build" -> "dedup_canonical_indexed")
+    "cluster_store_build" -> "dedup_canonical_indexed",
+    // since the BPE gates share one memoized training run (production
+    // economics: train once, apply everywhere), their warm entries time
+    // the CONSUME path (~0.2 s) — this phase keeps the ~14 s training
+    // loop visible in the record, the dedup_index_build convention
+    "bpe_train" -> "text_bpe_vocab")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sfDirEnv
@@ -427,6 +432,9 @@ private[graft] object BenchCore {
             case "cluster_store_build" =>
               graft.operators.ClusterStore.write(
                 graft.sources.Tables.documents(spark, sfDir), tmp.toString)
+            case "bpe_train" => // memo-bypassing: the full training loop
+              graft.operators.BpeTrain.train(
+                graft.sources.Tables.documents(spark, sfDir))
             case other => sys.error(s"unknown bench phase: $other")
           }
           val secs = (System.nanoTime() - t0) / 1e9

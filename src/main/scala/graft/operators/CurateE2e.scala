@@ -47,7 +47,8 @@ object CurateE2e {
     * own fingerprint — the identical output the full closure computes, as
     * the unchanged DuckDB oracle still proves), and skips the pipeline's
     * second shingle self-join + CC — the two most expensive stages of the
-    * composed plan, ~40% of its wall time at sf0.1. A caller composing
+    * composed plan, ~60% of its wall time at sf0.1 (26.5 → 10.4 s
+    * isolated). A caller composing
     * clean and split at DIFFERENT (n, thr) must use [[CorpusSplit.split]]
     * directly; the theorem only holds for the shared-parameter DAG this
     * method defines. */

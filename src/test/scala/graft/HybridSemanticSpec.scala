@@ -58,6 +58,34 @@ class HybridSemanticSpec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("hard negatives: lexically-ranked docs below the cosine bar, and only those") {
+    // doc 1 shares terms AND points the same way (easy positive — excluded);
+    // doc 2 shares a term but is orthogonal (the hard negative);
+    // doc 3 shares nothing (never lexically ranked, excluded even though far)
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta gamma"),
+      (2L, "alpha delta"), (3L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.97f, 0.24f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+    val out = HybridRetrieval.hardNegatives(docs, emb, numQueries = 1,
+      kList = 3, tau = 0.5).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L),
+      s"only the lexically-ranked orthogonal doc mines, got ${out.toSeq}")
+    assert(out.head.getDouble(3) < 0.5)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
+  test("semantic dedup at an unreachable tau prunes nothing") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val kept = graft.operators.SemanticDedup.prune(e, numCentroids = 16,
+      tau = 1.1).count()
+    assert(kept == e.count())
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("quality classifier learns a separable corpus to 100% accuracy") {
     // positives (lang=en) carry planted tokens the negatives never use;
     // full-batch GD in integer micros must find the boundary

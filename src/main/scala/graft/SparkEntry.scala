@@ -156,6 +156,9 @@ object SparkEntry {
     // the scale variant: vector list from the IVF probe path (cell-bounded
     // candidates) — only the list source moves, lex + fusion identical
     "hybrid_rrf_ivf" -> tuned(HybridRetrieval.fromDirIvf),
+    // the production path: vector list probes the PERSISTED index
+    // (partition-pruned cells, sidecar quantizer) — same oracle
+    "hybrid_rrf_indexed" -> tuned(HybridRetrieval.fromDirIndexed(_, _)),
     // ANCE-style contrastive mining: BM25-top docs the embedding space
     // places far away (rounded cosine < tau) — query-bounded re-score
     "hard_negatives" -> tuned(HybridRetrieval.hardNegativesFromDir),
@@ -310,6 +313,7 @@ object SparkEntry {
     "bigram_logprob" -> BigramLm.oracle(),
     "hybrid_rrf" -> HybridRetrieval.oracle(),
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
+    "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
     "hard_negatives" -> HybridRetrieval.hardNegativesOracle(),
     "quality_classifier" -> QualityClassifier.oracle(),
     "semantic_dedup" -> SemanticDedup.oracle(),
@@ -384,11 +388,13 @@ object SparkEntry {
     "text_bpe_segments",     // same training loop as text_bpe_vocab (cost twin)
     "text_bpe_apply",        // same training loop + one corpus application pass
     "store_maintenance_loop", // maintenance harness; probe twin of dedup_delta_lsh
-    "hybrid_rrf",            // brute vector-list anchor; scale path hybrid_rrf_ivf
+    "hybrid_rrf",            // brute vector-list anchor; production path hybrid_rrf_indexed
+    "hybrid_rrf_ivf",        // in-memory IVF anchor; production path hybrid_rrf_indexed
     "quality_classifier",    // iterative training harness (the BPE-trio rationale)
     "corpus_split_append",   // cost twin: cluster_append + corpus_split_indexed, both on the line
     "hard_negatives",        // query-bounded re-score over hybrid_rrf_ivf's lex stage
-    "ivf_requantize")        // same promote-generation primitive as ivf_index_compact (on the line)
+    "ivf_requantize",        // same promote-generation primitive as ivf_index_compact (on the line)
+    "bm25_index_append")     // strict cost-subset of bm25_index_compact's gate (build+append+compact)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

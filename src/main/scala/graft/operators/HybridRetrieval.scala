@@ -121,6 +121,21 @@ object HybridRetrieval {
   def fromDirIvf(spark: SparkSession, dir: String): DataFrame =
     hybridTopKIvf(spark, dir)
 
+  /** The PRODUCTION path: the vector list probes the persisted IVF index
+    * (partition-pruned cell reads, quantizer reloaded from the sidecar —
+    * the exact `ivf_probe_indexed` surface), fused with the same lexical
+    * list. Same oracle as [[hybridTopKIvf]]: save → reload → probe ≡
+    * in-memory IVF is what the probe gate already proves, so fusion over
+    * either list must hash-match the same twin. */
+  def fromDirIndexed(spark: SparkSession, dir: String, numQueries: Int = 8,
+                     kList: Int = 20, k: Int = 10, kRrf: Int = 60): DataFrame = {
+    val vec = Similarity.ivfProbeIndexedFromDir(spark, dir, numQueries, kList)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    fuse(lexList(Tables.documents(spark, dir), numQueries, kList, 1.2, 0.75),
+      vec, k, kRrf)
+  }
+
   /** ANCE-style hard-negative mining for retrieval training (Xiong et
     * al. 2020, arXiv:2007.00808 — negatives that the LEXICAL retriever
     * ranks highly but the embedding space places far away are the

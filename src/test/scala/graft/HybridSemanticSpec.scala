@@ -58,6 +58,13 @@ class HybridSemanticSpec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("persisted-index hybrid == in-memory IVF hybrid (save->reload->probe->fuse)") {
+    val mem = HybridRetrieval.hybridTopKIvf(spark, sf).collect().map(_.toSeq).toSeq
+    val idx = HybridRetrieval.fromDirIndexed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(idx == mem)
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   test("hard negatives: lexically-ranked docs below the cosine bar, and only those") {
     // doc 1 shares terms AND points the same way (easy positive — excluded);
     // doc 2 shares a term but is orthogonal (the hard negative);

@@ -166,6 +166,9 @@ object SparkEntry {
     // features, full-batch GD in integer micros (iterative harness —
     // T driver-paced gradient collects, D+1 longs each)
     "quality_classifier" -> tuned((s, dir) => QualityClassifier.fromDir(s, dir)),
+    // dataset-version ledger: added/removed/changed/unchanged between two
+    // snapshot days — ONE full outer join over (id, fingerprint) pairs
+    "corpus_diff" -> tuned(CorpusDiff.fromDir),
     // SemDeDup: hash-quantizer cells, within-cell rounded-cosine prune
     // (i<j dominated rule — order-free, oracle-checkable)
     "semantic_dedup" -> tuned(SemanticDedup.fromDir),
@@ -316,6 +319,7 @@ object SparkEntry {
     "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
     "hard_negatives" -> HybridRetrieval.hardNegativesOracle(),
     "quality_classifier" -> QualityClassifier.oracle(),
+    "corpus_diff" -> CorpusDiff.oracle(),
     "semantic_dedup" -> SemanticDedup.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),

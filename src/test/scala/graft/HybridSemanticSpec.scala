@@ -93,6 +93,21 @@ class HybridSemanticSpec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("corpus diff: every status classifies correctly, bodies never compared") {
+    val oldDay = Seq((1L, "same"), (2L, "before"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newDay = Seq((1L, "same"), (2L, "after"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusDiff.diff(oldDay, newDay)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    val sum = graft.operators.CorpusDiff.summary(oldDay, newDay)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("added" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "unchanged" -> 1L))
+  }
+
   test("quality classifier learns a separable corpus to 100% accuracy") {
     // positives (lang=en) carry planted tokens the negatives never use;
     // full-batch GD in integer micros must find the boundary

@@ -147,7 +147,8 @@ object Bench {
     // and stderr (sbt prefixes stdout with "[info] "; stderr passes bare)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
-    val (compact, omitted) = compactLine(results.map(r => (r._1, r._2)), sfDir)
+    val (compact, omitted) =
+      compactLine(results.map(r => (r._1, r._2)), sfDir, tripped.map(_._1))
     if (omitted.nonEmpty)
       System.err.println("[bench] line-budget overflow (full record in bench.json): " +
         omitted.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
@@ -209,9 +210,15 @@ object Bench {
     * greedily — never a FAILED entry, which must always reach the driver.
     * Dropped entries are reported via the returned seq (logged to stderr)
     * and carry a `"more":N` count on the line; bench.json always holds
-    * the complete record. */
+    * the complete record. The round-over-round `tripwire` names ride the
+    * line unconditionally: round 12's corpus_split firing lived only in
+    * bench.json + a stderr warning that scrolled out of the driver's
+    * 2000-char tail — the alarm fired silently. It is ~15 bytes when
+    * empty, and when non-empty it is the single most important thing on
+    * the line. */
   private[graft] def compactLine(results: Seq[(String, Double)],
-                                 sfDir: String): (String, Seq[(String, Double)]) = {
+                                 sfDir: String,
+                                 tripped: Seq[String] = Nil): (String, Seq[(String, Double)]) = {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -227,7 +234,8 @@ object Bench {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmtSecs(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmtSecs(total)},"unit":"sec","queries":$qs,""" +
-        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sf"""" +
+        s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sf",""" +
+        s""""tripwire":${tripped.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         (if (omitted > 0) s""","more":$omitted}""" else "}")
     }
     var line = render()

@@ -58,6 +58,10 @@ object SparkEntry {
     // frame sampling (every-Nth-frame windows) value-gated via the
     // hex-twin fingerprint surface (DuckDB lacks BLOB substring/md5)
     "multimodal_frames" -> tuned(Multimodal.framesGateFromDir(_, _)),
+    // REAL format decode: P6 PPM payloads built on the scan, header
+    // actually parsed in the mapPartitions seam, triplet-strided channel
+    // sums — the decode seam value-gated on structure, not just bytes
+    "multimodal_decode" -> tuned(Multimodal.decodeGateFromDir),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
@@ -74,6 +78,10 @@ object SparkEntry {
     "dedup_clusters" -> tuned(NearDupClusters.fromDir),
     "range_join_windows" -> tuned(RangeJoin.fromDir),
     "corpus_packed" -> tuned(Curation.packShardsFromDir),
+    // deterministic training-order shuffle: seeded content-hash global
+    // permutation, token-budget shards cut along it (distributed prefix
+    // sum), per-shard packed-content hash + distinct-source interleaving
+    "corpus_shuffle" -> tuned(Curation.corpusShuffleFromDir),
     "sessions" -> tuned(graft.streaming.EventStreams.sessionsFromDir),
     "text_repetition" -> tuned(TextAnalysis.repetitionFromDir),
     "text_normalize" -> tuned(TextAnalysis.normalizeFromDir),
@@ -97,6 +105,13 @@ object SparkEntry {
     // growth maintenance: re-quantize to C=32 and probe — must equal a
     // from-scratch build at the new C (the oracle at numCentroids=32)
     "ivf_requantize" -> tuned(Similarity.ivfRequantizeProbeFromDir(_, _)),
+    // k-means quantizer TRAINING, exact: md5 init, integer-micros Lloyd
+    // updates, T iterations unrolled as oracle CTE chains (the BpeTrain
+    // discipline) — the gate output is the final update's integer stats
+    "kmeans_train" -> tuned(Similarity.kmeansTrainFromDir(_, _)),
+    // the IVF probe pipeline under the TRAINED quantizer (not the raw
+    // hash quantizer) — production ANN quality rides this path
+    "ivf_ann_trained" -> tuned(Similarity.ivfAnnTrainedFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
@@ -169,6 +184,10 @@ object SparkEntry {
     // dataset-version ledger: added/removed/changed/unchanged between two
     // snapshot days — ONE full outer join over (id, fingerprint) pairs
     "corpus_diff" -> tuned(CorpusDiff.fromDir),
+    // the ledger DRIVING incremental re-processing: remove removed∪changed
+    // from the ClusterStore (deletion mechanics), append only added∪changed,
+    // split from the updated store — must equal a day-2 from-scratch split
+    "corpus_diff_recurate" -> tuned(CorpusDiff.recurateFromDir),
     // SemDeDup: hash-quantizer cells, within-cell rounded-cosine prune
     // (i<j dominated rule — order-free, oracle-checkable)
     "semantic_dedup" -> tuned(SemanticDedup.fromDir),
@@ -267,6 +286,7 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.payloadMetaOracle,
     "multimodal_features" -> Multimodal.byteFeaturesOracle,
     "multimodal_frames" -> Multimodal.framesOracle(),
+    "multimodal_decode" -> Multimodal.decodeOracle,
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
@@ -281,6 +301,7 @@ object SparkEntry {
     "dedup_clusters" -> NearDupClusters.oracle(),
     "range_join_windows" -> RangeJoin.oracle,
     "corpus_packed" -> Curation.packShardsOracle(),
+    "corpus_shuffle" -> Curation.corpusShuffleOracle(),
     "sessions" -> graft.streaming.EventStreams.sessionsOracle(),
     "text_repetition" -> TextAnalysis.repetitionOracle,
     "text_normalize" -> TextAnalysis.normalizeOracle,
@@ -290,6 +311,8 @@ object SparkEntry {
     "ivf_index_append" -> Similarity.ivfAnnOracle(),
     "ivf_index_compact" -> Similarity.ivfAnnOracle(),
     "ivf_requantize" -> Similarity.ivfAnnOracle(numCentroids = 32),
+    "kmeans_train" -> Similarity.kmeansTrainOracle(),
+    "ivf_ann_trained" -> Similarity.ivfAnnTrainedOracle(),
     "ivf_index_health" -> Similarity.indexHealthOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
@@ -320,6 +343,7 @@ object SparkEntry {
     "hard_negatives" -> HybridRetrieval.hardNegativesOracle(),
     "quality_classifier" -> QualityClassifier.oracle(),
     "corpus_diff" -> CorpusDiff.oracle(),
+    "corpus_diff_recurate" -> CorpusDiff.recurateOracle(),
     "semantic_dedup" -> SemanticDedup.oracle(),
     "corpus_rollup" -> CorpusStats.oracle,
     "boilerplate_frac" -> Boilerplate.oracle(),
@@ -359,7 +383,9 @@ object SparkEntry {
   val iterativeHarnessQueries: Set[String] =
     Set("text_bpe_vocab", "text_bpe_segments", "text_bpe_apply",
       "store_maintenance_loop",
-      "quality_classifier") // T gradient rounds, D+1-long collects
+      "quality_classifier", // T gradient rounds, D+1-long collects
+      "kmeans_train",       // T Lloyd rounds, K·dim-long collects each
+      "ivf_ann_trained")    // the same training loop feeding one probe plan
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -398,7 +424,14 @@ object SparkEntry {
     "corpus_split_append",   // cost twin: cluster_append + corpus_split_indexed, both on the line
     "hard_negatives",        // query-bounded re-score over hybrid_rrf_ivf's lex stage
     "ivf_requantize",        // same promote-generation primitive as ivf_index_compact (on the line)
-    "bm25_index_append")     // strict cost-subset of bm25_index_compact's gate (build+append+compact)
+    "bm25_index_append",     // strict cost-subset of bm25_index_compact's gate (build+append+compact)
+    "kmeans_train",          // strict cost-subset of ivf_ann_trained (same training loop, on the line)
+    "ivf_index_append",      // strict cost-subset of ivf_index_compact's gate (build+append+compact)
+    "corpus_diff",           // ledger anchor; the composed corpus_diff_recurate path is on the line
+    "corpus_shards",         // strict cost-subset of corpus_packed (same prefix sum + pack finish)
+    "decontaminate",         // composed inside corpus_curate_e2e (same rule fragments, on the line)
+    "multimodal_frames",     // hex-twin plumbing anchor; the real-decode gate multimodal_decode stays
+    "dup_ngram_coverage")    // report twin; the consuming transform dup_span_removal stays on the line
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

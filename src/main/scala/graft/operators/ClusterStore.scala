@@ -469,6 +469,77 @@ object ClusterStore {
     }
   }
 
+  /** Remove documents from the store — the deletion half of the
+    * dataset-version loop ([[CorpusDiff]]'s `removed ∪ changed` docs must
+    * LEAVE the pair graph before the changed docs' new text re-enters via
+    * [[append]]; GDPR-style takedowns are the same mechanics).
+    *
+    *   - pairs/cards REWRITE filtered into one fresh epoch — both tables
+    *     are pair-graph-bounded (the near-dup minority), so a deletion
+    *     costs edge-list work, never corpus work, and the rewrite doubles
+    *     as an epoch compaction (same coalescing win, same manifest flip);
+    *   - clusters: removal can only SPLIT components, and only components
+    *     CONTAINING a removed doc can change — untouched components' rows
+    *     carry over verbatim and only the affected components' surviving
+    *     edges re-run CC (the [[append]] touched-subgraph discipline,
+    *     mirrored; a member whose last pair died drops out of the map
+    *     naturally, exactly as a from-scratch build would drop it);
+    *   - the corpus stamp re-computes over `remainingDocs` (a doc_id-only
+    *     column-pruned aggregate) so a later [[append]]'s drift guard
+    *     keeps holding against the post-delete corpus.
+    *
+    * Crash-safe like every store op: the filtered epoch and the next
+    * clusters generation land invisibly, ONE manifest rename publishes
+    * both plus the new stamp, and pre-staging sweeps heal any residue of
+    * a crashed earlier attempt. Equality with from-scratch over the
+    * remaining corpus is what the `corpus_diff_recurate` gate checks. */
+  def remove(spark: SparkSession, dir: String,
+             removedIds: DataFrame, remainingDocs: DataFrame): Unit = {
+    val manifest = readManifest(dir)
+    val e = manifest.nextEpoch
+    val g = manifest.clustersGen + 1
+    sweepOrphans(java.nio.file.Paths.get(s"$dir/pairs"), "epoch=", manifest.epochs.toSet)
+    sweepOrphans(java.nio.file.Paths.get(s"$dir/cards"), "epoch=", manifest.epochs.toSet)
+    sweepOrphans(java.nio.file.Paths.get(dir), "clusters_v", Set(manifest.clustersGen))
+    val rem = removedIds.select(col("doc_id")).distinct()
+    readPairs(spark, dir)
+      .join(rem.withColumnRenamed("doc_id", "id1"), Seq("id1"), "left_anti")
+      .join(rem.withColumnRenamed("doc_id", "id2"), Seq("id2"), "left_anti")
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/pairs")
+    readCards(spark, dir).join(rem, Seq("doc_id"), "left_anti")
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/cards")
+    // relabel only components a removed doc sat in; their surviving edges
+    // are selected by id1-membership (old pairs never cross components)
+    val oldClusters = readClusters(spark, dir)
+    val affected = oldClusters.join(rem, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val affectedDocs = oldClusters.join(affected, Seq("cluster_id"))
+      .select(col("doc_id"))
+    val kept = spark.read.parquet(s"$dir/pairs").filter(col("epoch") === e)
+      .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
+    val sub = kept.join(affectedDocs.withColumnRenamed("doc_id", "id1"),
+      Seq("id1"), "left_semi")
+    val untouched = oldClusters.join(affected, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    // marker scopes CC's mid-iteration pin release to ITS pins only — a
+    // composite caller's (recurate loop) earlier pinned stages survive
+    val m = Pinned.marker(spark)
+    untouched.unionByName(NearDupClusters.connectedComponents(sub, Some(m)))
+      .write.mode("overwrite").parquet(s"$dir/clusters_v$g")
+    val (nRem, maxRem) = corpusStamp(remainingDocs)
+    commitManifest(dir, manifest.copy(nDocs = nRem, maxDocId = maxRem,
+      epochs = Seq(e), nextEpoch = e + 1, clustersGen = g))
+    for (old <- manifest.epochs) {
+      deleteRecursively(java.nio.file.Paths.get(s"$dir/pairs/epoch=$old"))
+      deleteRecursively(java.nio.file.Paths.get(s"$dir/cards/epoch=$old"))
+    }
+    deleteRecursively(
+      java.nio.file.Paths.get(s"$dir/clusters_v${manifest.clustersGen}"))
+  }
+
   /** Collapse the committed pairs/cards epochs into one (coalesced
     * files), publish through the manifest, delete the retired epoch dirs.
     * Unlike the bucketed stores there is no pruning key to preserve —

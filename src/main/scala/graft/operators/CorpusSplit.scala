@@ -91,13 +91,17 @@ object CorpusSplit {
   /** DuckDB twin: the shared connected-components fragment
     * ([[NearDupClusters.ccCtesSql]]) + the shared fingerprint fold
     * ([[Fingerprint.fingerprintSql]]) — both single-sourced, so neither
-    * the closure nor the content hash can drift from its gated sibling. */
+    * the closure nor the content hash can drift from its gated sibling.
+    * `relation`/`extraCtes` let a composed gate split a DERIVED corpus
+    * (the `corpus_diff_recurate` day-2 snapshot) under the identical
+    * rules. */
   def oracle(trainPct: Int = 90, valPct: Int = 5,
-             n: Int = 5, threshold: Double = 0.5): String =
-    s"""WITH RECURSIVE ${NearDupClusters.ccCtesSql(n, threshold)},
+             n: Int = 5, threshold: Double = 0.5,
+             relation: String = "documents", extraCtes: String = ""): String =
+    s"""WITH RECURSIVE $extraCtes${NearDupClusters.ccCtesSql(n, threshold, relation)},
        |fp AS (
        |  SELECT doc_id, ${Fingerprint.fingerprintSql("text")} AS fp
-       |  FROM documents
+       |  FROM $relation
        |),
        |ufp AS (
        |  SELECT cc.cluster_id, MIN(f.fp) AS unit_fp

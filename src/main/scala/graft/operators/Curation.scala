@@ -218,4 +218,68 @@ object Curation {
 
   def packShardsFromDir(spark: SparkSession, dir: String): DataFrame =
     packShards(Tables.documents(spark, dir))
+
+  /** Deterministic training-order shuffle — the LAST step a data pipeline
+    * runs before the trainer reads shards. Each doc's position key is the
+    * 60-bit content hash of `seed || text` (ties → doc_id): a seeded
+    * global permutation that is CONTENT-ADDRESSED (doc_id renumbering
+    * cannot reorder the corpus), reproducible on both engines, and
+    * source-INTERLEAVING by construction — the hash ignores `source`, so
+    * consecutive positions mix sources instead of replaying crawl batches
+    * as the doc_id order does (no shard is a single-source run; the gate
+    * surface carries per-shard distinct-source counts as evidence).
+    *
+    * Composed with the [[packShards]] assembly: token-budget shards are
+    * cut along the SHUFFLED order via the same distributed prefix sum
+    * ([[ScalableCumsum]] — range exchange + broadcast offsets, no
+    * single-partition sort anywhere), and each shard packs its docs in
+    * shuffled order, pinned cross-engine by the packed content hash. */
+  def corpusShuffle(docs: DataFrame, seed: Long = 13L,
+                    capacity: Long = 20000L): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("text"), col("source"),
+      Dedup.hash60(concat(lit(s"shuffle_$seed|"), col("text"))).as("pos_key"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    ScalableCumsum.withRunningTotal(keyed, col("n_tokens"), "cum_tokens",
+        col("pos_key"), col("doc_id"))
+      .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        // struct sort on (pos_key, doc_id, text): deterministic shuffled
+        // order within the shard regardless of shuffle arrival order
+        Dedup.hash60(array_join(
+          transform(array_sort(collect_list(
+            struct(col("pos_key"), col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          DocSeparator)).as("packed_h"))
+      .orderBy(col("shard_id"))
+  }
+
+  def corpusShuffleFromDir(spark: SparkSession, dir: String): DataFrame =
+    corpusShuffle(Tables.documents(spark, dir))
+
+  /** DuckDB twin: one window over the same (pos_key, doc_id) permutation;
+    * the packed hash aggregates in the same shuffled order. */
+  def corpusShuffleOracle(seed: Long = 13L, capacity: Long = 20000L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, source,
+       |         ${Dedup.hash60Sql(s"'shuffle_$seed|' || text")} AS pos_key,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, text, source, pos_key, n_tokens,
+       |         SUM(n_tokens) OVER (ORDER BY pos_key, doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM t
+       |), sh AS (
+       |  SELECT *, (cum - n_tokens) // $capacity AS shard_id FROM c
+       |)
+       |SELECT CAST(shard_id AS BIGINT) AS shard_id, COUNT(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |       ${Dedup.hash60Sql(
+             s"string_agg(text, '$DocSeparator' ORDER BY pos_key, doc_id)")} AS packed_h
+       |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

@@ -128,11 +128,18 @@ object HybridRetrieval {
     * in-memory IVF is what the probe gate already proves, so fusion over
     * either list must hash-match the same twin. */
   def fromDirIndexed(spark: SparkSession, dir: String, numQueries: Int = 8,
-                     kList: Int = 20, k: Int = 10, kRrf: Int = 60): DataFrame = {
-    val vec = Similarity.ivfProbeIndexedFromDir(spark, dir, numQueries, kList)
+                     kList: Int = 20, k: Int = 10, kRrf: Int = 60,
+                     numCentroids: Int = 16, nProbe: Int = 4,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // every IVF/BM25 parameter is threaded explicitly (mirroring
+    // hybridTopKIvf) so the three hybrid entry points share one parameter
+    // surface — a drift in ivfProbeIndexedFromDir's or oracleIvf's defaults
+    // can no longer break the hybrid_rrf_indexed gate non-obviously
+    val vec = Similarity.ivfProbeIndexedFromDir(spark, dir, numQueries, kList,
+        numCentroids, nProbe)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vrank"))
-    fuse(lexList(Tables.documents(spark, dir), numQueries, kList, 1.2, 0.75),
+    fuse(lexList(Tables.documents(spark, dir), numQueries, kList, k1, b),
       vec, k, kRrf)
   }
 

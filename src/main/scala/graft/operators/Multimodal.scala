@@ -229,6 +229,141 @@ object Multimodal {
        |       md5(fh) AS frame_hexmd5
        |FROM f ORDER BY media_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------- real format decode
+
+  /** A decoded binary PPM (P6) image: dimensions, sample depth, and the
+    * raw RGB triplets (`pixels.length == width * height * 3`). */
+  final case class PpmImage(width: Int, height: Int, maxVal: Int,
+                            pixels: Array[Byte])
+
+  /** REAL P6 decoder — the upgrade of the decode seam from byte folds to
+    * actual format structure: parses the magic, whitespace/`#`-comment
+    * runs, ASCII dimensions and max sample value per the netpbm spec, then
+    * takes `w·h·3` raw sample bytes from after the single post-maxval
+    * whitespace byte. Returns None for anything malformed (bad magic,
+    * missing dims, maxVal outside 1..255 single-byte range, truncated
+    * pixel data) — a corrupt payload must be rejected, not mis-summed. */
+  def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    var i = 0
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < payload.length) {
+        if (isWs(payload(i))) i += 1
+        else if (payload(i) == '#') {
+          while (i < payload.length && payload(i) != '\n') i += 1
+        } else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWs()
+      val s = i
+      while (i < payload.length && payload(i) >= '0' && payload(i) <= '9') i += 1
+      if (i == s || i - s > 9) None
+      else Some(new String(payload, s, i - s, "US-ASCII").toInt)
+    }
+    if (payload.length < 2 || payload(0) != 'P' || payload(1) != '6') None
+    else {
+      i = 2
+      for {
+        w <- readInt()
+        h <- readInt()
+        mv <- readInt()
+        if mv >= 1 && mv <= 255 && w >= 0 && h >= 0
+        // exactly ONE whitespace byte separates the header from the samples
+        if i < payload.length && isWs(payload(i))
+        data = {
+          i += 1
+          if (payload.length - i >= w * h * 3)
+            Some(java.util.Arrays.copyOfRange(payload, i, i + w * h * 3))
+          else None
+        }
+        px <- data
+      } yield PpmImage(w, h, mv, px)
+    }
+  }
+
+  /** Wrap each doc's bytes into a REAL P6 payload: an 8×⌊n/24⌋ image whose
+    * sample data is the text's leading `w·h·3` bytes — built with
+    * expressions on the scan (binary concat + substr; no shuffle), so the
+    * decoder downstream faces a genuine header it must actually parse. */
+  def asPpmPayloads(docs: DataFrame): DataFrame = {
+    val bin = col("text").cast("binary")
+    val h = floor(length(bin) / lit(24)).cast("int")
+    docs.select(col("doc_id").as("media_id"),
+      concat(concat(lit("P6\n8 "), h.cast("string"), lit("\n255\n")).cast("binary"),
+        bin.substr(lit(1), h * lit(24))).as("payload"),
+      col("source"), lit("image/x-portable-pixmap").as("mime"))
+  }
+
+  private val ppmFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("r_sum", LongType, nullable = false),
+    StructField("g_sum", LongType, nullable = false),
+    StructField("b_sum", LongType, nullable = false)))
+
+  /** Decode P6 payloads per partition (payloads never shuffle; only the
+    * 7-long feature rows do) and reduce each image to exact integer
+    * channel statistics from the ACTUAL pixel layout — R/G/B sums walk
+    * the triplet structure the header declared, which is what makes this
+    * a decode gate rather than a byte-fold gate. A payload the decoder
+    * rejects reports width = -1 (kept visible, never silently dropped). */
+  def extractPpmFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodePpm(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var p = 0
+            while (p < img.pixels.length) {
+              rs += img.pixels(p) & 0xff
+              gs += img.pixels(p + 1) & 0xff
+              bs += img.pixels(p + 2) & 0xff
+              p += 3
+            }
+            Row(r.getLong(0), img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, rs, gs, bs)
+          case None => Row(r.getLong(0), -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, ppmFeatureSchema)
+  }
+
+  /** Gated query `multimodal_decode`: real P6 payloads built from every
+    * doc, decoded through the mapPartitions seam, reduced to integer
+    * channel sums. */
+  def decodeGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    extractPpmFeatures(asPpmPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+
+  /** DuckDB twin: recomputes the expected decode output from the builder's
+    * rule — dims 8×⌊n/24⌋, channel sums over the triplet-strided byte
+    * positions of the text's hex expansion (the established hex-twin
+    * pattern). A decoder that mis-parses the header or mis-strides the
+    * triplets cannot hash-match this. */
+  val decodeOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents
+       |), px AS (
+       |  SELECT media_id, n // 24 AS h, (n // 24) * 8 AS npix,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 24) * 24 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |)
+       |SELECT media_id, CAST(8 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |       CAST(npix AS BIGINT) AS n_pixels,
+       |       CAST(COALESCE(list_sum([bs[3*i - 2] FOR i IN range(1, CAST(npix AS INTEGER) + 1)]), 0) AS BIGINT) AS r_sum,
+       |       CAST(COALESCE(list_sum([bs[3*i - 1] FOR i IN range(1, CAST(npix AS INTEGER) + 1)]), 0) AS BIGINT) AS g_sum,
+       |       CAST(COALESCE(list_sum([bs[3*i] FOR i IN range(1, CAST(npix AS INTEGER) + 1)]), 0) AS BIGINT) AS b_sum
+       |FROM px ORDER BY media_id""".stripMargin
+
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */
   def featureNearDups(docs: DataFrame, threshold: Double = 0.99): DataFrame = {

@@ -55,8 +55,13 @@ object SemanticDedup {
       .orderBy(col("vec_id"))
   }
 
-  def fromDir(spark: SparkSession, dir: String): DataFrame =
-    prune(Tables.embeddings(spark, dir))
+  def fromDir(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    // same precheck as the IVF gates: a dim mismatch must fail with a clear
+    // error here, not as an opaque gate hash mismatch downstream
+    Similarity.requireOracleDim(e, dir)
+    prune(e)
+  }
 
   /** DuckDB twin: [[Similarity.centroidSimsCtesSql]] verbatim (the
     * quantizer CANNOT drift from the IVF gates), the same ties-to-larger

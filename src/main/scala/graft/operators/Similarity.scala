@@ -82,33 +82,57 @@ object Similarity {
   // ------------------------------------------------------------------ IVF
 
   /** IVF coarse quantizer trained with Lloyd iterations expressed as
-    * DataFrame ops (assign = broadcast-centroid argmin, update = groupBy
-    * mean) — no MLlib, no driver-side loops over data. Returns the final
-    * centroids (id, vector) collected to the driver (|centroids| is tiny
-    * by design — that is what makes IVF a coarse quantizer). */
+    * DataFrame ops (assign = broadcast-centroid argmax, update = groupBy
+    * sums) — no MLlib, no driver-side loops over data. Deterministic and
+    * ORACLE-EXACT end-to-end (the BpeTrain / QualityClassifier iterative-
+    * trainer discipline, promoted to the quantizer in round 13): init is
+    * the md5 [[hashCentroids]] (both engines recompute it bit-for-bit),
+    * assignment ties break to the LARGER cid (the [[centroidSimsCtesSql]]
+    * companion rule), and each update sums micros-rounded components as
+    * LONGS — float sums are partition-order-dependent and can never
+    * hash-match an oracle; integer sums of rounded terms are exact on both
+    * engines — before ONE double division s/(n·1e6) whose inputs are
+    * exactly representable, so the new centroid components are
+    * bit-identical to the DuckDB twin's. Gated by `kmeans_train`
+    * ([[kmeansTrainOracle]] unrolls the T iterations as CTE chains) and
+    * consumed trained by `ivf_ann_trained`. Returns the final centroids
+    * collected to the driver (|centroids|·dim doubles — K-sized by
+    * design; that is what makes IVF a coarse quantizer). */
   def trainCentroids(embeddings: DataFrame, k: Int, iterations: Int = 2,
-                     dimOpt: Option[Int] = None, seed: Long = 11L): Array[(Int, Array[Double])] = {
+                     dimOpt: Option[Int] = None): Array[(Int, Array[Double])] = {
     val dim = dimOpt.getOrElse(embeddingDim(embeddings))
-    val rnd = new scala.util.Random(seed)
-    var centroids: Array[(Int, Array[Double])] =
-      Array.tabulate(k)(i => (i, Array.fill(dim)(rnd.nextGaussian())))
-    for (_ <- 1 to iterations) {
-      val assigned = assignToCentroids(embeddings, centroids)
-      val sums = assigned
-        .select(col("centroid_id"),
-          transform(col("embedding"), x => x.cast("double")).as("e"))
-        .groupBy(col("centroid_id"))
-        .agg(count(lit(1)).as("n"),
-          array((0 until dim).map(i => sum(element_at(col("e"), i + 1))): _*).as("s"))
-        .collect()
-      val updated = sums.map { r =>
-        val n = r.getAs[Long]("n").toDouble
-        (r.getAs[Int]("centroid_id"), r.getAs[Seq[Double]]("s").map(_ / n).toArray)
-      }.toMap
-      // keep un-hit centroids where they are
-      centroids = centroids.map { case (id, c) => (id, updated.getOrElse(id, c)) }
-    }
+    var centroids = hashCentroids(dim, k)
+    for (_ <- 1 to iterations)
+      centroids = lloydStepExact(embeddings, centroids, dim)
     centroids
+  }
+
+  /** One Lloyd update's exact stats: per cell, its size and the array of
+    * per-dimension LONG sums of micros-rounded components — one row per
+    * cell, map-side partial agg, NO explode on the corpus scan. Shared
+    * verbatim by [[lloydStepExact]] and the `kmeans_train` gate so the
+    * gated math IS the production math. */
+  private[operators] def lloydUpdateStats(e: DataFrame,
+      centroids: Array[(Int, Array[Double])], dim: Int): DataFrame =
+    assignToCentroids(e, centroids)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(d =>
+          sum(floor(element_at(col("embedding"), d + 1).cast("double") * 1e6 + 0.5)
+            .cast("long"))): _*).as("s"))
+
+  /** One exact Lloyd step: assignment (ties → larger cid) + integer-micros
+    * update; un-hit cells keep their previous centroid (both engines'
+    * rule). The collect is K·dim longs — driver-sized by construction. */
+  private[graft] def lloydStepExact(e: DataFrame,
+      centroids: Array[(Int, Array[Double])],
+      dim: Int): Array[(Int, Array[Double])] = {
+    val updated = lloydUpdateStats(e, centroids, dim).collect().map { r =>
+      val n = r.getAs[Long]("n")
+      (r.getAs[Int]("centroid_id"),
+        r.getAs[Seq[Long]]("s").map(_.toDouble / (n * 1e6)).toArray)
+    }.toMap
+    centroids.map { case (id, c) => (id, updated.getOrElse(id, c)) }
   }
 
   /** Nearest-centroid assignment: centroids ship as plan literals (they are
@@ -157,8 +181,8 @@ object Similarity {
     * cells. For the persisted variant whose probe reads only the probed
     * cells' FILES, see [[writeIvfIndex]] / [[probeIvfIndex]]. */
   def ivfKnn(embeddings: DataFrame, queries: DataFrame, k: Int = 10,
-             numCentroids: Int = 16, nProbe: Int = 4, seed: Long = 11L): DataFrame = {
-    val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
+             numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(embeddings, numCentroids)
     val n = assignToCentroids(embeddings, centroids)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreProbed(queryProbes(queries, centroids, nProbe), n, k)
@@ -174,8 +198,8 @@ object Similarity {
     * self-contained: a later session can append or probe without the
     * builder's driver state. */
   def writeIvfIndex(embeddings: DataFrame, dir: String, numCentroids: Int = 16,
-                    seed: Long = 11L): Array[(Int, Array[Double])] = {
-    val centroids = trainCentroids(embeddings, numCentroids, seed = seed)
+                   ): Array[(Int, Array[Double])] = {
+    val centroids = trainCentroids(embeddings, numCentroids)
     writeIvfIndexWith(embeddings, dir, centroids)
     centroids
   }
@@ -350,13 +374,13 @@ object Similarity {
     * Returns the new centroid count if a requantize ran. */
   def maybeRequantize(spark: SparkSession, dir: String,
                       maxDrift: Double = 0.05, maxGrowth: Double = 4.0,
-                      seed: Long = 11L): Option[Int] = {
+                     ): Option[Int] = {
     val h = indexHealth(spark, dir)
     if (!h.shouldRecluster(maxDrift, maxGrowth)) None
     else {
       val newC = sizedCentroidCount(readQuantizer(spark, dir).length, h.growth)
       val rows = spark.read.parquet(ivfDataDir(dir)).drop("centroid_id")
-      requantizeIvfIndex(spark, dir, trainCentroids(rows, newC, seed = seed))
+      requantizeIvfIndex(spark, dir, trainCentroids(rows, newC))
       Some(newC)
     }
   }
@@ -380,7 +404,7 @@ object Similarity {
   /** Per-row vector→assigned-centroid cosine — the quantity whose mean
     * decays as data drifts away from the centroids it was quantized
     * with. */
-  private def assignedSim(centroids: Array[(Int, Array[Double])]): Column =
+  private[graft] def assignedSim(centroids: Array[(Int, Array[Double])]): Column =
     coalesce(centroids.map { case (id, c) =>
       when(col("centroid_id") === id, litCosine(col("embedding"), c))
     }.toIndexedSeq: _*)
@@ -618,18 +642,19 @@ object Similarity {
     * twin) can place this chain beside the BM25 fragment (which also
     * defines a `scored`). */
   private[operators] def ivfRankedCtesSql(numQueries: Int, nProbe: Int,
-                                          p: String = ""): String =
+                                          p: String = "",
+                                          sims: String = "sims"): String =
     s"""${p}assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
-       |    FROM sims
+       |    FROM $sims
        |  ) WHERE rk = 1
        |), ${p}probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid ASC) AS rk
-       |    FROM sims WHERE vec_id < $numQueries
+       |    FROM $sims WHERE vec_id < $numQueries
        |  ) WHERE rk <= $nProbe
        |), ${p}cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
@@ -655,6 +680,112 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------------- gated k-means training
+
+  /** One exact Lloyd iteration as DuckDB CTEs — the trainer's loop
+    * UNROLLED (the BpeTrain discipline): given the iteration-i per-vector
+    * centroid cosines (named `sims` for i = 0, [[centroidSimsCtesSql]]'s
+    * output over the md5-init `centroids`; else `k_sims$i`), emits
+    *   k_assign$i   argmax assignment (ties → larger cid, the
+    *                [[ivfRankedCtesSql]] assign rule verbatim),
+    *   k_comp$i     per (cid, d) exact update stats: COUNT + long sum of
+    *                micros-rounded components,
+    *   k_cent${i}+1 the new centroid list — un-hit cells keep the old one,
+    *   k_sims${i}+1 cosines against the new centroids.
+    * Trailing unreferenced CTEs cost nothing (DuckDB inlines CTEs), so a
+    * caller selects from whichever stage its gate pins. */
+  private[operators] def kmeansIterCtesSql(i: Int, dim: Int): String = {
+    val sims = if (i == 0) "sims" else s"k_sims$i"
+    val cent = if (i == 0) "centroids" else s"k_cent$i"
+    s"""k_assign$i AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM $sims
+       |  ) WHERE rk = 1
+       |), k_comp$i AS (
+       |  SELECT a.cid, r.d, CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(CAST(FLOOR(CAST(e.embedding[r.d + 1] AS DOUBLE) * 1e6 + 0.5)
+       |                       AS BIGINT)) AS BIGINT) AS s_micros
+       |  FROM k_assign$i a JOIN embeddings e USING (vec_id)
+       |       CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
+       |  GROUP BY a.cid, r.d
+       |), k_cent${i + 1} AS (
+       |  SELECT c0.cid, COALESCE(u.c, c0.c) AS c
+       |  FROM $cent c0 LEFT JOIN (
+       |    SELECT cid, list(CAST(s_micros AS DOUBLE) / (n * 1e6) ORDER BY d) AS c
+       |    FROM k_comp$i GROUP BY cid
+       |  ) u ON u.cid = c0.cid
+       |), k_sims${i + 1} AS (
+       |  SELECT e.vec_id, ct.cid,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |  FROM embeddings e CROSS JOIN k_cent${i + 1} ct
+       |)""".stripMargin
+  }
+
+  /** Gated query `kmeans_train`: the FINAL Lloyd update's exact stats —
+    * per (cid, d): cell size and the long micros sum — after running the
+    * first T−1 iterations of [[trainCentroids]]. Integer-only output, so
+    * the gate is float-free end to end; every earlier iteration's
+    * assignment and centroid update is pinned transitively (iteration T's
+    * stats depend on iteration T−1's centroids, which depend on T−2's
+    * assignment, ... back to the md5 init both engines recompute). */
+  def kmeansTrainFromDir(spark: SparkSession, dir: String,
+                         numCentroids: Int = 16, iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = requireOracleDim(e, dir)
+    var cents = hashCentroids(dim, numCentroids)
+    for (_ <- 1 until iterations) cents = lloydStepExact(e, cents, dim)
+    lloydUpdateStats(e, cents, dim)
+      .select(col("centroid_id").cast("long").as("cid"), col("n"),
+        posexplode(col("s")).as(Seq("d", "s_micros")))
+      .select(col("cid"), col("d").cast("long").as("d"), col("n"), col("s_micros"))
+      .orderBy(col("cid"), col("d"))
+  }
+
+  /** DuckDB twin of [[kmeansTrainFromDir]]: T iterations unrolled via
+    * [[kmeansIterCtesSql]], selecting the last iteration's update stats. */
+  def kmeansTrainOracle(numCentroids: Int = 16, iterations: Int = 2,
+                        dim: Int = LshOracleDim): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
+       |${(0 until iterations).map(i => kmeansIterCtesSql(i, dim)).mkString(",\n")}
+       |SELECT cid, d, n, s_micros FROM k_comp${iterations - 1}
+       |ORDER BY cid, d""".stripMargin
+
+  /** Gated query `ivf_ann_trained`: the full IVF probe pipeline under the
+    * TRAINED quantizer — [[trainCentroids]]' T exact Lloyd iterations from
+    * the md5 init — instead of the raw hash quantizer every other IVF gate
+    * substitutes. Same output surface as `ivf_ann_topk`. This is the ask
+    * round 12 ranked first: production ANN quality rides the trained
+    * quantizer, so the trained path itself must be oracle-gated, not only
+    * its update stats. */
+  def ivfAnnTrainedFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                           k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                           iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = requireOracleDim(e, dir)
+    val centroids = trainCentroids(e, numCentroids, iterations, Some(dim))
+    val cells = assignToCentroids(e, centroids)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"))
+    scoreProbed(
+      queryProbes(e.filter(col("vec_id") < numQueries), centroids, nProbe),
+      cells, k)
+  }
+
+  /** DuckDB twin of [[ivfAnnTrainedFromDir]]: the unrolled training CTEs
+    * feed [[ivfRankedCtesSql]] verbatim, reading `k_sims$T` instead of the
+    * hash-quantizer `sims` — the probe chain itself CANNOT drift from the
+    * `ivf_ann_topk` twin. */
+  def ivfAnnTrainedOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                          nProbe: Int = 4, iterations: Int = 2,
+                          dim: Int = LshOracleDim): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
+       |${(0 until iterations).map(i => kmeansIterCtesSql(i, dim)).mkString(",\n")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "t_", s"k_sims$iterations")}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM t_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------- gated persisted-index lifecycle
 
   /** One persisted hash-quantizer IVF index per (JVM, source dir) — the
@@ -664,10 +795,10 @@ object Similarity {
     * are removed on JVM exit. */
   private val ivfIndexStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def requireOracleDim(e: DataFrame, dir: String): Int = {
+  private[operators] def requireOracleDim(e: DataFrame, dir: String): Int = {
     val dim = embeddingDim(e)
     require(dim == LshOracleDim,
-      s"embeddings under $dir are $dim-wide but ivfAnnOracle generates " +
+      s"embeddings under $dir are $dim-wide but the DuckDB oracle generates " +
         s"$LshOracleDim-dim centroids — regenerate the oracle with dim=$dim")
     dim
   }

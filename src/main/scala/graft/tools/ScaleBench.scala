@@ -70,20 +70,17 @@ object ScaleBench {
     defaultHeadline.filter(n => only.forall(_.contains(n)))
   }
 
-  def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
-    val ks = (if (args.length > 2) args(2) else "5,10").split(",").map(_.trim.toInt)
-    val spark = GraftSession.builder("graft-scale").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  // every table the headline queries read — the rebuild check is
+  // per-table (NOT a bare _BUILT sentinel: a dir built by an older
+  // ScaleBench with fewer tables must not be trusted as complete)
+  private val scaledTables = Seq("lineitem", "part", "supplier", "documents",
+    "events", "orders", "embeddings")
 
-    // every table the headline queries read — the rebuild check is
-    // per-table (NOT a bare _BUILT sentinel: a dir built by an older
-    // ScaleBench with fewer tables must not be trusted as complete)
-    val scaledTables = Seq("lineitem", "part", "supplier", "documents",
-      "events", "orders", "embeddings")
-
-    def buildScaled(k: Int): String = {
+  /** Build (or reuse) the deterministic ×k copy of `base` under
+    * `outRoot/x<k>` — shared with [[CScaledProbe]] so every scaling
+    * measurement runs over the identical constructed corpus. */
+  def buildScaled(spark: org.apache.spark.sql.SparkSession, base: String,
+                  outRoot: String, k: Int): String = {
       val dir = s"$outRoot/x$k"
       val complete = new java.io.File(s"$dir/_BUILT").exists() &&
         scaledTables.forall(t => new java.io.File(s"$dir/$t.parquet").exists())
@@ -135,7 +132,14 @@ object ScaleBench {
         new java.io.File(s"$dir/_BUILT").createNewFile()
       }
       dir
-    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outRoot = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val ks = (if (args.length > 2) args(2) else "5,10").split(",").map(_.trim.toInt)
+    val spark = GraftSession.builder("graft-scale").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
 
     def timeQuery(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -155,7 +159,7 @@ object ScaleBench {
       else Seq.empty
     val scales: Seq[(String, String, Double)] =
       smallPoint ++ Seq(("base", base, 1.0)) ++
-        ks.map(k => (s"x$k", buildScaled(k), k.toDouble))
+        ks.map(k => (s"x$k", buildScaled(spark, base, outRoot, k), k.toDouble))
 
     // two passes per (scale, query): first warms JIT/codegen/file listings,
     // the second is the reported steady-state number. For dedup_delta_lsh

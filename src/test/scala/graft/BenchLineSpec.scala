@@ -68,6 +68,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(parsed.get("failed").toString.contains("dedup_canonical"))
   }
 
+  test("a non-empty tripwire renders on the driver-facing line within budget") {
+    // round 12's corpus_split tripwire fired only in bench.json + stderr —
+    // invisible on the driver record. The names must ride the line itself.
+    val tripped = Seq("corpus_split", "dedup_canonical")
+    val (line, _) =
+      Bench.compactLine(fullResults(), "/root/testdata/sf0.1", tripped)
+    assert(line.length < 1800, s"line is ${line.length} chars")
+    val parsed = mapper.readTree(line)
+    val tw = parsed.get("tripwire")
+    assert(tw != null && tw.isArray && tw.size === 2)
+    assert((0 until tw.size).map(tw.get(_).asText).toSet === tripped.toSet)
+    // and the empty case still carries the key (stable schema for the driver)
+    val (clean, _) = Bench.compactLine(fullResults(), "/root/testdata/sf0.1")
+    val ctw = mapper.readTree(clean).get("tripwire")
+    assert(ctw != null && ctw.isArray && ctw.size === 0)
+  }
+
   test("when everything fits, nothing is dropped and no 'more' field appears") {
     val few = Seq("q1_agg_orders" -> 1.5, "dedup_canonical" -> 9.642186593)
     val (line, omitted) = Bench.compactLine(few, "/root/testdata/sf0.1")

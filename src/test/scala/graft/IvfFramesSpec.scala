@@ -35,7 +35,7 @@ class IvfFramesSpec extends SparkSpec {
 
   test("materialized IVF index: probe equals in-memory IVF and partition-prunes the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
-    val centroids = Similarity.writeIvfIndex(emb, dir, numCentroids = 8, seed = 11L)
+    val centroids = Similarity.writeIvfIndex(emb, dir, numCentroids = 8)
     val fromIndex = Similarity.probeIvfIndex(spark, dir, centroids, queries,
       k = 10, nProbe = 4)
     // identical results to the in-memory path (same centroids, same probes)

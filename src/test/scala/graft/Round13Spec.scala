@@ -1,0 +1,198 @@
+package graft
+
+import graft.operators.{ClusterStore, CorpusDiff, Curation, Multimodal, NearDupClusters, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: exact k-means training, ClusterStore deletion +
+  * the diff-driven re-curation loop, the real PPM decoder, and the
+  * deterministic training-order shuffle. */
+class Round13Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ kmeans
+
+  test("trainCentroids: deterministic, exact, and it actually learns") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val a = Similarity.trainCentroids(emb, k = 8, iterations = 2)
+    val b = Similarity.trainCentroids(emb, k = 8, iterations = 2)
+    // bit-identical across runs — the exactness claim the oracle rides on
+    assert(a.map(_._1).toSeq === b.map(_._1).toSeq)
+    for (((_, ca), (_, cb)) <- a.zip(b)) assert(ca.toSeq === cb.toSeq)
+    // Lloyd improves the quantization objective vs the raw hash init:
+    // mean assigned cosine must strictly increase after training
+    val dim = Similarity.embeddingDim(emb)
+    def meanAssigned(cents: Array[(Int, Array[Double])]): Double =
+      Similarity.assignToCentroids(emb, cents)
+        .agg(avg(Similarity.assignedSim(cents)).as("m"))
+        .first().getDouble(0)
+    val trained = meanAssigned(a)
+    val init = meanAssigned(Similarity.hashCentroids(dim, 8))
+    info(f"mean assigned cosine: init $init%.4f -> trained $trained%.4f")
+    assert(trained > init, s"training must improve the objective ($init -> $trained)")
+  }
+
+  test("lloydStepExact: un-hit cells keep their previous centroid") {
+    val emb = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // many more cells than vectors: most cells are never hit
+    val cents = Similarity.hashCentroids(2, 6)
+    val next = Similarity.lloydStepExact(emb, cents, 2)
+    val moved = next.zip(cents).count { case ((_, n), (_, c)) => n.toSeq != c.toSeq }
+    assert(moved >= 1 && moved <= 2, s"only hit cells may move, moved=$moved")
+    // hit cells' components are micros-quantized exact divisions
+    for (((_, n), (_, c)) <- next.zip(cents) if n.toSeq != c.toSeq; x <- n)
+      assert(math.abs((x * 1e6).round.toDouble / 1e6 - x) < 1e-9)
+  }
+
+  // ------------------------------------------------------- PPM decoder
+
+  test("decodePpm: hand-built image decodes to its exact pixels") {
+    val header = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Byte](10, 20, 30, 40, 50, 60)
+    val img = Multimodal.decodePpm(header ++ pixels).get
+    assert(img.width === 2 && img.height === 1 && img.maxVal === 255)
+    assert(img.pixels.toSeq === pixels.toSeq)
+    // trailing junk after the sample plane is ignored (spec: exactly w*h*3)
+    val img2 = Multimodal.decodePpm(header ++ pixels ++ Array[Byte](99)).get
+    assert(img2.pixels.toSeq === pixels.toSeq)
+  }
+
+  test("decodePpm: malformed payloads are rejected, not mis-summed") {
+    val good = "P6\n1 1\n255\nabc".getBytes("US-ASCII")
+    assert(Multimodal.decodePpm(good).isDefined)
+    assert(Multimodal.decodePpm("P5\n1 1\n255\nabc".getBytes("US-ASCII")).isEmpty,
+      "wrong magic")
+    assert(Multimodal.decodePpm("P6\n1 1\n255\nab".getBytes("US-ASCII")).isEmpty,
+      "truncated sample plane")
+    assert(Multimodal.decodePpm("P6\n1 1\n65535\nabcdef".getBytes("US-ASCII")).isEmpty,
+      "two-byte samples unsupported")
+    assert(Multimodal.decodePpm("P6\n1\n255\nabc".getBytes("US-ASCII")).isEmpty,
+      "missing height")
+    assert(Multimodal.decodePpm(Array.emptyByteArray).isEmpty)
+  }
+
+  test("PPM gate: decoded channel sums equal a direct byte walk") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val out = Multimodal.decodeGateFromDir(spark, sf)
+    assert(out.filter(col("width") === -1).count() === 0,
+      "every synthesized payload must decode")
+    // cross-check one doc by hand
+    val d = docs.orderBy(col("doc_id")).first()
+    val bytes = d.getAs[String]("text").getBytes("UTF-8")
+    val h = bytes.length / 24
+    val expected = (0 until h * 8).map(i => bytes(3 * i) & 0xff).map(_.toLong).sum
+    val row = out.filter(col("media_id") === d.getAs[Long]("doc_id")).first()
+    assert(row.getAs[Long]("height") === h.toLong)
+    assert(row.getAs[Long]("r_sum") === expected)
+  }
+
+  // ------------------------------------------- ClusterStore deletion
+
+  /** A corpus where docs 1,2,3 chain into one cluster ONLY through bridge
+    * 2: sliding 8-token windows over a 12-token sequence give J(1,2) =
+    * J(2,3) = 4/8 = 0.5 (at threshold) while J(1,3) = 2/10 = 0.2 (below).
+    * Docs 10,11 form an independent second cluster. */
+  private def bridgeCorpus = {
+    val w = (1 to 12).map(i => f"tok$i%02d")
+    Seq(
+      (1L, w.slice(0, 8).mkString(" "), "s0"),
+      (2L, w.slice(2, 10).mkString(" "), "s0"), // bridges 1 and 3
+      (3L, w.slice(4, 12).mkString(" "), "s0"),
+      (10L, "iota kappa lambda mu nu xi omicron pi rho", "s1"),
+      (11L, "iota kappa lambda mu nu xi omicron pi sigma", "s1"),
+      (20L, "totally unrelated text with completely different words here", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("ClusterStore.remove: deleting a bridge doc splits its component") {
+    val docs = bridgeCorpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_rm").toString
+    ClusterStore.write(docs, dir, ClusterStore.Config(n = 3, threshold = 0.5))
+    val before = ClusterStore.readClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before(1L) === before(2L) && before(2L) === before(3L),
+      s"1,2,3 must start as one component, got $before")
+    val remaining = docs.filter(col("doc_id") =!= 2L)
+    ClusterStore.remove(spark, dir, Seq(2L).toDF("doc_id"), remaining)
+    // the store must now equal a from-scratch build over the remaining corpus
+    val after = ClusterStore.readClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = NearDupClusters.clustersOf(remaining, 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === scratch, s"incremental $after vs from-scratch $scratch")
+    // with the bridge gone and 1~3 not near-dup, neither survives the map
+    assert(!after.contains(1L) && !after.contains(3L),
+      s"splitting the chain must drop 1 and 3 to singletons, got $after")
+    assert(after.contains(10L) && after.contains(11L), "untouched cluster survives")
+    // pairs touching the removed doc are physically gone
+    val pairs = ClusterStore.readPairs(spark, dir)
+      .filter(col("id1") === 2L || col("id2") === 2L).count()
+    assert(pairs === 0)
+    // the stamp advanced to the remaining corpus (guards future appends)
+    assert(ClusterStore.readCorpusStamp(dir) === ((5L, 20L)))
+  }
+
+  test("ClusterStore.remove then append: changed text re-enters correctly") {
+    val docs = bridgeCorpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_rmapp").toString
+    ClusterStore.write(docs, dir, ClusterStore.Config(n = 3, threshold = 0.5))
+    // doc 11's text changes to match nothing; doc 30 arrives near-dup of 10
+    val remaining = docs.filter(col("doc_id") =!= 11L)
+    ClusterStore.remove(spark, dir, Seq(11L).toDF("doc_id"), remaining)
+    val delta = Seq(
+      (11L, "entirely new content nothing shared with anything else now", "s1"),
+      (30L, "iota kappa lambda mu nu xi omicron pi tau", "s1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    ClusterStore.append(spark, dir, remaining, delta)
+    val after = ClusterStore.readClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = NearDupClusters.clustersOf(
+      remaining.unionByName(delta), 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === scratch)
+    assert(after.contains(30L) && after(30L) === after(10L), "new near-dup joins 10")
+    assert(!after.contains(11L), "changed 11 is now a singleton")
+  }
+
+  // -------------------------------------------------- diff-driven loop
+
+  test("corpus_diff ledger: null-text docs present in both days read unchanged") {
+    val oldD = Seq((1L, "same"), (2L, null.asInstanceOf[String]), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val newD = Seq((1L, "same"), (2L, null.asInstanceOf[String]), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val m = CorpusDiff.diff(oldD, newD)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m === Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  // ------------------------------------------------- training shuffle
+
+  test("corpus_shuffle: permutation is deterministic, complete, interleaved") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.corpusShuffle(docs).cache()
+    val total = docs.agg(
+      sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))).first().getLong(0)
+    // complete: every token lands in exactly one shard
+    assert(out.agg(sum(col("shard_tokens"))).first().getLong(0) === total)
+    assert(out.agg(sum(col("n_docs"))).first().getLong(0) === docs.count())
+    // deterministic: same seed → same packed hashes; new seed → new order
+    val again = Curation.corpusShuffle(docs)
+    assert(out.select("shard_id", "packed_h").collect().toSeq ===
+      again.select("shard_id", "packed_h").collect().toSeq)
+    val reseeded = Curation.corpusShuffle(docs, seed = 14L)
+    assert(out.select("packed_h").collect().toSeq !==
+      reseeded.select("packed_h").collect().toSeq)
+    // interleaving: multi-doc shards draw from >1 source (doc_id order
+    // would give long single-source runs; the content hash mixes them)
+    val multi = out.filter(col("n_docs") >= 4)
+    if (multi.count() > 0)
+      assert(multi.filter(col("n_sources") === 1).count() === 0,
+        "no multi-doc shard may be single-source")
+  }
+}

@@ -105,6 +105,10 @@ object SparkEntry {
     // growth maintenance: re-quantize to C=32 and probe — must equal a
     // from-scratch build at the new C (the oracle at numCentroids=32)
     "ivf_requantize" -> tuned(Similarity.ivfRequantizeProbeFromDir(_, _)),
+    // deletion: remove a residue class from the full index (filtered
+    // generation promote, same quantizer) — probe must equal a rebuild
+    // over the kept vectors (the oracle on the filtered relation)
+    "ivf_index_remove" -> tuned(Similarity.ivfRemoveProbeFromDir(_, _)),
     // k-means quantizer TRAINING, exact: md5 init, integer-micros Lloyd
     // updates, T iterations unrolled as oracle CTE chains (the BpeTrain
     // discipline) — the gate output is the final update's integer stats
@@ -201,6 +205,12 @@ object SparkEntry {
     // epochs to one file per bucket, manifest flip) + probe == the SAME
     // full-corpus oracle — calendar time must not change content
     "bm25_index_compact" -> tuned(Bm25Index.compactProbeFromDir(_, _)),
+    // deletion with GLOBAL-stat correction: drop postings, decrement dfs,
+    // re-derive n/mass — probe must equal a kept-corpus rebuild
+    "bm25_index_remove" -> tuned(Bm25Index.removeProbeFromDir(_, _)),
+    // signature-store deletion: filtered band/shingle rewrite — the delta
+    // probe must equal the kept-corpus LSH restricted to delta pairs
+    "dedup_index_remove" -> tuned(DedupIndex.removeDeltaFromDir),
     // cross-doc duplicated 8-gram coverage: one pinned shingle stage,
     // singleton-majority filtered before the merge-hinted dup join
     "dup_ngram_coverage" -> tuned(DupCoverage.fromDir(_, _)),
@@ -311,6 +321,9 @@ object SparkEntry {
     "ivf_index_append" -> Similarity.ivfAnnOracle(),
     "ivf_index_compact" -> Similarity.ivfAnnOracle(),
     "ivf_requantize" -> Similarity.ivfAnnOracle(numCentroids = 32),
+    "ivf_index_remove" -> Similarity.ivfRemoveOracle(),
+    "bm25_index_remove" -> Bm25Index.removeOracle(),
+    "dedup_index_remove" -> DedupIndex.removeDeltaOracle(),
     "kmeans_train" -> Similarity.kmeansTrainOracle(),
     "ivf_ann_trained" -> Similarity.ivfAnnTrainedOracle(),
     "ivf_index_health" -> Similarity.indexHealthOracle(),
@@ -431,7 +444,11 @@ object SparkEntry {
     "corpus_shards",         // strict cost-subset of corpus_packed (same prefix sum + pack finish)
     "decontaminate",         // composed inside corpus_curate_e2e (same rule fragments, on the line)
     "multimodal_frames",     // hex-twin plumbing anchor; the real-decode gate multimodal_decode stays
-    "dup_ngram_coverage")    // report twin; the consuming transform dup_span_removal stays on the line
+    "dup_ngram_coverage",    // report twin; the consuming transform dup_span_removal stays on the line
+    // the three store-deletion gates share the filtered-rewrite mechanics
+    // of their compact siblings (on the line); the deletion flagship on
+    // the line is the composed corpus_diff_recurate loop
+    "ivf_index_remove", "bm25_index_remove", "dedup_index_remove")
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -116,12 +116,14 @@ object Bm25 {
 
   /** The tokenize→tf→dl→df→consts CTE prefix every BM25 twin shares —
     * single-sourced so [[oracle]] and [[HybridRetrieval.oracle]] cannot
-    * drift on the token rule or the corpus constants. */
-  private[operators] def coreCtesSql: String =
+    * drift on the token rule or the corpus constants. The parameterized
+    * form lets the deletion gate score a FILTERED corpus under the
+    * identical rules. */
+  private[operators] def coreCtesSqlFor(relation: String): String =
     s"""toks AS (
        |  SELECT doc_id,
        |         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
-       |  FROM documents
+       |  FROM $relation
        |), tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
        |), dl AS (
@@ -129,9 +131,11 @@ object Bm25 {
        |), df AS (
        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
        |), consts AS (
-       |  SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |  SELECT (SELECT COUNT(*) FROM $relation) AS n,
        |         (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS mass
        |)""".stripMargin
+
+  private[operators] val coreCtesSql: String = coreCtesSqlFor("documents")
 
   /** The 9-dp idf + fixed-order per-term score SQL fragment shared with
     * the hybrid twin. `qtRel` must provide (term, df). */
@@ -156,8 +160,9 @@ object Bm25 {
     * selection, same 9-dp idf, same fixed-order score expression, same
     * micros rounding and long sums, same (score desc, doc_id asc) cut. */
   def oracle(numQueryTerms: Int = 3, k: Int = 20,
-             k1: Double = 1.2, b: Double = 0.75): String =
-    s"""WITH $coreCtesSql, qt AS (
+             k1: Double = 1.2, b: Double = 0.75,
+             relation: String = "documents", extraCtes: String = ""): String =
+    s"""WITH $extraCtes${coreCtesSqlFor(relation)}, qt AS (
        |  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT $numQueryTerms
        |), ${scoreCtesSql("qt", k1, b)}
        |SELECT doc_id, CAST(SUM(micros) AS BIGINT) AS bm25_micros

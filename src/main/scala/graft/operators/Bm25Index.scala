@@ -227,6 +227,68 @@ object Bm25Index {
     }
   }
 
+  // ----------------------------------------------------------- remove
+
+  /** Remove documents from the index — the takedown half of the
+    * dataset-version loop ([[ClusterStore.remove]]'s discipline, BM25
+    * edition). BM25 scores ride GLOBAL statistics, so deletion must do
+    * more than drop postings: per-term df decrements by the removed
+    * postings' counts (terms hitting 0 leave the dict), and n/mass
+    * re-derive exactly from the kept norms. Postings and norms rewrite
+    * FILTERED into one fresh epoch (bucket layout preserved, one file
+    * per bucket — the rewrite doubles as a compaction); the next dict
+    * generation stages beside the live one; ONE manifest rename
+    * publishes all four tables plus the corrected stats. Cost is one
+    * index rewrite — the [[compact]] cost class, O(index), never a
+    * corpus re-tokenize — so takedowns batch on the compaction cadence.
+    * After it the index is indistinguishable from a from-scratch build
+    * over the kept docs, which is what the `bm25_index_remove` gate
+    * checks (same oracle, corpus filtered). */
+  def remove(spark: SparkSession, dir: String, removedIds: DataFrame): Unit = {
+    val meta = readManifest(dir)
+    val e = meta.nextEpoch
+    val g = meta.dictGen + 1
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/postings"), "epoch=", meta.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/norms"), "epoch=", meta.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), "dict_v", Set(meta.dictGen))
+    val committed = meta.epochs.map(java.lang.Long.valueOf)
+    val rem = removedIds.select(col("doc_id"))
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("epoch").isin(committed: _*))
+    postings.join(rem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("term"), col("tf"), col("bucket"))
+      .repartition(meta.numBuckets, col("bucket")) // one writer per bucket → one file
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch", "bucket").parquet(s"$dir/postings")
+    spark.read.parquet(s"$dir/norms")
+      .filter(col("epoch").isin(committed: _*))
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("dl"))
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/norms")
+    // df decrements from the REMOVED postings slice — no re-tokenize; a
+    // row of (doc, term) postings is exactly one df unit
+    val removedDf = postings.join(rem, Seq("doc_id"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("rdf"))
+    spark.read.parquet(meta.dictDir(dir))
+      .join(removedDf, Seq("term"), "left")
+      .select(col("term"), (col("df") - coalesce(col("rdf"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .write.mode("overwrite").parquet(s"$dir/dict_v$g")
+    // n/mass re-derived exactly from the staged kept norms (narrow scan)
+    val r = spark.read.parquet(s"$dir/norms").filter(col("epoch") === e)
+      .agg(count(lit(1)), sum(col("dl"))).first()
+    commitManifest(dir, meta.copy(n = r.getLong(0),
+      mass = Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      epochs = Seq(e), nextEpoch = e + 1, dictGen = g))
+    for (old <- meta.epochs) {
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/postings/epoch=$old"))
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/norms/epoch=$old"))
+    }
+    ClusterStore.deleteRecursively(
+      java.nio.file.Paths.get(s"$dir/dict_v${meta.dictGen}"))
+  }
+
   /** The automated maintenance decision, mirroring
     * [[Similarity.maybeRequantize]]: compact when the committed epoch
     * count reaches `maxEpochs` — the point where probe file-open cost
@@ -335,6 +397,30 @@ object Bm25Index {
     append(docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0), idx)
     probe(spark, idx, topTerms(spark, idx, numQueryTerms), k)
   }
+
+  /** Gated query `bm25_index_remove`: deletion proven end-to-end — copy
+    * the memoized FULL-corpus index, [[remove]] the DeltaMod residue
+    * class, probe. The oracle is [[Bm25.oracle]] over the KEPT corpus:
+    * dropped postings, decremented dfs, corrected n/mass, and the new
+    * dict's top-term selection must all be indistinguishable from a
+    * from-scratch build over the remaining docs. */
+  def removeProbeFromDir(spark: SparkSession, dir: String,
+                         numQueryTerms: Int = 3, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val full = indexStores.computeIfAbsent(dir, _ =>
+      buildIndex(docs, "graft_bm25_index"))
+    val idx = ClusterStore.copyStore(full, "graft_bm25_remove")
+    remove(spark, idx,
+      docs.filter(col("doc_id") % DedupIndex.DeltaMod === 0).select(col("doc_id")))
+    probe(spark, idx, topTerms(spark, idx, numQueryTerms), k)
+  }
+
+  /** DuckDB twin of [[removeProbeFromDir]]: the standard BM25 oracle with
+    * the corpus filtered to the kept docs. */
+  def removeOracle(numQueryTerms: Int = 3, k: Int = 20): String =
+    Bm25.oracle(numQueryTerms, k, relation = "kept_docs",
+      extraCtes = "kept_docs AS (SELECT * FROM documents " +
+        s"WHERE doc_id % ${DedupIndex.DeltaMod} <> 0), ")
 
   /** Gated query `bm25_index_compact`: the FULL lifecycle — build +
     * append + [[compact]] + probe — under the SAME `Bm25.oracle` as every

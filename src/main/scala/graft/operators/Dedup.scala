@@ -348,7 +348,9 @@ object Dedup {
     * (jaccard) is a single int/int division — bit-exact on both engines. */
   def minhashLshOracle(n: Int = 5, numHashes: Int = 64, bands: Int = 16,
                        threshold: Double = 0.5, seed: Long = 42L,
-                       pairFilter: Option[String] = None): String = {
+                       pairFilter: Option[String] = None,
+                       relation: String = "documents",
+                       extraCtes: String = ""): String = {
     val p = 2147483647L
     val params = hashParams(numHashes, seed)
     val rows = numHashes / bands
@@ -359,7 +361,7 @@ object Dedup {
       val cols = (b * rows until (b + 1) * rows).map(i => s"mh_$i").mkString(", ")
       s"($b, [$cols])"
     }.mkString(",\n       |             ")
-    s"""WITH ${shingleCtesSql("documents", n)},
+    s"""WITH $extraCtes${shingleCtesSql(relation, n)},
        |hsh AS (SELECT DISTINCT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
        |ha AS (SELECT doc_id, h % $p AS ha FROM hsh),
        |sig AS (SELECT doc_id,

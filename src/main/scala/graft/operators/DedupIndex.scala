@@ -171,6 +171,41 @@ object DedupIndex {
     }
   }
 
+  /** Remove documents' signatures from the index — the takedown
+    * mechanics, signature-store edition. Signatures are strictly per-doc
+    * (unlike BM25's global stats there is nothing to re-derive), so
+    * removal is an exact filtered rewrite of both tables into one fresh
+    * epoch — one file per band, doubling as a compaction — published by
+    * the same single manifest rename. Cost is O(index), never a corpus
+    * re-shingle; after it the store is indistinguishable from a
+    * from-scratch build over the kept docs (`dedup_index_remove`). */
+  def remove(spark: SparkSession, dir: String, removedIds: DataFrame): Unit = {
+    val m = readManifest(dir)
+    val e = m.nextEpoch
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/bands"), "epoch=", m.epochs.toSet)
+    ClusterStore.sweepOrphans(java.nio.file.Paths.get(s"$dir/shingles"), "epoch=", m.epochs.toSet)
+    val committed = m.epochs.map(java.lang.Long.valueOf)
+    val rem = removedIds.select(col("doc_id"))
+    spark.read.parquet(s"$dir/bands")
+      .filter(col("epoch").isin(committed: _*))
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("band"), col("bucket"))
+      .repartition(m.cfg.bands, col("band")) // one writer per band → one file
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch", "band").parquet(s"$dir/bands")
+    spark.read.parquet(s"$dir/shingles")
+      .filter(col("epoch").isin(committed: _*))
+      .join(rem, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("harr"))
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch").parquet(s"$dir/shingles")
+    commitManifest(dir, m.copy(epochs = Seq(e), nextEpoch = e + 1))
+    for (old <- m.epochs) {
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/bands/epoch=$old"))
+      ClusterStore.deleteRecursively(java.nio.file.Paths.get(s"$dir/shingles/epoch=$old"))
+    }
+  }
+
   /** The automated maintenance decision, mirroring
     * [[Similarity.maybeRequantize]]: compact when the committed epoch
     * count reaches `maxEpochs`. Returns whether a compaction ran. */
@@ -287,6 +322,31 @@ object DedupIndex {
   def deltaOracle(threshold: Double = 0.5): String =
     Dedup.minhashLshOracle(threshold = threshold,
       pairFilter = Some(s"i.id1 % $DeltaMod = 0 OR i.id2 % $DeltaMod = 0"))
+
+  /** The residue class `dedup_index_remove` deletes from the backlog
+    * index (ids ≡ 1 mod [[DeltaMod]] — all of them sit in the backlog). */
+  val RemoveResidue = 1
+
+  /** Gated query `dedup_index_remove`: deletion proven end-to-end — copy
+    * the memoized backlog index, [[remove]] the RemoveResidue class,
+    * then run the standard delta probe. The oracle is the full-corpus
+    * LSH twin over the KEPT corpus restricted to delta-touching pairs:
+    * a pair that survived only through a removed doc's signatures cannot
+    * appear, and nothing else may move. */
+  def removeDeltaFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idx = ClusterStore.copyStore(buildIndexFor(spark, dir), "graft_dedup_remove")
+    remove(spark, idx,
+      docs.filter(col("doc_id") % DeltaMod === RemoveResidue).select(col("doc_id")))
+    dedupDelta(spark, idx, docs.filter(col("doc_id") % DeltaMod === 0))
+  }
+
+  def removeDeltaOracle(threshold: Double = 0.5): String =
+    Dedup.minhashLshOracle(threshold = threshold,
+      pairFilter = Some(s"i.id1 % $DeltaMod = 0 OR i.id2 % $DeltaMod = 0"),
+      relation = "kept_docs",
+      extraCtes = "kept_docs AS (SELECT * FROM documents " +
+        s"WHERE doc_id % $DeltaMod <> $RemoveResidue), ")
 
   /** One HALF-backlog index per (JVM, source dir): the even-id half of
     * the backlog, so the compact gate has a real append to absorb. */

@@ -360,6 +360,25 @@ object Similarity {
       preserveHealthBaseline = false, coalesceCells = true)
   }
 
+  /** Remove vectors from the index — deletion, IVF edition. Assignment
+    * is strictly per-vector, so removal is a FILTERED generation promote
+    * under the SAME quantizer: one read of the live generation minus the
+    * removed ids, rewritten cell-coalesced (the rewrite doubles as a
+    * compaction) and published by the usual one-rename commit. The
+    * health baseline refreshes, as a from-scratch build over the kept
+    * rows would. Cost is O(index rewrite) — the [[compactIvfIndex]]
+    * cost class — so takedowns batch on the compaction cadence; after
+    * it the index is indistinguishable from a rebuild over the kept
+    * vectors (`ivf_index_remove`). */
+  def removeFromIvfIndex(spark: SparkSession, dir: String,
+                         removedIds: DataFrame): Unit = {
+    val centroids = readQuantizer(spark, dir)
+    val kept = spark.read.parquet(ivfDataDir(dir)).drop("centroid_id")
+      .join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    promoteGeneration(spark, dir, kept, centroids,
+      preserveHealthBaseline = false, coalesceCells = true)
+  }
+
   /** The measured quantizer sizing rule, C ∝ N: cells stay probe-sized
     * only while n stays within a constant factor of what C was chosen
     * for (SCALE.md: the pinned C=16 gate quantizer read 51.0 s at ×20
@@ -621,7 +640,8 @@ object Similarity {
     * (`centroids`, `sims`) — single-sourced across every IVF-family twin
     * ([[ivfAnnOracle]], [[indexHealthOracle]], [[LabelNoise.ivfOracle]],
     * [[SemanticDedup.oracle]]) so the quantizer formula cannot drift. */
-  private[operators] def centroidSimsCtesSql(dim: Int, numCentroids: Int): String =
+  private[operators] def centroidSimsCtesSql(dim: Int, numCentroids: Int,
+                                             relation: String = "embeddings"): String =
     s"""centroids AS (
        |  SELECT t AS cid,
        |         list_transform(range(0, $dim), d ->
@@ -631,7 +651,7 @@ object Similarity {
        |), sims AS (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM embeddings e CROSS JOIN centroids ct
+       |  FROM $relation e CROSS JOIN centroids ct
        |)""".stripMargin
 
   /** The IVF probe chain (assignment → probe selection → cell-bounded
@@ -643,7 +663,8 @@ object Similarity {
     * defines a `scored`). */
   private[operators] def ivfRankedCtesSql(numQueries: Int, nProbe: Int,
                                           p: String = "",
-                                          sims: String = "sims"): String =
+                                          sims: String = "sims",
+                                          relation: String = "embeddings"): String =
     s"""${p}assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -664,8 +685,8 @@ object Similarity {
        |  SELECT c.query_id, c.neighbor_id,
        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
        |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
-       |  FROM ${p}cand c JOIN embeddings qe ON qe.vec_id = c.query_id
-       |              JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |  FROM ${p}cand c JOIN $relation qe ON qe.vec_id = c.query_id
+       |              JOIN $relation ne ON ne.vec_id = c.neighbor_id
        |), ${p}ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -674,9 +695,11 @@ object Similarity {
        |)""".stripMargin
 
   def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
-                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
-    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
-       |${ivfRankedCtesSql(numQueries, nProbe)}
+                   nProbe: Int = 4, dim: Int = LshOracleDim,
+                   relation: String = "embeddings",
+                   extraCtes: String = ""): String =
+    s"""WITH $extraCtes${centroidSimsCtesSql(dim, numCentroids, relation)},
+       |${ivfRankedCtesSql(numQueries, nProbe, relation = relation)}
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
@@ -828,6 +851,36 @@ object Similarity {
     probeIvfIndex(spark, idx, readQuantizer(spark, idx),
       e.filter(col("vec_id") < numQueries), k, nProbe)
   }
+
+  /** Gated query `ivf_index_remove`: deletion proven end-to-end — copy
+    * the memoized full-corpus index, [[removeFromIvfIndex]] the DeltaMod
+    * residue class, probe with the surviving low-id queries. The oracle
+    * is [[ivfAnnOracle]] over the KEPT vectors: removed vectors must
+    * vanish from cells AND from candidate/neighbor sets, with nothing
+    * else moving. */
+  def ivfRemoveProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                            k: Int = 10, numCentroids: Int = 16,
+                            nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val full = ivfIndexStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e, "graft_ivf_index", requireOracleDim(e, dir), numCentroids))
+    val idx = ClusterStore.copyStore(full, "graft_ivf_remove")
+    removeFromIvfIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0).select(col("vec_id")))
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries &&
+        col("vec_id") % DedupIndex.DeltaMod =!= 0), k, nProbe)
+  }
+
+  /** DuckDB twin of [[ivfRemoveProbeFromDir]]: the standard IVF oracle
+    * over the kept-vector relation (queries are the surviving low ids —
+    * the same `vec_id < numQueries` window evaluated over kept rows). */
+  def ivfRemoveOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                      nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    ivfAnnOracle(numQueries, k, numCentroids, nProbe, dim,
+      relation = "kept_vecs",
+      extraCtes = "kept_vecs AS (SELECT * FROM embeddings " +
+        s"WHERE vec_id % ${DedupIndex.DeltaMod} <> 0), ")
 
   /** One BACKLOG index per (JVM, source dir): every vector except the
     * [[DedupIndex.DeltaMod]] residue class — the same split the other

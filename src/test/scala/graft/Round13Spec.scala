@@ -171,6 +171,78 @@ class Round13Spec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  // --------------------------------------------- store deletion (r13)
+
+  test("Bm25Index.remove: dfs decrement, vanished terms leave the dict, stats re-derive") {
+    import graft.operators.Bm25Index
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana durian"),
+      (3L, "apple unique zebra"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_rm")
+    val dir = root.resolve("idx").toString
+    Bm25Index.write(docs, dir)
+    Bm25Index.remove(spark, dir, Seq(3L).toDF("doc_id"))
+    val m = Bm25Index.readManifest(dir)
+    assert(m.n === 2L && m.mass === 6L, s"stats must re-derive: n=${m.n} mass=${m.mass}")
+    val dict = spark.read.parquet(m.dictDir(dir))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    assert(dict === Map("apple" -> 2L, "banana" -> 2L, "cherry" -> 1L, "durian" -> 1L),
+      s"unique/zebra must vanish, apple decrements: $dict")
+    // probe over the post-remove index equals a from-scratch kept build
+    val dir2 = root.resolve("idx2").toString
+    Bm25Index.write(docs.filter(col("doc_id") =!= 3L), dir2)
+    val q = Bm25Index.topTerms(spark, dir, 2)
+    assert(q === Bm25Index.topTerms(spark, dir2, 2))
+    assert(Bm25Index.probe(spark, dir, q).collect().map(_.toSeq).toSeq ===
+      Bm25Index.probe(spark, dir2, q).collect().map(_.toSeq).toSeq)
+  }
+
+  test("DedupIndex.remove: delta probe equals a from-scratch kept-backlog index") {
+    import graft.operators.{Dedup, DedupIndex}
+    val docs = Tables.documents(spark, sf)
+    val backlog = docs.filter(col("doc_id") % 5 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_didx_rm")
+    val dir1 = root.resolve("a").toString
+    DedupIndex.write(backlog, dir1)
+    DedupIndex.remove(spark, dir1,
+      docs.filter(col("doc_id") % 5 === 1).select(col("doc_id")))
+    val dir2 = root.resolve("b").toString
+    DedupIndex.write(backlog.filter(col("doc_id") % 5 =!= 1), dir2)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val a = DedupIndex.dedupDelta(spark, dir1, delta).collect().map(_.toSeq).toSeq
+    Dedup.releasePinned(spark)
+    val b = DedupIndex.dedupDelta(spark, dir2, delta).collect().map(_.toSeq).toSeq
+    Dedup.releasePinned(spark)
+    assert(a === b)
+    // removed ids appear in neither table of the store
+    val bands = spark.read.parquet(s"$dir1/bands")
+      .filter(col("doc_id") % 5 === 1).count()
+    val sh = spark.read.parquet(s"$dir1/shingles")
+      .filter(col("doc_id") % 5 === 1).count()
+    assert(bands === 0 && sh === 0)
+  }
+
+  test("removeFromIvfIndex: removed vectors leave cells; kept content intact") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_rm")
+    val dir = root.resolve("idx").toString
+    Similarity.writeIvfIndex(emb, dir, numCentroids = 8)
+    val n0 = spark.read.parquet(Similarity.ivfDataDir(dir)).count()
+    Similarity.removeFromIvfIndex(spark, dir,
+      emb.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+    val data = spark.read.parquet(Similarity.ivfDataDir(dir))
+    assert(data.filter(col("vec_id") % 5 === 0).count() === 0)
+    assert(data.count() === n0 - emb.filter(col("vec_id") % 5 === 0).count())
+    // same quantizer: kept rows' assignments are unchanged vs a rebuild
+    val rebuilt = Similarity.assignToCentroids(
+      emb.filter(col("vec_id") % 5 =!= 0), Similarity.readQuantizer(spark, dir))
+    assert(data.select(col("vec_id"), col("centroid_id").cast("int")).collect().toSet ===
+      rebuilt.select(col("vec_id"), col("centroid_id")).collect().toSet)
+  }
+
   // ------------------------------------------------- training shuffle
 
   test("corpus_shuffle: permutation is deterministic, complete, interleaved") {

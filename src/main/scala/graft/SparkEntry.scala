@@ -116,6 +116,12 @@ object SparkEntry {
     // the IVF probe pipeline under the TRAINED quantizer (not the raw
     // hash quantizer) — production ANN quality rides this path
     "ivf_ann_trained" -> tuned(Similarity.ivfAnnTrainedFromDir(_, _)),
+    // the FULL production configuration: persisted index built with the
+    // trained quantizer, sidecar round-trip, partition-pruned probe
+    "ivf_probe_trained" -> tuned(Similarity.ivfProbeTrainedFromDir(_, _)),
+    // SemDeDup under the trained quantizer — the production swap the
+    // scaladoc promises, gated instead of asserted
+    "semantic_dedup_trained" -> tuned(SemanticDedup.trainedFromDir(_, _)),
     "running_revenue" -> tuned(ScalableCumsum.runningRevenueFromDir),
     "distinct_users" -> tuned(SkewTools.distinctUsersFromDir),
     "text_bpe_tokens" -> tuned(TextAnalysis.bpeTokenStatsFromDir),
@@ -326,6 +332,8 @@ object SparkEntry {
     "dedup_index_remove" -> DedupIndex.removeDeltaOracle(),
     "kmeans_train" -> Similarity.kmeansTrainOracle(),
     "ivf_ann_trained" -> Similarity.ivfAnnTrainedOracle(),
+    "ivf_probe_trained" -> Similarity.ivfAnnTrainedOracle(),
+    "semantic_dedup_trained" -> SemanticDedup.trainedOracle(),
     "ivf_index_health" -> Similarity.indexHealthOracle(),
     "running_revenue" -> ScalableCumsum.runningRevenueOracle,
     "distinct_users" -> SkewTools.distinctUsersOracle,
@@ -398,7 +406,9 @@ object SparkEntry {
       "store_maintenance_loop",
       "quality_classifier", // T gradient rounds, D+1-long collects
       "kmeans_train",       // T Lloyd rounds, K·dim-long collects each
-      "ivf_ann_trained")    // the same training loop feeding one probe plan
+      "ivf_ann_trained",    // the same training loop feeding one probe plan
+      "ivf_probe_trained",  // training + index build memoized; probe plan after
+      "semantic_dedup_trained") // the same training loop feeding the prune
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -448,7 +458,11 @@ object SparkEntry {
     // the three store-deletion gates share the filtered-rewrite mechanics
     // of their compact siblings (on the line); the deletion flagship on
     // the line is the composed corpus_diff_recurate loop
-    "ivf_index_remove", "bm25_index_remove", "dedup_index_remove")
+    "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
+    "ivf_ann_trained",       // in-memory trained anchor; ivf_probe_trained (the
+                             // persisted production path) stays on the line
+    "semantic_dedup_trained") // trained twin; semantic_dedup + the training
+                             // phase's cost are both on the line
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -30,9 +30,15 @@ object SemanticDedup {
 
   /** Kept vectors after within-cell pruning: (vec_id, centroid_id). */
   def prune(embeddings: DataFrame, numCentroids: Int = 16,
-            tau: Double = 0.4): DataFrame = {
-    val dim = Similarity.embeddingDim(embeddings)
-    val cents = Similarity.hashCentroids(dim, numCentroids)
+            tau: Double = 0.4): DataFrame =
+    pruneWith(embeddings,
+      Similarity.hashCentroids(Similarity.embeddingDim(embeddings), numCentroids),
+      tau)
+
+  /** The prune under caller-supplied centroids — the hash-quantizer gate
+    * and the trained-quantizer gate share every line below. */
+  def pruneWith(embeddings: DataFrame, cents: Array[(Int, Array[Double])],
+                tau: Double = 0.4): DataFrame = {
     // one corpus scan: cell id + norm, pinned — it feeds both pair-join
     // sides and the final anti-join (3 consumers, 1 materialization)
     val assigned = Pinned.pin(
@@ -63,16 +69,31 @@ object SemanticDedup {
     prune(e)
   }
 
+  /** Gated query `semantic_dedup_trained`: the same prune under the
+    * TRAINED quantizer ([[Similarity.trainCentroids]]' exact Lloyd
+    * iterations) — the production configuration the scaladoc promises,
+    * now oracle-gated rather than swap-in-asserted. */
+  def trainedFromDir(spark: SparkSession, dir: String, numCentroids: Int = 16,
+                     iterations: Int = 2, tau: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = Similarity.requireOracleDim(e, dir)
+    pruneWith(e,
+      Similarity.trainCentroids(e, numCentroids, iterations, Some(dim)), tau)
+  }
+
   /** DuckDB twin: [[Similarity.centroidSimsCtesSql]] verbatim (the
     * quantizer CANNOT drift from the IVF gates), the same ties-to-larger
-    * assignment window, within-cell pairs on rounded cosine, anti-join. */
+    * assignment window, within-cell pairs on rounded cosine, anti-join.
+    * `sims`/`trainingCtes` let [[trainedOracle]] point the identical
+    * prune chain at the unrolled-training cosines. */
   def oracle(numCentroids: Int = 16, tau: Double = 0.4,
-             dim: Int = Similarity.LshOracleDim): String =
-    s"""WITH ${Similarity.centroidSimsCtesSql(dim, numCentroids)}, assign AS (
+             dim: Int = Similarity.LshOracleDim,
+             sims: String = "sims", trainingCtes: String = ""): String =
+    s"""WITH ${Similarity.centroidSimsCtesSql(dim, numCentroids)},$trainingCtes assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
-       |    FROM sims
+       |    FROM $sims
        |  ) WHERE rk = 1
        |), pruned AS (
        |  SELECT DISTINCT b.vec_id AS id2
@@ -87,4 +108,13 @@ object SemanticDedup {
        |FROM assign a LEFT JOIN pruned p ON p.id2 = a.vec_id
        |WHERE p.id2 IS NULL
        |ORDER BY a.vec_id""".stripMargin
+
+  /** DuckDB twin of [[trainedFromDir]]: the unrolled training CTEs feed
+    * the UNCHANGED prune chain reading `k_sims$T`. */
+  def trainedOracle(numCentroids: Int = 16, iterations: Int = 2,
+                    tau: Double = 0.4,
+                    dim: Int = Similarity.LshOracleDim): String =
+    oracle(numCentroids, tau, dim, sims = s"k_sims$iterations",
+      trainingCtes = "\n" + (0 until iterations)
+        .map(i => Similarity.kmeansIterCtesSql(i, dim)).mkString(",\n") + ",")
 }

@@ -852,6 +852,32 @@ object Similarity {
       e.filter(col("vec_id") < numQueries), k, nProbe)
   }
 
+  /** One TRAINED persisted index per (JVM, source dir) for
+    * `ivf_probe_trained`. */
+  private val ivfTrainedStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_probe_trained`: the full production configuration —
+    * index built with the TRAINED quantizer ([[trainCentroids]]' exact
+    * Lloyd iterations), quantizer round-tripped through the sidecar,
+    * partition-pruned probe — under [[ivfAnnTrainedOracle]]: save →
+    * reload → pruned probe must equal the in-memory trained pipeline,
+    * the `ivf_probe_indexed` proof lifted onto the trained path. */
+  def ivfProbeTrainedFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                             k: Int = 10, numCentroids: Int = 16,
+                             nProbe: Int = 4, iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = requireOracleDim(e, dir)
+    val idx = ivfTrainedStores.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_trained")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeIvfIndexWith(e, p, trainCentroids(e, numCentroids, iterations, Some(dim)))
+      p
+    })
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
   /** Gated query `ivf_index_remove`: deletion proven end-to-end — copy
     * the memoized full-corpus index, [[removeFromIvfIndex]] the DeltaMod
     * residue class, probe with the surviving low-id queries. The oracle

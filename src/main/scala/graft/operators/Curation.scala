@@ -236,12 +236,23 @@ object Curation {
     * shuffled order, pinned cross-engine by the packed content hash. */
   def corpusShuffle(docs: DataFrame, seed: Long = 13L,
                     capacity: Long = 20000L): DataFrame = {
-    val keyed = docs.select(col("doc_id"), col("text"), col("source"),
+    // the permutation + prefix sum run over NARROW rows (id, source, key,
+    // tokens — text is hashed in the scan, never carried): the cumsum
+    // machinery's range/pid exchanges move ~32 bytes/doc, and text is
+    // shuffled exactly once, into the pack join — the packShards shape
+    // (executed-plan check: the r13 first cut carried text through three
+    // exchanges; at 100 TB that is the difference between shuffling the
+    // corpus once and three times)
+    val keyed = docs.select(col("doc_id"), col("source"),
       Dedup.hash60(concat(lit(s"shuffle_$seed|"), col("text"))).as("pos_key"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-    ScalableCumsum.withRunningTotal(keyed, col("n_tokens"), "cum_tokens",
-        col("pos_key"), col("doc_id"))
+    val sharded = ScalableCumsum.withRunningTotal(keyed, col("n_tokens"),
+        "cum_tokens", col("pos_key"), col("doc_id"))
       .withColumn("shard_id", expr(s"(cum_tokens - n_tokens) DIV $capacity"))
+      .select(col("doc_id"), col("source"), col("pos_key"),
+        col("n_tokens"), col("shard_id"))
+    docs.select(col("doc_id"), col("text"))
+      .join(sharded, Seq("doc_id"))
       .groupBy(col("shard_id"))
       .agg(
         count(lit(1)).as("n_docs"),

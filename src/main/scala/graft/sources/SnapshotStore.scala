@@ -308,6 +308,41 @@ object SnapshotStore {
       java.nio.file.Paths.get(dataDir(storeDir)), "epoch=", Set(e))
   }
 
+  // ----------------------------------------------------------- remove
+
+  /** Remove keys from the store — the retention/takedown mechanics,
+    * completing store deletion across all five stores (round 13).
+    * `keys`' columns must be a non-empty subset of [[keyCols]]; every
+    * committed row matching on those columns is dropped, so a
+    * one-column `sku_code` frame takes a SKU out of the entire history
+    * while a full composite-key frame surgically removes one snapshot
+    * row. Implementation is the [[compact]] shape with one anti-join:
+    * the LWW winners minus the removed keys rewrite into one fresh
+    * epoch (the deletion doubles as a compaction; survivors keep their
+    * ORIGINAL batch_seq, so the LWW order domain is intact and a later
+    * re-append of a removed key simply wins again), published by the
+    * same one-rename manifest commit, retired epochs swept. */
+  def remove(spark: SparkSession, storeDir: String, keys: DataFrame): Unit = {
+    val kc = keys.columns.toSeq
+    require(kc.nonEmpty && kc.forall(keyCols.contains),
+      s"keys columns [${kc.mkString(",")}] must be a non-empty subset of " +
+        s"[${keyCols.mkString(",")}]")
+    val m = readManifest(storeDir)
+    val e = m.nextEpoch
+    graft.operators.ClusterStore.sweepOrphans(
+      java.nio.file.Paths.get(dataDir(storeDir)), "epoch=", m.epochs.toSet)
+    latestPerKey(committedRaw(spark, storeDir))
+      .join(keys.distinct(), kc, "left_anti")
+      .drop("epoch")
+      .repartition(col("snapshot_date"))
+      .withColumn("epoch", lit(e))
+      .write.mode("append").partitionBy("epoch", "snapshot_date")
+      .parquet(dataDir(storeDir))
+    commitManifest(storeDir, m.copy(epochs = Seq(e), nextEpoch = e + 1))
+    graft.operators.ClusterStore.sweepOrphans(
+      java.nio.file.Paths.get(dataDir(storeDir)), "epoch=", Set(e))
+  }
+
   /** The automated maintenance decision, mirroring the other stores':
     * compact when the committed epoch count reaches `maxEpochs`. Returns
     * whether a compaction ran. */

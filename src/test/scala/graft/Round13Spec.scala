@@ -243,6 +243,40 @@ class Round13Spec extends SparkSpec {
       rebuilt.select(col("vec_id"), col("centroid_id")).collect().toSet)
   }
 
+  test("SnapshotStore.remove: takedown by sku, surgical by full key, LWW intact") {
+    import graft.sources.SnapshotStore
+    val store = java.nio.file.Files.createTempDirectory("graft_snap_rm").toString
+    def snap(sku: String, day: String, wh: String, qty: Int) =
+      Seq((sku, day, wh, qty, 0)).toDF(
+        "sku_code", "snapshot_date", "warehouse_code", "available_qty", "reserved_qty")
+    SnapshotStore.appendNext(snap("A", "2024-01-01", "W1", 10), store)
+    SnapshotStore.appendNext(snap("A", "2024-01-02", "W1", 20), store)
+    SnapshotStore.appendNext(snap("B", "2024-01-01", "W1", 30), store)
+    SnapshotStore.appendNext(snap("B", "2024-01-01", "W1", 31), store) // LWW upsert
+    // takedown: every A row across history
+    SnapshotStore.remove(spark, store, Seq("A").toDF("sku_code"))
+    val afterA = SnapshotStore.read(spark, store)
+      .select(col("sku_code"), col("snapshot_date").cast("string"), col("available_qty"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(afterA === Set(("B", "2024-01-01", 31)),
+      s"A gone, B keeps its LWW winner: $afterA")
+    // a later re-append of the removed key wins again (order domain intact)
+    SnapshotStore.appendNext(snap("A", "2024-01-01", "W1", 99), store)
+    assert(SnapshotStore.read(spark, store)
+      .filter(col("sku_code") === "A").count() === 1)
+    // surgical: full composite key removes one row only
+    SnapshotStore.remove(spark, store,
+      Seq(("B", "2024-01-01", "W1")).toDF("sku_code", "snapshot_date", "warehouse_code"))
+    val fin = SnapshotStore.read(spark, store)
+      .select(col("sku_code"), col("available_qty"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(fin === Set(("A", 99)))
+    // a non-key column aborts loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.remove(spark, store, Seq(1).toDF("available_qty"))
+    }
+  }
+
   // ------------------------------------------------- training shuffle
 
   test("corpus_shuffle: permutation is deterministic, complete, interleaved") {

@@ -41,6 +41,10 @@ object SparkEntry {
       Dedup.simhashNearDups(graft.sources.Tables.documents(s, dir))),
     "dedup_embedding_cosine" -> tuned(Dedup.embeddingFromDir),
     "knn_cosine_topk" -> tuned(Similarity.knnFromDir(_, _)),
+    // int8 scalar quantization (4x fewer index bytes): asymmetric brute
+    // top-k — full-precision queries vs the quantized-decoded corpus;
+    // encode/decode/score math pinned exactly, recall priced by spec
+    "ann_sq8_topk" -> tuned(Similarity.sq8KnnFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -295,6 +299,7 @@ object SparkEntry {
     "text_fingerprint" -> TextAnalysis.fingerprintOracle,
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsOracle(),
     "knn_cosine_topk" -> Similarity.knnOracle(),
+    "ann_sq8_topk" -> Similarity.sq8KnnOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -461,8 +466,10 @@ object SparkEntry {
     "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
     "ivf_ann_trained",       // in-memory trained anchor; ivf_probe_trained (the
                              // persisted production path) stays on the line
-    "semantic_dedup_trained") // trained twin; semantic_dedup + the training
+    "semantic_dedup_trained", // trained twin; semantic_dedup + the training
                              // phase's cost are both on the line
+    "ann_sq8_topk")          // brute O(N·Q) anchor like knn_cosine_topk (dropped
+                             // for the same reason); scale path is the IVF family
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -703,6 +703,119 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------------- scalar quantization (SQ8)
+
+  /** Per-dimension (min, max) of the embedding corpus — the scalar-
+    * quantization training stats: ONE aggregate (map-side partial
+    * min/max, dim-sized shuffle), dim doubles of driver state. MIN/MAX
+    * are order-independent and EXACT on floats, so unlike sums they need
+    * no micros discipline — both engines recompute identical doubles. */
+  def sq8Stats(e: DataFrame, dim: Int): (Array[Double], Array[Double]) = {
+    val r = e.agg(
+      array((0 until dim).map(d =>
+        min(element_at(col("embedding"), d + 1).cast("double"))): _*).as("mn"),
+      array((0 until dim).map(d =>
+        max(element_at(col("embedding"), d + 1).cast("double"))): _*).as("mx"))
+      .first()
+    (r.getAs[Seq[Double]]("mn").toArray, r.getAs[Seq[Double]]("mx").toArray)
+  }
+
+  /** SQ8 encode: code_d = floor((x_d − mn_d) · 255/(mx_d − mn_d) + 0.5)
+    * (0 for a degenerate dimension) — 4× fewer index bytes per vector
+    * than float32, the standard memory-side ANN trade. Stats enter as
+    * plan literals; the transform is scan-fused, zero shuffles. */
+  def sq8Encode(e: Column, mn: Array[Double], mx: Array[Double]): Column = {
+    val scales = mn.indices.map(d =>
+      if (mx(d) > mn(d)) 255.0 / (mx(d) - mn(d)) else 0.0).toArray
+    transform(e, (x, i) =>
+      floor((x.cast("double") - element_at(lit(mn), i + 1))
+        * element_at(lit(scales), i + 1) + 0.5).cast("int"))
+  }
+
+  /** SQ8 decode (reconstruction): mn_d + code_d · (mx_d − mn_d)/255. */
+  def sq8Decode(codes: Column, mn: Array[Double], mx: Array[Double]): Column = {
+    val inv = mn.indices.map(d =>
+      if (mx(d) > mn(d)) (mx(d) - mn(d)) / 255.0 else 0.0).toArray
+    transform(codes, (c, i) =>
+      element_at(lit(mn), i + 1)
+        + c.cast("double") * element_at(lit(inv), i + 1))
+  }
+
+  /** Cosine between a full-precision float vector and a decoded double
+    * vector — the asymmetric-distance form (queries stay full precision,
+    * the index stores codes). Composed builtins evaluating left-to-right:
+    * bit-identical to DuckDB's `list_cosine_similarity` over DOUBLE[]. */
+  private def mixedCosine(q: Column, dec: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, v) => p.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot(q, dec) / (sqrt(dot(q, q)) * sqrt(dot(dec, dec)))
+  }
+
+  /** Gated query `ann_sq8_topk`: brute top-k under asymmetric SQ8 —
+    * full-precision queries against the quantized-then-decoded corpus.
+    * The correctness anchor for the compressed index tier: at 100 TB the
+    * codes (64 B/vector vs 256 B float32) are what the IVF cells would
+    * store; the probe shape is unchanged (cell-bounded candidates,
+    * re-score on decode), so this gate pins the encode/decode/score math
+    * and the recall spec prices the approximation. */
+  def sq8KnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val dim = requireOracleDim(e, dir)
+    val (mn, mx) = sq8Stats(e, dim)
+    val dec = e.select(col("vec_id").as("neighbor_id"),
+      sq8Decode(sq8Encode(col("embedding"), mn, mx), mn, mx).as("dv"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(dec)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", mixedCosine(col("qe"), col("dv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin: per-dim MIN/MAX stats recomputed in SQL (exact — no
+    * rounding discipline needed for extrema), the same encode/decode
+    * formulas over list comprehensions, `list_cosine_similarity` against
+    * the decoded lists. */
+  def sq8KnnOracle(numQueries: Int = 8, k: Int = 10,
+                   dim: Int = LshOracleDim): String =
+    s"""WITH comp AS (
+       |  SELECT r.d, MIN(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mn,
+       |         MAX(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mx
+       |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
+       |  GROUP BY r.d
+       |), stats AS (
+       |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM comp
+       |), dec AS (
+       |  SELECT e.vec_id,
+       |         [ s.mns[i] + CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
+       |               * (CASE WHEN s.mxs[i] > s.mns[i]
+       |                       THEN 255.0 / (s.mxs[i] - s.mns[i]) ELSE 0.0 END) + 0.5) AS DOUBLE)
+       |             * (CASE WHEN s.mxs[i] > s.mns[i]
+       |                     THEN (s.mxs[i] - s.mns[i]) / 255.0 ELSE 0.0 END)
+       |           FOR i IN range(1, $dim + 1) ] AS dv
+       |  FROM embeddings e, stats s
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), n.dv) AS cosine
+       |  FROM embeddings q JOIN dec n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM pairs
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------- gated k-means training
 
   /** One exact Lloyd iteration as DuckDB CTEs — the trainer's loop

@@ -171,6 +171,33 @@ class Round13Spec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("SQ8: codes bounded, reconstruction within half a step, recall high") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val dim = Similarity.embeddingDim(emb)
+    val (mn, mx) = Similarity.sq8Stats(emb, dim)
+    val enc = emb.select(col("vec_id"),
+      Similarity.sq8Encode(col("embedding"), mn, mx).as("c"))
+    assert(enc.select(explode(col("c")).as("v"))
+      .filter(col("v") < 0 || col("v") > 255).count() === 0,
+      "every code must fit uint8")
+    // reconstruction error ≤ half a quantization step in every dimension
+    val step = mn.indices.map(d => (mx(d) - mn(d)) / 255.0).max
+    val err = emb.join(enc, Seq("vec_id"))
+      .select(greatest((0 until dim).map(d =>
+        abs(element_at(Similarity.sq8Decode(col("c"), mn, mx), d + 1)
+          - element_at(col("embedding"), d + 1).cast("double"))): _*).as("e"))
+      .agg(max(col("e"))).first().getDouble(0)
+    assert(err <= step / 2 + 1e-9, s"max reconstruction error $err vs step $step")
+    // recall@10 of the asymmetric SQ8 search vs exact
+    val exact = Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 8), 10)
+      .select("query_id", "neighbor_id")
+    val sq8 = Similarity.sq8KnnFromDir(spark, sf)
+      .select("query_id", "neighbor_id")
+    val recall = exact.intersect(sq8).count().toDouble / exact.count()
+    info(f"SQ8 recall@10 = $recall%.2f")
+    assert(recall >= 0.7, s"SQ8 recall $recall too low")
+  }
+
   // --------------------------------------------- store deletion (r13)
 
   test("Bm25Index.remove: dfs decrement, vanished terms leave the dict, stats re-derive") {

@@ -45,6 +45,10 @@ object SparkEntry {
     // top-k — full-precision queries vs the quantized-decoded corpus;
     // encode/decode/score math pinned exactly, recall priced by spec
     "ann_sq8_topk" -> tuned(Similarity.sq8KnnFromDir(_, _)),
+    // the composed compressed tier: IVF cells store SQ8 CODES (4x less
+    // index bytes), probe = pruned cell read -> decode -> asymmetric
+    // re-score against full-precision queries
+    "ivf_sq8_probe" -> tuned(Similarity.ivfSq8ProbeFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -300,6 +304,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingNearDupsOracle(),
     "knn_cosine_topk" -> Similarity.knnOracle(),
     "ann_sq8_topk" -> Similarity.sq8KnnOracle(),
+    "ivf_sq8_probe" -> Similarity.ivfSq8Oracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,

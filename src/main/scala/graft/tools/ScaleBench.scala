@@ -45,7 +45,11 @@ object ScaleBench {
       "bm25_index_compact", "ivf_index_compact", "ivf_requantize",
       "text_bpe_vocab", "dedup_index_compact",
       "semantic_dedup", "hybrid_rrf_ivf", "hard_negatives",
-      "quality_classifier")
+      "quality_classifier",
+      // round-13 additions
+      "kmeans_train", "ivf_ann_trained", "corpus_diff", "corpus_diff_recurate",
+      "corpus_shuffle", "multimodal_decode", "ann_sq8_topk", "ivf_sq8_probe",
+      "ivf_index_remove", "bm25_index_remove", "dedup_index_remove")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -54,7 +58,8 @@ object ScaleBench {
   private val storeCopyQueries =
     Set("cluster_append", "corpus_split_append", "ivf_index_append",
       "bm25_index_append", "bm25_index_compact", "ivf_index_compact",
-      "ivf_requantize", "dedup_index_compact")
+      "ivf_requantize", "dedup_index_compact", "corpus_diff_recurate",
+      "ivf_index_remove", "bm25_index_remove", "dedup_index_remove")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

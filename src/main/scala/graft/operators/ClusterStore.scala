@@ -479,11 +479,14 @@ object ClusterStore {
     *     costs edge-list work, never corpus work, and the rewrite doubles
     *     as an epoch compaction (same coalescing win, same manifest flip);
     *   - clusters: removal can only SPLIT components, and only components
-    *     CONTAINING a removed doc can change — untouched components' rows
-    *     carry over verbatim and only the affected components' surviving
-    *     edges re-run CC (the [[append]] touched-subgraph discipline,
-    *     mirrored; a member whose last pair died drops out of the map
-    *     naturally, exactly as a from-scratch build would drop it);
+    *     CONTAINING a removed doc can change — under the [[RelabelConf]]
+    *     `auto` policy (shared with [[append]]) a LARGE graph carves the
+    *     affected components' surviving edges and carries untouched rows
+    *     over verbatim, while a small (scheduling-bound) graph takes the
+    *     measured-cheaper full re-label over the kept pairs; both paths
+    *     are correct and identical in output (a member whose last pair
+    *     died drops out of the map naturally, exactly as a from-scratch
+    *     build would drop it);
     *   - the corpus stamp re-computes over `remainingDocs` (a doc_id-only
     *     column-pruned aggregate) so a later [[append]]'s drift guard
     *     keeps holding against the post-delete corpus.
@@ -511,24 +514,40 @@ object ClusterStore {
     readCards(spark, dir).join(rem, Seq("doc_id"), "left_anti")
       .withColumn("epoch", lit(e))
       .write.mode("append").partitionBy("epoch").parquet(s"$dir/cards")
-    // relabel only components a removed doc sat in; their surviving edges
-    // are selected by id1-membership (old pairs never cross components)
-    val oldClusters = readClusters(spark, dir)
-    val affected = oldClusters.join(rem, Seq("doc_id"))
-      .select(col("cluster_id")).distinct()
-    val affectedDocs = oldClusters.join(affected, Seq("cluster_id"))
-      .select(col("doc_id"))
+    // clusters: only components a removed doc sat in can change (removal
+    // only SPLITS), so the re-label is carve-eligible — under the SAME
+    // [[RelabelConf]] policy as [[append]]: at small edge counts every CC
+    // round is a fixed-cost scheduling unit and the carve's extra joins
+    // are measured pure loss, so `auto` takes the full re-label over the
+    // kept pairs (identical output — both paths are correct; the policy
+    // buys only wall time) and carves only in the data-bound regime.
     val kept = spark.read.parquet(s"$dir/pairs").filter(col("epoch") === e)
       .select(col("id1"), col("id2"), col("n_common"), col("jaccard"))
-    val sub = kept.join(affectedDocs.withColumnRenamed("doc_id", "id1"),
-      Seq("id1"), "left_semi")
-    val untouched = oldClusters.join(affected, Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"))
     // marker scopes CC's mid-iteration pin release to ITS pins only — a
     // composite caller's (recurate loop) earlier pinned stages survive
     val m = Pinned.marker(spark)
-    untouched.unionByName(NearDupClusters.connectedComponents(sub, Some(m)))
-      .write.mode("overwrite").parquet(s"$dir/clusters_v$g")
+    val oldClusters = readClusters(spark, dir)
+    val incremental = spark.conf.get(RelabelConf, "auto") match {
+      case "incremental" => true
+      case "full" => false
+      case _ => readPairs(spark, dir).count() >= IncrementalPairFloor
+    }
+    val relabeled =
+      if (!incremental) NearDupClusters.connectedComponents(kept, Some(m))
+      else {
+        val affected = oldClusters.join(rem, Seq("doc_id"))
+          .select(col("cluster_id")).distinct()
+        val affectedDocs = oldClusters.join(affected, Seq("cluster_id"))
+          .select(col("doc_id"))
+        // surviving edges of affected components select by id1-membership
+        // (old pairs never cross components)
+        val sub = kept.join(affectedDocs.withColumnRenamed("doc_id", "id1"),
+          Seq("id1"), "left_semi")
+        val untouched = oldClusters.join(affected, Seq("cluster_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id"))
+        untouched.unionByName(NearDupClusters.connectedComponents(sub, Some(m)))
+      }
+    relabeled.write.mode("overwrite").parquet(s"$dir/clusters_v$g")
     val (nRem, maxRem) = corpusStamp(remainingDocs)
     commitManifest(dir, manifest.copy(nDocs = nRem, maxDocId = maxRem,
       epochs = Seq(e), nextEpoch = e + 1, clustersGen = g))

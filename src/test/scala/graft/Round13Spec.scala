@@ -135,6 +135,22 @@ class Round13Spec extends SparkSpec {
     assert(ClusterStore.readCorpusStamp(dir) === ((5L, 20L)))
   }
 
+  test("ClusterStore.remove: the forced incremental carve equals the full re-label") {
+    val docs = bridgeCorpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_rm_inc").toString
+    ClusterStore.write(docs, dir, ClusterStore.Config(n = 3, threshold = 0.5))
+    spark.conf.set(ClusterStore.RelabelConf, "incremental")
+    try ClusterStore.remove(spark, dir, Seq(2L).toDF("doc_id"),
+      docs.filter(col("doc_id") =!= 2L))
+    finally spark.conf.unset(ClusterStore.RelabelConf)
+    val after = ClusterStore.readClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = NearDupClusters.clustersOf(
+      docs.filter(col("doc_id") =!= 2L), 3, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after === scratch)
+  }
+
   test("ClusterStore.remove then append: changed text re-enters correctly") {
     val docs = bridgeCorpus
     val dir = java.nio.file.Files.createTempDirectory("graft_rmapp").toString

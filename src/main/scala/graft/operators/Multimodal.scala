@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extraction runs
   * per-partition over batches.
   *
-  * The Spark-side contract is real and tested — schema, partitioning, batch
-  * shape, deterministic output — while the actual media decode is STUBBED
-  * (this container has no image/audio codecs): `fakeDecodeFeatures`
-  * produces a deterministic per-payload feature vector derived from the
-  * bytes. Swapping in a real decoder changes ONE function, not the plan.
+  * The Spark-side contract is real and tested — schema, partitioning,
+  * batch shape, deterministic output — and since round 13 the decode seam
+  * holds a REAL decoder for one real format: [[decodePpm]] parses binary
+  * netpbm P6 (magic, comments, dims, maxval, sample plane) and
+  * [[extractPpmFeatures]] reduces actual pixel structure to exact channel
+  * statistics, driver-gated (`multimodal_decode`). For formats whose
+  * codecs this container lacks (JPEG/audio/video), `fakeDecodeFeatures`
+  * remains the documented stand-in: swapping in a libjpeg/ffmpeg call
+  * changes ONE function, not the plan.
   *
   * Scale design: payloads never pass through a shuffle — metadata extraction
   * is expression-level on the scan, and feature extraction is mapPartitions

@@ -81,6 +81,10 @@ object SparkEntry {
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
     "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _)),
+    // fuzzy (MinHash near-dup) decontamination: paraphrased benchmark
+    // leakage sharing no exact 8-gram; band-bucket candidates, cross
+    // pairs only — the standard fuzzy-dedup-vs-evals pass
+    "decontaminate_fuzzy" -> tuned(Curation.decontaminateFuzzyFromDir),
     "source_quota" -> tuned(Curation.sourceQuotaFromDir),
     "mixture_sample" -> tuned(Curation.mixtureSampleFromDir),
     "dedup_clusters" -> tuned(NearDupClusters.fromDir),
@@ -322,6 +326,7 @@ object SparkEntry {
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
     "decontaminate" -> Curation.decontaminateOracle(),
+    "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle(),
     "source_quota" -> Curation.sourceQuotaOracle(),
     "mixture_sample" -> Curation.mixtureSampleOracle,
     "dedup_clusters" -> NearDupClusters.oracle(),
@@ -473,8 +478,11 @@ object SparkEntry {
                              // persisted production path) stays on the line
     "semantic_dedup_trained", // trained twin; semantic_dedup + the training
                              // phase's cost are both on the line
-    "ann_sq8_topk")          // brute O(N·Q) anchor like knn_cosine_topk (dropped
+    "ann_sq8_topk",          // brute O(N·Q) anchor like knn_cosine_topk (dropped
                              // for the same reason); scale path is the IVF family
+    "decontaminate_fuzzy")   // from-scratch LSH over train∪eval (the
+                             // dedup_minhash_lsh rationale); production signs
+                             // eval once via the DedupIndex path
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

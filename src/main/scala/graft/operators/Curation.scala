@@ -74,6 +74,55 @@ object Curation {
       .select(col("doc_id")).distinct()
   }
 
+  /** FUZZY decontamination — the near-dup complement of the exact-overlap
+    * pass: a train doc is contaminated if it is MinHash-near-dup of ANY
+    * eval doc (paraphrased or lightly-edited benchmark leakage that shares
+    * no exact 8-gram). Rides the [[Dedup.minhashLsh]] pipeline verbatim
+    * over train ∪ eval, keeping only CROSS pairs — candidate generation is
+    * the band-bucket equi-join (never all-pairs), so this is the standard
+    * "fuzzy dedup against benchmarks" pass at corpus scale; eval-internal
+    * and train-internal pairs are never verified for this purpose.
+    * Survivors: train docs in no cross pair. */
+  def decontaminateFuzzy(train: DataFrame, eval: DataFrame,
+                         threshold: Double = 0.5): DataFrame = {
+    val tagged = train.select(col("doc_id"), col("text"))
+      .unionByName(eval.select(col("doc_id"), col("text")))
+    val isEval = (c: org.apache.spark.sql.Column) => c % 20 === 0
+    val cross = Dedup.minhashLsh(tagged, threshold = threshold)
+      .filter(isEval(col("id1")) =!= isEval(col("id2")))
+    val bad = cross.select(
+      when(isEval(col("id1")), col("id2")).otherwise(col("id1")).as("doc_id"))
+      .distinct()
+    train.join(bad, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated variant (`decontaminate_fuzzy`): the same every-20th-doc eval
+    * split as the exact gate. */
+  def decontaminateFuzzyFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateFuzzy(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** DuckDB twin: the full [[Dedup.minhashLshOracle]] pipeline as a
+    * subquery, restricted to cross pairs by its pairFilter, the train
+    * member of each pair dropped. */
+  def decontaminateFuzzyOracle(threshold: Double = 0.5): String =
+    s"""WITH bad AS (
+       |  SELECT DISTINCT CASE WHEN id1 % 20 <> 0 THEN id1 ELSE id2 END AS doc_id
+       |  FROM (
+       |${Dedup.minhashLshOracle(threshold = threshold,
+           pairFilter = Some("(i.id1 % 20 = 0) <> (i.id2 % 20 = 0)"))}
+       |  )
+       |)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |LEFT JOIN bad b ON d.doc_id = b.doc_id
+       |WHERE d.doc_id % 20 <> 0 AND b.doc_id IS NULL
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Gated variant: every 20th doc_id plays the held-out benchmark set. */
   def decontaminateFromDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -342,6 +342,26 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("decontaminate_fuzzy: cross near-dups dropped, train-internal dups survive") {
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val pair = (1 to 12).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base alpha beta"),  // train — near-dup of eval 40
+      (3L, "completely different text with nothing shared at all here"),
+      (5L, s"$pair gamma delta"), // train-internal near-dup pair: both must
+      (6L, s"$pair gamma zeta"),  // survive — only CROSS pairs contaminate
+      (40L, s"$base alpha beta")) // eval (benchmark leakage of doc 1)
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = Curation.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(3L, 5L, 6L),
+      s"1 is benchmark-leaked; 5~6 is train-internal and must survive: $out")
+    graft.operators.Dedup.releasePinned(spark)
+  }
+
   // ------------------------------------------------- training shuffle
 
   test("corpus_shuffle: permutation is deterministic, complete, interleaved") {

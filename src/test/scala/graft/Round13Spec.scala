@@ -264,6 +264,36 @@ class Round13Spec extends SparkSpec {
       Bm25Index.probe(spark, dir2, q).collect().map(_.toSeq).toSeq)
   }
 
+  test("Bm25Index.remove: heals crashed-attempt residue at the frozen staging names") {
+    import graft.operators.Bm25Index
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana durian"),
+      (3L, "apple unique zebra"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_crash")
+    val dir = root.resolve("idx").toString
+    Bm25Index.write(docs, dir)
+    // residue of a crashed earlier removal: junk at the frozen nextEpoch
+    // and next dict-generation names, invisible (manifest never advanced)
+    val junkEpoch = java.nio.file.Paths.get(s"$dir/postings/epoch=1/bucket=0")
+    java.nio.file.Files.createDirectories(junkEpoch)
+    java.nio.file.Files.writeString(junkEpoch.resolve("junk.parquet"), "garbage")
+    val junkDict = java.nio.file.Paths.get(s"$dir/dict_v1")
+    java.nio.file.Files.createDirectories(junkDict)
+    java.nio.file.Files.writeString(junkDict.resolve("junk.parquet"), "garbage")
+    // re-running the removal IS the recovery protocol: staging sweeps the
+    // residue first, so the junk never pollutes the committed epoch
+    Bm25Index.remove(spark, dir, Seq(3L).toDF("doc_id"))
+    val dir2 = root.resolve("idx2").toString
+    Bm25Index.write(docs.filter(col("doc_id") =!= 3L), dir2)
+    val q = Bm25Index.topTerms(spark, dir, 2)
+    assert(Bm25Index.probe(spark, dir, q).collect().map(_.toSeq).toSeq ===
+      Bm25Index.probe(spark, dir2, q).collect().map(_.toSeq).toSeq)
+    assert(!java.nio.file.Files.exists(junkEpoch.resolve("junk.parquet")),
+      "staging must sweep the crashed attempt's residue")
+  }
+
   test("DedupIndex.remove: delta probe equals a from-scratch kept-backlog index") {
     import graft.operators.{Dedup, DedupIndex}
     val docs = Tables.documents(spark, sf)

@@ -187,6 +187,10 @@ object SparkEntry {
     "bm25_topk" -> tuned(Bm25.fromDir(_, _)),
     // interpolated bigram-LM log-prob (fluency step up from unigram_logprob)
     "bigram_logprob" -> tuned(BigramLm.fromDir),
+    // CCNet/KenLM-style REFERENCE-LM filter: every doc scored under a
+    // bigram LM whose counts come from the trusted src0 slice only —
+    // Laplace-floored back-off keeps unseen positions finite and exact
+    "ref_lm_logprob" -> tuned(BigramLm.refFromDir),
     // BM25 more-like-this + brute-cosine lists fused by reciprocal-rank
     // (micros-rounded long contributions; list depth 20, final top-10)
     "hybrid_rrf" -> tuned(HybridRetrieval.fromDir),
@@ -373,6 +377,7 @@ object SparkEntry {
     "dup_ngram_coverage" -> DupCoverage.oracle(),
     "dup_span_removal" -> DupCoverage.removeOracle(),
     "bigram_logprob" -> BigramLm.oracle(),
+    "ref_lm_logprob" -> BigramLm.refOracle(),
     "hybrid_rrf" -> HybridRetrieval.oracle(),
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
     "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
@@ -480,9 +485,13 @@ object SparkEntry {
                              // phase's cost are both on the line
     "ann_sq8_topk",          // brute O(N·Q) anchor like knn_cosine_topk (dropped
                              // for the same reason); scale path is the IVF family
-    "decontaminate_fuzzy")   // from-scratch LSH over train∪eval (the
+    "decontaminate_fuzzy",   // from-scratch LSH over train∪eval (the
                              // dedup_minhash_lsh rationale); production signs
                              // eval once via the DedupIndex path
+    "bigram_logprob",        // self-scored anchor; the production filter form
+                             // ref_lm_logprob stays on the line
+    "multimodal_features")   // byte-fold anchor; the real-structure decode
+                             // gate multimodal_decode stays on the line
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

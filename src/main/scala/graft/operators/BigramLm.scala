@@ -71,6 +71,105 @@ object BigramLm {
   def fromDir(spark: SparkSession, dir: String): DataFrame =
     logProbs(Tables.documents(spark, dir))
 
+  /** REFERENCE-LM scoring — the CCNet/KenLM-style quality filter: score
+    * EVERY document under a bigram LM whose counts come only from a
+    * trusted REFERENCE subset (here: one crawl source), so "looks like
+    * the reference distribution" becomes a per-doc number. Differences
+    * from [[logProbs]] (which scores the corpus under its own counts):
+    * scored bigrams can be UNSEEN in the reference, so the back-off
+    * unigram term is Laplace-floored — p = λ·(c_ab/c_a when c_a>0 else
+    * 0) + (1−λ)·(c_b+1)/(N+V) with V = reference vocab size — keeping
+    * every position's probability strictly positive with exact-integer
+    * inputs (N and V are exact longs; N+V is one exactly-representable
+    * double on both engines).
+    *
+    * Scale: reference counts are reference-sized; the corpus-sized side
+    * is the same per-doc bigram-multiplicity shuffle as [[logProbs]],
+    * with the count joins now LEFT joins (coalesced to 0). */
+  def refLogProbs(docs: DataFrame, ref: DataFrame,
+                  lambda: Double = 0.75): DataFrame = {
+    val refToks = ref.select(TF.tokens(col("text")).as("ts"))
+    val uni = refToks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val gb = refToks
+      .select(explode(TF.shinglesOfTokens(col("ts"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+    val nv = uni.agg(
+      coalesce(sum(col("c_w")), lit(0L)).as("n"),
+      count(lit(1)).as("v")).first()
+    val denom = (nv.getAs[Long]("n") + nv.getAs[Long]("v")).toDouble
+    val db = docs
+      .select(col("doc_id"),
+        explode(TF.shinglesOfTokens(TF.tokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k"))
+    val parts = split(col("bigram"), " ")
+    val ctx = when(col("c_a") > 0,
+      col("c_ab").cast("double") / col("c_a")).otherwise(lit(0.0))
+    val p = lit(lambda) * ctx +
+      lit(1.0 - lambda) * ((col("c_b").cast("double") + 1.0) / lit(denom))
+    val lp = StableRound.microsLong(log(p))
+    db
+      .select(col("doc_id"), col("k"), col("bigram"),
+        element_at(parts, 1).as("w1"), element_at(parts, 2).as("w2"))
+      .join(gb, Seq("bigram"), "left")
+      .join(uni.select(col("w").as("w1"), col("c_w").as("c_a")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c_w").as("c_b")), Seq("w2"), "left")
+      .na.fill(0L, Seq("c_ab", "c_a", "c_b"))
+      .select(col("doc_id"), col("k"), (col("k") * lp).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("contrib")).as("logprob_micros"))
+      .select(col("doc_id"), col("n_bigrams"), col("logprob_micros"),
+        (col("logprob_micros").cast("double") / col("n_bigrams")).as("avg_lp_micros"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated variant (`ref_lm_logprob`): source `src0` plays the trusted
+    * reference; every doc is scored. */
+  def refFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    refLogProbs(docs, docs.filter(col("source") === "src0"))
+  }
+
+  /** DuckDB twin of [[refFromDir]]: reference counts from the same
+    * source slice, LEFT joins with COALESCE 0, the same Laplace-floored
+    * fixed-order interpolation into one micros-rounded ln. */
+  def refOracle(lambda: Double = 0.75): String =
+    s"""WITH ref AS (
+       |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       |  FROM documents WHERE source = 'src0'
+       |), uni AS (
+       |  SELECT w, COUNT(*) AS c_w FROM ref, LATERAL unnest(ts) AS u(w) GROUP BY 1
+       |), gb AS (
+       |  SELECT ts[i.i] || ' ' || ts[i.i + 1] AS bigram, COUNT(*) AS c_ab
+       |  FROM ref, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1
+       |), nv AS (
+       |  SELECT CAST(COALESCE(SUM(c_w), 0) + COUNT(*) AS DOUBLE) AS denom FROM uni
+       |), toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+       |  FROM documents
+       |), db AS (
+       |  SELECT doc_id, ts[i.i] || ' ' || ts[i.i + 1] AS bigram, COUNT(*) AS k
+       |  FROM toks, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1, 2
+       |), lp AS (
+       |  SELECT db.doc_id, db.k,
+       |         db.k * ${StableRound.microsLongSql(
+                  s"LN($lambda * (CASE WHEN COALESCE(ua.c_w, 0) > 0 " +
+                  "THEN CAST(COALESCE(g.c_ab, 0) AS DOUBLE) / ua.c_w " +
+                  s"ELSE 0.0 END) + ${1.0 - lambda} " +
+                  "* ((CAST(COALESCE(ub.c_w, 0) AS DOUBLE) + 1.0) / nv.denom))")} AS contrib
+       |  FROM db LEFT JOIN gb g USING (bigram)
+       |          LEFT JOIN uni ua ON ua.w = string_split(db.bigram, ' ')[1]
+       |          LEFT JOIN uni ub ON ub.w = string_split(db.bigram, ' ')[2]
+       |          CROSS JOIN nv
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       |         CAST(SUM(contrib) AS BIGINT) AS logprob_micros
+       |  FROM lp GROUP BY 1
+       |)
+       |SELECT doc_id, n_bigrams, logprob_micros,
+       |       CAST(logprob_micros AS DOUBLE) / n_bigrams AS avg_lp_micros
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** DuckDB twin: same filtered tokenization (single-sourced rule), same
     * bigram windows as the pmi oracle, same fixed-order interpolation
     * into one ln, same micros-then-long-sums, same exact division. λ and

@@ -392,6 +392,22 @@ class Round13Spec extends SparkSpec {
     graft.operators.Dedup.releasePinned(spark)
   }
 
+  test("ref_lm_logprob: reference-like text outscores out-of-distribution text") {
+    import graft.operators.BigramLm
+    val ref = Seq.tabulate(5)(i =>
+      (100L + i, "the quick brown fox jumps over the lazy dog", "src0"))
+    val docs = (ref ++ Seq(
+      (1L, "the quick brown fox jumps", "src1"), // rides reference transitions
+      (2L, "zzz qqq xxx vvv kkk", "src1")))      // fully OOV -> Laplace floor
+      .toDF("doc_id", "text", "source")
+    val out = BigramLm.refLogProbs(docs, docs.filter(col("source") === "src0"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) > out(2L),
+      s"in-distribution must outscore OOV: ${out(1L)} vs ${out(2L)}")
+    // every doc with >= 2 tokens is scored, none dropped by unseen words
+    assert(out.contains(2L) && out.size === 7)
+  }
+
   // ------------------------------------------------- training shuffle
 
   test("corpus_shuffle: permutation is deterministic, complete, interleaved") {

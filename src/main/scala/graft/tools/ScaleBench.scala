@@ -49,7 +49,8 @@ object ScaleBench {
       // round-13 additions
       "kmeans_train", "ivf_ann_trained", "corpus_diff", "corpus_diff_recurate",
       "corpus_shuffle", "multimodal_decode", "ann_sq8_topk", "ivf_sq8_probe",
-      "ivf_index_remove", "bm25_index_remove", "dedup_index_remove")
+      "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
+      "decontaminate_fuzzy", "ref_lm_logprob")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

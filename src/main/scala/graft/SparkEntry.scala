@@ -49,6 +49,10 @@ object SparkEntry {
     // index bytes), probe = pruned cell read -> decode -> asymmetric
     // re-score against full-precision queries
     "ivf_sq8_probe" -> tuned(Similarity.ivfSq8ProbeFromDir(_, _)),
+    // O(batch) SQ8 ingestion: encode the delta under the PERSISTED
+    // quantizer + stats (both frozen at build, production semantics),
+    // land in cell dirs, probe — oracle freezes stats at the backlog
+    "ivf_sq8_append" -> tuned(Similarity.ivfSq8AppendProbeFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -313,6 +317,7 @@ object SparkEntry {
     "knn_cosine_topk" -> Similarity.knnOracle(),
     "ann_sq8_topk" -> Similarity.sq8KnnOracle(),
     "ivf_sq8_probe" -> Similarity.ivfSq8Oracle(),
+    "ivf_sq8_append" -> Similarity.ivfSq8AppendOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -490,8 +495,10 @@ object SparkEntry {
                              // eval once via the DedupIndex path
     "bigram_logprob",        // self-scored anchor; the production filter form
                              // ref_lm_logprob stays on the line
-    "multimodal_features")   // byte-fold anchor; the real-structure decode
+    "multimodal_features",   // byte-fold anchor; the real-structure decode
                              // gate multimodal_decode stays on the line
+    "ivf_sq8_append")        // lifecycle sibling of ivf_sq8_probe (on the line);
+                             // the ivf_index_append rationale
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

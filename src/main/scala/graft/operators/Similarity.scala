@@ -728,16 +728,21 @@ object Similarity {
     (r.getAs[Seq[Double]]("mn").toArray, r.getAs[Seq[Double]]("mx").toArray)
   }
 
-  /** SQ8 encode: code_d = floor((x_d − mn_d) · 255/(mx_d − mn_d) + 0.5)
-    * (0 for a degenerate dimension) — 4× fewer index bytes per vector
-    * than float32, the standard memory-side ANN trade. Stats enter as
-    * plan literals; the transform is scan-fused, zero shuffles. */
+  /** SQ8 encode: code_d = clamp₀²⁵⁵ floor((x_d − mn_d) · 255/(mx_d − mn_d)
+    * + 0.5) (0 for a degenerate dimension) — 4× fewer index bytes per
+    * vector than float32, the standard memory-side ANN trade. The clamp
+    * matters for the APPEND path: a batch value outside the build-time
+    * range must still land in uint8 (saturating, like every production
+    * quantizer) — without it appended codes could silently outgrow the
+    * byte. Stats enter as plan literals; the transform is scan-fused,
+    * zero shuffles. */
   def sq8Encode(e: Column, mn: Array[Double], mx: Array[Double]): Column = {
     val scales = mn.indices.map(d =>
       if (mx(d) > mn(d)) 255.0 / (mx(d) - mn(d)) else 0.0).toArray
     transform(e, (x, i) =>
-      floor((x.cast("double") - element_at(lit(mn), i + 1))
-        * element_at(lit(scales), i + 1) + 0.5).cast("int"))
+      greatest(lit(0), least(lit(255),
+        floor((x.cast("double") - element_at(lit(mn), i + 1))
+          * element_at(lit(scales), i + 1) + 0.5).cast("int"))))
   }
 
   /** SQ8 decode (reconstruction): mn_d + code_d · (mx_d − mn_d)/255. */
@@ -790,21 +795,27 @@ object Similarity {
 
   /** The per-dim extrema + quantize-then-decode CTE chain, ending in
     * `dec (vec_id, dv DOUBLE[])` — single-sourced between
-    * [[sq8KnnOracle]] and [[ivfSq8Oracle]] so the quantization formulas
-    * cannot drift between the brute anchor and the composed index gate. */
-  private[operators] def sq8DecCtesSql(dim: Int): String =
+    * [[sq8KnnOracle]], [[ivfSq8Oracle]], and the append gate so the
+    * quantization formulas cannot drift between the brute anchor and the
+    * composed index gates. `statsRelation` lets the APPEND gate freeze
+    * the extrema at the build corpus (production semantics: appended
+    * batches encode under the STORED stats, which drift like the
+    * quantizer and refresh on the same requantize cadence). */
+  private[operators] def sq8DecCtesSql(dim: Int,
+                                       statsRelation: String = "embeddings"): String =
     s"""sq8_comp AS (
        |  SELECT r.d, MIN(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mn,
        |         MAX(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mx
-       |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
+       |  FROM $statsRelation e CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
        |  GROUP BY r.d
        |), sq8_stats AS (
        |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM sq8_comp
        |), dec AS (
        |  SELECT e.vec_id,
-       |         [ s.mns[i] + CAST(FLOOR((CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
+       |         [ s.mns[i] + CAST(GREATEST(0, LEAST(255,
+       |               FLOOR((CAST(e.embedding[i] AS DOUBLE) - s.mns[i])
        |               * (CASE WHEN s.mxs[i] > s.mns[i]
-       |                       THEN 255.0 / (s.mxs[i] - s.mns[i]) ELSE 0.0 END) + 0.5) AS DOUBLE)
+       |                       THEN 255.0 / (s.mxs[i] - s.mns[i]) ELSE 0.0 END) + 0.5))) AS DOUBLE)
        |             * (CASE WHEN s.mxs[i] > s.mns[i]
        |                     THEN (s.mxs[i] - s.mns[i]) / 255.0 ELSE 0.0 END)
        |           FOR i IN range(1, $dim + 1) ] AS dv
@@ -886,7 +897,65 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** O(batch) ingestion into the SQ8 index: encode the batch against the
+    * PERSISTED quantizer AND the persisted stats (both frozen at build —
+    * the quantizer-drift argument applies verbatim to the extrema, and
+    * both refresh on the same requantize cadence), land files in the
+    * cells' partition directories. Old data never re-read or re-encoded. */
+  def appendToIvfSq8Index(spark: SparkSession, dir: String,
+                          newVectors: DataFrame): Unit = {
+    val centroids = readQuantizer(spark, dir)
+    val g = ivfGen(dir)
+    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
+    val mn = r.getAs[Seq[Double]]("mn").toArray
+    val mx = r.getAs[Seq[Double]]("mx").toArray
+    assignToCentroids(newVectors, centroids)
+      .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),
+        col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(ivfDataDir(dir))
+  }
+
   private val ivfSq8Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfSq8Backlogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_sq8_append`: build the SQ8 index over the BACKLOG
+    * (stats and quantizer frozen there), append the DeltaMod delta, probe.
+    * The oracle freezes the stats at the backlog relation too — append +
+    * probe must equal a probe over the union encoded under BUILD-time
+    * stats, which is exactly what the production path produces (a
+    * from-scratch rebuild would re-derive stats over the union; that is
+    * the REQUANTIZE operation, not the append). */
+  def ivfSq8AppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                               k: Int = 10, numCentroids: Int = 16,
+                               nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val backlog = ivfSq8Backlogs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8_backlog")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeIvfSq8Index(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        p, numCentroids)
+      p
+    })
+    val idx = ClusterStore.copyStore(backlog, "graft_ivf_sq8_append")
+    appendToIvfSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeIvfSq8Index(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** DuckDB twin of [[ivfSq8AppendProbeFromDir]]: [[ivfSq8Oracle]]'s
+    * chain with the stats CTE frozen at the backlog slice. */
+  def ivfSq8AppendOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                         nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH backlog AS (
+       |  SELECT * FROM embeddings WHERE vec_id % ${DedupIndex.DeltaMod} <> 0
+       |), ${centroidSimsCtesSql(dim, numCentroids)},
+       |${sq8DecCtesSql(dim, statsRelation = "backlog")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "s_",
+           neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM s_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Gated query `ivf_sq8_probe`: the composed compressed tier end-to-end
     * — build (full-precision assignment, SQ8 cells, stats sidecar), probe

@@ -214,6 +214,17 @@ class Round13Spec extends SparkSpec {
     assert(recall >= 0.7, s"SQ8 recall $recall too low")
   }
 
+  test("sq8Encode saturates out-of-range values to uint8 (the append path)") {
+    val mn = Array(0.0); val mx = Array(1.0)
+    val df = Seq((1L, Array(2.0f)), (2L, Array(-1.0f)), (3L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+        Similarity.sq8Encode(col("embedding"), mn, mx).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Seq[Int]]("c").head).toMap
+    assert(out === Map(1L -> 255, 2L -> 0, 3L -> 128),
+      s"above-range clamps to 255, below to 0, in-range rounds: $out")
+  }
+
   test("SQ8 IVF index: probe partition-prunes and equals in-memory decode-score") {
     val emb = Tables.embeddings(spark, sf)
     val dir = java.nio.file.Files.createTempDirectory("graft_sq8ivf")

@@ -98,6 +98,9 @@ object BigramLm {
       coalesce(sum(col("c_w")), lit(0L)).as("n"),
       count(lit(1)).as("v")).first()
     val denom = (nv.getAs[Long]("n") + nv.getAs[Long]("v")).toDouble
+    // an empty reference slice would make the Laplace term infinite and
+    // log(p) non-finite far downstream — fail here with the actual cause
+    require(denom > 0, "reference slice is empty: no tokens to estimate the LM from")
     val db = docs
       .select(col("doc_id"),
         explode(TF.shinglesOfTokens(TF.tokens(col("text")), 2)).as("bigram"))

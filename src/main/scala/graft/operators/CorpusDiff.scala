@@ -116,8 +116,11 @@ object CorpusDiff {
     *   2. [[ClusterStore.remove]] `removed ∪ changed` (a changed doc's OLD
     *      text must leave the pair graph before its new text re-enters);
     *   3. [[ClusterStore.append]] ONLY `added ∪ changed` — the unchanged
-    *      majority is never re-shingled, which is the entire point: daily
-    *      cost scales with the ledger's churn, not the corpus;
+    *      majority's PAIRS are never recomputed (append verifies only
+    *      new↔new and old↔new candidates; note it still pays one
+    *      corpus-sized shingle scan of the old side to build the old↔new
+    *      bucket join), so daily pair-verification cost scales with the
+    *      ledger's churn, not the corpus;
     *   4. leakage-safe split FROM the updated store over day 2.
     *
     * The oracle is the from-scratch [[CorpusSplit.oracle]] computed over

@@ -87,11 +87,20 @@ object Curation {
                          threshold: Double = 0.5): DataFrame = {
     val tagged = train.select(col("doc_id"), col("text"))
       .unionByName(eval.select(col("doc_id"), col("text")))
-    val isEval = (c: org.apache.spark.sql.Column) => c % 20 === 0
+    // membership derives from the PASSED eval frame, never an id
+    // convention: eval is benchmark-sized by definition, so its id set
+    // broadcasts to both pair-side probes (two |eval|-row broadcasts,
+    // the 100 TB pair stream never shuffles for the tag)
+    val evalIds = eval.select(col("doc_id")).distinct()
+    val e1 = evalIds.select(col("doc_id").as("id1"), lit(true).as("ev1"))
+    val e2 = evalIds.select(col("doc_id").as("id2"), lit(true).as("ev2"))
     val cross = Dedup.minhashLsh(tagged, threshold = threshold)
-      .filter(isEval(col("id1")) =!= isEval(col("id2")))
+      .join(broadcast(e1), Seq("id1"), "left")
+      .join(broadcast(e2), Seq("id2"), "left")
+      .filter(coalesce(col("ev1"), lit(false)) =!= coalesce(col("ev2"), lit(false)))
     val bad = cross.select(
-      when(isEval(col("id1")), col("id2")).otherwise(col("id1")).as("doc_id"))
+      when(coalesce(col("ev1"), lit(false)), col("id2")).otherwise(col("id1"))
+        .as("doc_id"))
       .distinct()
     train.join(bad, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_chars"))

@@ -278,8 +278,13 @@ object Multimodal {
         if i < payload.length && isWs(payload(i))
         data = {
           i += 1
-          if (payload.length - i >= w * h * 3)
-            Some(java.util.Arrays.copyOfRange(payload, i, i + w * h * 3))
+          // sample-plane size as Long: 9-digit dims make w*h*3 overflow Int,
+          // where a negative product throws and a wrapped small-positive one
+          // silently accepts a mis-sized plane — both violate "corrupt
+          // payload must be rejected"
+          val need = w.toLong * h * 3L
+          if (need <= (payload.length - i).toLong && need <= Int.MaxValue)
+            Some(java.util.Arrays.copyOfRange(payload, i, i + need.toInt))
           else None
         }
         px <- data

@@ -85,6 +85,47 @@ class BenchLineSpec extends AnyFunSuite {
     assert(ctw != null && ctw.isArray && ctw.size === 0)
   }
 
+  test("tripwire floor: a patched-high bench.json still trips against the committed artifact") {
+    // round 13's corpus_curate_e2e shipped at 2.83× with bench.json elevated
+    // by a same-day local run — the committed BENCH_r{N}.json floor is immune
+    // to local activity, so the per-query MIN keeps the wire armed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tripwire_spec")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        """{"metric":"total","value":50,"unit":"sec","queries":{"corpus_curate_e2e":49.8,"q1_agg_orders":2.6,"local_only":-1.0},"failed":[],"sf":"sf0.1"}""")
+      // the committed artifact shape: pretty-printed, with a raw `tail`
+      // string whose ESCAPED queries object must not decoy the parser
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r12.json"),
+        """{
+          |  "n": 12,
+          |  "tail": "noise {\"queries\":{\"corpus_curate_e2e\":999.0}} more noise",
+          |  "parsed": {
+          |    "metric": "total",
+          |    "queries": {
+          |      "corpus_curate_e2e": 17.6,
+          |      "q1_agg_orders": 2.7
+          |    }
+          |  }
+          |}""".stripMargin)
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r3.json"),
+        """{"parsed": {"queries": {"corpus_curate_e2e": 1.0}}}""") // stale round: must NOT win
+      val prior = Bench.readPriorQueries(dir.toString)
+      // floor = min(local, latest artifact); r3's stale 1.0 is ignored
+      assert(prior("corpus_curate_e2e") === 17.6)
+      assert(prior("q1_agg_orders") === 2.6)
+      assert(!prior.contains("local_only"), "a failed (-1) entry never forms a floor")
+      // the patched-high local 49.8 would have silenced the wire; the
+      // artifact floor still trips it
+      val tripped = Bench.tripwireMovers(
+        Seq(("corpus_curate_e2e", 49.8, Seq(49.8)), ("q1_agg_orders", 2.8, Seq(2.8))), prior)
+      assert(tripped.map(_._1) === Seq("corpus_curate_e2e"))
+      assert(tripped.head._2 === 17.6)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("when everything fits, nothing is dropped and no 'more' field appears") {
     val few = Seq("q1_agg_orders" -> 1.5, "dedup_canonical" -> 9.642186593)
     val (line, omitted) = Bench.compactLine(few, "/root/testdata/sf0.1")

@@ -53,6 +53,14 @@ object SparkEntry {
     // quantizer + stats (both frozen at build, production semantics),
     // land in cell dirs, probe — oracle freezes stats at the backlog
     "ivf_sq8_append" -> tuned(Similarity.ivfSq8AppendProbeFromDir(_, _)),
+    // deletion on the compressed tier: filtered code rewrite under the
+    // FROZEN build-time stats (no re-encode) — probe must equal the SQ8
+    // oracle over the kept relation with stats still at the build corpus
+    "ivf_sq8_remove" -> tuned(Similarity.ivfSq8RemoveProbeFromDir(_, _)),
+    // recall@k of BOTH production probe paths (float IVF index + SQ8
+    // tier) against brute ground truth — exact integer hit counts, so
+    // approximation quality gates on the driver, not only in specs
+    "ann_recall" -> tuned(Similarity.annRecallFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -318,6 +326,8 @@ object SparkEntry {
     "ann_sq8_topk" -> Similarity.sq8KnnOracle(),
     "ivf_sq8_probe" -> Similarity.ivfSq8Oracle(),
     "ivf_sq8_append" -> Similarity.ivfSq8AppendOracle(),
+    "ivf_sq8_remove" -> Similarity.ivfSq8RemoveOracle(),
+    "ann_recall" -> Similarity.annRecallOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,

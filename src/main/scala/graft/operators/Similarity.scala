@@ -800,9 +800,12 @@ object Similarity {
     * composed index gates. `statsRelation` lets the APPEND gate freeze
     * the extrema at the build corpus (production semantics: appended
     * batches encode under the STORED stats, which drift like the
-    * quantizer and refresh on the same requantize cadence). */
+    * quantizer and refresh on the same requantize cadence); `relation`
+    * lets the REMOVE gate decode only the kept rows (while the stats
+    * stay frozen at the build corpus — the same staleness rule). */
   private[operators] def sq8DecCtesSql(dim: Int,
-                                       statsRelation: String = "embeddings"): String =
+                                       statsRelation: String = "embeddings",
+                                       relation: String = "embeddings"): String =
     s"""sq8_comp AS (
        |  SELECT r.d, MIN(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mn,
        |         MAX(CAST(e.embedding[r.d + 1] AS DOUBLE)) AS mx
@@ -819,7 +822,7 @@ object Similarity {
        |             * (CASE WHEN s.mxs[i] > s.mns[i]
        |                     THEN (s.mxs[i] - s.mns[i]) / 255.0 ELSE 0.0 END)
        |           FOR i IN range(1, $dim + 1) ] AS dv
-       |  FROM embeddings e, sq8_stats s
+       |  FROM $relation e, sq8_stats s
        |)""".stripMargin
 
   /** DuckDB twin: per-dim MIN/MAX stats recomputed in SQL (exact — no
@@ -915,8 +918,89 @@ object Similarity {
       .write.mode("append").partitionBy("centroid_id").parquet(ivfDataDir(dir))
   }
 
+  /** Deletion for the COMPRESSED tier — the last serving surface without
+    * it. A filtered generation rewrite of the CODES under the frozen
+    * build-time quantizer and extrema: kept rows are rewritten verbatim
+    * (codes are already encoded under the stored stats, so removal never
+    * re-encodes), cell-coalesced (the rewrite doubles as a compaction),
+    * and published by the same one-rename manifest commit as the float
+    * store. Stats-staleness rule, mirroring append's: after a removal
+    * the persisted extrema may be looser than the kept corpus's true
+    * extrema — that is CORRECT for decoding the surviving codes (they
+    * were encoded under those extrema), and both sidecars refresh on the
+    * same requantize cadence. Cost is O(index rewrite) — the compact
+    * cost class — so takedowns batch on the compaction cadence. */
+  def removeFromIvfSq8Index(spark: SparkSession, dir: String,
+                            removedIds: DataFrame): Unit = {
+    val g = ivfGen(dir)
+    val next = g + 1
+    // sweep residue of a crashed earlier promote (manifest never advanced)
+    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
+    spark.read.parquet(ivfDataDir(dir))
+      .join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
+    // the frozen sidecars carry forward unchanged (see staleness rule)
+    spark.read.parquet(s"$dir/_quantizer_v$g")
+      .coalesce(1).write.parquet(s"$dir/_quantizer_v$next")
+    spark.read.parquet(s"$dir/_sq8_v$g")
+      .coalesce(1).write.parquet(s"$dir/_sq8_v$next")
+    commitIvfGen(dir, next)
+    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
+  }
+
   private val ivfSq8Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfSq8Backlogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized full-corpus SQ8 index for `dir` (one per JVM — the
+    * build-once economics every indexed gate uses). */
+  private def sq8StoreFor(spark: SparkSession, dir: String, e: DataFrame,
+                          numCentroids: Int): String =
+    ivfSq8Stores.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeIvfSq8Index(e, p, numCentroids)
+      p
+    })
+
+  /** Gated query `ivf_sq8_remove`: takedown proven on the compressed
+    * tier — copy the memoized full-corpus SQ8 index,
+    * [[removeFromIvfSq8Index]] the DeltaMod residue class, probe with
+    * the surviving low-id queries. The oracle is [[ivfSq8Oracle]]'s
+    * chain with assignment/probes/decode restricted to the KEPT relation
+    * while the extrema stay frozen at the BUILD corpus: removed vectors
+    * must vanish from cells and candidate sets with nothing else moving
+    * — in particular, no code may re-encode (kept-relation stats would
+    * shift the decoded values and hash-mismatch). */
+  def ivfSq8RemoveProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                               k: Int = 10, numCentroids: Int = 16,
+                               nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val full = sq8StoreFor(spark, dir, e, numCentroids)
+    val idx = ClusterStore.copyStore(full, "graft_ivf_sq8_remove")
+    removeFromIvfSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0).select(col("vec_id")))
+    probeIvfSq8Index(spark, idx,
+      e.filter(col("vec_id") < numQueries &&
+        col("vec_id") % DedupIndex.DeltaMod =!= 0), k, nProbe)
+  }
+
+  /** DuckDB twin of [[ivfSq8RemoveProbeFromDir]]: [[ivfSq8Oracle]] over
+    * the kept relation, stats frozen at the full build corpus. */
+  def ivfSq8RemoveOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                         nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH kept_vecs AS (
+       |  SELECT * FROM embeddings WHERE vec_id % ${DedupIndex.DeltaMod} <> 0
+       |), ${centroidSimsCtesSql(dim, numCentroids, relation = "kept_vecs")},
+       |${sq8DecCtesSql(dim, statsRelation = "embeddings", relation = "kept_vecs")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "s_", relation = "kept_vecs",
+           neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM s_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Gated query `ivf_sq8_append`: build the SQ8 index over the BACKLOG
     * (stats and quantizer frozen there), append the DeltaMod delta, probe.
@@ -967,13 +1051,7 @@ object Similarity {
                          nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
-    val idx = ivfSq8Stores.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
-      writeIvfSq8Index(e, p, numCentroids)
-      p
-    })
+    val idx = sq8StoreFor(spark, dir, e, numCentroids)
     probeIvfSq8Index(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
   }
 
@@ -988,6 +1066,78 @@ object Similarity {
            neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))}
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM s_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------- gated ANN recall
+
+  /** Gated query `ann_recall`: recall@k of the two PRODUCTION probe
+    * paths — the persisted float IVF index (`ivf_probe_indexed`) and the
+    * SQ8 compressed tier (`ivf_sq8_probe`) — against brute-force ground
+    * truth (`knn_cosine_topk`), at the gates' fixed (C, nProbe). The
+    * surface is EXACT integer hit counts per query (id-set intersection
+    * of the top-k lists), so approximation quality gates
+    * deterministically on the driver instead of living only in specs: a
+    * quantizer or probe regression that silently costs recall now fails
+    * the round even when each path stays self-consistent (each path's
+    * own gate only pins that it equals ITS oracle — not that it still
+    * finds the true neighbors).
+    *
+    * Scale: both probe inputs are the memoized persisted indexes (built
+    * once per JVM); ground truth is the same broadcast-query brute scan
+    * as the knn anchor — query-bounded, one corpus pass. The joins are
+    * k·|Q|-row id lists. */
+  def annRecallFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                       k: Int = 10, numCentroids: Int = 16,
+                       nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val truth = bruteForceKnn(e, e.filter(col("vec_id") < numQueries), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = ivfProbeIndexedFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ivf"))
+    val sq8 = ivfSq8ProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_sq8"))
+    truth
+      .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .join(sq8, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_truth"),
+        coalesce(sum(col("in_ivf")), lit(0L)).as("hits_ivf"),
+        coalesce(sum(col("in_sq8")), lit(0L)).as("hits_sq8"))
+      .orderBy(col("query_id"))
+  }
+
+  /** DuckDB twin of [[annRecallFromDir]]: the brute pairs CTE beside the
+    * float-IVF chain (prefix `i_`) and the SQ8 chain (prefix `s_`) — all
+    * three the existing single-sourced fragments — intersected as id
+    * sets. */
+  def annRecallOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                      nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
+       |${ivfRankedCtesSql(numQueries, nProbe, "i_")},
+       |${sq8DecCtesSql(dim)},
+       |${ivfRankedCtesSql(numQueries, nProbe, "s_",
+           neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))},
+       |b_pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(n.embedding AS DOUBLE[])) AS cosine
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), b_ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM b_pairs
+       |), truth AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $k),
+       |i_top AS (SELECT query_id, neighbor_id FROM i_ranked WHERE rank <= $k),
+       |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k)
+       |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
+       |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
+       |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8
+       |FROM truth t
+       |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+       |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------- gated k-means training
 

@@ -38,11 +38,18 @@ object SemanticDedup {
   /** The prune under caller-supplied centroids — the hash-quantizer gate
     * and the trained-quantizer gate share every line below. */
   def pruneWith(embeddings: DataFrame, cents: Array[(Int, Array[Double])],
-                tau: Double = 0.4): DataFrame = {
+                tau: Double = 0.4): DataFrame =
+    pruneAssigned(Similarity.assignToCentroids(embeddings, cents), tau)
+
+  /** The prune over a PRE-ASSIGNED (vec_id, embedding, centroid_id)
+    * frame — the assignment stage is swappable (flat literal argmax, or
+    * the two-level [[Similarity.assignImi]] combined cell id), which is
+    * what lets CScaledProbe price the assignment sweep in isolation. */
+  def pruneAssigned(withCells: DataFrame, tau: Double = 0.4): DataFrame = {
     // one corpus scan: cell id + norm, pinned — it feeds both pair-join
     // sides and the final anti-join (3 consumers, 1 materialization)
     val assigned = Pinned.pin(
-      Similarity.assignToCentroids(embeddings, cents)
+      withCells
         .select(col("vec_id"), col("embedding"), col("centroid_id"),
           Similarity.l2norm(col("embedding")).as("norm")))
     val a = assigned.select(col("centroid_id"), col("vec_id").as("id1"),

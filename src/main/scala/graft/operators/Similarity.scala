@@ -135,16 +135,23 @@ object Similarity {
     centroids.map { case (id, c) => (id, updated.getOrElse(id, c)) }
   }
 
+  /** The literal-argmax assignment EXPRESSION over an arbitrary vector
+    * column (ties → larger cid, the rule every IVF oracle mirrors) —
+    * [[assignToCentroids]] generalized so the IMI path can assign both
+    * halves of a vector in ONE scan. */
+  private[operators] def assignExpr(e: Column,
+                                    centroids: Array[(Int, Array[Double])]): Column = {
+    val dists = centroids.map { case (id, c) =>
+      struct(litCosine(e, c).as("sim"), lit(id).as("id"))
+    }
+    greatest(dists.toIndexedSeq: _*).getField("id")
+  }
+
   /** Nearest-centroid assignment: centroids ship as plan literals (they are
     * the broadcast side by construction); argmin over dot-distance. */
   def assignToCentroids(embeddings: DataFrame,
-                        centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val dists = centroids.map { case (id, c) =>
-      struct(litCosine(col("embedding"), c).as("sim"), lit(id).as("id"))
-    }
-    embeddings.withColumn("centroid_id",
-      greatest(dists.toIndexedSeq: _*).getField("id"))
-  }
+                        centroids: Array[(Int, Array[Double])]): DataFrame =
+    embeddings.withColumn("centroid_id", assignExpr(col("embedding"), centroids))
 
   /** Per-query nProbe nearest centroids, with the query embedding carried.
     * Tie-break on centroid_id keeps the probe set deterministic (and
@@ -415,7 +422,11 @@ object Similarity {
   /** The persisted coarse quantizer of the live generation
     * (O(centroids·dim) — driver-sized by construction). */
   def readQuantizer(spark: SparkSession, dir: String): Array[(Int, Array[Double])] =
-    spark.read.parquet(s"$dir/_quantizer_v${ivfGen(dir)}").collect()
+    readQuantizerPath(spark, s"$dir/_quantizer_v${ivfGen(dir)}")
+
+  private def readQuantizerPath(spark: SparkSession,
+                                path: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(path).collect()
       .map(r => (r.getAs[Int]("centroid_id"),
         r.getAs[Seq[Double]]("centroid").toArray))
       .sortBy(_._1)
@@ -641,17 +652,18 @@ object Similarity {
     * ([[ivfAnnOracle]], [[indexHealthOracle]], [[LabelNoise.ivfOracle]],
     * [[SemanticDedup.oracle]]) so the quantizer formula cannot drift. */
   private[operators] def centroidSimsCtesSql(dim: Int, numCentroids: Int,
-                                             relation: String = "embeddings"): String =
-    s"""centroids AS (
+                                             relation: String = "embeddings",
+                                             p: String = ""): String =
+    s"""${p}centroids AS (
        |  SELECT t AS cid,
        |         list_transform(range(0, $dim), d ->
        |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
        |             / 576460752303423488.0 - 1.0) AS c
        |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
-       |), sims AS (
+       |), ${p}sims AS (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM $relation e CROSS JOIN centroids ct
+       |  FROM $relation e CROSS JOIN ${p}centroids ct
        |)""".stripMargin
 
   /** The IVF probe chain (assignment → probe selection → cell-bounded
@@ -1067,6 +1079,204 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM s_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // ------------------------------- two-level (IMI) coarse quantizer
+
+  /** The inverted multi-index (IMI-style) coarse quantizer — the
+    * retirement of the measured O(N·C) scale-killer: the flat
+    * literal-centroid argmax sweeps C·dim flops per row, and C must grow
+    * ∝ N to keep cells probe-sized (the [[sizedCentroidCount]] rule), so
+    * flat assignment cost per ROW creeps up with corpus size (SCALE.md's
+    * CScaledProbe: the ×20/C=320 per-row uptick) — and C plan-literal
+    * structs hit codegen limits long before wall-clock dies (C=10⁵
+    * literal doubles would not even compile a method).
+    *
+    * Construction (after Babenko & Lempitsky, "The Inverted Multi-Index",
+    * CVPR 2012): split each vector into two halves; train an INDEPENDENT
+    * codebook of C₁ (resp C₂) centroids per half with the EXISTING exact
+    * integer-micros Lloyd machinery ([[trainCentroids]] over the sliced
+    * halves — same md5 init, same tie and update rules, so the same
+    * unrolled-CTE oracle discipline gates it); a vector's cell is the
+    * PAIR (argmax₁, argmax₂). C₁·C₂ effective cells for C₁+C₂ half-width
+    * sweeps: per-row assignment is O(√C·dim) instead of O(C·dim), and
+    * the plan carries (C₁+C₂)·dim/2 literal doubles instead of C·dim —
+    * at C=10⁴ that is 100 cells' worth of literals for 10⁴ cells.
+    * Probes are the product of the two per-half probe lists
+    * (nProbe₁·nProbe₂ cells per query).
+    *
+    * Store mechanics are UNCHANGED from the flat index: the combined
+    * cell id cid₁·C₂+cid₂ is the partition column, so data layout,
+    * partition-pruned probes, manifest commit, append/compact/remove all
+    * work on the same shapes. */
+  def trainImi(e: DataFrame, c1: Int, c2: Int, iterations: Int, dim: Int)
+      : (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) = {
+    require(dim % 2 == 0, s"IMI splits the vector in half; dim $dim is odd")
+    val h = dim / 2
+    (trainCentroids(halfView(e, 1, h), c1, iterations, Some(h)),
+      trainCentroids(halfView(e, h + 1, h), c2, iterations, Some(h)))
+  }
+
+  /** (vec_id, embedding=the [lo, lo+len) slice) — the half-space view
+    * both training and the oracle's `half1`/`half2` CTEs run over. */
+  private def halfView(e: DataFrame, lo: Int, len: Int): DataFrame =
+    e.select(col("vec_id"), slice(col("embedding"), lo, len).as("embedding"))
+
+  /** Both half-assignments in ONE corpus scan — no join between the
+    * halves, the point of [[assignExpr]]. */
+  def assignImi(e: DataFrame, cents1: Array[(Int, Array[Double])],
+                cents2: Array[(Int, Array[Double])], halfDim: Int): DataFrame =
+    e.withColumn("cid1", assignExpr(slice(col("embedding"), 1, halfDim), cents1))
+      .withColumn("cid2", assignExpr(slice(col("embedding"), halfDim + 1, halfDim), cents2))
+
+  /** Per-query probed cells: the PRODUCT of the two per-half nProbe
+    * lists (query-sized × nProbe₁ × nProbe₂ rows — driver/broadcast
+    * scale by construction). Tie-breaks per half mirror [[queryProbes]]
+    * (smaller cid). */
+  private def imiQueryCells(queries: DataFrame,
+                            cents1: Array[(Int, Array[Double])],
+                            cents2: Array[(Int, Array[Double])],
+                            halfDim: Int, nProbe1: Int, nProbe2: Int): DataFrame = {
+    val p1 = queryProbes(halfView(queries, 1, halfDim), cents1, nProbe1)
+      .select(col("query_id"), col("centroid_id").as("cid1"))
+    val p2 = queryProbes(halfView(queries, halfDim + 1, halfDim), cents2, nProbe2)
+      .select(col("query_id"), col("centroid_id").as("cid2"))
+    p1.join(p2, Seq("query_id"))
+  }
+
+  /** Persist the IMI index: data partitioned by the COMBINED cell id
+    * (cid₁·C₂+cid₂ — one directory per (cid₁, cid₂) pair, so probes are
+    * partition pruning exactly as in the flat store), both half
+    * codebooks in `_quantizer1_v`/`_quantizer2_v` sidecars, same
+    * one-rename manifest commit. */
+  def writeImiIndex(e: DataFrame, dir: String, c1: Int = 8, c2: Int = 8,
+                    iterations: Int = 2): Unit = {
+    val spark = e.sparkSession
+    val dim = embeddingDim(e)
+    val (cents1, cents2) = trainImi(e, c1, c2, iterations, dim)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    assignImi(e, cents1, cents2, dim / 2)
+      .withColumn("centroid_id", col("cid1") * c2 + col("cid2"))
+      .drop("cid1", "cid2")
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v0")
+    saveQuantizer(spark, s"$dir/_quantizer1_v0", cents1)
+    saveQuantizer(spark, s"$dir/_quantizer2_v0", cents2)
+    commitIvfGen(dir, 0L)
+  }
+
+  /** Partition-pruned probe over the persisted IMI index: quantizers
+    * reload from the sidecars, each query's nProbe₁×nProbe₂ cell pairs
+    * map to combined ids, the union of probed ids prunes the scan, exact
+    * full-precision re-score. */
+  def probeImiIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int = 10, nProbe1: Int = 2, nProbe2: Int = 2): DataFrame = {
+    val g = ivfGen(dir)
+    val cents1 = readQuantizerPath(spark, s"$dir/_quantizer1_v$g")
+    val cents2 = readQuantizerPath(spark, s"$dir/_quantizer2_v$g")
+    val halfDim = cents1.head._2.length
+    val c2 = cents2.length
+    val probes = imiQueryCells(queries, cents1, cents2, halfDim, nProbe1, nProbe2)
+      .withColumn("centroid_id", col("cid1") * c2 + col("cid2"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), Seq("query_id"))
+      .select(col("query_id"), col("qe"), col("centroid_id"))
+    val probedCells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$dir/data_v$g")
+      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"))
+    scoreProbed(probes, cells, k)
+  }
+
+  private val imiStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_ann_imi`: the full two-level pipeline — train both
+    * half codebooks (T exact Lloyd iterations each), build the persisted
+    * combined-cell index, reload the sidecar quantizers, partition-pruned
+    * probe, exact re-score — under an oracle that unrolls BOTH training
+    * chains via [[kmeansIterCtesSql]] over the half relations. */
+  def imiAnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    k: Int = 10, c1: Int = 8, c2: Int = 8, nProbe1: Int = 2,
+                    nProbe2: Int = 2, iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = imiStores.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_index")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeImiIndex(e, p, c1, c2, iterations)
+      p
+    })
+    probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** DuckDB twin of [[imiAnnFromDir]]: `half1`/`half2` slice CTEs, two
+    * md5-init + unrolled-Lloyd chains (prefixes `h1_`/`h2_` — the
+    * [[kmeansTrainOracle]] fragments over the half relations), per-half
+    * argmax assignment (ties → larger cid) and probe windows (ties →
+    * smaller cid), candidates on the (cid₁, cid₂) PAIR, exact
+    * full-precision re-score. A vector's pair is unique and each probe
+    * list holds distinct cids, so candidates need no DISTINCT. */
+  def imiAnnOracle(numQueries: Int = 8, k: Int = 10, c1: Int = 8, c2: Int = 8,
+                   nProbe1: Int = 2, nProbe2: Int = 2, iterations: Int = 2,
+                   dim: Int = LshOracleDim): String = {
+    val h = dim / 2
+    val iters1 = (0 until iterations)
+      .map(i => kmeansIterCtesSql(i, h, "h1_", "half1")).mkString(",\n")
+    val iters2 = (0 until iterations)
+      .map(i => kmeansIterCtesSql(i, h, "h2_", "half2")).mkString(",\n")
+    s"""WITH half1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings),
+       |half2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings),
+       |${centroidSimsCtesSql(h, c1, "half1", "h1_")},
+       |$iters1,
+       |${centroidSimsCtesSql(h, c2, "half2", "h2_")},
+       |$iters2,
+       |a1 AS (
+       |  SELECT vec_id, cid AS cid1 FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM h1_k_sims$iterations
+       |  ) WHERE rk = 1
+       |), a2 AS (
+       |  SELECT vec_id, cid AS cid2 FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM h2_k_sims$iterations
+       |  ) WHERE rk = 1
+       |), p1 AS (
+       |  SELECT vec_id AS query_id, cid AS cid1 FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM h1_k_sims$iterations WHERE vec_id < $numQueries
+       |  ) WHERE rk <= $nProbe1
+       |), p2 AS (
+       |  SELECT vec_id AS query_id, cid AS cid2 FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid ASC) AS rk
+       |    FROM h2_k_sims$iterations WHERE vec_id < $numQueries
+       |  ) WHERE rk <= $nProbe2
+       |), imi_cand AS (
+       |  SELECT p1.query_id, a1.vec_id AS neighbor_id
+       |  FROM p1 JOIN p2 ON p1.query_id = p2.query_id
+       |       JOIN a1 ON a1.cid1 = p1.cid1
+       |       JOIN a2 ON a2.vec_id = a1.vec_id AND a2.cid2 = p2.cid2
+       |  WHERE a1.vec_id <> p1.query_id
+       |), imi_scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |  FROM imi_cand c JOIN embeddings qe ON qe.vec_id = c.query_id
+       |                  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |), imi_ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM imi_scored
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM imi_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // ------------------------------------------------- gated ANN recall
 
   /** Gated query `ann_recall`: recall@k of the two PRODUCTION probe
@@ -1153,32 +1363,33 @@ object Similarity {
     *   k_sims${i}+1 cosines against the new centroids.
     * Trailing unreferenced CTEs cost nothing (DuckDB inlines CTEs), so a
     * caller selects from whichever stage its gate pins. */
-  private[operators] def kmeansIterCtesSql(i: Int, dim: Int): String = {
-    val sims = if (i == 0) "sims" else s"k_sims$i"
-    val cent = if (i == 0) "centroids" else s"k_cent$i"
-    s"""k_assign$i AS (
+  private[operators] def kmeansIterCtesSql(i: Int, dim: Int, p: String = "",
+                                           relation: String = "embeddings"): String = {
+    val sims = if (i == 0) s"${p}sims" else s"${p}k_sims$i"
+    val cent = if (i == 0) s"${p}centroids" else s"${p}k_cent$i"
+    s"""${p}k_assign$i AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
        |    FROM $sims
        |  ) WHERE rk = 1
-       |), k_comp$i AS (
+       |), ${p}k_comp$i AS (
        |  SELECT a.cid, r.d, CAST(COUNT(*) AS BIGINT) AS n,
        |         CAST(SUM(CAST(FLOOR(CAST(e.embedding[r.d + 1] AS DOUBLE) * 1e6 + 0.5)
        |                       AS BIGINT)) AS BIGINT) AS s_micros
-       |  FROM k_assign$i a JOIN embeddings e USING (vec_id)
+       |  FROM ${p}k_assign$i a JOIN $relation e USING (vec_id)
        |       CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
        |  GROUP BY a.cid, r.d
-       |), k_cent${i + 1} AS (
+       |), ${p}k_cent${i + 1} AS (
        |  SELECT c0.cid, COALESCE(u.c, c0.c) AS c
        |  FROM $cent c0 LEFT JOIN (
        |    SELECT cid, list(CAST(s_micros AS DOUBLE) / (n * 1e6) ORDER BY d) AS c
-       |    FROM k_comp$i GROUP BY cid
+       |    FROM ${p}k_comp$i GROUP BY cid
        |  ) u ON u.cid = c0.cid
-       |), k_sims${i + 1} AS (
+       |), ${p}k_sims${i + 1} AS (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM embeddings e CROSS JOIN k_cent${i + 1} ct
+       |  FROM $relation e CROSS JOIN ${p}k_cent${i + 1} ct
        |)""".stripMargin
   }
 

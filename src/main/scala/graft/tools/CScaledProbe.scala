@@ -48,6 +48,28 @@ object CScaledProbe {
       println(s"""{"scale":"x$k","rel_volume":$k,"query":"semantic_dedup","c":$c,"sec":$sd}""")
       val ln = time(LabelNoise.knnLabelAgreementIvf(e, 10, 4, cents))
       println(s"""{"scale":"x$k","rel_volume":$k,"query":"label_knn_agreement_ivf","c":$c,"sec":$ln}""")
+      // the IMI comparison rows: same sized effective cell count via two
+      // half-space codebooks of ceil(sqrt C) — (a) the assignment sweep
+      // in isolation (the exact O(N*C) component the two-level quantizer
+      // retires) and (b) semantic_dedup end-to-end with only the
+      // assignment stage swapped
+      val cSide = math.ceil(math.sqrt(c.toDouble)).toInt
+      val half = dim / 2
+      val hc1 = Similarity.hashCentroids(half, cSide)
+      val hc2 = Similarity.hashCentroids(half, cSide)
+      import org.apache.spark.sql.functions.col
+      val af = time(Similarity.assignToCentroids(e, cents)
+        .select(col("vec_id"), col("centroid_id")))
+      println(s"""{"scale":"x$k","rel_volume":$k,"query":"assign_flat","c":$c,"sec":$af}""")
+      val ai = time(Similarity.assignImi(e, hc1, hc2, half)
+        .select(col("vec_id"),
+          (col("cid1") * cSide + col("cid2")).as("centroid_id")))
+      println(s"""{"scale":"x$k","rel_volume":$k,"query":"assign_imi","c":${cSide * cSide},"sec":$ai}""")
+      val sdImi = time(SemanticDedup.pruneAssigned(
+        Similarity.assignImi(e, hc1, hc2, half)
+          .withColumn("centroid_id", col("cid1") * cSide + col("cid2"))
+          .drop("cid1", "cid2")))
+      println(s"""{"scale":"x$k","rel_volume":$k,"query":"semantic_dedup_imi","c":${cSide * cSide},"sec":$sdImi}""")
     }
     spark.stop()
   }

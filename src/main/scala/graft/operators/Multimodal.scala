@@ -373,6 +373,198 @@ object Multimodal {
        |       CAST(COALESCE(list_sum([bs[3*i] FOR i IN range(1, CAST(npix AS INTEGER) + 1)]), 0) AS BIGINT) AS b_sum
        |FROM px ORDER BY media_id""".stripMargin
 
+  // ------------------------------------- second real format: BMP (24-bit)
+
+  /** A decoded 24-bit BI_RGB BMP: dimensions and the pixel bytes in
+    * IMAGE order (row 0 = top, B,G,R per pixel, row padding stripped) —
+    * the decoder undoes the file's bottom-up row order and 4-byte row
+    * alignment, which is what distinguishes a real BMP walk from a byte
+    * fold. */
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Byte])
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 4) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  /** Build a REAL binary BMP from raw bytes: BITMAPFILEHEADER +
+    * 40-byte BITMAPINFOHEADER (little-endian fields), then the pixel
+    * plane with the format's two structural quirks the decoder must
+    * undo — rows stored BOTTOM-UP, each row padded to a 4-byte
+    * boundary (width 5 → 15 data bytes + 1 pad, so padding is always
+    * exercised). Image row y takes the input's bytes [y·15, y·15+15);
+    * that placement rule is what the oracle recomputes. */
+  def buildBmp(data: Array[Byte], width: Int = 5): Array[Byte] = {
+    val stride = width * 3
+    val padded = (stride + 3) / 4 * 4
+    val h = data.length / stride
+    val out = new Array[Byte](54 + padded * h)
+    out(0) = 'B'; out(1) = 'M'
+    putU32(out, 2, out.length.toLong) // file size
+    putU32(out, 10, 54L)              // pixel-data offset
+    putU32(out, 14, 40L)              // biSize
+    putU32(out, 18, width.toLong)
+    putU32(out, 22, h.toLong)         // positive height = bottom-up
+    putU16(out, 26, 1)                // planes
+    putU16(out, 28, 24)               // bits per pixel
+    putU32(out, 30, 0L)               // BI_RGB
+    putU32(out, 34, (padded * h).toLong)
+    putU32(out, 38, 2835L); putU32(out, 42, 2835L) // 72 dpi
+    var f = 0
+    while (f < h) {
+      val y = h - 1 - f // file row f holds IMAGE row h-1-f
+      System.arraycopy(data, y * stride, out, 54 + f * padded, stride)
+      f += 1
+    }
+    out
+  }
+
+  /** REAL BMP decoder — little-endian header parse, structural
+    * validation (magic, biSize, planes, 24 bpp, BI_RGB, bottom-up
+    * positive dims, offset/size sanity with the size math in LONGS so a
+    * crafted header can neither throw nor wrap into acceptance), then
+    * the pixel walk that re-orders bottom-up padded file rows into
+    * image-order rows. None for anything malformed. */
+  def decodeBmp(payload: Array[Byte]): Option[BmpImage] = {
+    def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M') None
+    else {
+      val dataOffset = u32(10)
+      val biSize = u32(14)
+      val width = u32(18).toInt  // reinterpret as s32le
+      val height = u32(22).toInt // negative = top-down: unsupported, reject
+      val stride = if (width > 0) (width.toLong * 3 + 3) / 4 * 4 else 0L
+      val need = stride * math.max(height, 0).toLong
+      if (biSize < 40 || u16(26) != 1 || u16(28) != 24 || u32(30) != 0 ||
+        width <= 0 || height <= 0 ||
+        dataOffset < 54 || dataOffset > payload.length ||
+        need > payload.length - dataOffset ||
+        width.toLong * height * 3 > Int.MaxValue) None
+      else {
+        val rowBytes = width * 3
+        val px = new Array[Byte](rowBytes * height)
+        var y = 0
+        while (y < height) {
+          val f = height - 1 - y
+          System.arraycopy(payload, (dataOffset + f * stride).toInt,
+            px, y * rowBytes, rowBytes)
+          y += 1
+        }
+        Some(BmpImage(width, height, px))
+      }
+    }
+  }
+
+  /** Wrap each doc's bytes into a real BMP payload (width 5 → odd
+    * stride, so every row carries a pad byte). Built imperatively in
+    * the same per-partition seam the decoder runs in — payloads are
+    * created and consumed without ever crossing a shuffle. */
+  def asBmpPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = docs.select(col("doc_id"), col("text").cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map(r => Row(r.getLong(0), buildBmp(r.getAs[Array[Byte]](1))))
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private val bmpFeatureSchema = StructType(
+    Seq("media_id", "width", "height", "n_pixels",
+      "b_sum", "g_sum", "r_sum", "row_weighted")
+      .map(StructField(_, LongType, nullable = false)))
+
+  /** Decode BMP payloads per partition and reduce each image to exact
+    * integer statistics of the ACTUAL pixel layout: per-channel sums
+    * walk the B,G,R positions, and `row_weighted` = Σ (y+1)·rowSum over
+    * IMAGE rows — the row-order-sensitive statistic that catches a
+    * decoder ignoring the bottom-up file order (plain channel sums are
+    * row-order-invariant and would not). Rejected payloads report -1,
+    * kept visible. */
+  def extractBmpFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodeBmp(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var bs = 0L; var gs = 0L; var rs = 0L; var rw = 0L
+            val rowBytes = img.width * 3
+            var y = 0
+            while (y < img.height) {
+              val base = y * rowBytes
+              var j = 0; var rowSum = 0L
+              while (j < rowBytes) {
+                val v = img.pixels(base + j) & 0xff
+                rowSum += v
+                (j % 3: @annotation.switch) match {
+                  case 0 => bs += v
+                  case 1 => gs += v
+                  case _ => rs += v
+                }
+                j += 1
+              }
+              rw += (y + 1).toLong * rowSum
+              y += 1
+            }
+            Row(r.getLong(0), img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, bs, gs, rs, rw)
+          case None => Row(r.getLong(0), -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, bmpFeatureSchema)
+  }
+
+  /** Gated query `multimodal_decode_bmp`: the decode seam's SECOND real
+    * format through the same build → parse → exact-integer-statistics
+    * fold as the PPM gate — the seam is format-pluggable, not
+    * PPM-shaped. */
+  def bmpGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    extractBmpFeatures(asBmpPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+
+  /** DuckDB twin: recomputes the expected decode output from the
+    * builder's placement rule over the text's hex expansion — H=⌊n/15⌋
+    * rows of 15 bytes, channel c at in-row position ≡ c (mod 3), row
+    * weight (y+1) for image row y = byte position ÷ 15. A decoder that
+    * reads rows top-down, forgets the pad byte, or mis-strides channels
+    * cannot hash-match. Docs under 15 bytes build a height-0 BMP the
+    * decoder must REJECT (-1 row). */
+  val bmpDecodeOracle: String = {
+    def guarded(expr: String) = s"CAST(CASE WHEN h = 0 THEN -1 ELSE $expr END AS BIGINT)"
+    // channel o ∈ {0=B,1=G,2=R} lives at 1-based positions 3i-(2-o)
+    def chanSum(o: Int) = guarded(
+      s"COALESCE(list_sum([bs[3*i - ${2 - o}] FOR i IN range(1, CAST(h * 5 AS INTEGER) + 1)]), 0)")
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents
+       |), px AS (
+       |  SELECT media_id, n // 15 AS h,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 15) * 15 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |)
+       |SELECT media_id,
+       |       ${guarded("5")} AS width,
+       |       ${guarded("h")} AS height,
+       |       ${guarded("h * 5")} AS n_pixels,
+       |       ${chanSum(0)} AS b_sum,
+       |       ${chanSum(1)} AS g_sum,
+       |       ${chanSum(2)} AS r_sum,
+       |       ${guarded("COALESCE(list_sum([((j - 1) // 15 + 1) * bs[j] " +
+             "FOR j IN range(1, CAST(h * 15 AS INTEGER) + 1)]), 0)")} AS row_weighted
+       |FROM px ORDER BY media_id""".stripMargin
+  }
+
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */
   def featureNearDups(docs: DataFrame, threshold: Double = 0.99): DataFrame = {

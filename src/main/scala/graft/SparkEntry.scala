@@ -61,6 +61,11 @@ object SparkEntry {
     // tier) against brute ground truth — exact integer hit counts, so
     // approximation quality gates on the driver, not only in specs
     "ann_recall" -> tuned(Similarity.annRecallFromDir(_, _)),
+    // the two-level IMI quantizer: independent half-space codebooks
+    // trained with the exact-Lloyd machinery, cell = (argmax1, argmax2)
+    // — C1*C2 cells for C1+C2 half-width sweeps, retiring the O(N*C)
+    // flat assignment sweep; persisted combined-cell index, pruned probe
+    "ivf_ann_imi" -> tuned(Similarity.imiAnnFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -82,6 +87,9 @@ object SparkEntry {
     // actually parsed in the mapPartitions seam, triplet-strided channel
     // sums — the decode seam value-gated on structure, not just bytes
     "multimodal_decode" -> tuned(Multimodal.decodeGateFromDir),
+    // the seam's SECOND real format: binary BMP (LE headers, bottom-up
+    // padded rows) — proves the decode seam is format-pluggable
+    "multimodal_decode_bmp" -> tuned(Multimodal.bmpGateFromDir),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
@@ -89,6 +97,9 @@ object SparkEntry {
     // -> leakage-safe split, every stage the same single-sourced rule its
     // standalone gate runs
     "corpus_curate_e2e" -> tuned(CurateE2e.fromDir),
+    // the DAG with the FUZZY decon stage composed in after the exact
+    // pass (MinHash near-dup leakage vs eval screened in the same run)
+    "corpus_curate_fuzzy" -> tuned(CurateE2e.fuzzyFromDir),
     "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
@@ -328,6 +339,7 @@ object SparkEntry {
     "ivf_sq8_append" -> Similarity.ivfSq8AppendOracle(),
     "ivf_sq8_remove" -> Similarity.ivfSq8RemoveOracle(),
     "ann_recall" -> Similarity.annRecallOracle(),
+    "ivf_ann_imi" -> Similarity.imiAnnOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -336,11 +348,13 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.byteFeaturesOracle,
     "multimodal_frames" -> Multimodal.framesOracle(),
     "multimodal_decode" -> Multimodal.decodeOracle,
+    "multimodal_decode_bmp" -> Multimodal.bmpDecodeOracle,
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
     "corpus_clean" -> CorpusClean.oracle(),
     "corpus_curate_e2e" -> CurateE2e.oracle(),
+    "corpus_curate_fuzzy" -> CurateE2e.fuzzyOracle(),
     "shipping_priority_topk" -> ShippingPriority.oracle(),
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
@@ -443,6 +457,7 @@ object SparkEntry {
       "kmeans_train",       // T Lloyd rounds, K·dim-long collects each
       "ivf_ann_trained",    // the same training loop feeding one probe plan
       "ivf_probe_trained",  // training + index build memoized; probe plan after
+      "ivf_ann_imi",        // two half-space training loops + memoized build
       "semantic_dedup_trained") // the same training loop feeding the prune
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
@@ -507,8 +522,16 @@ object SparkEntry {
                              // ref_lm_logprob stays on the line
     "multimodal_features",   // byte-fold anchor; the real-structure decode
                              // gate multimodal_decode stays on the line
-    "ivf_sq8_append")        // lifecycle sibling of ivf_sq8_probe (on the line);
+    "ivf_sq8_append",        // lifecycle sibling of ivf_sq8_probe (on the line);
                              // the ivf_index_append rationale
+    "ivf_sq8_remove",        // filtered-rewrite sibling of the three float-store
+                             // removes (same rationale, same droppable class)
+    "corpus_curate_fuzzy",   // composed sibling of corpus_curate_e2e (on the
+                             // line) + the standalone fuzzy stage's cost twin
+    "multimodal_decode_bmp", // second-format sibling of multimodal_decode
+                             // (the PPM flagship stays on the line)
+    "corpus_packed")         // strict cost-subset of corpus_shuffle (same
+                             // prefix-sum + pack, minus the permutation keys)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -54,12 +54,49 @@ object CurateE2e {
     * method defines. */
   def curate(docs: DataFrame, eval: DataFrame, qualityMin: Double = 0.5,
              n: Int = 5, thr: Double = 0.5, deconN: Int = 8,
-             trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+             trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    splitShipped(cleanAndDecon(docs, eval, qualityMin, n, thr, deconN),
+      trainPct, valPct)
+
+  /** The DAG with the FUZZY decontamination stage composed in after the
+    * exact pass: quality → exact dedup → near-dup prune → exact 8-gram
+    * decon → MinHash near-dup decon vs eval ([[Curation
+    * .fuzzyContaminatedIds]] — paraphrased benchmark leakage sharing no
+    * exact 8-gram) → leakage-safe split. A production pipeline screens
+    * near-dup leakage in the same pass as exact leakage; this gate
+    * proves the stages compose. The empty-cluster-map proof of
+    * [[curate]] survives: the fuzzy stage only REMOVES docs, and a
+    * subset of a pair-free corpus is pair-free, so the split's cluster
+    * map stays the empty constant and the second shingle self-join +
+    * CC remain deleted-by-proof. The pipeline's fuzzy pass does pay the
+    * [[Dedup.minhashLsh]] envelope over shipped ∪ eval (signatures
+    * scan-fused, band-bucket candidates — never all-pairs). */
+  def curateFuzzy(docs: DataFrame, eval: DataFrame, qualityMin: Double = 0.5,
+                  n: Int = 5, thr: Double = 0.5, deconN: Int = 8,
+                  fuzzyThr: Double = 0.5, fuzzyN: Int = 5,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val exact = cleanAndDecon(docs, eval, qualityMin, n, thr, deconN)
+    val decon = exact.join(
+      Curation.fuzzyContaminatedIds(exact, eval, fuzzyThr, fuzzyN),
+      Seq("doc_id"), "left_anti")
+    splitShipped(decon, trainPct, valPct)
+  }
+
+  /** Stages 1–4 (quality gate → exact dedup → near-dup prune → exact
+    * decontamination): the shipped-corpus prefix both DAG variants
+    * share. Returns (doc_id, text, quality_score). */
+  private def cleanAndDecon(docs: DataFrame, eval: DataFrame, qualityMin: Double,
+                            n: Int, thr: Double, deconN: Int): DataFrame = {
     val kept = CorpusClean(docs, qualityMin, n, thr)
     val cleaned = kept.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-    val decon = cleaned.join(
+    cleaned.join(
       Curation.contaminatedIds(cleaned, eval, deconN), Seq("doc_id"), "left_anti")
-    val spark = docs.sparkSession
+  }
+
+  /** The split tail over the shipped corpus (empty cluster map — see
+    * [[curate]]'s proof). */
+  private def splitShipped(decon: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    val spark = decon.sparkSession
     val noClusters = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
@@ -92,8 +129,53 @@ object CurateE2e {
     * gate and this one together. */
   def oracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5,
              deconN: Int = 8, trainPct: Int = 90, valPct: Int = 5): String =
-    s"""WITH RECURSIVE evals AS (
-       |  SELECT * FROM documents WHERE doc_id % 20 = 0
+    s"""WITH RECURSIVE ${deconCtesSql(qualityMin, n, thr, deconN)},
+       |${splitTailSql("decon", n, thr, trainPct, valPct)}""".stripMargin
+
+  /** DuckDB twin of [[curateFuzzy]] as [[fuzzyFromDir]] composes it: the
+    * shared exact-prefix CTEs with the evals CTE swapped for the SAME
+    * paraphrase construction (indexed 1-based list_filter ↔ Spark's
+    * 0-based filter), then the FULL [[Dedup.minhashLshOracle]] pipeline
+    * as a subquery over `decon ∪ evals` restricted to cross pairs
+    * (membership = the id offset), then the shared split tail over the
+    * doubly-decontaminated corpus. */
+  def fuzzyOracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5,
+                  deconN: Int = 8, fuzzyThr: Double = 0.4, fuzzyN: Int = 3,
+                  trainPct: Int = 90, valPct: Int = 5): String = {
+    val off = FuzzyEvalIdOffset
+    val evalsSql =
+      s"""SELECT doc_id + $off AS doc_id,
+         |         array_to_string(list_filter(string_split(text, ' '),
+         |                                     (t, i) -> i % 8 <> 0), ' ') AS text
+         |  FROM documents WHERE doc_id % 40 = 1""".stripMargin
+    s"""WITH RECURSIVE ${deconCtesSql(qualityMin, n, thr, deconN, evalsSql)},
+       |fz_bad AS (
+       |  SELECT DISTINCT CASE WHEN id1 < $off THEN id1 ELSE id2 END AS doc_id
+       |  FROM (
+       |${Dedup.minhashLshOracle(n = fuzzyN, threshold = fuzzyThr,
+           pairFilter = Some(s"(i.id1 >= $off) <> (i.id2 >= $off)"),
+           relation = "fz_corpus",
+           extraCtes = "fz_corpus AS (SELECT doc_id, text FROM decon " +
+             "UNION ALL SELECT doc_id, text FROM evals), ")}
+       |  )
+       |), decon2 AS (
+       |  SELECT d.doc_id, d.text, d.quality_score FROM decon d
+       |  LEFT JOIN fz_bad b ON d.doc_id = b.doc_id
+       |  WHERE b.doc_id IS NULL
+       |),
+       |${splitTailSql("decon2", n, thr, trainPct, valPct)}""".stripMargin
+  }
+
+  /** The exact-prefix CTE chain (evals/train0 → cleaned → 8-gram decon),
+    * ending in `decon (doc_id, text, quality_score)` — shared by both
+    * oracle variants so the stages cannot drift between them. The evals
+    * definition is swappable (the fuzzy gate constructs its evals). */
+  private def deconCtesSql(qualityMin: Double, n: Int, thr: Double,
+                           deconN: Int,
+                           evalsSql: String =
+                             "SELECT * FROM documents WHERE doc_id % 20 = 0"): String =
+    s"""evals AS (
+       |  $evalsSql
        |), train0 AS (
        |  SELECT * FROM documents WHERE doc_id % 20 <> 0
        |), ${CorpusClean.cleanedCtesSql("train0", qualityMin, n, thr)},
@@ -108,10 +190,16 @@ object CurateE2e {
        |  SELECT c.doc_id, c.text, c.quality_score FROM cleaned c
        |  LEFT JOIN bad b ON c.doc_id = b.doc_id
        |  WHERE b.doc_id IS NULL
-       |), ${NearDupClusters.ccCtesSql(n, thr, relation = "decon", prefix = "s_")},
+       |)""".stripMargin
+
+  /** The split tail over the shipped relation — the [[CorpusSplit]]
+    * fragments both oracle variants share. */
+  private def splitTailSql(shipped: String, n: Int, thr: Double,
+                           trainPct: Int, valPct: Int): String =
+    s"""${NearDupClusters.ccCtesSql(n, thr, relation = shipped, prefix = "s_")},
        |fp AS (
        |  SELECT doc_id, ${graft.functions.Fingerprint.fingerprintSql("text")} AS fp
-       |  FROM decon
+       |  FROM $shipped
        |),
        |ufp AS (
        |  SELECT s_cc.cluster_id, MIN(f.fp) AS unit_fp
@@ -132,6 +220,36 @@ object CurateE2e {
        |       CASE WHEN u.bucket < $trainPct THEN 'train'
        |            WHEN u.bucket < ${trainPct + valPct} THEN 'val'
        |            ELSE 'test' END AS split
-       |FROM u JOIN decon d ON u.doc_id = d.doc_id
+       |FROM u JOIN $shipped d ON u.doc_id = d.doc_id
        |ORDER BY u.doc_id""".stripMargin
+
+  /** The id offset that marks CONSTRUCTED eval docs in the fuzzy gate
+    * (corpus ids stay far below it). */
+  val FuzzyEvalIdOffset = 1000000L
+
+  /** Gated variant of [[curateFuzzy]] — and the reason the gate is
+    * NON-VACUOUS. With the %20 eval convention the fuzzy stage provably
+    * never fires at this corpus: any train doc MinHash-near a %20 doc
+    * also shares an 8-gram with it (the corpus's duplicates are
+    * copy-grade), so exact decon removes it first and both engines
+    * compute an empty fuzzy set — a gate that cannot catch an
+    * empty-set bug. So the gate CONSTRUCTS paraphrase-grade leakage:
+    * evals are every-40th-remainder-1 docs (which stay IN train) with
+    * every 8th word dropped and ids offset by [[FuzzyEvalIdOffset]]. A
+    * surviving 8-gram needs 8 consecutive kept words — impossible under
+    * a period-8 drop — so the EXACT stage is provably blind to the
+    * pairs by construction, while 3-gram jaccard stays ≈0.5, which the
+    * fuzzy pass at (n=3, thr=0.4) catches: 6 train docs removed at
+    * sf0.01 that no exact pass could see. Both engines rebuild the same
+    * perturbed evals from expressions (split → indexed filter → join),
+    * so the construction is itself oracle-checked. */
+  def fuzzyFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val evals = docs.filter(col("doc_id") % 40 === 1).select(
+      (col("doc_id") + FuzzyEvalIdOffset).as("doc_id"),
+      array_join(filter(split(col("text"), " "),
+        (_, i) => (i + 1) % 8 =!= 0), " ").as("text"))
+    curateFuzzy(docs.filter(col("doc_id") % 20 =!= 0), evals,
+      fuzzyThr = 0.4, fuzzyN = 3)
+  }
 }

@@ -84,7 +84,19 @@ object Curation {
     * and train-internal pairs are never verified for this purpose.
     * Survivors: train docs in no cross pair. */
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5): DataFrame =
+    train.join(fuzzyContaminatedIds(train, eval, threshold),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The shared fuzzy-overlap rule: ids of `train` docs MinHash-near-dup
+    * of ANY eval doc (shingle width `n` — a composed caller screening
+    * paraphrase-grade leakage may want it below the dedup default).
+    * Single-sourced so [[decontaminateFuzzy]] and CurateE2e's composed
+    * pipeline cannot drift. */
+  def fuzzyContaminatedIds(train: DataFrame, eval: DataFrame,
+                           threshold: Double, n: Int = 5): DataFrame = {
     val tagged = train.select(col("doc_id"), col("text"))
       .unionByName(eval.select(col("doc_id"), col("text")))
     // membership derives from the PASSED eval frame, never an id
@@ -94,17 +106,14 @@ object Curation {
     val evalIds = eval.select(col("doc_id")).distinct()
     val e1 = evalIds.select(col("doc_id").as("id1"), lit(true).as("ev1"))
     val e2 = evalIds.select(col("doc_id").as("id2"), lit(true).as("ev2"))
-    val cross = Dedup.minhashLsh(tagged, threshold = threshold)
+    Dedup.minhashLsh(tagged, n = n, threshold = threshold)
       .join(broadcast(e1), Seq("id1"), "left")
       .join(broadcast(e2), Seq("id2"), "left")
       .filter(coalesce(col("ev1"), lit(false)) =!= coalesce(col("ev2"), lit(false)))
-    val bad = cross.select(
-      when(coalesce(col("ev1"), lit(false)), col("id2")).otherwise(col("id1"))
-        .as("doc_id"))
+      .select(
+        when(coalesce(col("ev1"), lit(false)), col("id2")).otherwise(col("id1"))
+          .as("doc_id"))
       .distinct()
-    train.join(bad, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_chars"))
-      .orderBy(col("doc_id"))
   }
 
   /** Gated variant (`decontaminate_fuzzy`): the same every-20th-doc eval

@@ -57,6 +57,14 @@ object SparkEntry {
     // FROZEN build-time stats (no re-encode) — probe must equal the SQ8
     // oracle over the kept relation with stats still at the build corpus
     "ivf_sq8_remove" -> tuned(Similarity.ivfSq8RemoveProbeFromDir(_, _)),
+    // SQ8 compaction: identity-filter generation rewrite, one file per
+    // cell, codes verbatim — content-preserving (re-passes the append
+    // oracle)
+    "ivf_sq8_compact" -> tuned(Similarity.ivfSq8CompactProbeFromDir(_, _)),
+    // SQ8 requantize: quantizer AND extrema re-derived from the SOURCE
+    // floats at newC (codes are lossy — a real requantize re-reads the
+    // upstream table) — must equal a from-scratch build at newC
+    "ivf_sq8_requantize" -> tuned(Similarity.ivfSq8RequantizeProbeFromDir(_, _)),
     // recall@k of BOTH production probe paths (float IVF index + SQ8
     // tier) against brute ground truth — exact integer hit counts, so
     // approximation quality gates on the driver, not only in specs
@@ -338,6 +346,8 @@ object SparkEntry {
     "ivf_sq8_probe" -> Similarity.ivfSq8Oracle(),
     "ivf_sq8_append" -> Similarity.ivfSq8AppendOracle(),
     "ivf_sq8_remove" -> Similarity.ivfSq8RemoveOracle(),
+    "ivf_sq8_compact" -> Similarity.ivfSq8AppendOracle(),
+    "ivf_sq8_requantize" -> Similarity.ivfSq8Oracle(numCentroids = 32),
     "ann_recall" -> Similarity.annRecallOracle(),
     "ivf_ann_imi" -> Similarity.imiAnnOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
@@ -530,8 +540,12 @@ object SparkEntry {
                              // line) + the standalone fuzzy stage's cost twin
     "multimodal_decode_bmp", // second-format sibling of multimodal_decode
                              // (the PPM flagship stays on the line)
-    "corpus_packed")         // strict cost-subset of corpus_shuffle (same
+    "corpus_packed",         // strict cost-subset of corpus_shuffle (same
                              // prefix-sum + pack, minus the permutation keys)
+    "ivf_sq8_compact",       // lifecycle sibling of ivf_index_compact (same
+                             // rewrite class; ivf_sq8_probe stays on the line)
+    "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
+                             // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -866,7 +866,14 @@ object Similarity {
     * in an `_sq8_v<g>` sidecar beside the quantizer so a later session
     * probes without the builder's driver state. Same generation+manifest
     * commit discipline as the float index. */
-  def writeIvfSq8Index(e: DataFrame, dir: String, numCentroids: Int = 16): Unit = {
+  def writeIvfSq8Index(e: DataFrame, dir: String, numCentroids: Int = 16): Unit =
+    stageSq8Generation(e, dir, numCentroids, gen = 0L)
+
+  /** Stage one complete SQ8 generation (data + quantizer + stats
+    * sidecars) from SOURCE float vectors and commit it — shared by the
+    * initial build and [[requantizeIvfSq8Index]]. */
+  private def stageSq8Generation(e: DataFrame, dir: String, numCentroids: Int,
+                                 gen: Long): Unit = {
     val spark = e.sparkSession
     val dim = embeddingDim(e)
     val centroids = hashCentroids(dim, numCentroids)
@@ -875,12 +882,32 @@ object Similarity {
     assignToCentroids(e, centroids)
       .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),
         col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v0")
-    saveQuantizer(spark, s"$dir/_quantizer_v0", centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v$gen")
+    saveQuantizer(spark, s"$dir/_quantizer_v$gen", centroids)
     import spark.implicits._
     Seq((mn.toSeq, mx.toSeq)).toDF("mn", "mx")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_sq8_v0")
-    commitIvfGen(dir, 0L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_sq8_v$gen")
+    commitIvfGen(dir, gen)
+  }
+
+  /** Re-quantize the compressed tier: the stats-refresh op the
+    * frozen-stats staleness rule defers to. Codes are LOSSY, so a real
+    * requantize must re-read the SOURCE float vectors (the embeddings
+    * table a deployment keeps upstream) — re-encoding decoded codes
+    * would compound quantization error. Re-derives quantizer AND
+    * extrema over the source, stages the full next generation, one
+    * rename. After it the index is indistinguishable from a
+    * from-scratch build at the new C (`ivf_sq8_requantize`). */
+  def requantizeIvfSq8Index(spark: SparkSession, dir: String, source: DataFrame,
+                            numCentroids: Int): Unit = {
+    val g = ivfGen(dir)
+    val next = g + 1
+    // sweep residue of a crashed earlier promote (manifest never advanced)
+    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
+    stageSq8Generation(source, dir, numCentroids, next)
+    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
   }
 
   /** Partition-pruned probe over the SQ8 index: list/read ONLY the probed
@@ -943,14 +970,31 @@ object Similarity {
     * same requantize cadence. Cost is O(index rewrite) — the compact
     * cost class — so takedowns batch on the compaction cadence. */
   def removeFromIvfSq8Index(spark: SparkSession, dir: String,
-                            removedIds: DataFrame): Unit = {
+                            removedIds: DataFrame): Unit =
+    rewriteSq8Generation(spark, dir,
+      _.join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+
+  /** Compaction for the compressed tier: N appends leave N file sets in
+    * every cell dir (probe cost grows with calendar time); the
+    * identity-filter generation rewrite returns it to ONE file per cell
+    * under the unchanged frozen quantizer + stats — content-preserving
+    * by construction (`ivf_sq8_compact` re-passes the append oracle). */
+  def compactIvfSq8Index(spark: SparkSession, dir: String): Unit =
+    rewriteSq8Generation(spark, dir, identity)
+
+  /** The shared filtered-generation rewrite of the CODES under the
+    * frozen build-time quantizer and extrema — codes move verbatim,
+    * never re-encoded ([[removeFromIvfSq8Index]] filters,
+    * [[compactIvfSq8Index]] keeps everything; both coalesce to one file
+    * per cell and publish with the one-rename manifest commit). */
+  private def rewriteSq8Generation(spark: SparkSession, dir: String,
+                                   keep: DataFrame => DataFrame): Unit = {
     val g = ivfGen(dir)
     val next = g + 1
     // sweep residue of a crashed earlier promote (manifest never advanced)
     for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
       ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
-    spark.read.parquet(ivfDataDir(dir))
-      .join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    keep(spark.read.parquet(ivfDataDir(dir)))
       .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
     // the frozen sidecars carry forward unchanged (see staleness rule)
@@ -1021,12 +1065,10 @@ object Similarity {
     * stats, which is exactly what the production path produces (a
     * from-scratch rebuild would re-derive stats over the union; that is
     * the REQUANTIZE operation, not the append). */
-  def ivfSq8AppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
-                               k: Int = 10, numCentroids: Int = 16,
-                               nProbe: Int = 4): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    requireOracleDim(e, dir)
-    val backlog = ivfSq8Backlogs.computeIfAbsent(dir, _ => {
+  /** The memoized BACKLOG SQ8 index (every vector except the DeltaMod
+    * residue class — the split all incremental gates share). */
+  private def sq8BacklogFor(dir: String, e: DataFrame, numCentroids: Int): String =
+    ivfSq8Backlogs.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8_backlog")
       ClusterStore.deleteRecursivelyOnExit(tmp)
       val p = tmp.resolve("index").toString
@@ -1034,9 +1076,53 @@ object Similarity {
         p, numCentroids)
       p
     })
+
+  def ivfSq8AppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                               k: Int = 10, numCentroids: Int = 16,
+                               nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val backlog = sq8BacklogFor(dir, e, numCentroids)
     val idx = ClusterStore.copyStore(backlog, "graft_ivf_sq8_append")
     appendToIvfSq8Index(spark, idx,
       e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeIvfSq8Index(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_sq8_compact`: the probe-cost maintenance op on the
+    * compressed tier proven content-preserving — backlog + append (cell
+    * dirs now hold one file set per batch) + [[compactIvfSq8Index]] +
+    * probe must re-pass the SAME append oracle (backlog-frozen stats,
+    * codes verbatim). */
+  def ivfSq8CompactProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                k: Int = 10, numCentroids: Int = 16,
+                                nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      sq8BacklogFor(dir, e, numCentroids), "graft_ivf_sq8_compact")
+    appendToIvfSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    compactIvfSq8Index(spark, idx)
+    probeIvfSq8Index(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_sq8_requantize`: the stats-refresh op — backlog +
+    * append + [[requantizeIvfSq8Index]] from the full SOURCE vectors at
+    * newC + probe must equal a from-scratch SQ8 build at newC
+    * ([[ivfSq8Oracle]] at numCentroids = newC: quantizer AND extrema
+    * re-derived over the union — the operation the frozen-stats
+    * staleness rule defers to). */
+  def ivfSq8RequantizeProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                   k: Int = 10, numCentroids: Int = 16,
+                                   newC: Int = 32, nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      sq8BacklogFor(dir, e, numCentroids), "graft_ivf_sq8_requant")
+    appendToIvfSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    requantizeIvfSq8Index(spark, idx, e, newC)
     probeIvfSq8Index(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
   }
 

@@ -50,7 +50,10 @@ object ScaleBench {
       "kmeans_train", "ivf_ann_trained", "corpus_diff", "corpus_diff_recurate",
       "corpus_shuffle", "multimodal_decode", "ann_sq8_topk", "ivf_sq8_probe",
       "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
-      "decontaminate_fuzzy", "ref_lm_logprob")
+      "decontaminate_fuzzy", "ref_lm_logprob",
+      // round-14 additions
+      "ivf_ann_imi", "ann_recall", "ivf_sq8_remove", "corpus_curate_fuzzy",
+      "multimodal_decode_bmp")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -60,7 +63,8 @@ object ScaleBench {
     Set("cluster_append", "corpus_split_append", "ivf_index_append",
       "bm25_index_append", "bm25_index_compact", "ivf_index_compact",
       "ivf_requantize", "dedup_index_compact", "corpus_diff_recurate",
-      "ivf_index_remove", "bm25_index_remove", "dedup_index_remove")
+      "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
+      "ivf_sq8_remove")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

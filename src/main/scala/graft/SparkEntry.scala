@@ -74,6 +74,11 @@ object SparkEntry {
     // — C1*C2 cells for C1+C2 half-width sweeps, retiring the O(N*C)
     // flat assignment sweep; persisted combined-cell index, pruned probe
     "ivf_ann_imi" -> tuned(Similarity.imiAnnFromDir(_, _)),
+    // IMI lifecycle parity: O(batch) append under the frozen half
+    // codebooks (oracle trains on the backlog only), and takedown via
+    // the filtered generation rewrite (oracle restricts serving to kept)
+    "ivf_imi_append" -> tuned(Similarity.imiAppendProbeFromDir(_, _)),
+    "ivf_imi_remove" -> tuned(Similarity.imiRemoveProbeFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -350,6 +355,10 @@ object SparkEntry {
     "ivf_sq8_requantize" -> Similarity.ivfSq8Oracle(numCentroids = 32),
     "ann_recall" -> Similarity.annRecallOracle(),
     "ivf_ann_imi" -> Similarity.imiAnnOracle(),
+    "ivf_imi_append" -> Similarity.imiAnnOracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_imi_remove" -> Similarity.imiAnnOracle(
+      keepWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -468,6 +477,8 @@ object SparkEntry {
       "ivf_ann_trained",    // the same training loop feeding one probe plan
       "ivf_probe_trained",  // training + index build memoized; probe plan after
       "ivf_ann_imi",        // two half-space training loops + memoized build
+      "ivf_imi_append",     // backlog training loops + memoized backlog build
+      "ivf_imi_remove",     // the same memoized trained build + one rewrite
       "semantic_dedup_trained") // the same training loop feeding the prune
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
@@ -544,6 +555,9 @@ object SparkEntry {
                              // prefix-sum + pack, minus the permutation keys)
     "ivf_sq8_compact",       // lifecycle sibling of ivf_index_compact (same
                              // rewrite class; ivf_sq8_probe stays on the line)
+    "ivf_imi_append",        // lifecycle sibling of ivf_index_append (the
+                             // flagship ivf_ann_imi stays on the line)
+    "ivf_imi_remove",        // filtered-rewrite sibling of ivf_index_remove
     "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),

@@ -1273,7 +1273,100 @@ object Similarity {
     scoreProbed(probes, cells, k)
   }
 
+  /** Both persisted half-codebooks of the live generation. */
+  private def readImiQuantizers(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Array[(Int, Array[Double])]) = {
+    val g = ivfGen(dir)
+    (readQuantizerPath(spark, s"$dir/_quantizer1_v$g"),
+      readQuantizerPath(spark, s"$dir/_quantizer2_v$g"))
+  }
+
+  /** O(batch) ingestion into the IMI index: assign the batch against the
+    * PERSISTED half-codebooks (frozen at build — the quantizer-drift
+    * argument applies per half), land files in the combined-cell
+    * partition directories. Old data never re-read or re-assigned —
+    * assignment is a pure per-vector function of the two codebooks, so
+    * append + probe equals a same-codebook rebuild over the union. */
+  def appendToImiIndex(spark: SparkSession, dir: String,
+                       newVectors: DataFrame): Unit = {
+    val (cents1, cents2) = readImiQuantizers(spark, dir)
+    assignImi(newVectors, cents1, cents2, cents1.head._2.length)
+      .withColumn("centroid_id", col("cid1") * cents2.length + col("cid2"))
+      .drop("cid1", "cid2")
+      .write.mode("append").partitionBy("centroid_id").parquet(ivfDataDir(dir))
+  }
+
+  /** Deletion on the IMI index: the filtered generation rewrite under
+    * the frozen half-codebooks (rows move verbatim, cell-coalesced —
+    * doubles as a compaction), sidecars carried forward, one-rename
+    * commit — the same takedown mechanics as every other store. */
+  def removeFromImiIndex(spark: SparkSession, dir: String,
+                         removedIds: DataFrame): Unit = {
+    val g = ivfGen(dir)
+    val next = g + 1
+    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
+    spark.read.parquet(s"$dir/data_v$g")
+      .join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
+    for (q <- Seq("_quantizer1_v", "_quantizer2_v"))
+      spark.read.parquet(s"$dir/$q$g").coalesce(1).write.parquet(s"$dir/$q$next")
+    commitIvfGen(dir, next)
+    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
+  }
+
   private val imiStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val imiBacklogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_imi_append`: the O(batch) path on the two-level
+    * index — codebooks TRAINED on the backlog, the DeltaMod delta
+    * appended under them, probe. The oracle trains its unrolled Lloyd
+    * chains over the backlog slice only (`trainWhere`) while final
+    * assignment/probing cover the union — exactly the production
+    * frozen-quantizer semantics. */
+  def imiAppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                            k: Int = 10, c1: Int = 8, c2: Int = 8,
+                            nProbe1: Int = 2, nProbe2: Int = 2,
+                            iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val backlog = imiBacklogs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_backlog")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        p, c1, c2, iterations)
+      p
+    })
+    val idx = ClusterStore.copyStore(backlog, "graft_imi_append")
+    appendToImiIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `ivf_imi_remove`: takedown on the two-level index —
+    * copy the memoized full-corpus-trained index, remove the DeltaMod
+    * residue class, probe with the surviving low-id queries. The oracle
+    * keeps training on the FULL corpus (where the index was built) and
+    * restricts assignment/probing/scoring to the kept rows
+    * (`keepWhere`). */
+  def imiRemoveProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                            k: Int = 10, c1: Int = 8, c2: Int = 8,
+                            nProbe1: Int = 2, nProbe2: Int = 2,
+                            iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val full = imiStoreFor(dir, e, c1, c2, iterations)
+    val idx = ClusterStore.copyStore(full, "graft_imi_remove")
+    removeFromImiIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0).select(col("vec_id")))
+    probeImiIndex(spark, idx,
+      e.filter(col("vec_id") < numQueries &&
+        col("vec_id") % DedupIndex.DeltaMod =!= 0), k, nProbe1, nProbe2)
+  }
 
   /** Gated query `ivf_ann_imi`: the full two-level pipeline — train both
     * half codebooks (T exact Lloyd iterations each), build the persisted
@@ -1285,16 +1378,21 @@ object Similarity {
                     nProbe2: Int = 2, iterations: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
-    val idx = imiStores.computeIfAbsent(dir, _ => {
+    val idx = imiStoreFor(dir, e, c1, c2, iterations)
+    probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** The memoized full-corpus trained IMI index (one per JVM, dir). */
+  private def imiStoreFor(dir: String, e: DataFrame, c1: Int, c2: Int,
+                          iterations: Int): String =
+    imiStores.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_imi_index")
       ClusterStore.deleteRecursivelyOnExit(tmp)
       val p = tmp.resolve("index").toString
       writeImiIndex(e, p, c1, c2, iterations)
       p
     })
-    probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
-      k, nProbe1, nProbe2)
-  }
 
   /** DuckDB twin of [[imiAnnFromDir]]: `half1`/`half2` slice CTEs, two
     * md5-init + unrolled-Lloyd chains (prefixes `h1_`/`h2_` — the
@@ -1302,44 +1400,69 @@ object Similarity {
     * argmax assignment (ties → larger cid) and probe windows (ties →
     * smaller cid), candidates on the (cid₁, cid₂) PAIR, exact
     * full-precision re-score. A vector's pair is unique and each probe
-    * list holds distinct cids, so candidates need no DISTINCT. */
+    * list holds distinct cids, so candidates need no DISTINCT.
+    *
+    * Lifecycle params: `trainWhere` restricts TRAINING to a slice while
+    * assignment/probing/scoring cover the full corpus (the APPEND
+    * semantics — codebooks frozen at the backlog build, batch assigned
+    * under them); `keepWhere` restricts assignment/probing/scoring to
+    * the kept rows while training stays where the index was built (the
+    * REMOVE semantics). Final sims are re-derived in `f*_sims` over the
+    * serving relation against the trained codebooks, so the two scopes
+    * are independent. */
   def imiAnnOracle(numQueries: Int = 8, k: Int = 10, c1: Int = 8, c2: Int = 8,
                    nProbe1: Int = 2, nProbe2: Int = 2, iterations: Int = 2,
-                   dim: Int = LshOracleDim): String = {
+                   dim: Int = LshOracleDim,
+                   trainWhere: Option[String] = None,
+                   keepWhere: Option[String] = None): String = {
     val h = dim / 2
     val iters1 = (0 until iterations)
-      .map(i => kmeansIterCtesSql(i, h, "h1_", "half1")).mkString(",\n")
+      .map(i => kmeansIterCtesSql(i, h, "h1_", "bhalf1")).mkString(",\n")
     val iters2 = (0 until iterations)
-      .map(i => kmeansIterCtesSql(i, h, "h2_", "half2")).mkString(",\n")
-    s"""WITH half1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings),
-       |half2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings),
-       |${centroidSimsCtesSql(h, c1, "half1", "h1_")},
+      .map(i => kmeansIterCtesSql(i, h, "h2_", "bhalf2")).mkString(",\n")
+    val trainW = trainWhere.map(w => s" WHERE $w").getOrElse("")
+    val keepW = keepWhere.map(w => s" WHERE $w").getOrElse("")
+    s"""WITH half1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings$keepW),
+       |half2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings$keepW),
+       |bhalf1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings$trainW),
+       |bhalf2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings$trainW),
+       |kept AS (SELECT * FROM embeddings$keepW),
+       |${centroidSimsCtesSql(h, c1, "bhalf1", "h1_")},
        |$iters1,
-       |${centroidSimsCtesSql(h, c2, "half2", "h2_")},
+       |${centroidSimsCtesSql(h, c2, "bhalf2", "h2_")},
        |$iters2,
+       |f1_sims AS (
+       |  SELECT e.vec_id, ct.cid,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |  FROM half1 e CROSS JOIN h1_k_cent$iterations ct
+       |), f2_sims AS (
+       |  SELECT e.vec_id, ct.cid,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |  FROM half2 e CROSS JOIN h2_k_cent$iterations ct
+       |),
        |a1 AS (
        |  SELECT vec_id, cid AS cid1 FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
-       |    FROM h1_k_sims$iterations
+       |    FROM f1_sims
        |  ) WHERE rk = 1
        |), a2 AS (
        |  SELECT vec_id, cid AS cid2 FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
-       |    FROM h2_k_sims$iterations
+       |    FROM f2_sims
        |  ) WHERE rk = 1
        |), p1 AS (
        |  SELECT vec_id AS query_id, cid AS cid1 FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid ASC) AS rk
-       |    FROM h1_k_sims$iterations WHERE vec_id < $numQueries
+       |    FROM f1_sims WHERE vec_id < $numQueries
        |  ) WHERE rk <= $nProbe1
        |), p2 AS (
        |  SELECT vec_id AS query_id, cid AS cid2 FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid ASC) AS rk
-       |    FROM h2_k_sims$iterations WHERE vec_id < $numQueries
+       |    FROM f2_sims WHERE vec_id < $numQueries
        |  ) WHERE rk <= $nProbe2
        |), imi_cand AS (
        |  SELECT p1.query_id, a1.vec_id AS neighbor_id
@@ -1351,8 +1474,8 @@ object Similarity {
        |  SELECT c.query_id, c.neighbor_id,
        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
        |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
-       |  FROM imi_cand c JOIN embeddings qe ON qe.vec_id = c.query_id
-       |                  JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+       |  FROM imi_cand c JOIN kept qe ON qe.vec_id = c.query_id
+       |                  JOIN kept ne ON ne.vec_id = c.neighbor_id
        |), imi_ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id

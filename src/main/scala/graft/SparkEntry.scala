@@ -79,6 +79,11 @@ object SparkEntry {
     // the filtered generation rewrite (oracle restricts serving to kept)
     "ivf_imi_append" -> tuned(Similarity.imiAppendProbeFromDir(_, _)),
     "ivf_imi_remove" -> tuned(Similarity.imiRemoveProbeFromDir(_, _)),
+    // IMI compaction (content-preserving, re-passes the append oracle)
+    // and requantize (both codebooks retrained at the new C over the
+    // union — must equal a from-scratch build at (16, 16))
+    "ivf_imi_compact" -> tuned(Similarity.imiCompactProbeFromDir(_, _)),
+    "ivf_imi_requantize" -> tuned(Similarity.imiRequantizeProbeFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -359,6 +364,9 @@ object SparkEntry {
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "ivf_imi_remove" -> Similarity.imiAnnOracle(
       keepWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_imi_compact" -> Similarity.imiAnnOracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_imi_requantize" -> Similarity.imiAnnOracle(c1 = 16, c2 = 16),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -479,6 +487,8 @@ object SparkEntry {
       "ivf_ann_imi",        // two half-space training loops + memoized build
       "ivf_imi_append",     // backlog training loops + memoized backlog build
       "ivf_imi_remove",     // the same memoized trained build + one rewrite
+      "ivf_imi_compact",    // backlog training loops + append + one rewrite
+      "ivf_imi_requantize", // backlog + union retraining at the new C
       "semantic_dedup_trained") // the same training loop feeding the prune
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
@@ -558,6 +568,8 @@ object SparkEntry {
     "ivf_imi_append",        // lifecycle sibling of ivf_index_append (the
                              // flagship ivf_ann_imi stays on the line)
     "ivf_imi_remove",        // filtered-rewrite sibling of ivf_index_remove
+    "ivf_imi_compact",       // lifecycle sibling of ivf_index_compact
+    "ivf_imi_requantize",    // rebuild-at-newC sibling of ivf_requantize
     "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),

@@ -1234,7 +1234,14 @@ object Similarity {
     * codebooks in `_quantizer1_v`/`_quantizer2_v` sidecars, same
     * one-rename manifest commit. */
   def writeImiIndex(e: DataFrame, dir: String, c1: Int = 8, c2: Int = 8,
-                    iterations: Int = 2): Unit = {
+                    iterations: Int = 2): Unit =
+    stageImiGeneration(e, dir, c1, c2, iterations, gen = 0L)
+
+  /** Stage one complete IMI generation (combined-cell data + both half
+    * codebooks) from SOURCE vectors and commit — shared by the build
+    * and [[requantizeImiIndex]]. */
+  private def stageImiGeneration(e: DataFrame, dir: String, c1: Int, c2: Int,
+                                 iterations: Int, gen: Long): Unit = {
     val spark = e.sparkSession
     val dim = embeddingDim(e)
     val (cents1, cents2) = trainImi(e, c1, c2, iterations, dim)
@@ -1242,10 +1249,26 @@ object Similarity {
     assignImi(e, cents1, cents2, dim / 2)
       .withColumn("centroid_id", col("cid1") * c2 + col("cid2"))
       .drop("cid1", "cid2")
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v0")
-    saveQuantizer(spark, s"$dir/_quantizer1_v0", cents1)
-    saveQuantizer(spark, s"$dir/_quantizer2_v0", cents2)
-    commitIvfGen(dir, 0L)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v$gen")
+    saveQuantizer(spark, s"$dir/_quantizer1_v$gen", cents1)
+    saveQuantizer(spark, s"$dir/_quantizer2_v$gen", cents2)
+    commitIvfGen(dir, gen)
+  }
+
+  /** Re-quantize the IMI tier: retrain BOTH half codebooks on the
+    * source at the new (C₁, C₂) and stage a complete next generation —
+    * the growth-maintenance op, amortized across the appends whose
+    * drift triggered it (a re-quantize IS a re-partition of space, so
+    * every row must re-assign). */
+  def requantizeImiIndex(spark: SparkSession, dir: String, source: DataFrame,
+                         c1: Int, c2: Int, iterations: Int = 2): Unit = {
+    val g = ivfGen(dir)
+    val next = g + 1
+    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
+    stageImiGeneration(source, dir, c1, c2, iterations, next)
+    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
   }
 
   /** Partition-pruned probe over the persisted IMI index: quantizers
@@ -1301,13 +1324,24 @@ object Similarity {
     * doubles as a compaction), sidecars carried forward, one-rename
     * commit — the same takedown mechanics as every other store. */
   def removeFromImiIndex(spark: SparkSession, dir: String,
-                         removedIds: DataFrame): Unit = {
+                         removedIds: DataFrame): Unit =
+    rewriteImiGeneration(spark, dir,
+      _.join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+
+  /** Compaction for the IMI tier: N appends leave N file sets per cell
+    * dir; the identity-filter generation rewrite returns every cell to
+    * ONE file under the unchanged frozen codebooks — content-preserving
+    * (`ivf_imi_compact` re-passes the append oracle). */
+  def compactImiIndex(spark: SparkSession, dir: String): Unit =
+    rewriteImiGeneration(spark, dir, identity)
+
+  private def rewriteImiGeneration(spark: SparkSession, dir: String,
+                                   keep: DataFrame => DataFrame): Unit = {
     val g = ivfGen(dir)
     val next = g + 1
     for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
       ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
-    spark.read.parquet(s"$dir/data_v$g")
-      .join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    keep(spark.read.parquet(s"$dir/data_v$g"))
       .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
     for (q <- Seq("_quantizer1_v", "_quantizer2_v"))
@@ -1319,6 +1353,19 @@ object Similarity {
 
   private val imiStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val imiBacklogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized BACKLOG IMI index (codebooks trained on every vector
+    * except the DeltaMod residue class). */
+  private def imiBacklogFor(dir: String, e: DataFrame, c1: Int, c2: Int,
+                            iterations: Int): String =
+    imiBacklogs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_backlog")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        p, c1, c2, iterations)
+      p
+    })
 
   /** Gated query `ivf_imi_append`: the O(batch) path on the two-level
     * index — codebooks TRAINED on the backlog, the DeltaMod delta
@@ -1332,17 +1379,49 @@ object Similarity {
                             iterations: Int = 2): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
-    val backlog = imiBacklogs.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_backlog")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
-      writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
-        p, c1, c2, iterations)
-      p
-    })
-    val idx = ClusterStore.copyStore(backlog, "graft_imi_append")
+    val idx = ClusterStore.copyStore(
+      imiBacklogFor(dir, e, c1, c2, iterations), "graft_imi_append")
     appendToImiIndex(spark, idx,
       e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `ivf_imi_compact`: backlog + append (cell dirs now
+    * hold one file set per batch) + [[compactImiIndex]] + probe — must
+    * re-pass the append oracle (content-preserving under the
+    * backlog-frozen codebooks). */
+  def imiCompactProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                             k: Int = 10, c1: Int = 8, c2: Int = 8,
+                             nProbe1: Int = 2, nProbe2: Int = 2,
+                             iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiBacklogFor(dir, e, c1, c2, iterations), "graft_imi_compact")
+    appendToImiIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    compactImiIndex(spark, idx)
+    probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `ivf_imi_requantize`: backlog + append +
+    * [[requantizeImiIndex]] from the full source at the new (C₁, C₂) +
+    * probe — must equal a from-scratch IMI build at the new codebook
+    * sizes (both Lloyd chains re-trained over the union). */
+  def imiRequantizeProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                k: Int = 10, c1: Int = 8, c2: Int = 8,
+                                newC1: Int = 16, newC2: Int = 16,
+                                nProbe1: Int = 2, nProbe2: Int = 2,
+                                iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiBacklogFor(dir, e, c1, c2, iterations), "graft_imi_requant")
+    appendToImiIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    requantizeImiIndex(spark, idx, e, newC1, newC2, iterations)
     probeImiIndex(spark, idx, e.filter(col("vec_id") < numQueries),
       k, nProbe1, nProbe2)
   }

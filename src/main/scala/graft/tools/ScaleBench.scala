@@ -53,7 +53,9 @@ object ScaleBench {
       "decontaminate_fuzzy", "ref_lm_logprob",
       // round-14 additions
       "ivf_ann_imi", "ann_recall", "ivf_sq8_remove", "corpus_curate_fuzzy",
-      "multimodal_decode_bmp", "ivf_sq8_compact", "ivf_sq8_requantize")
+      "multimodal_decode_bmp", "ivf_sq8_compact", "ivf_sq8_requantize",
+      "ivf_imi_append", "ivf_imi_remove", "ivf_imi_compact",
+      "ivf_imi_requantize")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -64,7 +66,9 @@ object ScaleBench {
       "bm25_index_append", "bm25_index_compact", "ivf_index_compact",
       "ivf_requantize", "dedup_index_compact", "corpus_diff_recurate",
       "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
-      "ivf_sq8_remove", "ivf_sq8_compact", "ivf_sq8_requantize")
+      "ivf_sq8_remove", "ivf_sq8_compact", "ivf_sq8_requantize",
+      "ivf_imi_append", "ivf_imi_remove", "ivf_imi_compact",
+      "ivf_imi_requantize")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

@@ -1594,20 +1594,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_ivf"))
     val sq8 = ivfSq8ProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_sq8"))
+    // probe-fraction-fair: IVF reads nProbe/C = 4/16 = 25% of cells, so
+    // the IMI tier probes 4×4 = 16 of its 64 cells — the same 25% — or
+    // the comparison would just measure probe budgets, not quantizers
+    val imi = imiAnnFromDir(spark, dir, numQueries, k,
+      nProbe1 = 4, nProbe2 = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_imi"))
     truth
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .join(sq8, Seq("query_id", "neighbor_id"), "left")
+      .join(imi, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("k_truth"),
         coalesce(sum(col("in_ivf")), lit(0L)).as("hits_ivf"),
-        coalesce(sum(col("in_sq8")), lit(0L)).as("hits_sq8"))
+        coalesce(sum(col("in_sq8")), lit(0L)).as("hits_sq8"),
+        coalesce(sum(col("in_imi")), lit(0L)).as("hits_imi"))
       .orderBy(col("query_id"))
   }
 
   /** DuckDB twin of [[annRecallFromDir]]: the brute pairs CTE beside the
-    * float-IVF chain (prefix `i_`) and the SQ8 chain (prefix `s_`) — all
-    * three the existing single-sourced fragments — intersected as id
-    * sets. */
+    * float-IVF chain (prefix `i_`), the SQ8 chain (prefix `s_`), and the
+    * full trained-IMI twin nested as a CTE — all the existing
+    * single-sourced fragments — intersected as id sets. */
   def annRecallOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
                       nProbe: Int = 4, dim: Int = LshOracleDim): String =
     s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
@@ -1615,6 +1623,9 @@ object Similarity {
        |${sq8DecCtesSql(dim)},
        |${ivfRankedCtesSql(numQueries, nProbe, "s_",
            neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))},
+       |imi AS (
+       |${imiAnnOracle(numQueries, k, nProbe1 = 4, nProbe2 = 4, dim = dim)}
+       |),
        |b_pairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -1628,13 +1639,16 @@ object Similarity {
        |  FROM b_pairs
        |), truth AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $k),
        |i_top AS (SELECT query_id, neighbor_id FROM i_ranked WHERE rank <= $k),
-       |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k)
+       |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k),
+       |m_top AS (SELECT query_id, neighbor_id FROM imi)
        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
        |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
-       |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8
+       |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8,
+       |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi
        |FROM truth t
        |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
        |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+       |LEFT JOIN m_top m ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------- gated k-means training

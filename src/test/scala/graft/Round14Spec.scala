@@ -174,6 +174,53 @@ class Round14Spec extends SparkSpec {
       "the two near-dup TRAIN docs are flagged; the eval doc itself is not")
   }
 
+  test("compactIvfSq8Index: content-preserving, one file per cell, generation advanced") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sq8_cp_spec")
+    val idx = tmp.resolve("index").toString
+    Similarity.writeIvfSq8Index(e.filter(col("vec_id") % 5 =!= 0), idx, numCentroids = 8)
+    Similarity.appendToIvfSq8Index(spark, idx, e.filter(col("vec_id") % 5 === 0))
+    val before = spark.read.parquet(s"$idx/data_v0")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    Similarity.compactIvfSq8Index(spark, idx)
+    val after = spark.read.parquet(s"$idx/data_v1")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq, "codes move verbatim")
+    // one parquet file per cell dir after compaction
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(idx, "data_v1"))
+      .filter(p => p.getFileName.toString.startsWith("centroid_id="))
+      .iterator()
+    while (dirs.hasNext) {
+      val d = dirs.next()
+      val files = java.nio.file.Files.list(d)
+        .filter(_.getFileName.toString.endsWith(".parquet")).count()
+      assert(files === 1, s"$d holds $files files after compaction")
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idx, "data_v0")),
+      "the retired generation is swept")
+  }
+
+  test("requantizeImiIndex: lifecycle-worn index equals a from-scratch build at the new (C1, C2)") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imi_rq_spec")
+    val idx = tmp.resolve("index").toString
+    Similarity.writeImiIndex(e.filter(col("vec_id") % 5 =!= 0), idx,
+      c1 = 4, c2 = 4, iterations = 1)
+    Similarity.appendToImiIndex(spark, idx, e.filter(col("vec_id") % 5 === 0))
+    Similarity.requantizeImiIndex(spark, idx, e, c1 = 8, c2 = 8, iterations = 1)
+    val fresh = tmp.resolve("fresh").toString
+    Similarity.writeImiIndex(e, fresh, c1 = 8, c2 = 8, iterations = 1)
+    val a = spark.read.parquet(s"$idx/data_v1")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    val b = spark.read.parquet(s"$fresh/data_v0")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq,
+      "append + requantize must be indistinguishable from a fresh build")
+    val q = e.filter(col("vec_id") < 3)
+    assert(Similarity.probeImiIndex(spark, idx, q, k = 5).collect().map(_.toSeq).toSeq
+      === Similarity.probeImiIndex(spark, fresh, q, k = 5).collect().map(_.toSeq).toSeq)
+  }
+
   test("pruneAssigned == pruneWith under the same assignment (the probe seam is faithful)") {
     val e = Tables.embeddings(spark, sf).limit(128).cache()
     val cents = Similarity.hashCentroids(Similarity.embeddingDim(e), 8)

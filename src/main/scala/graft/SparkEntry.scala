@@ -241,6 +241,9 @@ object SparkEntry {
     // the production path: vector list probes the PERSISTED index
     // (partition-pruned cells, sidecar quantizer) — same oracle
     "hybrid_rrf_indexed" -> tuned(HybridRetrieval.fromDirIndexed(_, _)),
+    // the two-level path: vector list probes the persisted trained IMI
+    // index — only the list source moves; lex + fusion identical
+    "hybrid_rrf_imi" -> tuned(HybridRetrieval.fromDirImi(_, _)),
     // ANCE-style contrastive mining: BM25-top docs the embedding space
     // places far away (rounded cosine < tau) — query-bounded re-score
     "hard_negatives" -> tuned(HybridRetrieval.hardNegativesFromDir),
@@ -437,6 +440,7 @@ object SparkEntry {
     "hybrid_rrf" -> HybridRetrieval.oracle(),
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
     "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
+    "hybrid_rrf_imi" -> HybridRetrieval.oracleImi(),
     "hard_negatives" -> HybridRetrieval.hardNegativesOracle(),
     "quality_classifier" -> QualityClassifier.oracle(),
     "corpus_diff" -> CorpusDiff.oracle(),
@@ -489,6 +493,8 @@ object SparkEntry {
       "ivf_imi_remove",     // the same memoized trained build + one rewrite
       "ivf_imi_compact",    // backlog training loops + append + one rewrite
       "ivf_imi_requantize", // backlog + union retraining at the new C
+      "hybrid_rrf_imi",     // the memoized trained IMI store + fusion plan
+      "ann_recall",         // three memoized stores incl. the trained IMI
       "semantic_dedup_trained") // the same training loop feeding the prune
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
@@ -570,6 +576,8 @@ object SparkEntry {
     "ivf_imi_remove",        // filtered-rewrite sibling of ivf_index_remove
     "ivf_imi_compact",       // lifecycle sibling of ivf_index_compact
     "ivf_imi_requantize",    // rebuild-at-newC sibling of ivf_requantize
+    "hybrid_rrf_imi",        // fusion twin of hybrid_rrf_indexed (on the
+                             // line); its list source ivf_ann_imi is too
     "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),

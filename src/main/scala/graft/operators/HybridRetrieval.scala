@@ -143,6 +143,41 @@ object HybridRetrieval {
       vec, k, kRrf)
   }
 
+  /** The TWO-LEVEL production path: the vector list probes the persisted
+    * trained IMI index (combined-cell pruned reads, both half codebooks
+    * reloaded from sidecars — the `ivf_ann_imi` surface), fused with the
+    * same lexical list. Proves the new tier composes into retrieval
+    * exactly as the float tier does — only the list source moves. */
+  def fromDirImi(spark: SparkSession, dir: String, numQueries: Int = 8,
+                 kList: Int = 20, k: Int = 10, kRrf: Int = 60,
+                 c1: Int = 8, c2: Int = 8, nProbe1: Int = 2, nProbe2: Int = 2,
+                 iterations: Int = 2,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val vec = Similarity.imiAnnFromDir(spark, dir, numQueries, kList,
+        c1, c2, nProbe1, nProbe2, iterations)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    fuse(lexList(Tables.documents(spark, dir), numQueries, kList, k1, b),
+      vec, k, kRrf)
+  }
+
+  /** DuckDB twin of [[fromDirImi]]: the SAME lex chain and fusion tail;
+    * the vector list is the full [[Similarity.imiAnnOracle]] nested as a
+    * CTE (its inner WITH is subquery-scoped, so its chain names cannot
+    * clash with the BM25 fragment's). */
+  def oracleImi(numQueries: Int = 8, kList: Int = 20, k: Int = 10,
+                kRrf: Int = 60, c1: Int = 8, c2: Int = 8,
+                nProbe1: Int = 2, nProbe2: Int = 2, iterations: Int = 2,
+                dim: Int = Similarity.LshOracleDim,
+                k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${lexCtesSql(numQueries, kList, k1, b)},
+       |imi AS (
+       |${Similarity.imiAnnOracle(numQueries, kList, c1, c2, nProbe1,
+           nProbe2, iterations, dim)}
+       |), vec AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS vrank FROM imi
+       |)${fusionTailSql(k, kRrf)}""".stripMargin
+
   /** ANCE-style hard-negative mining for retrieval training (Xiong et
     * al. 2020, arXiv:2007.00808 — negatives that the LEXICAL retriever
     * ranks highly but the embedding space places far away are the

@@ -63,6 +63,30 @@ class Round14Spec extends SparkSpec {
     assert(r.getAs[Long]("b_sum") === 5 * 1 + 5 * 3)
   }
 
+  test("decoders never throw on arbitrary or mutated bytes (seeded fuzz)") {
+    // a decode seam fed by 100 TB of untrusted payloads must REJECT, not
+    // crash the executor: random byte arrays and single-byte mutations of
+    // valid payloads (which reach the deep header branches) may only ever
+    // return None, never throw
+    val rnd = new scala.util.Random(14)
+    for (n <- Seq(0, 1, 13, 53, 54, 55, 200, 4096); _ <- 1 to 100) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      Multimodal.decodeBmp(b); Multimodal.decodePpm(b)
+    }
+    val goodBmp = Multimodal.buildBmp(Array.tabulate(60)(_.toByte))
+    val goodPpm = "P6\n5 4\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(60)(_.toByte)
+    for (_ <- 1 to 1000) {
+      val b = goodBmp.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeBmp(b)
+      val p = goodPpm.clone()
+      p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodePpm(p)
+    }
+    succeed
+  }
+
   // ----------------------------------------------- IMI quantizer
 
   test("assignImi: both half-assignments equal the per-half flat assignment") {

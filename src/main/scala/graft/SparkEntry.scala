@@ -84,6 +84,9 @@ object SparkEntry {
     // union — must equal a from-scratch build at (16, 16))
     "ivf_imi_compact" -> tuned(Similarity.imiCompactProbeFromDir(_, _)),
     "ivf_imi_requantize" -> tuned(Similarity.imiRequantizeProbeFromDir(_, _)),
+    // the drift scan on the two-level tier: per-row quality = sum of the
+    // two half-space assigned cosines, micros-exact integer surface
+    "ivf_imi_health" -> tuned(Similarity.imiHealthGateFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -370,6 +373,7 @@ object SparkEntry {
     "ivf_imi_compact" -> Similarity.imiAnnOracle(
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "ivf_imi_requantize" -> Similarity.imiAnnOracle(c1 = 16, c2 = 16),
+    "ivf_imi_health" -> Similarity.imiHealthOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -578,6 +582,8 @@ object SparkEntry {
     "ivf_imi_requantize",    // rebuild-at-newC sibling of ivf_requantize
     "hybrid_rrf_imi",        // fusion twin of hybrid_rrf_indexed (on the
                              // line); its list source ivf_ann_imi is too
+    "ivf_imi_health",        // scan twin of ivf_index_health (on the line),
+                             // two half-space sweeps instead of one flat
     "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),

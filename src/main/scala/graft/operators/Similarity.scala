@@ -1462,6 +1462,91 @@ object Similarity {
       k, nProbe1, nProbe2)
   }
 
+  private val imiHashBacklogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val imiHealthStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_imi_health`: the drift scan on the two-level tier,
+    * in exact integers — per row, quality = the SUM of the two half-space
+    * assigned cosines (each micros-rounded BEFORE the long sum, the
+    * `ivf_index_health` discipline), split into build/now populations by
+    * the DeltaMod backlog predicate (appends never rewrite old rows).
+    * The store is a hash-codebook backlog (iterations = 0 — the health
+    * rule must be oracle-reproducible; trained health is the same scan
+    * over trained codebooks) with the delta appended — the post-lifecycle
+    * state health is read from. Growth/drift are one division away
+    * ([[IvfHealth]]); the triggers and the [[requantizeImiIndex]] they
+    * fire are the same maintenance loop as the float tier's. */
+  def imiHealthGateFromDir(spark: SparkSession, dir: String,
+                           c1: Int = 8, c2: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val backlog = imiHashBacklogs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_hash_backlog")
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        p, c1, c2, iterations = 0)
+      p
+    })
+    val idx = imiHealthStores.computeIfAbsent(dir, _ => {
+      val c = ClusterStore.copyStore(backlog, "graft_imi_health")
+      appendToImiIndex(spark, c,
+        e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+      c
+    })
+    val (cents1, cents2) = readImiQuantizers(spark, idx)
+    val halfDim = cents1.head._2.length
+    val cid1 = expr(s"centroid_id DIV ${cents2.length}")
+    val cid2 = pmod(col("centroid_id"), lit(cents2.length))
+    def assignedHalf(cents: Array[(Int, Array[Double])], cid: Column,
+                     lo: Int): Column =
+      coalesce(cents.map { case (id, c) =>
+        when(cid === id, litCosine(slice(col("embedding"), lo, halfDim), c))
+      }.toIndexedSeq: _*)
+    val micro =
+      floor(assignedHalf(cents1, cid1, 1) * 1e6 + 0.5).cast("long") +
+        floor(assignedHalf(cents2, cid2, halfDim + 1) * 1e6 + 0.5).cast("long")
+    val isBuild = col("vec_id") % DedupIndex.DeltaMod =!= 0
+    spark.read.parquet(ivfDataDir(idx)).agg(
+      count(when(isBuild, lit(1))).as("n_build"),
+      count(lit(1)).as("n_now"),
+      sum(when(isBuild, micro)).as("sim_build_micros"),
+      sum(micro).as("sim_now_micros"))
+  }
+
+  /** DuckDB twin of [[imiHealthGateFromDir]]: per-half md5 codebooks +
+    * argmax assignment (ties → larger cid, as everywhere), per-half
+    * micros rounding, one integer sum. */
+  def imiHealthOracle(c1: Int = 8, c2: Int = 8,
+                      dim: Int = LshOracleDim): String = {
+    val h = dim / 2
+    def assign(p: String) =
+      s"""${p}a AS (
+         |  SELECT vec_id, sim FROM (
+         |    SELECT vec_id, sim, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, cid DESC) AS rk
+         |    FROM ${p}sims
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    s"""WITH half1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings),
+       |half2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings),
+       |${centroidSimsCtesSql(h, c1, "half1", "h1_")},
+       |${centroidSimsCtesSql(h, c2, "half2", "h2_")},
+       |${assign("h1_")},
+       |${assign("h2_")},
+       |m AS (
+       |  SELECT a1.vec_id,
+       |         CAST(FLOOR(a1.sim * 1e6 + 0.5) AS BIGINT)
+       |           + CAST(FLOOR(a2.sim * 1e6 + 0.5) AS BIGINT) AS micro
+       |  FROM h1_a a1 JOIN h2_a a2 ON a1.vec_id = a2.vec_id
+       |)
+       |SELECT CAST(COUNT(CASE WHEN vec_id % ${DedupIndex.DeltaMod} <> 0 THEN 1 END) AS BIGINT) AS n_build,
+       |       CAST(COUNT(*) AS BIGINT) AS n_now,
+       |       CAST(SUM(CASE WHEN vec_id % ${DedupIndex.DeltaMod} <> 0 THEN micro END) AS BIGINT) AS sim_build_micros,
+       |       CAST(SUM(micro) AS BIGINT) AS sim_now_micros
+       |FROM m""".stripMargin
+  }
+
   /** The memoized full-corpus trained IMI index (one per JVM, dir). */
   private def imiStoreFor(dir: String, e: DataFrame, c1: Int, c2: Int,
                           iterations: Int): String =

@@ -235,6 +235,10 @@ object SparkEntry {
     // bigram LM whose counts come from the trusted src0 slice only —
     // Laplace-floored back-off keeps unseen positions finite and exact
     "ref_lm_logprob" -> tuned(BigramLm.refFromDir),
+    // CCNet head/middle/tail: exact tercile cut of the corpus by the
+    // reference-LM quality rank (distributed prefix-sum rank, never a
+    // one-partition NTILE sort)
+    "ref_lm_buckets" -> tuned(BigramLm.bucketsFromDir),
     // BM25 more-like-this + brute-cosine lists fused by reciprocal-rank
     // (micros-rounded long contributions; list depth 20, final top-10)
     "hybrid_rrf" -> tuned(HybridRetrieval.fromDir),
@@ -441,6 +445,7 @@ object SparkEntry {
     "dup_span_removal" -> DupCoverage.removeOracle(),
     "bigram_logprob" -> BigramLm.oracle(),
     "ref_lm_logprob" -> BigramLm.refOracle(),
+    "ref_lm_buckets" -> BigramLm.bucketsOracle(),
     "hybrid_rrf" -> HybridRetrieval.oracle(),
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
     "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
@@ -584,6 +589,8 @@ object SparkEntry {
                              // line); its list source ivf_ann_imi is too
     "ivf_imi_health",        // scan twin of ivf_index_health (on the line),
                              // two half-space sweeps instead of one flat
+    "ref_lm_buckets",        // cost-superset twin of ref_lm_logprob (on the
+                             // line): same scoring + one narrow rank exchange
     "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),

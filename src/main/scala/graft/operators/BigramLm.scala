@@ -208,4 +208,57 @@ object BigramLm {
        |SELECT doc_id, n_bigrams, logprob_micros,
        |       CAST(logprob_micros AS DOUBLE) / n_bigrams AS avg_lp_micros
        |FROM agg ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- CCNet-style perplexity bucketing
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2019, arXiv:
+    * 1911.00359): rank every document by its reference-LM quality and
+    * cut the corpus into terciles — `head` (most reference-like) and
+    * `middle` are what the pretraining mix keeps; `tail` is the
+    * flagged-for-drop slice. The rank is EXACT and distributed: the
+    * [[ScalableCumsum]] running count over the (quality desc, doc_id)
+    * order — range exchange + broadcast offsets, no single-partition
+    * window, the same machinery as `running_revenue`/`corpus_shuffle`
+    * (NTILE would plan a global one-partition sort). Bucket index =
+    * ⌊(rank−1)·3 / N⌋ — integer math, no percentile-interpolation
+    * ambiguity cross-engine. The quality key `avg_lp_micros` is one
+    * IEEE division of exactly-representable integers, so its ordering
+    * is identical on both engines; ties break on doc_id. */
+  def refBuckets(scored: DataFrame): DataFrame = {
+    val ranked = ScalableCumsum.withRunningTotal(
+      scored.select(col("doc_id"), col("n_bigrams"), col("logprob_micros"),
+        col("avg_lp_micros")),
+      lit(1L), "rk", negate(col("avg_lp_micros")), col("doc_id"))
+    val n = scored.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bidx", expr("((rk - 1) * 3) DIV n"))
+      .select(col("doc_id"), col("n_bigrams"), col("logprob_micros"),
+        when(col("bidx") === 0, "head")
+          .when(col("bidx") === 1, "middle").otherwise("tail").as("bucket"),
+        (col("bidx") < 2).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gated query `ref_lm_buckets`: the bucketing over [[refFromDir]]'s
+    * scores (docs with ≥1 bigram — the scored population). */
+  def bucketsFromDir(spark: SparkSession, dir: String): DataFrame =
+    refBuckets(refFromDir(spark, dir))
+
+  /** DuckDB twin: the full [[refOracle]] nested as the scored relation,
+    * one ROW_NUMBER window over the same (quality desc, doc_id) order,
+    * the same integer tercile formula. */
+  def bucketsOracle(lambda: Double = 0.75): String =
+    s"""WITH scored AS (
+       |${refOracle(lambda)}
+       |), r AS (
+       |  SELECT doc_id, n_bigrams, logprob_micros,
+       |         ROW_NUMBER() OVER (ORDER BY avg_lp_micros DESC, doc_id) AS rk,
+       |         COUNT(*) OVER () AS n
+       |  FROM scored
+       |)
+       |SELECT doc_id, n_bigrams, logprob_micros,
+       |       CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
+       |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,
+       |       ((rk - 1) * 3) // n < 2 AS kept
+       |FROM r ORDER BY doc_id""".stripMargin
 }

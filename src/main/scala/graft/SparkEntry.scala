@@ -125,6 +125,9 @@ object SparkEntry {
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
     "decontaminate" -> tuned(Curation.decontaminateFromDir(_, _)),
+    // the decon AUDIT artifact: per benchmark doc, leaking-train-doc and
+    // leaked-shingle counts (zero-leak docs stay visible)
+    "decontamination_report" -> tuned(Curation.reportFromDir(_, _)),
     // fuzzy (MinHash near-dup) decontamination: paraphrased benchmark
     // leakage sharing no exact 8-gram; band-bucket candidates, cross
     // pairs only — the standard fuzzy-dedup-vs-evals pass
@@ -397,6 +400,7 @@ object SparkEntry {
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
     "decontaminate" -> Curation.decontaminateOracle(),
+    "decontamination_report" -> Curation.reportOracle(),
     "decontaminate_fuzzy" -> Curation.decontaminateFuzzyOracle(),
     "source_quota" -> Curation.sourceQuotaOracle(),
     "mixture_sample" -> Curation.mixtureSampleOracle,
@@ -591,6 +595,9 @@ object SparkEntry {
                              // two half-space sweeps instead of one flat
     "ref_lm_buckets",        // cost-superset twin of ref_lm_logprob (on the
                              // line): same scoring + one narrow rank exchange
+    "decontamination_report", // report twin of decontaminate (same shingle
+                             // join, grouped per eval doc; both droppable —
+                             // the composed corpus_curate_e2e is on the line)
     "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
   require(lowPriorityBench.subsetOf(queries.keySet),

@@ -141,6 +141,65 @@ object Curation {
        |WHERE d.doc_id % 20 <> 0 AND b.doc_id IS NULL
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The decontamination AUDIT artifact — what a data team publishes
+    * alongside the scrub: per benchmark doc, how many train docs share
+    * an exact `n`-gram with it and how many distinct n-grams leak. Eval
+    * docs with zero leakage stay visible (0 rows are the point of an
+    * audit). Same join shape as [[contaminatedIds]]: eval shingles
+    * broadcast, the corpus side never shuffles its text. */
+  def decontaminationReport(train: DataFrame, eval: DataFrame,
+                            n: Int = 8): DataFrame = {
+    val esh = eval
+      .select(col("doc_id").as("eval_id"),
+        explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .distinct()
+    val tsh = train
+      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n))
+        .as("shingle"))
+      .distinct()
+    val stats = tsh.join(broadcast(esh), Seq("shingle"))
+      .groupBy(col("eval_id"))
+      .agg(countDistinct(col("doc_id")).as("n_leaking_train_docs"),
+        countDistinct(col("shingle")).as("n_leaked_shingles"))
+    eval.select(col("doc_id").as("eval_id"))
+      .join(stats, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("n_leaking_train_docs"), lit(0L)).as("n_leaking_train_docs"),
+        coalesce(col("n_leaked_shingles"), lit(0L)).as("n_leaked_shingles"))
+      .orderBy(col("eval_id"))
+  }
+
+  /** Gated variant: the decontaminate gate's %20 eval convention. */
+  def reportFromDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminationReport(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), n)
+  }
+
+  /** DuckDB twin: the decontaminate oracle's shingle CTEs with eval_id
+    * carried, grouped per eval doc, zero-leak docs kept via LEFT JOIN. */
+  def reportOracle(n: Int = 8): String =
+    s"""WITH evals AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+       |train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+       |etoks AS (SELECT doc_id AS eval_id, string_split(text, ' ') AS a FROM evals),
+       |esh AS (SELECT DISTINCT eval_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |        FROM etoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |ttoks AS (SELECT doc_id, string_split(text, ' ') AS a FROM train),
+       |tsh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
+       |        FROM ttoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |stats AS (
+       |  SELECT e.eval_id, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_leaking_train_docs,
+       |         CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_leaked_shingles
+       |  FROM tsh t JOIN esh e ON t.shingle = e.shingle
+       |  GROUP BY e.eval_id
+       |)
+       |SELECT ev.doc_id AS eval_id,
+       |       COALESCE(s.n_leaking_train_docs, 0) AS n_leaking_train_docs,
+       |       COALESCE(s.n_leaked_shingles, 0) AS n_leaked_shingles
+       |FROM evals ev LEFT JOIN stats s ON ev.doc_id = s.eval_id
+       |ORDER BY eval_id""".stripMargin
+
   /** Gated variant: every 20th doc_id plays the held-out benchmark set. */
   def decontaminateFromDir(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -55,7 +55,8 @@ object ScaleBench {
       "ivf_ann_imi", "ann_recall", "ivf_sq8_remove", "corpus_curate_fuzzy",
       "multimodal_decode_bmp", "ivf_sq8_compact", "ivf_sq8_requantize",
       "ivf_imi_append", "ivf_imi_remove", "ivf_imi_compact",
-      "ivf_imi_requantize", "ivf_imi_health", "hybrid_rrf_imi")
+      "ivf_imi_requantize", "ivf_imi_health", "hybrid_rrf_imi",
+      "ref_lm_buckets", "decontamination_report")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

@@ -229,7 +229,9 @@ object BigramLm {
       scored.select(col("doc_id"), col("n_bigrams"), col("logprob_micros"),
         col("avg_lp_micros")),
       lit(1L), "rk", negate(col("avg_lp_micros")), col("doc_id"))
-    val n = scored.agg(count(lit(1)).as("n"))
+    // N from the PINNED ranked frame — counting the raw scored plan would
+    // re-run the whole reference-LM scoring DAG a second time
+    val n = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(n))
       .withColumn("bidx", expr("((rk - 1) * 3) DIV n"))
       .select(col("doc_id"), col("n_bigrams"), col("logprob_micros"),

@@ -245,6 +245,14 @@ object CurateE2e {
     * so the construction is itself oracle-checked. */
   def fuzzyFromDir(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // the id-space partition is a real precondition, not a convention: a
+    // corpus id >= the offset would be tagged eval by both the Spark
+    // membership probes and the oracle's `< offset` test — silently wrong
+    // decontamination. Fail loudly at the boundary instead.
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    require(maxId < FuzzyEvalIdOffset,
+      s"corpus doc_ids reach $maxId — the constructed-eval id offset " +
+        s"$FuzzyEvalIdOffset no longer partitions the id space; raise it")
     val evals = docs.filter(col("doc_id") % 40 === 1).select(
       (col("doc_id") + FuzzyEvalIdOffset).as("doc_id"),
       array_join(filter(split(col("text"), " "),

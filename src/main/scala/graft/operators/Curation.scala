@@ -153,10 +153,12 @@ object Curation {
       .select(col("doc_id").as("eval_id"),
         explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
       .distinct()
+    // NO distinct on the corpus side: the downstream countDistinct already
+    // dedups, and a pre-join distinct would shuffle every (doc_id,
+    // shingle) pair of the corpus before the broadcast join
     val tsh = train
       .select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n))
         .as("shingle"))
-      .distinct()
     val stats = tsh.join(broadcast(esh), Seq("shingle"))
       .groupBy(col("eval_id"))
       .agg(countDistinct(col("doc_id")).as("n_leaking_train_docs"),

@@ -248,6 +248,7 @@ object Multimodal {
     * missing dims, maxVal outside 1..255 single-byte range, truncated
     * pixel data) — a corrupt payload must be rejected, not mis-summed. */
   def decodePpm(payload: Array[Byte]): Option[PpmImage] = {
+    if (payload == null) return None // a null cell must reject, not NPE a task
     var i = 0
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
     def skipWs(): Unit = {
@@ -429,6 +430,7 @@ object Multimodal {
     * the pixel walk that re-orders bottom-up padded file rows into
     * image-order rows. None for anything malformed. */
   def decodeBmp(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload == null) return None // a null cell must reject, not NPE a task
     def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
     def u32(off: Int): Long =
       (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
@@ -472,7 +474,14 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false)))
     val rows = docs.select(col("doc_id"), col("text").cast("binary")).rdd
       .mapPartitions { it =>
-        it.map(r => Row(r.getLong(0), buildBmp(r.getAs[Array[Byte]](1))))
+        it.map { r =>
+          // a null text casts to a null binary; build the header-only BMP
+          // (height 0) the decoder REJECTS — visible as a -1 row, never an
+          // executor-killing NPE
+          val bytes =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), buildBmp(bytes))
+        }
       }
     spark.createDataFrame(rows, schema)
   }

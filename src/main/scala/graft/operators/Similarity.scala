@@ -899,16 +899,9 @@ object Similarity {
     * rename. After it the index is indistinguishable from a
     * from-scratch build at the new C (`ivf_sq8_requantize`). */
   def requantizeIvfSq8Index(spark: SparkSession, dir: String, source: DataFrame,
-                            numCentroids: Int): Unit = {
-    val g = ivfGen(dir)
-    val next = g + 1
-    // sweep residue of a crashed earlier promote (manifest never advanced)
-    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
-      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
-    stageSq8Generation(source, dir, numCentroids, next)
-    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
-      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
-  }
+                            numCentroids: Int): Unit =
+    promoteFreshGeneration(dir, Seq("_quantizer_v", "_sq8_v"))(
+      stageSq8Generation(source, dir, numCentroids, _))
 
   /** Partition-pruned probe over the SQ8 index: list/read ONLY the probed
     * cells' directories, decode candidates with the sidecar stats, exact
@@ -988,24 +981,61 @@ object Similarity {
     * [[compactIvfSq8Index]] keeps everything; both coalesce to one file
     * per cell and publish with the one-rename manifest commit). */
   private def rewriteSq8Generation(spark: SparkSession, dir: String,
-                                   keep: DataFrame => DataFrame): Unit = {
+                                   keep: DataFrame => DataFrame): Unit =
+    rewriteGeneration(spark, dir, Seq("_quantizer_v", "_sq8_v"), keep)
+
+  /** ONE generation-rewrite discipline for every tiered store: sweep
+    * crashed-promote residue, stage the kept rows cell-coalesced into
+    * data_v(g+1), carry the listed sidecars forward UNCHANGED (the
+    * frozen-stats/frozen-codebook rule), one-rename commit, sweep the
+    * retired generation. A new sidecar added to a tier changes exactly
+    * one `sidecars` list — the commit/sweep skeleton cannot drift
+    * between tiers. */
+  private def rewriteGeneration(spark: SparkSession, dir: String,
+                                sidecars: Seq[String],
+                                keep: DataFrame => DataFrame): Unit = {
     val g = ivfGen(dir)
     val next = g + 1
+    val prefixes = "data_v" +: sidecars
     // sweep residue of a crashed earlier promote (manifest never advanced)
-    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
+    for (p <- prefixes)
       ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
-    keep(spark.read.parquet(ivfDataDir(dir)))
+    keep(spark.read.parquet(s"$dir/data_v$g"))
       .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
-    // the frozen sidecars carry forward unchanged (see staleness rule)
-    spark.read.parquet(s"$dir/_quantizer_v$g")
-      .coalesce(1).write.parquet(s"$dir/_quantizer_v$next")
-    spark.read.parquet(s"$dir/_sq8_v$g")
-      .coalesce(1).write.parquet(s"$dir/_sq8_v$next")
+    for (q <- sidecars)
+      spark.read.parquet(s"$dir/$q$g").coalesce(1).write.parquet(s"$dir/$q$next")
     commitIvfGen(dir, next)
-    for (p <- Seq("data_v", "_quantizer_v", "_sq8_v"))
+    for (p <- prefixes)
       ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
   }
+
+  /** The sweep/stage/sweep skeleton of a FULL-rebuild promote (the two
+    * requantize ops): residue swept, a complete next generation staged
+    * and committed by `stage`, the retired generation swept. */
+  private def promoteFreshGeneration(dir: String, sidecars: Seq[String])
+                                    (stage: Long => Unit): Unit = {
+    val g = ivfGen(dir)
+    val next = g + 1
+    val prefixes = "data_v" +: sidecars
+    for (p <- prefixes)
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
+    stage(next)
+    for (p <- prefixes)
+      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
+  }
+
+  /** One memoized temp-dir store per (JVM, source dir) — the build-once
+    * economics every indexed gate shares. */
+  private def memoStore(map: java.util.concurrent.ConcurrentHashMap[String, String],
+                        dir: String, prefix: String)(build: String => Unit): String =
+    map.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory(prefix)
+      ClusterStore.deleteRecursivelyOnExit(tmp)
+      val p = tmp.resolve("index").toString
+      build(p)
+      p
+    })
 
   private val ivfSq8Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val ivfSq8Backlogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1014,13 +1044,8 @@ object Similarity {
     * build-once economics every indexed gate uses). */
   private def sq8StoreFor(spark: SparkSession, dir: String, e: DataFrame,
                           numCentroids: Int): String =
-    ivfSq8Stores.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
-      writeIvfSq8Index(e, p, numCentroids)
-      p
-    })
+    memoStore(ivfSq8Stores, dir, "graft_ivf_sq8")(
+      writeIvfSq8Index(e, _, numCentroids))
 
   /** Gated query `ivf_sq8_remove`: takedown proven on the compressed
     * tier — copy the memoized full-corpus SQ8 index,
@@ -1068,14 +1093,9 @@ object Similarity {
   /** The memoized BACKLOG SQ8 index (every vector except the DeltaMod
     * residue class — the split all incremental gates share). */
   private def sq8BacklogFor(dir: String, e: DataFrame, numCentroids: Int): String =
-    ivfSq8Backlogs.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_sq8_backlog")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
+    memoStore(ivfSq8Backlogs, dir, "graft_ivf_sq8_backlog")(
       writeIvfSq8Index(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
-        p, numCentroids)
-      p
-    })
+        _, numCentroids))
 
   def ivfSq8AppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
                                k: Int = 10, numCentroids: Int = 16,
@@ -1261,15 +1281,9 @@ object Similarity {
     * drift triggered it (a re-quantize IS a re-partition of space, so
     * every row must re-assign). */
   def requantizeImiIndex(spark: SparkSession, dir: String, source: DataFrame,
-                         c1: Int, c2: Int, iterations: Int = 2): Unit = {
-    val g = ivfGen(dir)
-    val next = g + 1
-    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
-      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
-    stageImiGeneration(source, dir, c1, c2, iterations, next)
-    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
-      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
-  }
+                         c1: Int, c2: Int, iterations: Int = 2): Unit =
+    promoteFreshGeneration(dir, Seq("_quantizer1_v", "_quantizer2_v"))(
+      stageImiGeneration(source, dir, c1, c2, iterations, _))
 
   /** Partition-pruned probe over the persisted IMI index: quantizers
     * reload from the sidecars, each query's nProbe₁×nProbe₂ cell pairs
@@ -1336,20 +1350,8 @@ object Similarity {
     rewriteImiGeneration(spark, dir, identity)
 
   private def rewriteImiGeneration(spark: SparkSession, dir: String,
-                                   keep: DataFrame => DataFrame): Unit = {
-    val g = ivfGen(dir)
-    val next = g + 1
-    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
-      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == g)
-    keep(spark.read.parquet(s"$dir/data_v$g"))
-      .repartition(col("centroid_id"))
-      .write.partitionBy("centroid_id").parquet(s"$dir/data_v$next")
-    for (q <- Seq("_quantizer1_v", "_quantizer2_v"))
-      spark.read.parquet(s"$dir/$q$g").coalesce(1).write.parquet(s"$dir/$q$next")
-    commitIvfGen(dir, next)
-    for (p <- Seq("data_v", "_quantizer1_v", "_quantizer2_v"))
-      ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
-  }
+                                   keep: DataFrame => DataFrame): Unit =
+    rewriteGeneration(spark, dir, Seq("_quantizer1_v", "_quantizer2_v"), keep)
 
   private val imiStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val imiBacklogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1358,14 +1360,9 @@ object Similarity {
     * except the DeltaMod residue class). */
   private def imiBacklogFor(dir: String, e: DataFrame, c1: Int, c2: Int,
                             iterations: Int): String =
-    imiBacklogs.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_backlog")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
+    memoStore(imiBacklogs, dir, "graft_imi_backlog")(
       writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
-        p, c1, c2, iterations)
-      p
-    })
+        _, c1, c2, iterations))
 
   /** Gated query `ivf_imi_append`: the O(batch) path on the two-level
     * index — codebooks TRAINED on the backlog, the DeltaMod delta
@@ -1480,14 +1477,9 @@ object Similarity {
                            c1: Int = 8, c2: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
-    val backlog = imiHashBacklogs.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_hash_backlog")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
+    val backlog = memoStore(imiHashBacklogs, dir, "graft_imi_hash_backlog")(
       writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
-        p, c1, c2, iterations = 0)
-      p
-    })
+        _, c1, c2, iterations = 0))
     val idx = imiHealthStores.computeIfAbsent(dir, _ => {
       val c = ClusterStore.copyStore(backlog, "graft_imi_health")
       appendToImiIndex(spark, c,
@@ -1550,13 +1542,8 @@ object Similarity {
   /** The memoized full-corpus trained IMI index (one per JVM, dir). */
   private def imiStoreFor(dir: String, e: DataFrame, c1: Int, c2: Int,
                           iterations: Int): String =
-    imiStores.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_imi_index")
-      ClusterStore.deleteRecursivelyOnExit(tmp)
-      val p = tmp.resolve("index").toString
-      writeImiIndex(e, p, c1, c2, iterations)
-      p
-    })
+    memoStore(imiStores, dir, "graft_imi_index")(
+      writeImiIndex(e, _, c1, c2, iterations))
 
   /** DuckDB twin of [[imiAnnFromDir]]: `half1`/`half2` slice CTEs, two
     * md5-init + unrolled-Lloyd chains (prefixes `h1_`/`h2_` — the
@@ -1580,10 +1567,14 @@ object Similarity {
                    trainWhere: Option[String] = None,
                    keepWhere: Option[String] = None): String = {
     val h = dim / 2
-    val iters1 = (0 until iterations)
-      .map(i => kmeansIterCtesSql(i, h, "h1_", "bhalf1")).mkString(",\n")
-    val iters2 = (0 until iterations)
-      .map(i => kmeansIterCtesSql(i, h, "h2_", "bhalf2")).mkString(",\n")
+    // iterations = 0 degrades to the hash-codebook chain: no Lloyd CTEs,
+    // final codebooks are the md5 init (a bare "$iters," with empty
+    // fragments would be a SQL syntax error, and h*_k_cent0 never exists)
+    def trainCtes(p: String, rel: String): String =
+      if (iterations == 0) "" else (0 until iterations)
+        .map(i => kmeansIterCtesSql(i, h, p, rel)).mkString(",\n") + ",\n"
+    def finalCent(p: String): String =
+      if (iterations == 0) s"${p}centroids" else s"${p}k_cent$iterations"
     val trainW = trainWhere.map(w => s" WHERE $w").getOrElse("")
     val keepW = keepWhere.map(w => s" WHERE $w").getOrElse("")
     s"""WITH half1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings$keepW),
@@ -1592,17 +1583,15 @@ object Similarity {
        |bhalf2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings$trainW),
        |kept AS (SELECT * FROM embeddings$keepW),
        |${centroidSimsCtesSql(h, c1, "bhalf1", "h1_")},
-       |$iters1,
-       |${centroidSimsCtesSql(h, c2, "bhalf2", "h2_")},
-       |$iters2,
-       |f1_sims AS (
+       |${trainCtes("h1_", "bhalf1")}${centroidSimsCtesSql(h, c2, "bhalf2", "h2_")},
+       |${trainCtes("h2_", "bhalf2")}f1_sims AS (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM half1 e CROSS JOIN h1_k_cent$iterations ct
+       |  FROM half1 e CROSS JOIN ${finalCent("h1_")} ct
        |), f2_sims AS (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
-       |  FROM half2 e CROSS JOIN h2_k_cent$iterations ct
+       |  FROM half2 e CROSS JOIN ${finalCent("h2_")} ct
        |),
        |a1 AS (
        |  SELECT vec_id, cid AS cid1 FROM (

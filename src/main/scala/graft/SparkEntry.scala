@@ -87,6 +87,20 @@ object SparkEntry {
     // the drift scan on the two-level tier: per-row quality = sum of the
     // two half-space assigned cosines, micros-exact integer surface
     "ivf_imi_health" -> tuned(Similarity.imiHealthGateFromDir(_, _)),
+    // the COMPOSED serving tier a 100 TB deployment runs: two-level IMI
+    // cells storing SQ8 codes — O(sqrt(C)·dim) assignment AND 4x less
+    // probe read; probe = pruned combined-cell read -> decode ->
+    // asymmetric re-score. Full lifecycle under the one shared
+    // rewriteGeneration discipline (sidecars: both codebooks + extrema)
+    "imi_sq8_probe" -> tuned(Similarity.imiSq8ProbeFromDir(_, _)),
+    "imi_sq8_append" -> tuned(Similarity.imiSq8AppendProbeFromDir(_, _)),
+    "imi_sq8_remove" -> tuned(Similarity.imiSq8RemoveProbeFromDir(_, _)),
+    "imi_sq8_compact" -> tuned(Similarity.imiSq8CompactProbeFromDir(_, _)),
+    "imi_sq8_requantize" -> tuned(Similarity.imiSq8RequantizeProbeFromDir(_, _)),
+    // SemDeDup over the persisted trained IMI store's assignment — the
+    // production semantic-dedup configuration (the measured 5.8x
+    // assignment win), prune CTEs unchanged
+    "semantic_dedup_imi" -> tuned(SemanticDedup.imiFromDir(_, _)),
     // label-noise screen: leave-one-out kNN majority label vs own label
     // (neighbor generation is the swappable component — IVF at scale)
     "label_knn_agreement" -> tuned(LabelNoise.fromDir(_, _)),
@@ -381,6 +395,17 @@ object SparkEntry {
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "ivf_imi_requantize" -> Similarity.imiAnnOracle(c1 = 16, c2 = 16),
     "ivf_imi_health" -> Similarity.imiHealthOracle(),
+    "imi_sq8_probe" -> Similarity.imiSq8Oracle(),
+    "imi_sq8_append" -> Similarity.imiSq8Oracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0"),
+      statsWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "imi_sq8_remove" -> Similarity.imiSq8Oracle(
+      keepWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "imi_sq8_compact" -> Similarity.imiSq8Oracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0"),
+      statsWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "imi_sq8_requantize" -> Similarity.imiSq8Oracle(c1 = 16, c2 = 16),
+    "semantic_dedup_imi" -> SemanticDedup.imiOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
     "text_token_stats" -> TextAnalysis.tokenStatsOracle,
@@ -507,8 +532,14 @@ object SparkEntry {
       "ivf_imi_compact",    // backlog training loops + append + one rewrite
       "ivf_imi_requantize", // backlog + union retraining at the new C
       "hybrid_rrf_imi",     // the memoized trained IMI store + fusion plan
-      "ann_recall",         // three memoized stores incl. the trained IMI
-      "semantic_dedup_trained") // the same training loop feeding the prune
+      "ann_recall",         // four memoized stores incl. both trained IMI tiers
+      "semantic_dedup_trained", // the same training loop feeding the prune
+      "imi_sq8_probe",      // two half-space training loops + memoized build
+      "imi_sq8_append",     // backlog training loops + memoized backlog build
+      "imi_sq8_remove",     // the memoized composed build + one rewrite
+      "imi_sq8_compact",    // backlog training loops + append + one rewrite
+      "imi_sq8_requantize", // backlog + union retraining at the new C
+      "semantic_dedup_imi") // the memoized trained IMI store + the prune plan
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -598,8 +629,13 @@ object SparkEntry {
     "decontamination_report", // report twin of decontaminate (same shingle
                              // join, grouped per eval doc; both droppable —
                              // the composed corpus_curate_e2e is on the line)
-    "ivf_sq8_requantize")    // rebuild-at-newC sibling of ivf_requantize
+    "ivf_sq8_requantize",    // rebuild-at-newC sibling of ivf_requantize
                              // (already droppable for the same reason)
+    "imi_sq8_append",        // lifecycle sibling of imi_sq8_probe (on the
+                             // line); the ivf_index_append rationale
+    "imi_sq8_remove",        // filtered-rewrite sibling of ivf_imi_remove
+    "imi_sq8_compact",       // lifecycle sibling of ivf_imi_compact
+    "imi_sq8_requantize")    // rebuild-at-newC sibling of ivf_imi_requantize
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -102,7 +102,15 @@ object SemanticDedup {
        |             ORDER BY sim DESC, cid DESC) AS rk
        |    FROM $sims
        |  ) WHERE rk = 1
-       |), pruned AS (
+       |), ${pruneTailSql(tau)}""".stripMargin
+
+  /** The UNCHANGED prune chain over an `assign (vec_id, cid)` relation
+    * in scope — single-sourced between the flat, trained, and IMI
+    * oracles so the within-cell rule cannot drift with the assignment
+    * stage (which is exactly the swappable component
+    * [[pruneAssigned]]'s doc promises). */
+  private def pruneTailSql(tau: Double): String =
+    s"""pruned AS (
        |  SELECT DISTINCT b.vec_id AS id2
        |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |       JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -115,6 +123,58 @@ object SemanticDedup {
        |FROM assign a LEFT JOIN pruned p ON p.id2 = a.vec_id
        |WHERE p.id2 IS NULL
        |ORDER BY a.vec_id""".stripMargin
+
+  /** Gated query `semantic_dedup_imi`: the prune over the PERSISTED
+    * trained two-level index's assignment — the production SemDeDup
+    * configuration at 100 TB (CScaledProbe measured the IMI-assigned
+    * path 5.8× cheaper than the flat sweep at ×20 with sized C;
+    * SCALE.md §r14). Cells come from the memoized trained IMI store
+    * (combined id cid₁·C₂+cid₂ — the store a probe serves from, read
+    * back with its persisted assignment), and the prune below the
+    * assignment is [[pruneAssigned]] UNCHANGED. */
+  def imiFromDir(spark: SparkSession, dir: String, c1: Int = 8, c2: Int = 8,
+                 iterations: Int = 2, tau: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.requireOracleDim(e, dir)
+    val idx = Similarity.imiStoreFor(dir, e, c1, c2, iterations)
+    pruneAssigned(
+      spark.read.parquet(Similarity.ivfDataDir(idx))
+        .select(col("vec_id"), col("embedding"), col("centroid_id")), tau)
+  }
+
+  /** DuckDB twin of [[imiFromDir]]: two prefixed half-space trained
+    * chains ([[Similarity.kmeansIterCtesSql]] over the slice views —
+    * exactly how `ivf_ann_imi` was built), per-half argmax (ties →
+    * larger cid), combined cell id, then the SAME [[pruneTailSql]] the
+    * flat oracles run. */
+  def imiOracle(c1: Int = 8, c2: Int = 8, iterations: Int = 2,
+                tau: Double = 0.4,
+                dim: Int = Similarity.LshOracleDim): String = {
+    val h = dim / 2
+    def trainCtes(p: String, rel: String): String =
+      if (iterations == 0) "" else (0 until iterations)
+        .map(i => Similarity.kmeansIterCtesSql(i, h, p, rel)).mkString(",\n") + ",\n"
+    def finalSims(p: String) =
+      if (iterations == 0) s"${p}sims" else s"${p}k_sims$iterations"
+    def halfAssign(p: String, alias: String) =
+      s"""$alias AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, cid DESC) AS rk
+         |    FROM ${finalSims(p)}
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    s"""WITH half1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings),
+       |half2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings),
+       |${Similarity.centroidSimsCtesSql(h, c1, "half1", "h1_")},
+       |${trainCtes("h1_", "half1")}${Similarity.centroidSimsCtesSql(h, c2, "half2", "h2_")},
+       |${trainCtes("h2_", "half2")}${halfAssign("h1_", "a1")},
+       |${halfAssign("h2_", "a2")},
+       |assign AS (
+       |  SELECT a1.vec_id, a1.cid * $c2 + a2.cid AS cid
+       |  FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+       |), ${pruneTailSql(tau)}""".stripMargin
+  }
 
   /** DuckDB twin of [[trainedFromDir]]: the unrolled training CTEs feed
     * the UNCHANGED prune chain reading `k_sims$T`. */

@@ -920,6 +920,16 @@ object Similarity {
       .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         sq8Decode(col("codes"), mn, mx).as("dv"))
+    scoreProbedDecoded(probes, cells, k)
+  }
+
+  /** Score pruned DECODED cells (dv lists) asymmetrically against the
+    * full-precision query vectors and keep each query's top-k — the
+    * compressed-tier twin of [[scoreProbed]], shared by the flat SQ8 and
+    * two-level IMI×SQ8 probe paths so the re-score/rank tail cannot
+    * drift between them. */
+  private def scoreProbedDecoded(probes: DataFrame, cells: DataFrame,
+                                 k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     broadcast(probes).join(cells, Seq("centroid_id"))
@@ -1025,11 +1035,14 @@ object Similarity {
       ClusterStore.sweepOrphans(java.nio.file.Paths.get(dir), p, _ == next)
   }
 
-  /** One memoized temp-dir store per (JVM, source dir) — the build-once
-    * economics every indexed gate shares. */
+  /** One memoized temp-dir store per (JVM, memo key) — the build-once
+    * economics every indexed gate shares. The KEY must carry every build
+    * parameter (source dir + C/iterations/...): keyed on the dir alone, a
+    * second caller with different params would silently receive an index
+    * built with the first caller's params. */
   private def memoStore(map: java.util.concurrent.ConcurrentHashMap[String, String],
-                        dir: String, prefix: String)(build: String => Unit): String =
-    map.computeIfAbsent(dir, _ => {
+                        key: String, prefix: String)(build: String => Unit): String =
+    map.computeIfAbsent(key, _ => {
       val tmp = java.nio.file.Files.createTempDirectory(prefix)
       ClusterStore.deleteRecursivelyOnExit(tmp)
       val p = tmp.resolve("index").toString
@@ -1044,7 +1057,7 @@ object Similarity {
     * build-once economics every indexed gate uses). */
   private def sq8StoreFor(spark: SparkSession, dir: String, e: DataFrame,
                           numCentroids: Int): String =
-    memoStore(ivfSq8Stores, dir, "graft_ivf_sq8")(
+    memoStore(ivfSq8Stores, s"$dir#c$numCentroids", "graft_ivf_sq8")(
       writeIvfSq8Index(e, _, numCentroids))
 
   /** Gated query `ivf_sq8_remove`: takedown proven on the compressed
@@ -1093,7 +1106,7 @@ object Similarity {
   /** The memoized BACKLOG SQ8 index (every vector except the DeltaMod
     * residue class — the split all incremental gates share). */
   private def sq8BacklogFor(dir: String, e: DataFrame, numCentroids: Int): String =
-    memoStore(ivfSq8Backlogs, dir, "graft_ivf_sq8_backlog")(
+    memoStore(ivfSq8Backlogs, s"$dir#c$numCentroids", "graft_ivf_sq8_backlog")(
       writeIvfSq8Index(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
         _, numCentroids))
 
@@ -1294,20 +1307,37 @@ object Similarity {
     val g = ivfGen(dir)
     val cents1 = readQuantizerPath(spark, s"$dir/_quantizer1_v$g")
     val cents2 = readQuantizerPath(spark, s"$dir/_quantizer2_v$g")
-    val halfDim = cents1.head._2.length
-    val c2 = cents2.length
-    val probes = imiQueryCells(queries, cents1, cents2, halfDim, nProbe1, nProbe2)
-      .withColumn("centroid_id", col("cid1") * c2 + col("cid2"))
-      .join(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("qe")), Seq("query_id"))
-      .select(col("query_id"), col("qe"), col("centroid_id"))
-    val probedCells = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$dir/data_v$g")
-      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+    val probes = imiProbeFrame(queries, cents1, cents2, nProbe1, nProbe2)
+    val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("ne"))
     scoreProbed(probes, cells, k)
+  }
+
+  /** (query_id, qe, centroid_id) per probed COMBINED cell — the
+    * nProbe₁×nProbe₂ product cells with the query vector carried, shared
+    * by the float-IMI and IMI×SQ8 probe paths. */
+  private def imiProbeFrame(queries: DataFrame,
+                            cents1: Array[(Int, Array[Double])],
+                            cents2: Array[(Int, Array[Double])],
+                            nProbe1: Int, nProbe2: Int): DataFrame =
+    imiQueryCells(queries, cents1, cents2, cents1.head._2.length,
+        nProbe1, nProbe2)
+      .withColumn("centroid_id", col("cid1") * cents2.length + col("cid2"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("qe")), Seq("query_id"))
+      .select(col("query_id"), col("qe"), col("centroid_id"))
+
+  /** The partition-pruned cell read every probe path shares: collect the
+    * O(|probed cells|) distinct cell ids (driver-sized by construction)
+    * and push them as a partition filter on the scan — only those cells'
+    * directories are listed and read. */
+  private def prunedCellScan(spark: SparkSession, dataDir: String,
+                             probes: DataFrame): DataFrame = {
+    val probedCells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    spark.read.parquet(dataDir)
+      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
   }
 
   /** Both persisted half-codebooks of the live generation. */
@@ -1360,7 +1390,7 @@ object Similarity {
     * except the DeltaMod residue class). */
   private def imiBacklogFor(dir: String, e: DataFrame, c1: Int, c2: Int,
                             iterations: Int): String =
-    memoStore(imiBacklogs, dir, "graft_imi_backlog")(
+    memoStore(imiBacklogs, s"$dir#${c1}x$c2#i$iterations", "graft_imi_backlog")(
       writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
         _, c1, c2, iterations))
 
@@ -1477,10 +1507,11 @@ object Similarity {
                            c1: Int = 8, c2: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
-    val backlog = memoStore(imiHashBacklogs, dir, "graft_imi_hash_backlog")(
+    val backlog = memoStore(imiHashBacklogs, s"$dir#${c1}x$c2#i0",
+        "graft_imi_hash_backlog")(
       writeImiIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
         _, c1, c2, iterations = 0))
-    val idx = imiHealthStores.computeIfAbsent(dir, _ => {
+    val idx = imiHealthStores.computeIfAbsent(s"$dir#${c1}x$c2", _ => {
       val c = ClusterStore.copyStore(backlog, "graft_imi_health")
       appendToImiIndex(spark, c,
         e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
@@ -1539,10 +1570,12 @@ object Similarity {
        |FROM m""".stripMargin
   }
 
-  /** The memoized full-corpus trained IMI index (one per JVM, dir). */
-  private def imiStoreFor(dir: String, e: DataFrame, c1: Int, c2: Int,
-                          iterations: Int): String =
-    memoStore(imiStores, dir, "graft_imi_index")(
+  /** The memoized full-corpus trained IMI index (one per JVM, per
+    * (dir, build params)) — `private[operators]` so the SemDeDup gate can
+    * prune over the SAME persisted assignment a probe serves from. */
+  private[operators] def imiStoreFor(dir: String, e: DataFrame, c1: Int, c2: Int,
+                                     iterations: Int): String =
+    memoStore(imiStores, s"$dir#${c1}x$c2#i$iterations", "graft_imi_index")(
       writeImiIndex(e, _, c1, c2, iterations))
 
   /** DuckDB twin of [[imiAnnFromDir]]: `half1`/`half2` slice CTEs, two
@@ -1565,7 +1598,16 @@ object Similarity {
                    nProbe1: Int = 2, nProbe2: Int = 2, iterations: Int = 2,
                    dim: Int = LshOracleDim,
                    trainWhere: Option[String] = None,
-                   keepWhere: Option[String] = None): String = {
+                   keepWhere: Option[String] = None,
+                   extraCtes: String = "",
+                   neRelOpt: Option[String] = None,
+                   neVecOpt: Option[String] = None): String = {
+    // the re-score's NEIGHBOR side is swappable — the IMI×SQ8 gate scores
+    // against `dec.dv` decoded lists injected via `extraCtes`; assignment
+    // and probes stay on the full-precision half sims (the asymmetric
+    // shape, exactly the ivfRankedCtesSql substitution)
+    val neRel = neRelOpt.getOrElse("kept")
+    val neVec = neVecOpt.getOrElse("CAST(ne.embedding AS DOUBLE[])")
     val h = dim / 2
     // iterations = 0 degrades to the hash-codebook chain: no Lloyd CTEs,
     // final codebooks are the md5 init (a bare "$iters," with empty
@@ -1582,7 +1624,7 @@ object Similarity {
        |bhalf1 AS (SELECT vec_id, embedding[1:$h] AS embedding FROM embeddings$trainW),
        |bhalf2 AS (SELECT vec_id, embedding[${h + 1}:$dim] AS embedding FROM embeddings$trainW),
        |kept AS (SELECT * FROM embeddings$keepW),
-       |${centroidSimsCtesSql(h, c1, "bhalf1", "h1_")},
+       |$extraCtes${centroidSimsCtesSql(h, c1, "bhalf1", "h1_")},
        |${trainCtes("h1_", "bhalf1")}${centroidSimsCtesSql(h, c2, "bhalf2", "h2_")},
        |${trainCtes("h2_", "bhalf2")}f1_sims AS (
        |  SELECT e.vec_id, ct.cid,
@@ -1626,9 +1668,9 @@ object Similarity {
        |), imi_scored AS (
        |  SELECT c.query_id, c.neighbor_id,
        |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |                                $neVec) AS cosine
        |  FROM imi_cand c JOIN kept qe ON qe.vec_id = c.query_id
-       |                  JOIN kept ne ON ne.vec_id = c.neighbor_id
+       |                  JOIN $neRel ne ON ne.vec_id = c.neighbor_id
        |), imi_ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1639,12 +1681,264 @@ object Similarity {
        |FROM imi_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  // ------------------------- IMI × SQ8: two-level cells, uint8 codes
+
+  /** The tier a 100 TB deployment actually serves: the two-level IMI
+    * quantizer (O(√C·dim) assignment, C₁·C₂ partition-pruned cells —
+    * retiring the flat O(N·C) sweep) COMPOSED with SQ8 compression
+    * (cells store uint8 CODES, 4× less storage AND 4× less probe read
+    * than float32). Build = both half assignments + the encode in ONE
+    * corpus scan; probe = pruned combined-cell read → decode →
+    * asymmetric re-score against full-precision queries; lifecycle =
+    * the shared [[rewriteGeneration]] discipline over exactly one
+    * sidecar list (`_quantizer1_v`, `_quantizer2_v`, `_sq8_v`).
+    * Codebooks AND extrema freeze at build and refresh together on the
+    * requantize cadence — the staleness rule of both parent tiers,
+    * unchanged by the composition. */
+  def writeImiSq8Index(e: DataFrame, dir: String, c1: Int = 8, c2: Int = 8,
+                       iterations: Int = 2): Unit =
+    stageImiSq8Generation(e, dir, c1, c2, iterations, gen = 0L)
+
+  /** Stage one complete IMI×SQ8 generation (combined-cell CODES + both
+    * half codebooks + extrema) from SOURCE float vectors and commit —
+    * shared by the build and [[requantizeImiSq8Index]]. Assignment and
+    * encode fuse into one scan projection (both half argmaxes + the
+    * per-dim quantize are expression-level). */
+  private def stageImiSq8Generation(e: DataFrame, dir: String, c1: Int, c2: Int,
+                                    iterations: Int, gen: Long): Unit = {
+    val spark = e.sparkSession
+    val dim = embeddingDim(e)
+    val (cents1, cents2) = trainImi(e, c1, c2, iterations, dim)
+    val (mn, mx) = sq8Stats(e, dim)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    assignImi(e, cents1, cents2, dim / 2)
+      .withColumn("centroid_id", col("cid1") * cents2.length + col("cid2"))
+      .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v$gen")
+    saveQuantizer(spark, s"$dir/_quantizer1_v$gen", cents1)
+    saveQuantizer(spark, s"$dir/_quantizer2_v$gen", cents2)
+    import spark.implicits._
+    Seq((mn.toSeq, mx.toSeq)).toDF("mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_sq8_v$gen")
+    commitIvfGen(dir, gen)
+  }
+
+  /** Partition-pruned probe over the composed tier: reload both half
+    * codebooks + extrema from the sidecars, map each query's
+    * nProbe₁×nProbe₂ cell pairs to combined ids, read ONLY those cells'
+    * code files, decode, asymmetric re-score ([[scoreProbedDecoded]] —
+    * the same tail as the flat SQ8 probe). */
+  def probeImiSq8Index(spark: SparkSession, dir: String, queries: DataFrame,
+                       k: Int = 10, nProbe1: Int = 2, nProbe2: Int = 2): DataFrame = {
+    val g = ivfGen(dir)
+    val cents1 = readQuantizerPath(spark, s"$dir/_quantizer1_v$g")
+    val cents2 = readQuantizerPath(spark, s"$dir/_quantizer2_v$g")
+    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
+    val mn = r.getAs[Seq[Double]]("mn").toArray
+    val mx = r.getAs[Seq[Double]]("mx").toArray
+    val probes = imiProbeFrame(queries, cents1, cents2, nProbe1, nProbe2)
+    val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        sq8Decode(col("codes"), mn, mx).as("dv"))
+    scoreProbedDecoded(probes, cells, k)
+  }
+
+  /** O(batch) ingestion into the composed tier: assign the batch under
+    * the PERSISTED half codebooks and encode under the PERSISTED extrema
+    * (all frozen at build — saturating clamp for out-of-range values,
+    * as in the flat tier), land code files in the combined-cell
+    * partition directories. Old codes never re-read or re-encoded. */
+  def appendToImiSq8Index(spark: SparkSession, dir: String,
+                          newVectors: DataFrame): Unit = {
+    val (cents1, cents2) = readImiQuantizers(spark, dir)
+    val r = spark.read.parquet(s"$dir/_sq8_v${ivfGen(dir)}").first()
+    val mn = r.getAs[Seq[Double]]("mn").toArray
+    val mx = r.getAs[Seq[Double]]("mx").toArray
+    assignImi(newVectors, cents1, cents2, cents1.head._2.length)
+      .withColumn("centroid_id", col("cid1") * cents2.length + col("cid2"))
+      .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),
+        col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(ivfDataDir(dir))
+  }
+
+  /** Deletion on the composed tier: the filtered generation rewrite
+    * under ALL frozen sidecars — kept codes move verbatim (they were
+    * encoded under the stored extrema; re-encoding would shift decoded
+    * values), cell-coalesced, one-rename commit. */
+  def removeFromImiSq8Index(spark: SparkSession, dir: String,
+                            removedIds: DataFrame): Unit =
+    rewriteImiSq8Generation(spark, dir,
+      _.join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+
+  /** Compaction: identity-filter generation rewrite — one code file per
+    * combined cell, codebooks/extrema unchanged, content-preserving
+    * (`imi_sq8_compact` re-passes the append oracle). */
+  def compactImiSq8Index(spark: SparkSession, dir: String): Unit =
+    rewriteImiSq8Generation(spark, dir, identity)
+
+  private def rewriteImiSq8Generation(spark: SparkSession, dir: String,
+                                      keep: DataFrame => DataFrame): Unit =
+    rewriteGeneration(spark, dir,
+      Seq("_quantizer1_v", "_quantizer2_v", "_sq8_v"), keep)
+
+  /** Re-quantize the composed tier: codes are LOSSY, so the refresh
+    * re-reads the SOURCE float vectors — BOTH half codebooks retrained
+    * and the extrema re-derived at the new (C₁, C₂), full next
+    * generation staged, one rename. After it the index is
+    * indistinguishable from a from-scratch composed build at the new
+    * sizes (`imi_sq8_requantize`). */
+  def requantizeImiSq8Index(spark: SparkSession, dir: String, source: DataFrame,
+                            c1: Int, c2: Int, iterations: Int = 2): Unit =
+    promoteFreshGeneration(dir, Seq("_quantizer1_v", "_quantizer2_v", "_sq8_v"))(
+      stageImiSq8Generation(source, dir, c1, c2, iterations, _))
+
+  private val imiSq8Stores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val imiSq8Backlogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The memoized full-corpus composed index (one per JVM, per
+    * (dir, build params)). */
+  private def imiSq8StoreFor(dir: String, e: DataFrame, c1: Int, c2: Int,
+                             iterations: Int): String =
+    memoStore(imiSq8Stores, s"$dir#${c1}x$c2#i$iterations", "graft_imi_sq8")(
+      writeImiSq8Index(e, _, c1, c2, iterations))
+
+  /** The memoized BACKLOG composed index (codebooks AND extrema derived
+    * from every vector except the DeltaMod residue class — the shared
+    * incremental-gate split). */
+  private def imiSq8BacklogFor(dir: String, e: DataFrame, c1: Int, c2: Int,
+                               iterations: Int): String =
+    memoStore(imiSq8Backlogs, s"$dir#${c1}x$c2#i$iterations", "graft_imi_sq8_backlog")(
+      writeImiSq8Index(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        _, c1, c2, iterations))
+
+  /** Gated query `imi_sq8_probe`: the composed serving tier end-to-end —
+    * train both half codebooks, build the combined-cell CODE index,
+    * reload all three sidecars, pruned probe, decode, asymmetric
+    * re-score — under [[imiSq8Oracle]]: the trained-IMI chain with ONLY
+    * the re-score's neighbor side swapped to the shared decoded lists
+    * (the `ivf_sq8_probe` substitution lifted onto the two-level
+    * chain). */
+  def imiSq8ProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                         k: Int = 10, c1: Int = 8, c2: Int = 8,
+                         nProbe1: Int = 2, nProbe2: Int = 2,
+                         iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = imiSq8StoreFor(dir, e, c1, c2, iterations)
+    probeImiSq8Index(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `imi_sq8_append`: the O(batch) path — codebooks and
+    * extrema frozen at the backlog build, the DeltaMod delta assigned
+    * and encoded under them, probe. Oracle trains AND derives stats on
+    * the backlog slice only while serving covers the union — the
+    * production frozen-sidecar semantics. */
+  def imiSq8AppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                               k: Int = 10, c1: Int = 8, c2: Int = 8,
+                               nProbe1: Int = 2, nProbe2: Int = 2,
+                               iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiSq8BacklogFor(dir, e, c1, c2, iterations), "graft_imi_sq8_append")
+    appendToImiSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeImiSq8Index(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `imi_sq8_remove`: takedown on the composed tier — copy
+    * the memoized full-corpus index, remove the DeltaMod residue class
+    * (codes rewritten verbatim under the frozen sidecars), probe with
+    * the surviving low-id queries. Oracle: training and stats stay at
+    * the full corpus (where the index was built), serving restricted to
+    * kept rows. */
+  def imiSq8RemoveProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                               k: Int = 10, c1: Int = 8, c2: Int = 8,
+                               nProbe1: Int = 2, nProbe2: Int = 2,
+                               iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiSq8StoreFor(dir, e, c1, c2, iterations), "graft_imi_sq8_remove")
+    removeFromImiSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0).select(col("vec_id")))
+    probeImiSq8Index(spark, idx,
+      e.filter(col("vec_id") < numQueries &&
+        col("vec_id") % DedupIndex.DeltaMod =!= 0), k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `imi_sq8_compact`: backlog + append + identity rewrite
+    * + probe — must re-pass the append oracle (codes verbatim under the
+    * frozen sidecars; calendar time changes file counts, not content). */
+  def imiSq8CompactProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                k: Int = 10, c1: Int = 8, c2: Int = 8,
+                                nProbe1: Int = 2, nProbe2: Int = 2,
+                                iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiSq8BacklogFor(dir, e, c1, c2, iterations), "graft_imi_sq8_compact")
+    appendToImiSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    compactImiSq8Index(spark, idx)
+    probeImiSq8Index(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** Gated query `imi_sq8_requantize`: backlog + append +
+    * [[requantizeImiSq8Index]] from the full source at the new (C₁, C₂)
+    * + probe — must equal a from-scratch composed build at the new
+    * sizes (codebooks AND extrema re-derived over the union). */
+  def imiSq8RequantizeProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                   k: Int = 10, c1: Int = 8, c2: Int = 8,
+                                   newC1: Int = 16, newC2: Int = 16,
+                                   nProbe1: Int = 2, nProbe2: Int = 2,
+                                   iterations: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiSq8BacklogFor(dir, e, c1, c2, iterations), "graft_imi_sq8_requant")
+    appendToImiSq8Index(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    requantizeImiSq8Index(spark, idx, e, newC1, newC2, iterations)
+    probeImiSq8Index(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
+  /** DuckDB twin of the composed tier: [[imiAnnOracle]]'s trained
+    * two-level chain with [[sq8DecCtesSql]] injected (stats over
+    * `sq8src` — the staleness scope — decoding the SERVED relation) and
+    * the re-score's neighbor side swapped to `dec.dv`. The three
+    * lifecycle scopes are independent, exactly as on the Spark side:
+    * `trainWhere` freezes the codebooks, `statsWhere` freezes the
+    * extrema, `keepWhere` restricts serving. */
+  def imiSq8Oracle(numQueries: Int = 8, k: Int = 10, c1: Int = 8, c2: Int = 8,
+                   nProbe1: Int = 2, nProbe2: Int = 2, iterations: Int = 2,
+                   dim: Int = LshOracleDim,
+                   trainWhere: Option[String] = None,
+                   keepWhere: Option[String] = None,
+                   statsWhere: Option[String] = None): String = {
+    val statsW = statsWhere.map(w => s" WHERE $w").getOrElse("")
+    val extra =
+      s"""sq8src AS (SELECT * FROM embeddings$statsW),
+         |${sq8DecCtesSql(dim, statsRelation = "sq8src", relation = "kept")},
+         |""".stripMargin
+    imiAnnOracle(numQueries, k, c1, c2, nProbe1, nProbe2, iterations, dim,
+      trainWhere, keepWhere, extraCtes = extra,
+      neRelOpt = Some("dec"), neVecOpt = Some("ne.dv"))
+  }
+
   // ------------------------------------------------- gated ANN recall
 
-  /** Gated query `ann_recall`: recall@k of the two PRODUCTION probe
-    * paths — the persisted float IVF index (`ivf_probe_indexed`) and the
-    * SQ8 compressed tier (`ivf_sq8_probe`) — against brute-force ground
-    * truth (`knn_cosine_topk`), at the gates' fixed (C, nProbe). The
+  /** Gated query `ann_recall`: recall@k of ALL FOUR serving tiers — the
+    * persisted float IVF index (`ivf_probe_indexed`), the SQ8 compressed
+    * tier (`ivf_sq8_probe`), the two-level IMI index (`ivf_ann_imi`),
+    * and the composed IMI×SQ8 tier (`imi_sq8_probe`) — against
+    * brute-force ground truth (`knn_cosine_topk`), at the gates' fixed
+    * probe fractions. The
     * surface is EXACT integer hit counts per query (id-set intersection
     * of the top-k lists), so approximation quality gates
     * deterministically on the driver instead of living only in specs: a
@@ -1669,20 +1963,28 @@ object Similarity {
     val sq8 = ivfSq8ProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_sq8"))
     // probe-fraction-fair: IVF reads nProbe/C = 4/16 = 25% of cells, so
-    // the IMI tier probes 4×4 = 16 of its 64 cells — the same 25% — or
-    // the comparison would just measure probe budgets, not quantizers
+    // the two-level tiers probe 4×4 = 16 of their 64 cells — the same
+    // 25% — or the comparison would just measure probe budgets, not
+    // quantizers
     val imi = imiAnnFromDir(spark, dir, numQueries, k,
       nProbe1 = 4, nProbe2 = 4)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_imi"))
+    // the fourth tier: the composed IMI×SQ8 serving configuration — its
+    // recall now gates alongside the tiers it composes
+    val imisq8 = imiSq8ProbeFromDir(spark, dir, numQueries, k,
+      nProbe1 = 4, nProbe2 = 4)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_imisq8"))
     truth
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .join(sq8, Seq("query_id", "neighbor_id"), "left")
       .join(imi, Seq("query_id", "neighbor_id"), "left")
+      .join(imisq8, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("k_truth"),
         coalesce(sum(col("in_ivf")), lit(0L)).as("hits_ivf"),
         coalesce(sum(col("in_sq8")), lit(0L)).as("hits_sq8"),
-        coalesce(sum(col("in_imi")), lit(0L)).as("hits_imi"))
+        coalesce(sum(col("in_imi")), lit(0L)).as("hits_imi"),
+        coalesce(sum(col("in_imisq8")), lit(0L)).as("hits_imisq8"))
       .orderBy(col("query_id"))
   }
 
@@ -1700,6 +2002,9 @@ object Similarity {
        |imi AS (
        |${imiAnnOracle(numQueries, k, nProbe1 = 4, nProbe2 = 4, dim = dim)}
        |),
+       |imisq8 AS (
+       |${imiSq8Oracle(numQueries, k, nProbe1 = 4, nProbe2 = 4, dim = dim)}
+       |),
        |b_pairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -1714,15 +2019,18 @@ object Similarity {
        |), truth AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $k),
        |i_top AS (SELECT query_id, neighbor_id FROM i_ranked WHERE rank <= $k),
        |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k),
-       |m_top AS (SELECT query_id, neighbor_id FROM imi)
+       |m_top AS (SELECT query_id, neighbor_id FROM imi),
+       |c_top AS (SELECT query_id, neighbor_id FROM imisq8)
        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
        |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
        |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8,
-       |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi
+       |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi,
+       |       CAST(COALESCE(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imisq8
        |FROM truth t
        |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
        |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
        |LEFT JOIN m_top m ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+       |LEFT JOIN c_top c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------- gated k-means training

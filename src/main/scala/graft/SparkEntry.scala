@@ -125,6 +125,10 @@ object SparkEntry {
     // the seam's SECOND real format: binary BMP (LE headers, bottom-up
     // padded rows) — proves the decode seam is format-pluggable
     "multimodal_decode_bmp" -> tuned(Multimodal.bmpGateFromDir),
+    // the THIRD format — and first 1-D sample stream: RIFF/WAV 16-bit
+    // PCM (chunk walk, channel de-interleave, signed samples) — the
+    // seam covers the audio half of a multimodal corpus, not just pixels
+    "multimodal_decode_wav" -> tuned(Multimodal.wavGateFromDir),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
@@ -135,6 +139,10 @@ object SparkEntry {
     // the DAG with the FUZZY decon stage composed in after the exact
     // pass (MinHash near-dup leakage vs eval screened in the same run)
     "corpus_curate_fuzzy" -> tuned(CurateE2e.fuzzyFromDir),
+    // the DAG with the CCNet reference-LM filter composed in: docs in
+    // the tail perplexity tercile dropped before the split (the
+    // heuristic gate and the LM filter run TOGETHER, as in production)
+    "corpus_curate_lm" -> tuned(CurateE2e.lmFromDir),
     "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
@@ -415,12 +423,14 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.framesOracle(),
     "multimodal_decode" -> Multimodal.decodeOracle,
     "multimodal_decode_bmp" -> Multimodal.bmpDecodeOracle,
+    "multimodal_decode_wav" -> Multimodal.wavDecodeOracle,
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
     "corpus_clean" -> CorpusClean.oracle(),
     "corpus_curate_e2e" -> CurateE2e.oracle(),
     "corpus_curate_fuzzy" -> CurateE2e.fuzzyOracle(),
+    "corpus_curate_lm" -> CurateE2e.lmOracle(),
     "shipping_priority_topk" -> ShippingPriority.oracle(),
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
@@ -609,8 +619,11 @@ object SparkEntry {
                              // removes (same rationale, same droppable class)
     "corpus_curate_fuzzy",   // composed sibling of corpus_curate_e2e (on the
                              // line) + the standalone fuzzy stage's cost twin
+    "corpus_curate_lm",      // composed sibling of corpus_curate_e2e; its LM
+                             // stage's cost twin ref_lm_buckets is measured too
     "multimodal_decode_bmp", // second-format sibling of multimodal_decode
                              // (the PPM flagship stays on the line)
+    "multimodal_decode_wav", // third-format sibling of multimodal_decode
     "corpus_packed",         // strict cost-subset of corpus_shuffle (same
                              // prefix-sum + pack, minus the permutation keys)
     "ivf_sq8_compact",       // lifecycle sibling of ivf_index_compact (same

@@ -133,44 +133,56 @@ object BigramLm {
     refLogProbs(docs, docs.filter(col("source") === "src0"))
   }
 
-  /** DuckDB twin of [[refFromDir]]: reference counts from the same
-    * source slice, LEFT joins with COALESCE 0, the same Laplace-floored
-    * fixed-order interpolation into one micros-rounded ln. */
-  def refOracle(lambda: Double = 0.75): String =
-    s"""WITH ref AS (
+  /** The reference-LM scoring chain as prefixed CTEs ending in
+    * `${p}agg (doc_id, n_bigrams, logprob_micros, avg_lp_micros)` —
+    * single-sourced between [[refOracle]] and the composed curation
+    * oracle ([[CurateE2e.lmOracle]]) so the scoring rule cannot drift
+    * between the standalone gate and the DAG stage. `refFrom` /
+    * `docsFrom` are free-form FROM bodies (relation + optional WHERE). */
+  private[operators] def refCtesSql(lambda: Double = 0.75, p: String = "",
+                                    refFrom: String = "documents WHERE source = 'src0'",
+                                    docsFrom: String = "documents"): String =
+    s"""${p}ref AS (
        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
-       |  FROM documents WHERE source = 'src0'
-       |), uni AS (
-       |  SELECT w, COUNT(*) AS c_w FROM ref, LATERAL unnest(ts) AS u(w) GROUP BY 1
-       |), gb AS (
+       |  FROM $refFrom
+       |), ${p}uni AS (
+       |  SELECT w, COUNT(*) AS c_w FROM ${p}ref, LATERAL unnest(ts) AS u(w) GROUP BY 1
+       |), ${p}gb AS (
        |  SELECT ts[i.i] || ' ' || ts[i.i + 1] AS bigram, COUNT(*) AS c_ab
-       |  FROM ref, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1
-       |), nv AS (
-       |  SELECT CAST(COALESCE(SUM(c_w), 0) + COUNT(*) AS DOUBLE) AS denom FROM uni
-       |), toks AS (
+       |  FROM ${p}ref, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1
+       |), ${p}nv AS (
+       |  SELECT CAST(COALESCE(SUM(c_w), 0) + COUNT(*) AS DOUBLE) AS denom FROM ${p}uni
+       |), ${p}toks AS (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
-       |  FROM documents
-       |), db AS (
+       |  FROM $docsFrom
+       |), ${p}db AS (
        |  SELECT doc_id, ts[i.i] || ' ' || ts[i.i + 1] AS bigram, COUNT(*) AS k
-       |  FROM toks, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1, 2
-       |), lp AS (
+       |  FROM ${p}toks, LATERAL unnest(range(1, len(ts))) AS i(i) GROUP BY 1, 2
+       |), ${p}lp AS (
        |  SELECT db.doc_id, db.k,
        |         db.k * ${StableRound.microsLongSql(
                   s"LN($lambda * (CASE WHEN COALESCE(ua.c_w, 0) > 0 " +
                   "THEN CAST(COALESCE(g.c_ab, 0) AS DOUBLE) / ua.c_w " +
                   s"ELSE 0.0 END) + ${1.0 - lambda} " +
                   "* ((CAST(COALESCE(ub.c_w, 0) AS DOUBLE) + 1.0) / nv.denom))")} AS contrib
-       |  FROM db LEFT JOIN gb g USING (bigram)
-       |          LEFT JOIN uni ua ON ua.w = string_split(db.bigram, ' ')[1]
-       |          LEFT JOIN uni ub ON ub.w = string_split(db.bigram, ' ')[2]
-       |          CROSS JOIN nv
-       |), agg AS (
+       |  FROM ${p}db db LEFT JOIN ${p}gb g USING (bigram)
+       |          LEFT JOIN ${p}uni ua ON ua.w = string_split(db.bigram, ' ')[1]
+       |          LEFT JOIN ${p}uni ub ON ub.w = string_split(db.bigram, ' ')[2]
+       |          CROSS JOIN ${p}nv nv
+       |), ${p}agg AS (
        |  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-       |         CAST(SUM(contrib) AS BIGINT) AS logprob_micros
-       |  FROM lp GROUP BY 1
-       |)
-       |SELECT doc_id, n_bigrams, logprob_micros,
-       |       CAST(logprob_micros AS DOUBLE) / n_bigrams AS avg_lp_micros
+       |         CAST(SUM(contrib) AS BIGINT) AS logprob_micros,
+       |         CAST(CAST(SUM(contrib) AS BIGINT) AS DOUBLE)
+       |           / CAST(SUM(k) AS BIGINT) AS avg_lp_micros
+       |  FROM ${p}lp GROUP BY 1
+       |)""".stripMargin
+
+  /** DuckDB twin of [[refFromDir]]: reference counts from the same
+    * source slice, LEFT joins with COALESCE 0, the same Laplace-floored
+    * fixed-order interpolation into one micros-rounded ln. */
+  def refOracle(lambda: Double = 0.75): String =
+    s"""WITH ${refCtesSql(lambda)}
+       |SELECT doc_id, n_bigrams, logprob_micros, avg_lp_micros
        |FROM agg ORDER BY doc_id""".stripMargin
 
   /** DuckDB twin: same filtered tokenization (single-sourced rule), same
@@ -246,18 +258,25 @@ object BigramLm {
   def bucketsFromDir(spark: SparkSession, dir: String): DataFrame =
     refBuckets(refFromDir(spark, dir))
 
-  /** DuckDB twin: the full [[refOracle]] nested as the scored relation,
-    * one ROW_NUMBER window over the same (quality desc, doc_id) order,
-    * the same integer tercile formula. */
-  def bucketsOracle(lambda: Double = 0.75): String =
-    s"""WITH scored AS (
-       |${refOracle(lambda)}
-       |), r AS (
+  /** The tercile rank over a scored relation carrying `avg_lp_micros` —
+    * emits `${p}r (doc_id, n_bigrams, logprob_micros, rk, n)`; the
+    * bucket index is `((rk − 1) * 3) // n`. Single-sourced between
+    * [[bucketsOracle]] and the composed curation oracle so the cut rule
+    * cannot drift. */
+  private[operators] def tercileCtesSql(p: String, scored: String): String =
+    s"""${p}r AS (
        |  SELECT doc_id, n_bigrams, logprob_micros,
        |         ROW_NUMBER() OVER (ORDER BY avg_lp_micros DESC, doc_id) AS rk,
        |         COUNT(*) OVER () AS n
-       |  FROM scored
-       |)
+       |  FROM $scored
+       |)""".stripMargin
+
+  /** DuckDB twin: the [[refCtesSql]] scoring chain as the scored
+    * relation, one ROW_NUMBER window over the same (quality desc,
+    * doc_id) order, the same integer tercile formula. */
+  def bucketsOracle(lambda: Double = 0.75): String =
+    s"""WITH ${refCtesSql(lambda)},
+       |${tercileCtesSql("", "agg")}
        |SELECT doc_id, n_bigrams, logprob_micros,
        |       CASE ((rk - 1) * 3) // n WHEN 0 THEN 'head'
        |            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket,

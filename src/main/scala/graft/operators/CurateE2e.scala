@@ -73,13 +73,46 @@ object CurateE2e {
     * scan-fused, band-bucket candidates — never all-pairs). */
   def curateFuzzy(docs: DataFrame, eval: DataFrame, qualityMin: Double = 0.5,
                   n: Int = 5, thr: Double = 0.5, deconN: Int = 8,
-                  fuzzyThr: Double = 0.5, fuzzyN: Int = 5,
+                  // defaults ALIGNED with fuzzyOracle's (0.4, 3): a caller
+                  // pairing the two by defaults must not get a silent
+                  // oracle mismatch (r14 ADVICE)
+                  fuzzyThr: Double = 0.4, fuzzyN: Int = 3,
                   trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     val exact = cleanAndDecon(docs, eval, qualityMin, n, thr, deconN)
     val decon = exact.join(
       Curation.fuzzyContaminatedIds(exact, eval, fuzzyThr, fuzzyN),
       Seq("doc_id"), "left_anti")
     splitShipped(decon, trainPct, valPct)
+  }
+
+  /** The DAG with the CCNet-style REFERENCE-LM filter composed in after
+    * exact decontamination: quality → exact dedup → near-dup prune →
+    * exact decon → perplexity-bucket drop ([[BigramLm.refBuckets]] over
+    * [[BigramLm.refLogProbs]] — docs in the `tail` tercile of
+    * reference-LM quality are flagged and removed, the CCNet keep rule)
+    * → leakage-safe split. The heuristic quality gate and the LM filter
+    * are complementary (surface stats vs distribution match); a
+    * production mix runs both, which is exactly what this DAG does. The
+    * reference LM trains on a caller-supplied TRUSTED corpus `ref` —
+    * external to the crawl being curated, the CCNet shape (KenLM on
+    * Wikipedia): an external reference neither shrinks as curation
+    * tightens nor leaks curation decisions back into its own counts.
+    * Docs the LM cannot score (fewer than 2 tokens — no transition)
+    * are KEPT, not silently dropped: only a provable `tail` membership
+    * removes a doc. The empty-cluster-map proof of [[curate]] survives
+    * (the stage only removes docs), so the split tail is unchanged. */
+  def curateLm(docs: DataFrame, eval: DataFrame, ref: DataFrame,
+               qualityMin: Double = 0.5,
+               n: Int = 5, thr: Double = 0.5, deconN: Int = 8,
+               lambda: Double = 0.75,
+               trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val decon = cleanAndDecon(docs, eval, qualityMin, n, thr, deconN)
+    val scored = BigramLm.refLogProbs(
+      decon.select(col("doc_id"), col("text")), ref, lambda)
+    val tailIds = BigramLm.refBuckets(scored)
+      .filter(col("bucket") === "tail").select(col("doc_id"))
+    splitShipped(decon.join(tailIds, Seq("doc_id"), "left_anti"),
+      trainPct, valPct)
   }
 
   /** Stages 1–4 (quality gate → exact dedup → near-dup prune → exact
@@ -118,6 +151,21 @@ object CurateE2e {
     val docs = Tables.documents(spark, dir)
     curate(docs.filter(col("doc_id") % 20 =!= 0),
       docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** Gated variant of [[curateLm]] (the %20 eval convention; `src0`
+    * plays the external trusted reference — at this corpus src0 is
+    * exactly the %20 slice, so the reference is provably DISJOINT from
+    * the curated train partition, the CCNet deployment shape). The
+    * stage is non-vacuous BY CONSTRUCTION: the tail tercile of the
+    * scored shipped corpus is ⌈N/3⌉ docs, so at any gate scale with
+    * N ≥ 3 the LM filter provably removes documents the heuristic gate
+    * kept. */
+  def lmFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    curateLm(docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      docs.filter(col("source") === "src0"))
   }
 
   /** DuckDB twin: every stage is the SAME single-sourced fragment its
@@ -165,6 +213,30 @@ object CurateE2e {
        |),
        |${splitTailSql("decon2", n, thr, trainPct, valPct)}""".stripMargin
   }
+
+  /** DuckDB twin of [[curateLm]] as [[lmFromDir]] composes it: the
+    * shared exact-prefix CTEs, then [[BigramLm.refCtesSql]] (prefix
+    * `lm_` — reference from the FULL table's src0 slice (external to
+    * the train partition at this corpus), scored relation = `decon`;
+    * the SAME single-sourced scoring chain as `ref_lm_logprob`)
+    * + [[BigramLm.tercileCtesSql]] (the SAME cut rule as
+    * `ref_lm_buckets`), tail ids anti-joined out, then the shared split
+    * tail over the LM-filtered corpus. Docs without a scored row (no
+    * bigram) never reach `lm_tail` — kept on both engines. */
+  def lmOracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5,
+               deconN: Int = 8, lambda: Double = 0.75,
+               trainPct: Int = 90, valPct: Int = 5): String =
+    s"""WITH RECURSIVE ${deconCtesSql(qualityMin, n, thr, deconN)},
+       |${BigramLm.refCtesSql(lambda, "lm_",
+           refFrom = "documents WHERE source = 'src0'", docsFrom = "decon")},
+       |${BigramLm.tercileCtesSql("lm_", "lm_agg")},
+       |lm_tail AS (SELECT doc_id FROM lm_r WHERE ((rk - 1) * 3) // n = 2),
+       |decon_lm AS (
+       |  SELECT d.doc_id, d.text, d.quality_score FROM decon d
+       |  LEFT JOIN lm_tail t ON d.doc_id = t.doc_id
+       |  WHERE t.doc_id IS NULL
+       |),
+       |${splitTailSql("decon_lm", n, thr, trainPct, valPct)}""".stripMargin
 
   /** The exact-prefix CTE chain (evals/train0 → cleaned → 8-gram decon),
     * ending in `decon (doc_id, text, quality_score)` — shared by both

@@ -441,26 +441,42 @@ object Multimodal {
       val biSize = u32(14)
       val width = u32(18).toInt  // reinterpret as s32le
       val height = u32(22).toInt // negative = top-down: unsupported, reject
-      val stride = if (width > 0) (width.toLong * 3 + 3) / 4 * 4 else 0L
-      val need = stride * math.max(height, 0).toLong
+      // the pixel-plane bound FIRST, before any size arithmetic: both w
+      // and h are < 2^31 here, so w.toLong*h cannot overflow — whereas
+      // stride*height and w.toLong*h*3 both CAN (w=h≈1.76e9 wraps them
+      // negative, sailing every later check and throwing on the Int-math
+      // allocation — the crafted-header contract violation the r14
+      // ADVICE caught). With this guard holding, stride ≤ 3w+3 and
+      // need ≤ 3wh+3h ≈ 8.6e9 stay comfortably inside Long, and
+      // rowBytes·height = 3wh fits Int by construction.
       if (biSize < 40 || u16(26) != 1 || u16(28) != 24 || u32(30) != 0 ||
         width <= 0 || height <= 0 ||
-        dataOffset < 54 || dataOffset > payload.length ||
-        need > payload.length - dataOffset ||
-        width.toLong * height * 3 > Int.MaxValue) None
+        width.toLong * height > Int.MaxValue / 3) None
       else {
-        val rowBytes = width * 3
-        val px = new Array[Byte](rowBytes * height)
-        var y = 0
-        while (y < height) {
-          val f = height - 1 - y
-          System.arraycopy(payload, (dataOffset + f * stride).toInt,
-            px, y * rowBytes, rowBytes)
-          y += 1
-        }
-        Some(BmpImage(width, height, px))
+        val stride = (width.toLong * 3 + 3) / 4 * 4
+        val need = stride * height
+        if (dataOffset < 54 || dataOffset > payload.length ||
+          need > payload.length - dataOffset) None
+        else decodeBmpPlane(payload, width, height, dataOffset, stride)
       }
     }
+  }
+
+  /** The validated-header pixel walk: re-order bottom-up padded file
+    * rows into image order. All bounds were proven by [[decodeBmp]]'s
+    * guards. */
+  private def decodeBmpPlane(payload: Array[Byte], width: Int, height: Int,
+                             dataOffset: Long, stride: Long): Option[BmpImage] = {
+    val rowBytes = width * 3
+    val px = new Array[Byte](rowBytes * height)
+    var y = 0
+    while (y < height) {
+      val f = height - 1 - y
+      System.arraycopy(payload, (dataOffset + f * stride).toInt,
+        px, y * rowBytes, rowBytes)
+      y += 1
+    }
+    Some(BmpImage(width, height, px))
   }
 
   /** Wrap each doc's bytes into a real BMP payload (width 5 → odd
@@ -573,6 +589,203 @@ object Multimodal {
              "FOR j IN range(1, CAST(h * 15 AS INTEGER) + 1)]), 0)")} AS row_weighted
        |FROM px ORDER BY media_id""".stripMargin
   }
+
+  // ------------------- third real format: WAV/PCM (1-D sample stream)
+
+  /** Decoded 16-bit PCM audio: channel count and the interleaved signed
+    * samples — the 1-D analogue of the pixel planes above. The decoder
+    * walks RIFF chunk structure (id/size pairs, even-byte padding),
+    * which is what distinguishes a real container parse from a byte
+    * fold: fmt fields are validated, unknown chunks are SKIPPED (not
+    * rejected — the container allows them), and the sample plane is
+    * bounds-checked in longs. */
+  final case class WavAudio(channels: Int, samples: Array[Short])
+
+  /** Build a REAL RIFF/WAVE container from raw bytes: RIFF envelope,
+    * canonical 16-byte PCM fmt chunk (LE fields), data chunk holding
+    * the input truncated to whole frames (channels × 2 bytes). The
+    * payload the decoder faces has genuine chunk structure to walk. */
+  def buildWav(data: Array[Byte], channels: Int = 2,
+               sampleRate: Int = 8000): Array[Byte] = {
+    val frameBytes = channels * 2
+    val dataLen = data.length / frameBytes * frameBytes
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    putU32(out, 4, (36 + dataLen).toLong)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    putU32(out, 16, 16L)                          // fmt chunk size
+    putU16(out, 20, 1)                            // PCM
+    putU16(out, 22, channels)
+    putU32(out, 24, sampleRate.toLong)
+    putU32(out, 28, (sampleRate * frameBytes).toLong) // byte rate
+    putU16(out, 32, frameBytes)                   // block align
+    putU16(out, 34, 16)                           // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    putU32(out, 40, dataLen.toLong)
+    System.arraycopy(data, 0, out, 44, dataLen)
+    out
+  }
+
+  /** REAL WAV decoder — RIFF envelope check, generic chunk walk (sizes
+    * as u32 read into LONGS, chunks padded to even offsets, any chunk
+    * overrunning the envelope rejects), fmt validation (PCM, 16-bit,
+    * blockAlign = channels·2), data length must be whole frames, then
+    * the s16le sample read. None for anything malformed — a corrupt
+    * payload must be rejected, not mis-summed. An empty data chunk is
+    * VALID (0 frames) per the format, unlike BMP's height-0 reject. */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload == null) return None // a null cell must reject, not NPE a task
+    def u16(off: Int) = (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    def tag(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    if (payload.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else if (u32(4) + 8 > payload.length) None // truncated vs declared size
+    else {
+      val end = (u32(4) + 8).toInt // ≤ payload.length, so Int-safe
+      var off = 12L
+      var channels = 0
+      var dataStart = -1L
+      var dataLen = -1L
+      var bad = false
+      while (!bad && off + 8 <= end) {
+        val id = tag(off.toInt)
+        val sz = u32(off.toInt + 4)
+        val body = off + 8
+        if (sz > end - body) bad = true // chunk overruns the envelope
+        else {
+          if (id == "fmt ") {
+            // canonical PCM fmt: format 1, ≥1 channel, 16-bit samples,
+            // self-consistent block alignment
+            if (sz < 16 || u16(body.toInt) != 1 || u16(body.toInt + 2) < 1 ||
+              u16(body.toInt + 14) != 16 ||
+              u16(body.toInt + 12) != u16(body.toInt + 2) * 2) bad = true
+            else channels = u16(body.toInt + 2)
+          } else if (id == "data") {
+            dataStart = body; dataLen = sz
+          } // unknown chunks (LIST, cue, ...) skip — the container allows them
+          off = body + sz + (sz & 1) // chunks align to even offsets
+        }
+      }
+      if (bad || channels == 0 || dataStart < 0 ||
+        dataLen % (channels * 2) != 0) None
+      else {
+        val n = (dataLen / 2).toInt
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val b = dataStart.toInt + 2 * i
+          samples(i) = ((payload(b) & 0xff) | (payload(b + 1) << 8)).toShort
+          i += 1
+        }
+        Some(WavAudio(channels, samples))
+      }
+    }
+  }
+
+  /** Wrap each doc's bytes into a real WAV payload — built imperatively
+    * in the same per-partition seam the decoder runs in (payloads never
+    * cross a shuffle), like [[asBmpPayloads]]. */
+  def asWavPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = docs.select(col("doc_id"), col("text").cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          // a null text casts to a null binary; build the header-only WAV
+          // (0 frames — valid, all-zero stats) instead of NPE-ing a task
+          val bytes =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), buildWav(bytes))
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private val wavFeatureSchema = StructType(
+    Seq("media_id", "channels", "n_frames", "ch0_sum", "ch1_sum", "peak_abs")
+      .map(StructField(_, LongType, nullable = false)))
+
+  /** Decode WAV payloads per partition and reduce each stream to exact
+    * integer statistics of the ACTUAL sample layout: per-channel sums
+    * walk the interleave stride (a decoder that mis-strides channels
+    * swaps ch0/ch1 mass), and `peak_abs` = max |signed sample| — the
+    * signedness-sensitive statistic that catches a decoder reading
+    * s16le as unsigned (sums alone could compensate across positive and
+    * negative errors). Rejected payloads report -1, kept visible. */
+  def extractWavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(w) =>
+            var s0 = 0L; var s1 = 0L; var peak = 0L
+            var i = 0
+            while (i < w.samples.length) {
+              val v = w.samples(i).toLong
+              (i % w.channels: @annotation.switch) match {
+                case 0 => s0 += v
+                case 1 => s1 += v
+                case _ => ()
+              }
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            Row(r.getLong(0), w.channels.toLong,
+              (w.samples.length / w.channels).toLong, s0, s1, peak)
+          case None => Row(r.getLong(0), -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, wavFeatureSchema)
+  }
+
+  /** Gated query `multimodal_decode_wav`: the decode seam's THIRD real
+    * format — and its first 1-D SAMPLE STREAM: RIFF chunk walk,
+    * channel de-interleave, signed 16-bit samples. Proves the seam
+    * generalizes beyond 2-D pixel planes to the audio half of a
+    * multimodal corpus. */
+  def wavGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    extractWavFeatures(asWavPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+
+  /** DuckDB twin: recomputes the expected decode output from the
+    * builder's rule over the text's hex expansion — data = the first
+    * ⌊n/4⌋·4 bytes, sample j = bytes (2j−1, 2j) as s16le (signed via
+    * the ≥ 2¹⁵ fold), channel = (j−1) mod 2, peak over |samples|. A
+    * decoder that mis-strides the interleave or reads samples unsigned
+    * cannot hash-match. */
+  val wavDecodeOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  FROM documents
+       |), d AS (
+       |  SELECT media_id, (n // 4) * 4 AS m,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 4) * 4 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |), s AS (
+       |  SELECT media_id, m // 4 AS n_frames,
+       |         [CASE WHEN bs[2*j - 1] + 256 * bs[2*j] >= 32768
+       |               THEN bs[2*j - 1] + 256 * bs[2*j] - 65536
+       |               ELSE bs[2*j - 1] + 256 * bs[2*j] END
+       |          FOR j IN range(1, CAST(m // 2 AS INTEGER) + 1)] AS ss
+       |  FROM d
+       |)
+       |SELECT media_id, CAST(2 AS BIGINT) AS channels,
+       |       CAST(n_frames AS BIGINT) AS n_frames,
+       |       CAST(COALESCE(list_sum([ss[2*i - 1]
+       |            FOR i IN range(1, CAST(n_frames AS INTEGER) + 1)]), 0) AS BIGINT) AS ch0_sum,
+       |       CAST(COALESCE(list_sum([ss[2*i]
+       |            FOR i IN range(1, CAST(n_frames AS INTEGER) + 1)]), 0) AS BIGINT) AS ch1_sum,
+       |       CAST(COALESCE(list_max(list_transform(ss, v -> abs(v))), 0) AS BIGINT) AS peak_abs
+       |FROM s ORDER BY media_id""".stripMargin
 
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */

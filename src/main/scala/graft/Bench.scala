@@ -145,7 +145,8 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
     catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
     val (compact, omitted) =
-      compactLine(results.map(r => (r._1, r._2)), sfDir, tripped.map(_._1))
+      compactLine(results.map(r => (r._1, r._2)), sfDir, tripped.map(_._1),
+        roundSeed())
     if (omitted.nonEmpty)
       System.err.println("[bench] line-budget overflow (full record in bench.json): " +
         omitted.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
@@ -193,6 +194,30 @@ object Bench {
         artifact.getOrElse(k, Double.MaxValue))
     }.toMap
   }
+
+  /** The CURRENT round number (highest committed `BENCH_r{N}` + 1) —
+    * the rotation seed for compact-line membership. With only ~half of
+    * the droppable entries fitting the line each round, a fixed greedy
+    * order would leave the SAME set permanently in overflow — and an
+    * overflow entry's round-over-round floor lives only in local
+    * bench.json, which every local run rewrites. A per-round seed
+    * rotates which droppables ride the line, so every gate gets a
+    * committed driver-artifact floor at least every ~2 rounds. */
+  private[graft] def roundSeed(dir: String = "."): Int = {
+    val re = """BENCH_r(\d+)\.json""".r
+    latestBenchArtifact(java.nio.file.Paths.get(dir))
+      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString))
+      .flatMap(_.group(1).toIntOption).map(_ + 1).getOrElse(0)
+  }
+
+  /** The seed-rotated greedy re-add order over droppable entries: md5 of
+    * "r<seed>:<name>" — deterministic within a round, reshuffled across
+    * rounds. */
+  private[graft] def rotationOrder(names: Seq[String], seed: Int): Seq[String] =
+    names.sortBy { n =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"r$seed:$n".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
 
   /** The highest-numbered committed `BENCH_r{N}.json` in `dir`, if any. */
   private[graft] def latestBenchArtifact(d: java.nio.file.Path): Option[java.nio.file.Path] =
@@ -268,13 +293,16 @@ object Bench {
     * the line. */
   private[graft] def compactLine(results: Seq[(String, Double)],
                                  sfDir: String,
-                                 tripped: Seq[String] = Nil): (String, Seq[(String, Double)]) = {
+                                 tripped: Seq[String] = Nil,
+                                 seed: Int = 0): (String, Seq[(String, Double)]) = {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val droppable = results.collect {
+    // re-add order rotates with the round seed ([[roundSeed]]): a fixed
+    // order would strand a constant overflow set with no committed floor
+    val droppable = rotationOrder(results.collect {
       case (k, v) if SparkEntry.lowPriorityBench.contains(k) && v >= 0 => k
-    }
+    }, seed)
     var kept = Set.empty[String]
     def render(): String = {
       val entries = results.filter { case (k, v) =>

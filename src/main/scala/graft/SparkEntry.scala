@@ -648,7 +648,11 @@ object SparkEntry {
                              // line); the ivf_index_append rationale
     "imi_sq8_remove",        // filtered-rewrite sibling of ivf_imi_remove
     "imi_sq8_compact",       // lifecycle sibling of ivf_imi_compact
-    "imi_sq8_requantize")    // rebuild-at-newC sibling of ivf_imi_requantize
+    "imi_sq8_requantize",    // rebuild-at-newC sibling of ivf_imi_requantize
+    "semantic_dedup",        // hash-quantizer anchor; the production
+                             // semantic_dedup_imi path stays on the line
+    "ivf_sq8_probe")         // flat-quantizer compressed tier; the composed
+                             // imi_sq8_probe serving tier stays on the line
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

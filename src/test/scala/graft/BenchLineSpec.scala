@@ -126,6 +126,48 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("compact-line membership rotates with the round seed") {
+    // with the full suite overflowing the cap, consecutive rounds must
+    // keep DIFFERENT droppable subsets on the line — that is what gives
+    // every overflow entry a committed driver-artifact floor every ~2
+    // rounds instead of stranding a fixed set in local-only bench.json
+    val results = fullResults()
+    val omittedBySeed = (15 to 17).map { s =>
+      val (line, omitted) = Bench.compactLine(results, "/root/testdata/sf0.1",
+        Nil, seed = s)
+      assert(line.length < 1800, s"seed $s line is ${line.length} chars")
+      // rotation must never widen droppability: only lowPriorityBench falls off
+      for ((k, _) <- omitted)
+        assert(SparkEntry.lowPriorityBench.contains(k), s"$k is not droppable")
+      // deterministic within a round
+      val (again, _) = Bench.compactLine(results, "/root/testdata/sf0.1",
+        Nil, seed = s)
+      assert(again === line)
+      omitted.map(_._1).toSet
+    }
+    assert(omittedBySeed.forall(_.nonEmpty), "the full suite must overflow")
+    assert(omittedBySeed.distinct.size > 1,
+      "consecutive seeds must rotate the overflow set")
+    // across a few rounds, rotation reaches entries a fixed order never would
+    val always = omittedBySeed.reduce(_ intersect _)
+    assert(always.size < omittedBySeed.head.size,
+      "rotation must move at least some entries on/off the line")
+  }
+
+  test("roundSeed derives from the highest committed BENCH_r{N}.json") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_seed_spec")
+    try {
+      assert(Bench.roundSeed(dir.toString) === 0, "no artifact -> seed 0")
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r3.json"), "{}")
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r14.json"), "{}")
+      assert(Bench.roundSeed(dir.toString) === 15,
+        "the seed is the CURRENT round: highest artifact + 1")
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("when everything fits, nothing is dropped and no 'more' field appears") {
     val few = Seq("q1_agg_orders" -> 1.5, "dedup_canonical" -> 9.642186593)
     val (line, omitted) = Bench.compactLine(few, "/root/testdata/sf0.1")

@@ -1,0 +1,232 @@
+package graft
+
+import graft.operators.{CurateE2e, Multimodal, SemanticDedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions: the WAV/PCM decoder, the composed IMI×SQ8 tier,
+  * the IMI-assigned SemDeDup seam, the CCNet filter inside the curation
+  * DAG, the BMP huge-dims overflow guard, and the ann_recall floor. */
+class Round15Spec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------- WAV decoder
+
+  test("buildWav/decodeWav: roundtrip restores signed interleaved samples") {
+    // 3 frames of 2ch s16le with known signed values
+    val samples = Array[Short](100, -200, 3000, -32768, 32767, 0)
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val wav = Multimodal.buildWav(data)
+    assert(wav.length === 44 + 12)
+    val a = Multimodal.decodeWav(wav).get
+    assert(a.channels === 2)
+    assert(a.samples.toSeq === samples.toSeq)
+  }
+
+  test("decodeWav: chunk walk skips unknown chunks and honors even padding") {
+    // hand-build: RIFF [ junk(3, padded to 4) | fmt | data ]
+    val base = Multimodal.buildWav(Array[Byte](1, 0, 2, 0))
+    val fmtAndData = base.drop(12) // fmt..data chunks of the canonical file
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](9, 9, 9, 0) // size 3 → 1 pad byte
+    val out = new Array[Byte](12 + junk.length + fmtAndData.length)
+    System.arraycopy(base, 0, out, 0, 12)
+    System.arraycopy(junk, 0, out, 12, junk.length)
+    System.arraycopy(fmtAndData, 0, out, 12 + junk.length, fmtAndData.length)
+    // patch the RIFF size for the longer envelope
+    val riffSize = out.length - 8
+    for (i <- 0 until 4) out(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte
+    val a = Multimodal.decodeWav(out).get
+    assert(a.samples.toSeq === Seq[Short](1, 2),
+      "an unknown odd-sized chunk between header and fmt must be skipped")
+  }
+
+  test("decodeWav: structural validation rejects malformed payloads without throwing") {
+    val good = Multimodal.buildWav(Array.tabulate(40)(_.toByte))
+    def mutated(f: Array[Byte] => Unit): Option[Multimodal.WavAudio] = {
+      val b = good.clone(); f(b); Multimodal.decodeWav(b)
+    }
+    assert(Multimodal.decodeWav(Array[Byte](1, 2, 3)).isEmpty, "too short")
+    assert(Multimodal.decodeWav(null).isEmpty, "null payload")
+    assert(mutated(_(0) = 'X').isEmpty, "bad RIFF magic")
+    assert(mutated(_(8) = 'X').isEmpty, "bad WAVE tag")
+    assert(mutated(_(20) = 2).isEmpty, "non-PCM format")
+    assert(mutated(_(34) = 8).isEmpty, "8-bit samples unsupported")
+    assert(mutated(_(32) = 3).isEmpty, "blockAlign inconsistent with channels")
+    assert(mutated(b => { b(22) = 0; b(23) = 0 }).isEmpty, "0 channels")
+    assert(Multimodal.decodeWav(good.dropRight(1)).isEmpty,
+      "truncated vs declared RIFF size")
+    // a data size that is not whole frames must reject, not mis-stride
+    assert(mutated(_(40) = 3).isEmpty, "partial-frame data length")
+    // a chunk size overrunning the RIFF envelope must reject (long math)
+    assert(mutated(b => { b(43) = 0x7f }).isEmpty, "chunk overruns envelope")
+    // 0 data frames is VALID (unlike BMP's height-0): all-zero stats
+    val empty = Multimodal.decodeWav(Multimodal.buildWav(Array[Byte](1, 2))).get
+    assert(empty.samples.isEmpty)
+  }
+
+  test("extractWavFeatures: de-interleave and signedness pin the sample walk") {
+    // ch0 = +1 each frame, ch1 = -2 each frame; 4 frames
+    val data = Array.fill(4)(Array[Byte](1, 0, 0xfe.toByte, 0xff.toByte)).flatten
+    val media = Seq((3L, Multimodal.buildWav(data))).toDF("media_id", "payload")
+    val r = Multimodal.extractWavFeatures(media).collect().head
+    assert(r.getAs[Long]("channels") === 2)
+    assert(r.getAs[Long]("n_frames") === 4)
+    assert(r.getAs[Long]("ch0_sum") === 4, "channel 0 mass")
+    assert(r.getAs[Long]("ch1_sum") === -8, "channel 1 mass (signed)")
+    assert(r.getAs[Long]("peak_abs") === 2, "peak over |signed| samples")
+    // a rejected payload reports -1, visible
+    val bad = Seq((4L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.extractWavFeatures(bad).collect().head
+      .getAs[Long]("channels") === -1)
+  }
+
+  test("all three decoders never throw on arbitrary or mutated bytes (seeded fuzz)") {
+    val rnd = new scala.util.Random(15)
+    for (n <- Seq(0, 1, 11, 12, 43, 44, 45, 200, 4096); _ <- 1 to 100) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      Multimodal.decodeWav(b); Multimodal.decodeBmp(b); Multimodal.decodePpm(b)
+    }
+    val goodWav = Multimodal.buildWav(Array.tabulate(64)(_.toByte))
+    for (_ <- 1 to 1000) {
+      val b = goodWav.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Multimodal.decodeWav(b)
+    }
+    succeed
+  }
+
+  // ---------------------------------------------- BMP overflow guard
+
+  test("decodeBmp: w=h≈1.76e9 crafted header rejects (the r14 ADVICE overflow)") {
+    // width = height = 1759218605: stride*height AND w*h*3 both wrap
+    // negative in Long, and rowBytes*height wraps negative in Int — the
+    // old guards all passed and the allocation threw. The pixel-plane
+    // bound w.toLong*h > Int.MaxValue/3 rejects before any of that math.
+    val good = Multimodal.buildBmp(Array.tabulate(30)(_.toByte))
+    val b = good.clone()
+    val dim = 1759218605L
+    for (off <- Seq(18, 22); i <- 0 until 4)
+      b(off + i) = ((dim >> (8 * i)) & 0xff).toByte
+    assert(Multimodal.decodeBmp(b).isEmpty, "huge dims must reject, not throw")
+    // and the boundary stays permissive: dims whose plane fits Int decode
+    assert(Multimodal.decodeBmp(good).nonEmpty)
+  }
+
+  // ------------------------------------------------- IMI × SQ8 tier
+
+  test("probeImiSq8Index: deterministic reload; codes decode identically to flat SQ8 math") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imisq8_spec")
+    val idx = tmp.resolve("index").toString
+    Similarity.writeImiSq8Index(e, idx, c1 = 4, c2 = 4, iterations = 1)
+    val q = e.filter(col("vec_id") < 4)
+    val once = Similarity.probeImiSq8Index(spark, idx, q, k = 5).collect().map(_.toSeq)
+    val again = Similarity.probeImiSq8Index(spark, idx, q, k = 5).collect().map(_.toSeq)
+    assert(once.nonEmpty && once.toSeq === again.toSeq)
+    // the stored codes are the SAME sq8Encode the flat tier writes: decode
+    // roundtrips through the persisted stats bit-for-bit
+    val dim = Similarity.embeddingDim(e)
+    val (mn, mx) = Similarity.sq8Stats(e, dim)
+    val s = spark.read.parquet(s"$idx/_sq8_v0").first()
+    assert(s.getAs[Seq[Double]]("mn") === mn.toSeq)
+    assert(s.getAs[Seq[Double]]("mx") === mx.toSeq)
+  }
+
+  test("IMI×SQ8 lifecycle: append+requantize equals a from-scratch composed build") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imisq8_rq_spec")
+    val idx = tmp.resolve("index").toString
+    Similarity.writeImiSq8Index(e.filter(col("vec_id") % 5 =!= 0), idx,
+      c1 = 4, c2 = 4, iterations = 1)
+    Similarity.appendToImiSq8Index(spark, idx, e.filter(col("vec_id") % 5 === 0))
+    Similarity.requantizeImiSq8Index(spark, idx, e, c1 = 8, c2 = 8, iterations = 1)
+    val fresh = tmp.resolve("fresh").toString
+    Similarity.writeImiSq8Index(e, fresh, c1 = 8, c2 = 8, iterations = 1)
+    val a = spark.read.parquet(s"$idx/data_v1")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    val b = spark.read.parquet(s"$fresh/data_v0")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq,
+      "append + requantize must be indistinguishable from a fresh build")
+  }
+
+  test("removeFromImiSq8Index: codes move verbatim under ALL frozen sidecars") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_imisq8_rm_spec")
+    val idx = tmp.resolve("index").toString
+    Similarity.writeImiSq8Index(e, idx, c1 = 4, c2 = 4, iterations = 1)
+    val before = spark.read.parquet(s"$idx/data_v0")
+      .filter(col("vec_id") % 5 =!= 0)
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    Similarity.removeFromImiSq8Index(spark, idx,
+      e.filter(col("vec_id") % 5 === 0).select(col("vec_id")))
+    val after = spark.read.parquet(s"$idx/data_v1")
+      .orderBy(col("vec_id")).collect().map(_.toSeq)
+    assert(after.toSeq === before.toSeq, "kept codes byte-identical")
+    // all three sidecars carried forward unchanged
+    for (q <- Seq("_quantizer1_v", "_quantizer2_v", "_sq8_v"))
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(idx, s"${q}1")),
+        s"$q sidecar must advance with the generation")
+  }
+
+  // ------------------------------------------------- ann_recall floor
+
+  test("ann_recall: absolute hit floors — a lockstep recall collapse fails even if both engines agree") {
+    // the gate hash-matches Spark vs DuckDB, so a spec change that costs
+    // recall IDENTICALLY on both engines would still pass it (r14
+    // ADVICE). These floors pin measured absolute quality at this corpus
+    // (ivf/sq8 = 23, imi/imisq8 = 36 of 80 at the gate's probe budgets —
+    // the hash-quantizer tiers at tiny N; trained recall is far higher).
+    val r = Similarity.annRecallFromDir(spark, sf)
+      .agg(sum("k_truth"), sum("hits_ivf"), sum("hits_sq8"),
+        sum("hits_imi"), sum("hits_imisq8")).first()
+    assert(r.getLong(0) === 80)
+    assert(r.getLong(1) >= 20, s"hits_ivf ${r.getLong(1)} collapsed")
+    assert(r.getLong(2) >= 20, s"hits_sq8 ${r.getLong(2)} collapsed")
+    assert(r.getLong(3) >= 30, s"hits_imi ${r.getLong(3)} collapsed")
+    assert(r.getLong(4) >= 30, s"hits_imisq8 ${r.getLong(4)} collapsed")
+  }
+
+  // ------------------------------------------- SemDeDup over the store
+
+  test("semantic_dedup_imi seam: pruning the persisted store's assignment equals pruning a fresh one") {
+    val e = Tables.embeddings(spark, sf).cache()
+    val dim = Similarity.embeddingDim(e)
+    val (c1, c2) = Similarity.trainImi(e, 8, 8, iterations = 2, dim)
+    val fresh = SemanticDedup.pruneAssigned(
+      Similarity.assignImi(e, c1, c2, dim / 2)
+        .withColumn("centroid_id", col("cid1") * 8 + col("cid2"))
+        .drop("cid1", "cid2")).collect().map(_.toSeq)
+    val stored = SemanticDedup.imiFromDir(spark, sf).collect().map(_.toSeq)
+    assert(stored.toSeq === fresh.toSeq,
+      "the persisted store's assignment is the same pure function of the codebooks")
+  }
+
+  // --------------------------------------------- CCNet-composed curation
+
+  test("curateLm drops exactly the scored tail tercile and keeps unscoreable docs") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val ref = docs.filter(col("source") === "src0")
+    val base = CurateE2e.curate(train, eval).select(col("doc_id"))
+    val lm = CurateE2e.curateLm(train, eval, ref).select(col("doc_id"))
+    val nBase = base.count()
+    val nLm = lm.count()
+    assert(nLm < nBase, "the LM stage must actually drop documents")
+    // every kept doc was kept by the base DAG too (the stage only removes)
+    assert(lm.join(base, Seq("doc_id"), "left_anti").count() === 0)
+    // the drop is EXACTLY the tail tercile of the scored shipped
+    // population: ranks with ((rk−1)·3) div n = 2, i.e. n − ⌈2n/3⌉ docs
+    // (every shipped doc at this corpus has ≥2 tokens → all are scored)
+    val shipped = nBase
+    assert(nBase - nLm === shipped - (2 * shipped + 2) / 3,
+      s"dropped ${nBase - nLm} of $shipped — must be the tail tercile")
+  }
+}

@@ -276,6 +276,10 @@ object SparkEntry {
     // the two-level path: vector list probes the persisted trained IMI
     // index — only the list source moves; lex + fusion identical
     "hybrid_rrf_imi" -> tuned(HybridRetrieval.fromDirImi(_, _)),
+    // the compressed-tier path: vector list probes the IMI x SQ8 index
+    // (pruned code reads + decode + asymmetric re-score) — the full
+    // retrieval stack served from the 100 TB storage tier
+    "hybrid_rrf_imisq8" -> tuned(HybridRetrieval.fromDirImiSq8(_, _)),
     // ANCE-style contrastive mining: BM25-top docs the embedding space
     // places far away (rounded cosine < tau) — query-bounded re-score
     "hard_negatives" -> tuned(HybridRetrieval.hardNegativesFromDir),
@@ -489,6 +493,7 @@ object SparkEntry {
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
     "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
     "hybrid_rrf_imi" -> HybridRetrieval.oracleImi(),
+    "hybrid_rrf_imisq8" -> HybridRetrieval.oracleImiSq8(),
     "hard_negatives" -> HybridRetrieval.hardNegativesOracle(),
     "quality_classifier" -> QualityClassifier.oracle(),
     "corpus_diff" -> CorpusDiff.oracle(),
@@ -549,7 +554,8 @@ object SparkEntry {
       "imi_sq8_remove",     // the memoized composed build + one rewrite
       "imi_sq8_compact",    // backlog training loops + append + one rewrite
       "imi_sq8_requantize", // backlog + union retraining at the new C
-      "semantic_dedup_imi") // the memoized trained IMI store + the prune plan
+      "semantic_dedup_imi", // the memoized trained IMI store + the prune plan
+      "hybrid_rrf_imisq8")  // the memoized composed store + fusion plan
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -635,6 +641,8 @@ object SparkEntry {
     "ivf_imi_requantize",    // rebuild-at-newC sibling of ivf_requantize
     "hybrid_rrf_imi",        // fusion twin of hybrid_rrf_indexed (on the
                              // line); its list source ivf_ann_imi is too
+    "hybrid_rrf_imisq8",     // fusion twin over the compressed tier; its
+                             // list source imi_sq8_probe is on the line
     "ivf_imi_health",        // scan twin of ivf_index_health (on the line),
                              // two half-space sweeps instead of one flat
     "ref_lm_buckets",        // cost-superset twin of ref_lm_logprob (on the

@@ -178,6 +178,42 @@ object HybridRetrieval {
        |  SELECT query_id, neighbor_id AS doc_id, rank AS vrank FROM imi
        |)${fusionTailSql(k, kRrf)}""".stripMargin
 
+  /** The COMPRESSED two-level production path: the vector list probes
+    * the persisted IMI×SQ8 index (combined-cell pruned CODE reads,
+    * decode + asymmetric re-score — the `imi_sq8_probe` surface), fused
+    * with the same lexical list. With this, the full retrieval stack
+    * serves from the tier a 100 TB deployment stores: only the list
+    * source moves, lex + fusion identical. */
+  def fromDirImiSq8(spark: SparkSession, dir: String, numQueries: Int = 8,
+                    kList: Int = 20, k: Int = 10, kRrf: Int = 60,
+                    c1: Int = 8, c2: Int = 8, nProbe1: Int = 2, nProbe2: Int = 2,
+                    iterations: Int = 2,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val vec = Similarity.imiSq8ProbeFromDir(spark, dir, numQueries, kList,
+        c1, c2, nProbe1, nProbe2, iterations)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    fuse(lexList(Tables.documents(spark, dir), numQueries, kList, k1, b),
+      vec, k, kRrf)
+  }
+
+  /** DuckDB twin of [[fromDirImiSq8]]: the SAME lex chain and fusion
+    * tail; the vector list is the full [[Similarity.imiSq8Oracle]]
+    * nested as a CTE (subquery-scoped inner WITH, as with the IMI
+    * twin). */
+  def oracleImiSq8(numQueries: Int = 8, kList: Int = 20, k: Int = 10,
+                   kRrf: Int = 60, c1: Int = 8, c2: Int = 8,
+                   nProbe1: Int = 2, nProbe2: Int = 2, iterations: Int = 2,
+                   dim: Int = Similarity.LshOracleDim,
+                   k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH ${lexCtesSql(numQueries, kList, k1, b)},
+       |imisq8 AS (
+       |${Similarity.imiSq8Oracle(numQueries, kList, c1, c2, nProbe1,
+           nProbe2, iterations, dim)}
+       |), vec AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS vrank FROM imisq8
+       |)${fusionTailSql(k, kRrf)}""".stripMargin
+
   /** ANCE-style hard-negative mining for retrieval training (Xiong et
     * al. 2020, arXiv:2007.00808 — negatives that the LEXICAL retriever
     * ranks highly but the embedding space places far away are the

@@ -298,7 +298,9 @@ object Multimodal {
     * expressions on the scan (binary concat + substr; no shuffle), so the
     * decoder downstream faces a genuine header it must actually parse. */
   def asPpmPayloads(docs: DataFrame): DataFrame = {
-    val bin = col("text").cast("binary")
+    // a NULL text builds from empty bytes (the asBmpPayloads/asWavPayloads
+    // convention): the decoder sees a valid 8×0 header, not a NULL payload
+    val bin = coalesce(col("text"), lit("")).cast("binary")
     val h = floor(length(bin) / lit(24)).cast("int")
     docs.select(col("doc_id").as("media_id"),
       concat(concat(lit("P6\n8 "), h.cast("string"), lit("\n255\n")).cast("binary"),
@@ -358,8 +360,8 @@ object Multimodal {
     * triplets cannot hash-match this. */
   val decodeOracle: String =
     s"""WITH b AS (
-       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
        |  FROM documents
        |), px AS (
        |  SELECT media_id, n // 24 AS h, (n // 24) * 8 AS npix,
@@ -568,9 +570,12 @@ object Multimodal {
     // channel o ∈ {0=B,1=G,2=R} lives at 1-based positions 3i-(2-o)
     def chanSum(o: Int) = guarded(
       s"COALESCE(list_sum([bs[3*i - ${2 - o}] FOR i IN range(1, CAST(h * 5 AS INTEGER) + 1)]), 0)")
+    // COALESCE: a NULL text builds from empty bytes on the Spark side
+    // (asBmpPayloads) → height-0 reject; the oracle must reach the same
+    // h = 0 → -1 row, not propagate NULL through n
     s"""WITH b AS (
-       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
        |  FROM documents
        |), px AS (
        |  SELECT media_id, n // 15 AS h,
@@ -762,8 +767,8 @@ object Multimodal {
     * cannot hash-match. */
   val wavDecodeOracle: String =
     s"""WITH b AS (
-       |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
-       |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
        |  FROM documents
        |), d AS (
        |  SELECT media_id, (n // 4) * 4 AS m,

@@ -910,9 +910,7 @@ object Similarity {
                        k: Int = 10, nProbe: Int = 4): DataFrame = {
     val centroids = readQuantizer(spark, dir)
     val g = ivfGen(dir)
-    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
-    val mn = r.getAs[Seq[Double]]("mn").toArray
-    val mx = r.getAs[Seq[Double]]("mx").toArray
+    val (mn, mx) = readSq8Sidecar(spark, dir, g)
     val probes = queryProbes(queries, centroids, nProbe)
     val probedCells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -950,10 +948,7 @@ object Similarity {
   def appendToIvfSq8Index(spark: SparkSession, dir: String,
                           newVectors: DataFrame): Unit = {
     val centroids = readQuantizer(spark, dir)
-    val g = ivfGen(dir)
-    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
-    val mn = r.getAs[Seq[Double]]("mn").toArray
-    val mx = r.getAs[Seq[Double]]("mx").toArray
+    val (mn, mx) = readSq8Sidecar(spark, dir, ivfGen(dir))
     assignToCentroids(newVectors, centroids)
       .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),
         col("centroid_id"))
@@ -993,6 +988,15 @@ object Similarity {
   private def rewriteSq8Generation(spark: SparkSession, dir: String,
                                    keep: DataFrame => DataFrame): Unit =
     rewriteGeneration(spark, dir, Seq("_quantizer_v", "_sq8_v"), keep)
+
+  /** The persisted per-dim extrema sidecar of generation `g` — the ONE
+    * decode point for `_sq8_v` shared by both compressed tiers' probe
+    * and append paths (a sidecar schema change lands in one place). */
+  private def readSq8Sidecar(spark: SparkSession, dir: String,
+                             g: Long): (Array[Double], Array[Double]) = {
+    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
+    (r.getAs[Seq[Double]]("mn").toArray, r.getAs[Seq[Double]]("mx").toArray)
+  }
 
   /** ONE generation-rewrite discipline for every tiered store: sweep
     * crashed-promote residue, stage the kept rows cell-coalesced into
@@ -1734,9 +1738,7 @@ object Similarity {
     val g = ivfGen(dir)
     val cents1 = readQuantizerPath(spark, s"$dir/_quantizer1_v$g")
     val cents2 = readQuantizerPath(spark, s"$dir/_quantizer2_v$g")
-    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
-    val mn = r.getAs[Seq[Double]]("mn").toArray
-    val mx = r.getAs[Seq[Double]]("mx").toArray
+    val (mn, mx) = readSq8Sidecar(spark, dir, g)
     val probes = imiProbeFrame(queries, cents1, cents2, nProbe1, nProbe2)
     val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
@@ -1752,9 +1754,7 @@ object Similarity {
   def appendToImiSq8Index(spark: SparkSession, dir: String,
                           newVectors: DataFrame): Unit = {
     val (cents1, cents2) = readImiQuantizers(spark, dir)
-    val r = spark.read.parquet(s"$dir/_sq8_v${ivfGen(dir)}").first()
-    val mn = r.getAs[Seq[Double]]("mn").toArray
-    val mx = r.getAs[Seq[Double]]("mx").toArray
+    val (mn, mx) = readSq8Sidecar(spark, dir, ivfGen(dir))
     assignImi(newVectors, cents1, cents2, cents1.head._2.length)
       .withColumn("centroid_id", col("cid1") * cents2.length + col("cid2"))
       .select(col("vec_id"), sq8Encode(col("embedding"), mn, mx).as("codes"),

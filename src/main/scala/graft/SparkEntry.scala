@@ -97,6 +97,25 @@ object SparkEntry {
     "imi_sq8_remove" -> tuned(Similarity.imiSq8RemoveProbeFromDir(_, _)),
     "imi_sq8_compact" -> tuned(Similarity.imiSq8CompactProbeFromDir(_, _)),
     "imi_sq8_requantize" -> tuned(Similarity.imiSq8RequantizeProbeFromDir(_, _)),
+    // the PQ tier: m per-subspace codebooks trained with the exact-Lloyd
+    // machinery, cells store m-int CODES (~12 information bits/vector),
+    // probe = pruned cell read -> O(m)-per-candidate ADC lookup-table
+    // re-score — the most aggressive compression tier, full lifecycle
+    "ivf_pq_probe" -> tuned(Similarity.ivfPqProbeFromDir(_, _)),
+    "ivf_pq_append" -> tuned(Similarity.ivfPqAppendProbeFromDir(_, _)),
+    "ivf_pq_remove" -> tuned(Similarity.ivfPqRemoveProbeFromDir(_, _)),
+    "ivf_pq_compact" -> tuned(Similarity.ivfPqCompactProbeFromDir(_, _)),
+    "ivf_pq_requantize" -> tuned(Similarity.ivfPqRequantizeProbeFromDir(_, _)),
+    // the PQ tier's SERVING path: ADC shortlist (O(m)/candidate, codes
+    // only) -> exact re-score of the R survivors against full-precision
+    // vectors (the IVFPQ+refine shape) — recall recovered at R >> k
+    "ivf_pq_rerank" -> tuned(Similarity.ivfPqRerankFromDir(_, _)),
+    // filtered (predicate-constrained) search: top-k among documents
+    // satisfying a metadata predicate — the index is NOT rebuilt per
+    // predicate; candidates semi-join the allowed ids before re-score,
+    // on the float tier and composed with the PQ/ADC tier
+    "ivf_ann_filtered" -> tuned(Similarity.ivfAnnFilteredFromDir(_, _)),
+    "ivf_pq_filtered" -> tuned(Similarity.ivfPqFilteredFromDir(_, _)),
     // SemDeDup over the persisted trained IMI store's assignment — the
     // production semantic-dedup configuration (the measured 5.8x
     // assignment win), prune CTEs unchanged
@@ -417,6 +436,17 @@ object SparkEntry {
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0"),
       statsWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "imi_sq8_requantize" -> Similarity.imiSq8Oracle(c1 = 16, c2 = 16),
+    "ivf_pq_probe" -> Similarity.ivfPqOracle(),
+    "ivf_pq_append" -> Similarity.ivfPqOracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_pq_remove" -> Similarity.ivfPqOracle(
+      keepWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_pq_compact" -> Similarity.ivfPqOracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_pq_requantize" -> Similarity.ivfPqOracle(numCentroids = 32),
+    "ivf_pq_rerank" -> Similarity.ivfPqRerankOracle(),
+    "ivf_ann_filtered" -> Similarity.ivfAnnFilteredOracle(),
+    "ivf_pq_filtered" -> Similarity.ivfPqFilteredOracle(),
     "semantic_dedup_imi" -> SemanticDedup.imiOracle(),
     "label_knn_agreement" -> LabelNoise.oracle(),
     "label_knn_agreement_ivf" -> LabelNoise.ivfOracle(),
@@ -555,7 +585,14 @@ object SparkEntry {
       "imi_sq8_compact",    // backlog training loops + append + one rewrite
       "imi_sq8_requantize", // backlog + union retraining at the new C
       "semantic_dedup_imi", // the memoized trained IMI store + the prune plan
-      "hybrid_rrf_imisq8")  // the memoized composed store + fusion plan
+      "hybrid_rrf_imisq8",  // the memoized composed store + fusion plan
+      "ivf_pq_probe",       // m per-subspace training loops + memoized build
+      "ivf_pq_append",      // backlog training loops + memoized backlog build
+      "ivf_pq_remove",      // the memoized trained build + one rewrite
+      "ivf_pq_compact",     // backlog training loops + append + one rewrite
+      "ivf_pq_requantize",  // backlog + union retraining at the new C
+      "ivf_pq_rerank",      // the memoized trained build + shortlist + refine
+      "ivf_pq_filtered")    // the memoized trained build + filtered probe
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -659,8 +696,21 @@ object SparkEntry {
     "imi_sq8_requantize",    // rebuild-at-newC sibling of ivf_imi_requantize
     "semantic_dedup",        // hash-quantizer anchor; the production
                              // semantic_dedup_imi path stays on the line
-    "ivf_sq8_probe")         // flat-quantizer compressed tier; the composed
+    "ivf_sq8_probe",         // flat-quantizer compressed tier; the composed
                              // imi_sq8_probe serving tier stays on the line
+    "ivf_pq_probe",          // raw-ADC anchor; the serving path
+                             // ivf_pq_rerank (shortlist + refine) stays on the line
+    "ivf_pq_append",         // lifecycle sibling of ivf_pq_rerank (on the
+                             // line); the ivf_index_append rationale
+    "ivf_pq_remove",         // filtered-rewrite sibling of ivf_sq8_remove
+    "ivf_pq_compact",        // lifecycle sibling of ivf_sq8_compact
+    "ivf_pq_requantize",     // rebuild-at-newC sibling of ivf_sq8_requantize
+    "text_bpe_vocab",        // same training loop as text_bpe_merged (on the
+                             // line) finished by the vocab projection
+    "ivf_ann_filtered",      // filtered variant of ivf_probe_indexed (on the
+                             // line): same probe + one candidate semi-join
+    "ivf_pq_filtered")       // filtered variant of the PQ probe (rationale
+                             // above; ivf_pq_rerank stays on the line)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

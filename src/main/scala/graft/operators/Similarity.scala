@@ -678,12 +678,30 @@ object Similarity {
                                           sims: String = "sims",
                                           relation: String = "embeddings",
                                           neRelOpt: Option[String] = None,
-                                          neVecOpt: Option[String] = None): String = {
+                                          neVecOpt: Option[String] = None,
+                                          scoredSqlOpt: Option[String] = None,
+                                          candWhereOpt: Option[String] = None): String = {
     // the re-score's NEIGHBOR side is swappable (the SQ8 gate scores
     // against the decoded `dec.dv` lists); assignment/probes stay on the
-    // full-precision sims — exactly the Spark side's asymmetric shape
+    // full-precision sims — exactly the Spark side's asymmetric shape.
+    // `scoredSqlOpt` replaces the WHOLE `${p}scored` CTE (it must keep
+    // that name and read `${p}cand`) for re-scores that are not a
+    // list_cosine over one neighbor vector — the PQ tier's ADC sum of
+    // per-subspace partial dots ([[pqScoredSql]]). `candWhereOpt` is an
+    // extra predicate on the candidate rows (alias `a`) — the FILTERED
+    // search twin: the index still covers everything, only candidates
+    // that satisfy the predicate reach the re-score
     val neRel = neRelOpt.getOrElse(relation)
     val neVec = neVecOpt.getOrElse("CAST(ne.embedding AS DOUBLE[])")
+    val candExtra = candWhereOpt.map(w => s" AND $w").getOrElse("")
+    val scored = scoredSqlOpt.getOrElse(
+      s"""${p}scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+         |                                $neVec) AS cosine
+         |  FROM ${p}cand c JOIN $relation qe ON qe.vec_id = c.query_id
+         |              JOIN $neRel ne ON ne.vec_id = c.neighbor_id
+         |)""".stripMargin)
     s"""${p}assign AS (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -699,14 +717,8 @@ object Similarity {
        |), ${p}cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM ${p}probes p JOIN ${p}assign a ON a.cid = p.cid
-       |  WHERE a.vec_id <> p.query_id
-       |), ${p}scored AS (
-       |  SELECT c.query_id, c.neighbor_id,
-       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-       |                                $neVec) AS cosine
-       |  FROM ${p}cand c JOIN $relation qe ON qe.vec_id = c.query_id
-       |              JOIN $neRel ne ON ne.vec_id = c.neighbor_id
-       |), ${p}ranked AS (
+       |  WHERE a.vec_id <> p.query_id$candExtra
+       |), $scored, ${p}ranked AS (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -1933,10 +1945,13 @@ object Similarity {
 
   // ------------------------------------------------- gated ANN recall
 
-  /** Gated query `ann_recall`: recall@k of ALL FOUR serving tiers — the
+  /** Gated query `ann_recall`: recall@k of ALL FIVE serving tiers — the
     * persisted float IVF index (`ivf_probe_indexed`), the SQ8 compressed
     * tier (`ivf_sq8_probe`), the two-level IMI index (`ivf_ann_imi`),
-    * and the composed IMI×SQ8 tier (`imi_sq8_probe`) — against
+    * the composed IMI×SQ8 tier (`imi_sq8_probe`), and the PQ tier both
+    * RAW (`hits_pq` — the honest 12-bit ADC number) and through its
+    * serving path (`hits_pqr` — shortlist + exact refine; the difference
+    * on the record IS what the refine pass buys back) — against
     * brute-force ground truth (`knn_cosine_topk`), at the gates' fixed
     * probe fractions. The
     * surface is EXACT integer hit counts per query (id-set intersection
@@ -1974,17 +1989,31 @@ object Similarity {
     val imisq8 = imiSq8ProbeFromDir(spark, dir, numQueries, k,
       nProbe1 = 4, nProbe2 = 4)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_imisq8"))
+    // the fifth tier: PQ/ADC — same coarse quantizer and nProbe as the
+    // flat tier (the same 25% probe fraction), so its hit deficit prices
+    // exactly the code-approximation, not a probe-budget difference
+    val pq = ivfPqProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
+    // and the PQ tier's SERVING path: the same probe budget with the
+    // R=50 ADC shortlist refined exactly — hits_pqr − hits_pq on the
+    // driver record IS the recall the refine pass buys back
+    val pqr = ivfPqRerankFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqr"))
     truth
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .join(sq8, Seq("query_id", "neighbor_id"), "left")
       .join(imi, Seq("query_id", "neighbor_id"), "left")
       .join(imisq8, Seq("query_id", "neighbor_id"), "left")
+      .join(pq, Seq("query_id", "neighbor_id"), "left")
+      .join(pqr, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("k_truth"),
         coalesce(sum(col("in_ivf")), lit(0L)).as("hits_ivf"),
         coalesce(sum(col("in_sq8")), lit(0L)).as("hits_sq8"),
         coalesce(sum(col("in_imi")), lit(0L)).as("hits_imi"),
-        coalesce(sum(col("in_imisq8")), lit(0L)).as("hits_imisq8"))
+        coalesce(sum(col("in_imisq8")), lit(0L)).as("hits_imisq8"),
+        coalesce(sum(col("in_pq")), lit(0L)).as("hits_pq"),
+        coalesce(sum(col("in_pqr")), lit(0L)).as("hits_pqr"))
       .orderBy(col("query_id"))
   }
 
@@ -2005,6 +2034,12 @@ object Similarity {
        |imisq8 AS (
        |${imiSq8Oracle(numQueries, k, nProbe1 = 4, nProbe2 = 4, dim = dim)}
        |),
+       |pq AS (
+       |${ivfPqOracle(numQueries, k, numCentroids, nProbe, dim = dim)}
+       |),
+       |pqr AS (
+       |${ivfPqRerankOracle(numQueries, k, numCentroids, nProbe, dim = dim)}
+       |),
        |b_pairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -2020,17 +2055,23 @@ object Similarity {
        |i_top AS (SELECT query_id, neighbor_id FROM i_ranked WHERE rank <= $k),
        |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k),
        |m_top AS (SELECT query_id, neighbor_id FROM imi),
-       |c_top AS (SELECT query_id, neighbor_id FROM imisq8)
+       |c_top AS (SELECT query_id, neighbor_id FROM imisq8),
+       |p_top AS (SELECT query_id, neighbor_id FROM pq),
+       |r_top AS (SELECT query_id, neighbor_id FROM pqr)
        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
        |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
        |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8,
        |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi,
-       |       CAST(COALESCE(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imisq8
+       |       CAST(COALESCE(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imisq8,
+       |       CAST(COALESCE(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pq,
+       |       CAST(COALESCE(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pqr
        |FROM truth t
        |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
        |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
        |LEFT JOIN m_top m ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
        |LEFT JOIN c_top c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+       |LEFT JOIN p_top p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+       |LEFT JOIN r_top r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------- gated k-means training
@@ -2470,4 +2511,562 @@ object Similarity {
        |)
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  // ----------------- IVF × PQ: product quantization, ADC scoring
+
+  /** Product-quantization defaults: m subspaces of dim/m dims, each with
+    * its own kpq-codebook. m·log₂(kpq) bits per vector (4 codes of 3
+    * bits here ≈ 12 bits vs 2048 for float32 — the most aggressive
+    * compression tier) and, the scale point, O(m) score cost per
+    * candidate instead of O(dim): a probe precomputes one m×kpq
+    * lookup table per QUERY and every candidate costs m table reads. */
+  val PqM = 4
+  val PqK = 8
+  val PqIterations = 2
+
+  /** Train the m per-subspace codebooks (after Jégou, Douze & Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * spherical variant: each subspace reuses the EXISTING exact
+    * integer-micros Lloyd machinery ([[trainCentroids]] over slice
+    * views, the [[trainImi]] construction generalized from 2 halves to
+    * m slices), so the same md5 init / tie / update rules gate it with
+    * the same unrolled-CTE oracle discipline. */
+  def trainPq(e: DataFrame, dim: Int, m: Int = PqM, kpq: Int = PqK,
+              iterations: Int = PqIterations): Array[Array[(Int, Array[Double])]] = {
+    require(dim % m == 0, s"PQ splits the vector into $m slices; dim $dim is not divisible")
+    val sub = dim / m
+    Array.tabulate(m)(s =>
+      trainCentroids(halfView(e, s * sub + 1, sub), kpq, iterations, Some(sub)))
+  }
+
+  /** All m code assignments in ONE corpus scan (the [[assignImi]]
+    * shape): code s = cosine-argmax of slice s against codebook s (ties
+    * → larger cid, [[assignExpr]]'s rule — encode mirrors assignment). */
+  private def pqEncodeExpr(cbs: Array[Array[(Int, Array[Double])]]): Column = {
+    val sub = cbs(0)(0)._2.length
+    array(cbs.zipWithIndex.map { case (cb, s) =>
+      assignExpr(slice(col("embedding"), s * sub + 1, sub), cb)
+    }.toIndexedSeq: _*)
+  }
+
+  /** The PQ-compressed IVF tier: cells store m-int CODE rows (m·log₂kpq
+    * information bits per vector — at 100 TB the whole index is smaller
+    * than the SQ8 tier's by another ~20×, small enough that probed
+    * cells live in executor memory), coarse assignment on the
+    * full-precision vectors at build, the m codebooks persisted in a
+    * `_pq_v<g>` sidecar. Same generation+manifest commit discipline as
+    * every other tier. */
+  def writeIvfPqIndex(e: DataFrame, dir: String, numCentroids: Int = 16,
+                      kpq: Int = PqK, iterations: Int = PqIterations): Unit =
+    stagePqGeneration(e, dir, numCentroids, kpq, iterations, gen = 0L)
+
+  /** Stage one complete PQ generation (coded cells + coarse quantizer +
+    * codebook sidecar) from SOURCE float vectors and commit — shared by
+    * the initial build and [[requantizeIvfPqIndex]]. */
+  private def stagePqGeneration(e: DataFrame, dir: String, numCentroids: Int,
+                                kpq: Int, iterations: Int, gen: Long): Unit = {
+    val spark = e.sparkSession
+    val dim = embeddingDim(e)
+    val coarse = hashCentroids(dim, numCentroids)
+    val cbs = trainPq(e, dim, PqM, kpq, iterations)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    assignToCentroids(e, coarse)
+      .select(col("vec_id"), pqEncodeExpr(cbs).as("codes"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v$gen")
+    saveQuantizer(spark, s"$dir/_quantizer_v$gen", coarse)
+    savePqCodebooks(spark, s"$dir/_pq_v$gen", cbs)
+    commitIvfGen(dir, gen)
+  }
+
+  /** The m codebooks as one sidecar: rows (s, cid, c DOUBLE[]) —
+    * m·kpq·(dim/m) doubles, driver-sized by construction. */
+  private def savePqCodebooks(spark: SparkSession, path: String,
+                              cbs: Array[Array[(Int, Array[Double])]]): Unit = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (cid, c) => (s, cid, c.toSeq) }
+    }.toSeq.toDF("s", "cid", "c")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The persisted PQ codebook sidecar of generation `g` — the one
+    * decode point for `_pq_v` (the [[readSq8Sidecar]] rule). */
+  private def readPqSidecar(spark: SparkSession, dir: String,
+                            g: Long): Array[Array[(Int, Array[Double])]] =
+    spark.read.parquet(s"$dir/_pq_v$g").collect()
+      .map(r => (r.getAs[Int]("s"), r.getAs[Int]("cid"),
+        r.getAs[Seq[Double]]("c").toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+
+  /** Partition-pruned ADC probe: read ONLY the probed cells' code rows,
+    * score each candidate in O(m) via the per-query lookup tables —
+    * never touching a float vector on the neighbor side. The 100 TB
+    * shape: probe reads shrink by the code/float ratio (~20× vs SQ8's
+    * 4×) AND per-candidate score cost drops from O(dim) to O(m). */
+  def probeIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val coarse = readQuantizer(spark, dir)
+    val g = ivfGen(dir)
+    val cbs = readPqSidecar(spark, dir, g)
+    val probes = queryProbes(queries, coarse, nProbe)
+    val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("codes"))
+    adcScore(probes, cells, cbs, k)
+  }
+
+  /** Asymmetric-distance (ADC) scoring: per probe row (query-sized ×
+    * nProbe — broadcast by construction) precompute lut_s[j] =
+    * ⟨q_s, c_{s,j}⟩ for every subspace s and code j (O(kpq·dim) ONCE
+    * per query), plus ⟨q, q⟩; a candidate with codes (j₀…j_{m−1}) then
+    * scores cos = (Σ_s lut_s[j_s]) / (√⟨q,q⟩ · √(Σ_s ‖c_{s,j_s}‖²)) in
+    * O(m) lookups. Association is per-subspace-then-across (left to
+    * right) on BOTH engines — the oracle sums m `list_inner_product`
+    * partials in the same order ([[pqScoredSql]]), so the doubles are
+    * bit-identical (litDot ↔ list_inner_product is the proven pair of
+    * the LSH twin). Codebook norms ship as plan literals, computed by
+    * the same sequential fold DuckDB's list_inner_product(c, c) runs. */
+  private def adcScore(probes: DataFrame, cells: DataFrame,
+                       cbs: Array[Array[(Int, Array[Double])]], k: Int): DataFrame = {
+    val m = cbs.length
+    val sub = cbs(0)(0)._2.length
+    val n2 = cbs.map(_.map { case (_, c) => c.foldLeft(0.0)((a, x) => a + x * x) })
+    val lutted = (0 until m).foldLeft(
+      probes.withColumn("qq", aggregate(zip_with(col("qe"), col("qe"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v))
+    )((df, s) => df.withColumn(s"lut$s", array(cbs(s).map { case (_, c) =>
+      litDot(slice(col("qe"), s * sub + 1, sub), c)
+    }.toIndexedSeq: _*)))
+    val num = (0 until m).map(s => element_at(col(s"lut$s"),
+      element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val rn2 = (0 until m).map(s => element_at(
+      array(n2(s).map(lit).toIndexedSeq: _*),
+      element_at(col("codes"), s + 1) + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(lutted).join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", num / (sqrt(col("qq")) * sqrt(rn2)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** O(batch) ingestion into the PQ tier: encode the batch under the
+    * PERSISTED coarse quantizer and codebooks (frozen at build — the
+    * staleness rule of every tier), land files in cell dirs. */
+  def appendToIvfPqIndex(spark: SparkSession, dir: String,
+                         newVectors: DataFrame): Unit = {
+    val coarse = readQuantizer(spark, dir)
+    val cbs = readPqSidecar(spark, dir, ivfGen(dir))
+    assignToCentroids(newVectors, coarse)
+      .select(col("vec_id"), pqEncodeExpr(cbs).as("codes"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(ivfDataDir(dir))
+  }
+
+  /** Takedown on the PQ tier: filtered generation rewrite of the CODE
+    * rows under the frozen coarse quantizer + codebooks (codes move
+    * verbatim — removal never re-encodes). */
+  def removeFromIvfPqIndex(spark: SparkSession, dir: String,
+                           removedIds: DataFrame): Unit =
+    rewritePqGeneration(spark, dir,
+      _.join(removedIds.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+
+  /** PQ-tier compaction: identity-filter rewrite back to one file per
+    * cell, content-preserving (re-passes the append oracle). */
+  def compactIvfPqIndex(spark: SparkSession, dir: String): Unit =
+    rewritePqGeneration(spark, dir, identity)
+
+  private def rewritePqGeneration(spark: SparkSession, dir: String,
+                                  keep: DataFrame => DataFrame): Unit =
+    rewriteGeneration(spark, dir, Seq("_quantizer_v", "_pq_v"), keep)
+
+  /** Re-quantize the PQ tier: codes are LOSSY, so the rebuild re-reads
+    * the SOURCE float vectors, re-trains the m codebooks, re-derives the
+    * coarse quantizer at the new C, and stages a complete next
+    * generation — after it the index equals a from-scratch build. */
+  def requantizeIvfPqIndex(spark: SparkSession, dir: String, source: DataFrame,
+                           numCentroids: Int, kpq: Int = PqK,
+                           iterations: Int = PqIterations): Unit =
+    promoteFreshGeneration(dir, Seq("_quantizer_v", "_pq_v"))(
+      stagePqGeneration(source, dir, numCentroids, kpq, iterations, _))
+
+  private val ivfPqStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfPqBacklogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqStoreFor(spark: SparkSession, dir: String, e: DataFrame,
+                         numCentroids: Int, kpq: Int, iterations: Int): String =
+    memoStore(ivfPqStores, s"$dir#c$numCentroids#k$kpq#i$iterations", "graft_ivf_pq")(
+      writeIvfPqIndex(e, _, numCentroids, kpq, iterations))
+
+  /** The memoized BACKLOG PQ index (every vector except the DeltaMod
+    * residue class — the split all incremental gates share). */
+  private def pqBacklogFor(dir: String, e: DataFrame, numCentroids: Int,
+                           kpq: Int, iterations: Int): String =
+    memoStore(ivfPqBacklogs, s"$dir#c$numCentroids#k$kpq#i$iterations",
+      "graft_ivf_pq_backlog")(
+      writeIvfPqIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        _, numCentroids, kpq, iterations))
+
+  /** Gated query `ivf_pq_probe`: the PQ tier end-to-end — trained
+    * codebooks, coded cells, pruned probe, O(m)-per-candidate ADC
+    * re-score — under an oracle whose probe chain is [[ivfRankedCtesSql]]
+    * with ONLY the scored CTE swapped for the ADC sum. */
+  def ivfPqProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                        k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                        kpq: Int = PqK, iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = pqStoreFor(spark, dir, e, numCentroids, kpq, iterations)
+    probeIvfPqIndex(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_pq_append`: build over the BACKLOG (codebooks
+    * frozen there), append the DeltaMod delta under the persisted
+    * codebooks, probe — oracle trains the codebooks on the backlog
+    * relation and encodes the full corpus under them. */
+  def ivfPqAppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                              k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                              kpq: Int = PqK, iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      pqBacklogFor(dir, e, numCentroids, kpq, iterations), "graft_ivf_pq_append")
+    appendToIvfPqIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeIvfPqIndex(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_pq_remove`: takedown on the PQ tier — codes of the
+    * removed ids vanish from cells with nothing else moving (codebooks
+    * stay frozen at the full build; the oracle trains on the full corpus
+    * and serves the kept relation). */
+  def ivfPqRemoveProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                              k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                              kpq: Int = PqK, iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val full = pqStoreFor(spark, dir, e, numCentroids, kpq, iterations)
+    val idx = ClusterStore.copyStore(full, "graft_ivf_pq_remove")
+    removeFromIvfPqIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0).select(col("vec_id")))
+    probeIvfPqIndex(spark, idx,
+      e.filter(col("vec_id") < numQueries &&
+        col("vec_id") % DedupIndex.DeltaMod =!= 0), k, nProbe)
+  }
+
+  /** Gated query `ivf_pq_compact`: backlog + append + identity rewrite
+    * to one file per cell — content-preserving (re-passes the append
+    * oracle, codes verbatim). */
+  def ivfPqCompactProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                               k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                               kpq: Int = PqK, iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      pqBacklogFor(dir, e, numCentroids, kpq, iterations), "graft_ivf_pq_compact")
+    appendToIvfPqIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    compactIvfPqIndex(spark, idx)
+    probeIvfPqIndex(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_pq_requantize`: backlog + append +
+    * [[requantizeIvfPqIndex]] from the full SOURCE at newC + probe must
+    * equal a from-scratch PQ build at newC (codebooks AND coarse
+    * quantizer re-derived over the union). */
+  def ivfPqRequantizeProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                  k: Int = 10, numCentroids: Int = 16, newC: Int = 32,
+                                  nProbe: Int = 4, kpq: Int = PqK,
+                                  iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      pqBacklogFor(dir, e, numCentroids, kpq, iterations), "graft_ivf_pq_requant")
+    appendToIvfPqIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    requantizeIvfPqIndex(spark, idx, e, newC, kpq, iterations)
+    probeIvfPqIndex(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_pq_rerank`: the SERVING configuration of the PQ
+    * tier — ADC shortlists `shortlist` candidates per query in O(m) per
+    * candidate (never touching a float on the neighbor side), then ONLY
+    * those R ids re-score exactly against the full-precision vectors
+    * (the FAISS IVFPQ+refine shape). At 100 TB the economics: the probe
+    * reads codes (~20× less than SQ8, ~80× less than float32), and the
+    * refine is an R-row point-lookup equi-join per query against the
+    * primary float store — R·numQueries rows, not a corpus scan. The
+    * recall deficit of raw 12-bit ADC top-k (the honest `hits_pq`
+    * number in `ann_recall`) is what the shortlist buys back: the
+    * shortlist bounds recall, and R ≫ k recovers most of it. */
+  def ivfPqRerankFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                         k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                         kpq: Int = PqK, iterations: Int = PqIterations,
+                         shortlist: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = pqStoreFor(spark, dir, e, numCentroids, kpq, iterations)
+    val short = probeIvfPqIndex(spark, idx,
+      e.filter(col("vec_id") < numQueries), shortlist, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(short.join(qv, Seq("query_id")))
+      .join(nv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB twin of [[ivfPqRerankFromDir]]: [[ivfPqOracle]]'s chain with
+    * the final top-k replaced by an ADC-ranked R-shortlist CTE and an
+    * exact full-precision re-score over it. */
+  def ivfPqRerankOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                        nProbe: Int = 4, kpq: Int = PqK,
+                        iterations: Int = PqIterations,
+                        dim: Int = LshOracleDim, shortlist: Int = 50): String =
+    s"""WITH pq_kept AS (SELECT * FROM embeddings),
+       |pq_train AS (SELECT * FROM embeddings),
+       |${centroidSimsCtesSql(dim, numCentroids, "pq_kept")},
+       |${pqCtesSql(dim, PqM, kpq, iterations, "pq_train", "pq_kept")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "p_", relation = "pq_kept",
+           scoredSqlOpt = Some(pqScoredSql("p_", dim, PqM, iterations, "pq_kept")))},
+       |rr_short AS (
+       |  SELECT query_id, neighbor_id FROM p_ranked WHERE rank <= $shortlist
+       |), rr_scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |  FROM rr_short s JOIN embeddings qe ON qe.vec_id = s.query_id
+       |                  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |), rr_ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rr_scored
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM rr_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** The PQ training + encode CTE chain: per subspace s a slice CTE over
+    * the TRAIN relation, the md5-init + unrolled-Lloyd chain (prefix
+    * `pq{s}_` — [[kmeansTrainOracle]]'s fragments over the slice), final
+    * sims over the ENCODE relation's slices, an argmax code window (ties
+    * → larger cid, mirroring [[assignExpr]]), joined into
+    * `pq_codes (vec_id, code0..code{m−1})`. Train and encode scopes are
+    * independent — the append gate trains on the backlog and encodes the
+    * full corpus. */
+  private[operators] def pqCtesSql(dim: Int, m: Int = PqM, kpq: Int = PqK,
+                                   iterations: Int = PqIterations,
+                                   trainRelation: String = "embeddings",
+                                   encodeRelation: String = "embeddings"): String = {
+    val sub = dim / m
+    def finalCent(s: Int) =
+      if (iterations == 0) s"pq${s}_centroids" else s"pq${s}_k_cent$iterations"
+    val slices = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"""pqt$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $trainRelation),
+         |pqe$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $encodeRelation)""".stripMargin
+    }.mkString(",\n")
+    val chains = (0 until m).map { s =>
+      val p = s"pq${s}_"
+      val lloyd = if (iterations == 0) "" else ",\n" + (0 until iterations)
+        .map(i => kmeansIterCtesSql(i, sub, p, s"pqt$s")).mkString(",\n")
+      centroidSimsCtesSql(sub, kpq, s"pqt$s", p) + lloyd
+    }.mkString(",\n")
+    val codes = (0 until m).map { s =>
+      s"""pqf$s AS (
+         |  SELECT e.vec_id, ct.cid,
+         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+         |  FROM pqe$s e CROSS JOIN ${finalCent(s)} ct
+         |), pqc$s AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |             ORDER BY sim DESC, cid DESC) AS rk
+         |    FROM pqf$s
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val joinChain = (1 until m).map(s => s"JOIN pqc$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"pqc$s.cid AS code$s").mkString(", ")
+    s"""$slices,
+       |$chains,
+       |$codes,
+       |pq_codes AS (
+       |  SELECT pqc0.vec_id, $codeCols
+       |  FROM pqc0 $joinChain
+       |)""".stripMargin
+  }
+
+  /** The ADC `scored` CTE ([[ivfRankedCtesSql]]'s `scoredSqlOpt`): m
+    * `list_inner_product` partials over the query's slices against the
+    * candidate's code centroids, summed LEFT TO RIGHT — the exact
+    * association [[adcScore]]'s lookup sum uses — normalized by
+    * √⟨q,q⟩ · √(Σ_s ‖c_s‖²) in the same shape. */
+  private def pqScoredSql(p: String, dim: Int, m: Int, iterations: Int,
+                          queryRelation: String): String = {
+    val sub = dim / m
+    def finalCent(s: Int) =
+      if (iterations == 0) s"pq${s}_centroids" else s"pq${s}_k_cent$iterations"
+    val num = (0 until m).map { s =>
+      val lo = s * sub + 1; val hi = (s + 1) * sub
+      s"list_inner_product(CAST(qe.embedding AS DOUBLE[])[$lo:$hi], t$s.c)"
+    }.mkString("\n          + ")
+    val rn2 = (0 until m).map(s => s"list_inner_product(t$s.c, t$s.c)")
+      .mkString(" + ")
+    val joins = (0 until m).map(s =>
+      s"JOIN ${finalCent(s)} t$s ON t$s.cid = pc.code$s").mkString("\n       ")
+    s"""${p}scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |        ($num)
+       |        / (sqrt(list_inner_product(CAST(qe.embedding AS DOUBLE[]),
+       |                                   CAST(qe.embedding AS DOUBLE[])))
+       |           * sqrt($rn2)) AS cosine
+       |  FROM ${p}cand c JOIN $queryRelation qe ON qe.vec_id = c.query_id
+       |       JOIN pq_codes pc ON pc.vec_id = c.neighbor_id
+       |       $joins
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of the PQ gates: coarse hash-quantizer sims over the
+    * serving relation, [[pqCtesSql]]'s per-subspace training + encode
+    * chains, [[ivfRankedCtesSql]]'s probe chain with the scored CTE
+    * swapped for [[pqScoredSql]]'s ADC sum. `trainWhere` restricts
+    * codebook TRAINING to a slice while encode/probing/scoring cover
+    * the serving relation (APPEND semantics); `keepWhere` restricts the
+    * serving relation while training stays at the build corpus (REMOVE
+    * semantics). */
+  def ivfPqOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                  nProbe: Int = 4, kpq: Int = PqK, iterations: Int = PqIterations,
+                  dim: Int = LshOracleDim,
+                  trainWhere: Option[String] = None,
+                  keepWhere: Option[String] = None): String = {
+    val trainW = trainWhere.map(w => s" WHERE $w").getOrElse("")
+    val keepW = keepWhere.map(w => s" WHERE $w").getOrElse("")
+    s"""WITH pq_kept AS (SELECT * FROM embeddings$keepW),
+       |pq_train AS (SELECT * FROM embeddings$trainW),
+       |${centroidSimsCtesSql(dim, numCentroids, "pq_kept")},
+       |${pqCtesSql(dim, PqM, kpq, iterations, "pq_train", "pq_kept")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "p_", relation = "pq_kept",
+           scoredSqlOpt = Some(pqScoredSql("p_", dim, PqM, iterations, "pq_kept")))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM p_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ----------------------------- filtered (predicate-constrained) ANN
+
+  /** Filtered vector search — "top-k neighbors among documents WHERE
+    * <predicate>", the constrained-search surface every production
+    * vector store exposes (FAISS IDSelector, the filter clause of
+    * Qdrant/Milvus/pgvector). The index is NOT rebuilt per predicate:
+    * the probe is unchanged (same pruned cell read), and the caller's
+    * allowed-id frame semi-joins the candidates BEFORE the re-score —
+    * at 100 TB the filter costs one equi-join on the probed cells'
+    * candidate rows (cell-bounded, never corpus-sized), and the re-score
+    * only pays for surviving candidates. Post-filtering the top-k would
+    * instead return FEWER than k under selective predicates; filtering
+    * candidates keeps k results whenever the probed cells hold them. */
+  def probeIvfIndexFiltered(spark: SparkSession, dir: String,
+                            centroids: Array[(Int, Array[Double])],
+                            queries: DataFrame, allowed: DataFrame,
+                            k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val probes = queryProbes(queries, centroids, nProbe)
+    val probedCells = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(ivfDataDir(dir))
+      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+      .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    scoreProbed(probes, cells, k)
+  }
+
+  /** The PQ tier's filtered probe: same semi-join on the candidate CODE
+    * rows — the filter composes with the compressed tier, so a 100 TB
+    * deployment filters WITHOUT touching float vectors either. */
+  def probeIvfPqIndexFiltered(spark: SparkSession, dir: String,
+                              queries: DataFrame, allowed: DataFrame,
+                              k: Int = 10, nProbe: Int = 4): DataFrame = {
+    val coarse = readQuantizer(spark, dir)
+    val g = ivfGen(dir)
+    val cbs = readPqSidecar(spark, dir, g)
+    val probes = queryProbes(queries, coarse, nProbe)
+    val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
+      .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("codes"))
+    adcScore(probes, cells, cbs, k)
+  }
+
+  /** Gated query `ivf_ann_filtered`: filtered search on the persisted
+    * float index — the allowed set is the English documents (the
+    * doc_id↔vec_id alignment of the corpus), so the gate pins that
+    * every returned neighbor satisfies the predicate AND the ranks are
+    * exactly the constrained top-k. */
+  def ivfAnnFilteredFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                            k: Int = 10, numCentroids: Int = 16,
+                            nProbe: Int = 4, lang: String = "en"): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ivfIndexStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e, "graft_ivf_index", requireOracleDim(e, dir), numCentroids))
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === lang).select(col("doc_id").as("vec_id"))
+    probeIvfIndexFiltered(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), allowed, k, nProbe)
+  }
+
+  /** Gated query `ivf_pq_filtered`: the same predicate on the PQ tier —
+    * `candWhereOpt` composes with `scoredSqlOpt` in the shared probe
+    * chain, exactly as the Spark semi-join composes with ADC scoring. */
+  def ivfPqFilteredFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                           k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                           kpq: Int = PqK, iterations: Int = PqIterations,
+                           lang: String = "en"): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = pqStoreFor(spark, dir, e, numCentroids, kpq, iterations)
+    val allowed = Tables.documents(spark, dir)
+      .filter(col("lang") === lang).select(col("doc_id").as("vec_id"))
+    probeIvfPqIndexFiltered(spark, idx,
+      e.filter(col("vec_id") < numQueries), allowed, k, nProbe)
+  }
+
+  private def langCandWhere(lang: String): String =
+    s"a.vec_id IN (SELECT doc_id FROM documents WHERE lang = '$lang')"
+
+  /** DuckDB twin of [[ivfAnnFilteredFromDir]]: the standard IVF chain
+    * with the candidate predicate injected — index/assignment/probes
+    * untouched, only candidates that satisfy the filter reach the
+    * re-score (the Spark semi-join's position exactly). */
+  def ivfAnnFilteredOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                           nProbe: Int = 4, dim: Int = LshOracleDim,
+                           lang: String = "en"): String =
+    s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
+       |${ivfRankedCtesSql(numQueries, nProbe,
+           candWhereOpt = Some(langCandWhere(lang)))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB twin of [[ivfPqFilteredFromDir]]: [[ivfPqOracle]]'s chain
+    * with the same candidate predicate. */
+  def ivfPqFilteredOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                          nProbe: Int = 4, kpq: Int = PqK,
+                          iterations: Int = PqIterations,
+                          dim: Int = LshOracleDim, lang: String = "en"): String =
+    s"""WITH pq_kept AS (SELECT * FROM embeddings),
+       |pq_train AS (SELECT * FROM embeddings),
+       |${centroidSimsCtesSql(dim, numCentroids, "pq_kept")},
+       |${pqCtesSql(dim, PqM, kpq, iterations, "pq_train", "pq_kept")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "p_", relation = "pq_kept",
+           scoredSqlOpt = Some(pqScoredSql("p_", dim, PqM, iterations, "pq_kept")),
+           candWhereOpt = Some(langCandWhere(lang)))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM p_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 }

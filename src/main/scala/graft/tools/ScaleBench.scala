@@ -59,7 +59,10 @@ object ScaleBench {
       "ref_lm_buckets", "decontamination_report",
       // round-15 additions
       "imi_sq8_probe", "imi_sq8_append", "semantic_dedup_imi",
-      "multimodal_decode_wav", "corpus_curate_lm")
+      "multimodal_decode_wav", "corpus_curate_lm",
+      // round-15 PQ tier
+      "ivf_pq_probe", "ivf_pq_rerank", "ivf_pq_append", "ivf_pq_remove",
+      "ivf_pq_compact", "ivf_pq_requantize")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -72,7 +75,8 @@ object ScaleBench {
       "ivf_index_remove", "bm25_index_remove", "dedup_index_remove",
       "ivf_sq8_remove", "ivf_sq8_compact", "ivf_sq8_requantize",
       "ivf_imi_append", "ivf_imi_remove", "ivf_imi_compact",
-      "ivf_imi_requantize", "imi_sq8_append")
+      "ivf_imi_requantize", "imi_sq8_append",
+      "ivf_pq_append", "ivf_pq_remove", "ivf_pq_compact", "ivf_pq_requantize")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

@@ -185,12 +185,21 @@ class Round15Spec extends SparkSpec {
     // the hash-quantizer tiers at tiny N; trained recall is far higher).
     val r = Similarity.annRecallFromDir(spark, sf)
       .agg(sum("k_truth"), sum("hits_ivf"), sum("hits_sq8"),
-        sum("hits_imi"), sum("hits_imisq8")).first()
+        sum("hits_imi"), sum("hits_imisq8"), sum("hits_pq"),
+        sum("hits_pqr")).first()
+    info(s"hits: ivf ${r.getLong(1)} sq8 ${r.getLong(2)} imi ${r.getLong(3)} " +
+      s"imisq8 ${r.getLong(4)} pq ${r.getLong(5)} pqr ${r.getLong(6)}")
     assert(r.getLong(0) === 80)
     assert(r.getLong(1) >= 20, s"hits_ivf ${r.getLong(1)} collapsed")
     assert(r.getLong(2) >= 20, s"hits_sq8 ${r.getLong(2)} collapsed")
     assert(r.getLong(3) >= 30, s"hits_imi ${r.getLong(3)} collapsed")
     assert(r.getLong(4) >= 30, s"hits_imisq8 ${r.getLong(4)} collapsed")
+    // raw 12-bit ADC is HONESTLY lossy (the rerank path recovers it);
+    // the floor only pins against total collapse of the code math
+    assert(r.getLong(5) >= 1, s"hits_pq ${r.getLong(5)} collapsed")
+    // the serving path: refine must buy recall back (measured 17 vs 6)
+    assert(r.getLong(6) >= r.getLong(5), "refine must never lose hits")
+    assert(r.getLong(6) >= 15, s"hits_pqr ${r.getLong(6)} collapsed")
   }
 
   // ------------------------------------------- SemDeDup over the store

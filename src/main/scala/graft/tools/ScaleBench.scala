@@ -60,9 +60,10 @@ object ScaleBench {
       // round-15 additions
       "imi_sq8_probe", "imi_sq8_append", "semantic_dedup_imi",
       "multimodal_decode_wav", "corpus_curate_lm",
-      // round-15 PQ tier
+      // round-15 PQ tier + filtered search
       "ivf_pq_probe", "ivf_pq_rerank", "ivf_pq_append", "ivf_pq_remove",
-      "ivf_pq_compact", "ivf_pq_requantize")
+      "ivf_pq_compact", "ivf_pq_requantize",
+      "ivf_ann_filtered", "ivf_pq_filtered")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

@@ -577,7 +577,8 @@ object SparkEntry {
       "ivf_imi_compact",    // backlog training loops + append + one rewrite
       "ivf_imi_requantize", // backlog + union retraining at the new C
       "hybrid_rrf_imi",     // the memoized trained IMI store + fusion plan
-      "ann_recall",         // four memoized stores incl. both trained IMI tiers
+      "ann_recall",         // six memoized stores: float/SQ8/both trained IMI
+                            // tiers + the PQ store (raw ADC AND rerank paths)
       "semantic_dedup_trained", // the same training loop feeding the prune
       "imi_sq8_probe",      // two half-space training loops + memoized build
       "imi_sq8_append",     // backlog training loops + memoized backlog build

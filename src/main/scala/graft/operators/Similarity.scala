@@ -474,16 +474,23 @@ object Similarity {
     * cell join then keeps each query to its own nProbe cells. */
   def probeIvfIndex(spark: SparkSession, dir: String,
                     centroids: Array[(Int, Array[Double])], queries: DataFrame,
-                    k: Int = 10, nProbe: Int = 4): DataFrame = {
+                    k: Int = 10, nProbe: Int = 4,
+                    allowedOpt: Option[DataFrame] = None): DataFrame = {
     val probes = queryProbes(queries, centroids, nProbe)
-    // O(|centroids|) driver values — the probed-cell union, never data
-    val probedCells = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(ivfDataDir(dir))
-      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
+    // the probed-cell union is O(|centroids|) driver values, never data
+    val cells = semiJoinAllowed(
+      prunedCellScan(spark, ivfDataDir(dir), probes), allowedOpt)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     scoreProbed(probes, cells, k)
   }
+
+  /** The filtered-search candidate restriction: semi-join the caller's
+    * allowed-id frame on the candidate rows (cell-bounded, before the
+    * re-score) — a no-op when no predicate is given. */
+  private def semiJoinAllowed(cells: DataFrame,
+                              allowedOpt: Option[DataFrame]): DataFrame =
+    allowedOpt.fold(cells)(a =>
+      cells.join(a.select(col("vec_id")), Seq("vec_id"), "left_semi"))
 
   private def sortArrayDesc(a: Column): Column = reverse(array_sort(a))
 
@@ -2190,6 +2197,15 @@ object Similarity {
     * are removed on JVM exit. */
   private val ivfIndexStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The memoized hash-quantizer persisted index for (dir, C) — shared
+    * by every gate that probes it (the memoStore key rule: params in
+    * the key, so a caller at a different C gets its own build). */
+  private def hashIndexStoreFor(dir: String, e: DataFrame,
+                                numCentroids: Int): String =
+    ivfIndexStores.computeIfAbsent(s"$dir#c$numCentroids", _ =>
+      buildHashIndex(e, "graft_ivf_index",
+        requireOracleDim(e, dir), numCentroids))
+
   private[operators] def requireOracleDim(e: DataFrame, dir: String): Int = {
     val dim = embeddingDim(e)
     require(dim == LshOracleDim,
@@ -2218,8 +2234,7 @@ object Similarity {
                              k: Int = 10, numCentroids: Int = 16,
                              nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val idx = ivfIndexStores.computeIfAbsent(dir, _ =>
-      buildHashIndex(e, "graft_ivf_index", requireOracleDim(e, dir), numCentroids))
+    val idx = hashIndexStoreFor(dir, e, numCentroids)
     probeIvfIndex(spark, idx, readQuantizer(spark, idx),
       e.filter(col("vec_id") < numQueries), k, nProbe)
   }
@@ -2260,8 +2275,7 @@ object Similarity {
                             k: Int = 10, numCentroids: Int = 16,
                             nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val full = ivfIndexStores.computeIfAbsent(dir, _ =>
-      buildHashIndex(e, "graft_ivf_index", requireOracleDim(e, dir), numCentroids))
+    val full = hashIndexStoreFor(dir, e, numCentroids)
     val idx = ClusterStore.copyStore(full, "graft_ivf_remove")
     removeFromIvfIndex(spark, idx,
       e.filter(col("vec_id") % DedupIndex.DeltaMod === 0).select(col("vec_id")))
@@ -2605,20 +2619,25 @@ object Similarity {
     * shape: probe reads shrink by the code/float ratio (~20× vs SQ8's
     * 4×) AND per-candidate score cost drops from O(dim) to O(m). */
   def probeIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
-                      k: Int = 10, nProbe: Int = 4): DataFrame = {
+                      k: Int = 10, nProbe: Int = 4,
+                      allowedOpt: Option[DataFrame] = None): DataFrame = {
     val coarse = readQuantizer(spark, dir)
     val g = ivfGen(dir)
     val cbs = readPqSidecar(spark, dir, g)
     val probes = queryProbes(queries, coarse, nProbe)
-    val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
+    val cells = semiJoinAllowed(
+      prunedCellScan(spark, s"$dir/data_v$g", probes), allowedOpt)
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("codes"))
     adcScore(probes, cells, cbs, k)
   }
 
   /** Asymmetric-distance (ADC) scoring: per probe row (query-sized ×
     * nProbe — broadcast by construction) precompute lut_s[j] =
-    * ⟨q_s, c_{s,j}⟩ for every subspace s and code j (O(kpq·dim) ONCE
-    * per query), plus ⟨q, q⟩; a candidate with codes (j₀…j_{m−1}) then
+    * ⟨q_s, c_{s,j}⟩ for every subspace s and code j (O(nProbe·kpq·dim)
+    * per query — the LUT fold is a row expression on the probe frame,
+    * so it evaluates once per probe row; still query-bounded and
+    * independent of the candidate count, which is the scale point),
+    * plus ⟨q, q⟩; a candidate with codes (j₀…j_{m−1}) then
     * scores cos = (Σ_s lut_s[j_s]) / (√⟨q,q⟩ · √(Σ_s ‖c_{s,j_s}‖²)) in
     * O(m) lookups. Association is per-subspace-then-across (left to
     * right) on BOTH engines — the oracle sums m `list_inner_product`
@@ -2977,32 +2996,16 @@ object Similarity {
   def probeIvfIndexFiltered(spark: SparkSession, dir: String,
                             centroids: Array[(Int, Array[Double])],
                             queries: DataFrame, allowed: DataFrame,
-                            k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val probes = queryProbes(queries, centroids, nProbe)
-    val probedCells = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(ivfDataDir(dir))
-      .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
-      .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    scoreProbed(probes, cells, k)
-  }
+                            k: Int = 10, nProbe: Int = 4): DataFrame =
+    probeIvfIndex(spark, dir, centroids, queries, k, nProbe, Some(allowed))
 
   /** The PQ tier's filtered probe: same semi-join on the candidate CODE
     * rows — the filter composes with the compressed tier, so a 100 TB
     * deployment filters WITHOUT touching float vectors either. */
   def probeIvfPqIndexFiltered(spark: SparkSession, dir: String,
                               queries: DataFrame, allowed: DataFrame,
-                              k: Int = 10, nProbe: Int = 4): DataFrame = {
-    val coarse = readQuantizer(spark, dir)
-    val g = ivfGen(dir)
-    val cbs = readPqSidecar(spark, dir, g)
-    val probes = queryProbes(queries, coarse, nProbe)
-    val cells = prunedCellScan(spark, s"$dir/data_v$g", probes)
-      .join(allowed.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .select(col("centroid_id"), col("vec_id").as("neighbor_id"), col("codes"))
-    adcScore(probes, cells, cbs, k)
-  }
+                              k: Int = 10, nProbe: Int = 4): DataFrame =
+    probeIvfPqIndex(spark, dir, queries, k, nProbe, Some(allowed))
 
   /** Gated query `ivf_ann_filtered`: filtered search on the persisted
     * float index — the allowed set is the English documents (the
@@ -3014,8 +3017,7 @@ object Similarity {
                             nProbe: Int = 4, lang: String = "en"): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
-    val idx = ivfIndexStores.computeIfAbsent(dir, _ =>
-      buildHashIndex(e, "graft_ivf_index", requireOracleDim(e, dir), numCentroids))
+    val idx = hashIndexStoreFor(dir, e, numCentroids)
     val allowed = Tables.documents(spark, dir)
       .filter(col("lang") === lang).select(col("doc_id").as("vec_id"))
     probeIvfIndexFiltered(spark, idx, readQuantizer(spark, idx),

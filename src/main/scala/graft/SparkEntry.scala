@@ -94,6 +94,9 @@ object SparkEntry {
     // rewriteGeneration discipline (sidecars: both codebooks + extrema)
     "imi_sq8_probe" -> tuned(Similarity.imiSq8ProbeFromDir(_, _)),
     "imi_sq8_append" -> tuned(Similarity.imiSq8AppendProbeFromDir(_, _)),
+    // streaming ingest on the composed tier: watermark-deduped replay
+    // through the SAME O(batch) append — one transform, every tier
+    "imi_sq8_stream_append" -> tuned(Similarity.imiSq8StreamAppendProbeFromDir(_, _)),
     "imi_sq8_remove" -> tuned(Similarity.imiSq8RemoveProbeFromDir(_, _)),
     "imi_sq8_compact" -> tuned(Similarity.imiSq8CompactProbeFromDir(_, _)),
     "imi_sq8_requantize" -> tuned(Similarity.imiSq8RequantizeProbeFromDir(_, _)),
@@ -148,6 +151,12 @@ object SparkEntry {
     // PCM (chunk walk, channel de-interleave, signed samples) — the
     // seam covers the audio half of a multimodal corpus, not just pixels
     "multimodal_decode_wav" -> tuned(Multimodal.wavGateFromDir),
+    // perceptual hash over DECODED pixels: 8x8 grid aHash in exact
+    // integer math (cross-multiplied means, two 32-bit halves)
+    "multimodal_ahash" -> tuned(Multimodal.ahashGateFromDir),
+    // the multimodal face of the dedup family: banded Hamming join over
+    // the aHash signatures — equi-join on 16-bit bands, never all-pairs
+    "dedup_image_ahash" -> tuned(Multimodal.ahashNearDupsFromDir),
     "events_hourly" -> tuned(graft.streaming.EventStreams.hourlyBatch),
     "pricing_summary" -> tuned(PricingSummary.fromDir),
     "corpus_clean" -> tuned(CorpusClean.fromDir),
@@ -162,6 +171,9 @@ object SparkEntry {
     // the tail perplexity tercile dropped before the split (the
     // heuristic gate and the LM filter run TOGETHER, as in production)
     "corpus_curate_lm" -> tuned(CurateE2e.lmFromDir),
+    // the DAG with DSIR importance resampling composed in after exact
+    // decon: Gumbel top-1/quota toward the external target distribution
+    "corpus_curate_dsir" -> tuned(CurateE2e.dsirFromDir),
     "shipping_priority_topk" -> tuned(ShippingPriority.fromDir),
     "asof_price_join" -> tuned(AsOfJoin.fromDir),
     "corpus_shards" -> tuned(Curation.shardFromDir),
@@ -195,6 +207,10 @@ object SparkEntry {
     // O(batch) index ingestion: append the DeltaMod delta to the backlog
     // index, probe — must equal a same-quantizer rebuild over the union
     "ivf_index_append" -> tuned(Similarity.ivfAppendProbeFromDir(_, _)),
+    // STREAMING index ingestion: the delta replayed as micro-batches with
+    // planted re-deliveries; watermark dedup -> the same O(batch) append
+    // -> probe must STILL equal the same-quantizer rebuild over the union
+    "ivf_stream_append" -> tuned(Similarity.ivfStreamAppendProbeFromDir(_, _)),
     // the health scan over a built+appended index, in exact integers
     // (micros-rounded assigned cosines, long sums — no float aggregation)
     "ivf_index_health" -> tuned(Similarity.indexHealthGateFromDir(_, _)),
@@ -283,6 +299,10 @@ object SparkEntry {
     // reference-LM quality rank (distributed prefix-sum rank, never a
     // one-partition NTILE sort)
     "ref_lm_buckets" -> tuned(BigramLm.bucketsFromDir),
+    // DSIR importance RESAMPLING toward the target distribution: hashed
+    // unigram+bigram log-likelihood ratios (Laplace-smoothed, micros-
+    // exact), deterministic md5 Gumbel keys, top-1/quota integer cut
+    "curation_dsir" -> tuned(Dsir.fromDir),
     // BM25 more-like-this + brute-cosine lists fused by reciprocal-rank
     // (micros-rounded long contributions; list depth 20, final top-10)
     "hybrid_rrf" -> tuned(HybridRetrieval.fromDir),
@@ -430,6 +450,11 @@ object SparkEntry {
     "imi_sq8_append" -> Similarity.imiSq8Oracle(
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0"),
       statsWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    // the streaming ingestion path on the composed tier: the SAME oracle
+    // as the one-shot batch append — the callback-sink design's claim
+    "imi_sq8_stream_append" -> Similarity.imiSq8Oracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0"),
+      statsWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "imi_sq8_remove" -> Similarity.imiSq8Oracle(
       keepWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "imi_sq8_compact" -> Similarity.imiSq8Oracle(
@@ -458,6 +483,8 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.decodeOracle,
     "multimodal_decode_bmp" -> Multimodal.bmpDecodeOracle,
     "multimodal_decode_wav" -> Multimodal.wavDecodeOracle,
+    "multimodal_ahash" -> Multimodal.ahashOracle,
+    "dedup_image_ahash" -> Multimodal.ahashNearDupsOracle(),
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
     "text_langid" -> TextAnalysis.langIdOracle,
     "pricing_summary" -> PricingSummary.oracle,
@@ -465,6 +492,7 @@ object SparkEntry {
     "corpus_curate_e2e" -> CurateE2e.oracle(),
     "corpus_curate_fuzzy" -> CurateE2e.fuzzyOracle(),
     "corpus_curate_lm" -> CurateE2e.lmOracle(),
+    "corpus_curate_dsir" -> CurateE2e.dsirOracle(),
     "shipping_priority_topk" -> ShippingPriority.oracle(),
     "asof_price_join" -> AsOfJoin.oracle,
     "corpus_shards" -> Curation.shardOracle(),
@@ -484,6 +512,7 @@ object SparkEntry {
     "ivf_ann_topk" -> Similarity.ivfAnnOracle(),
     "ivf_probe_indexed" -> Similarity.ivfAnnOracle(),
     "ivf_index_append" -> Similarity.ivfAnnOracle(),
+    "ivf_stream_append" -> Similarity.ivfAnnOracle(),
     "ivf_index_compact" -> Similarity.ivfAnnOracle(),
     "ivf_requantize" -> Similarity.ivfAnnOracle(numCentroids = 32),
     "ivf_index_remove" -> Similarity.ivfRemoveOracle(),
@@ -519,6 +548,7 @@ object SparkEntry {
     "bigram_logprob" -> BigramLm.oracle(),
     "ref_lm_logprob" -> BigramLm.refOracle(),
     "ref_lm_buckets" -> BigramLm.bucketsOracle(),
+    "curation_dsir" -> Dsir.oracle(),
     "hybrid_rrf" -> HybridRetrieval.oracle(),
     "hybrid_rrf_ivf" -> HybridRetrieval.oracleIvf(),
     "hybrid_rrf_indexed" -> HybridRetrieval.oracleIvf(),
@@ -554,7 +584,7 @@ object SparkEntry {
     * replay gate and classifying it happen in the same file. */
   val replayHarnessQueries: Set[String] =
     Set("sessions_streaming", "dedup_stream", "corpus_ingest_stream",
-      "events_hourly_streaming")
+      "events_hourly_streaming", "ivf_stream_append", "imi_sq8_stream_append")
   require(replayHarnessQueries.subsetOf(queries.keySet),
     "replayHarnessQueries names a query not registered in queries")
 
@@ -665,9 +695,14 @@ object SparkEntry {
                              // line) + the standalone fuzzy stage's cost twin
     "corpus_curate_lm",      // composed sibling of corpus_curate_e2e; its LM
                              // stage's cost twin ref_lm_buckets is measured too
+    "corpus_curate_dsir",    // composed sibling of corpus_curate_e2e; its
+                             // resample stage's cost twin curation_dsir is
+                             // on the line
     "multimodal_decode_bmp", // second-format sibling of multimodal_decode
                              // (the PPM flagship stays on the line)
     "multimodal_decode_wav", // third-format sibling of multimodal_decode
+    "multimodal_ahash",      // strict cost-subset of dedup_image_ahash
+                             // (same signatures, minus the banding join)
     "corpus_packed",         // strict cost-subset of corpus_shuffle (same
                              // prefix-sum + pack, minus the permutation keys)
     "ivf_sq8_compact",       // lifecycle sibling of ivf_index_compact (same
@@ -710,8 +745,16 @@ object SparkEntry {
                              // line) finished by the vocab projection
     "ivf_ann_filtered",      // filtered variant of ivf_probe_indexed (on the
                              // line): same probe + one candidate semi-join
-    "ivf_pq_filtered")       // filtered variant of the PQ probe (rationale
+    "ivf_pq_filtered",       // filtered variant of the PQ probe (rationale
                              // above; ivf_pq_rerank stays on the line)
+    "pricing_summary",       // same single-pass conditional-agg shape as
+                             // q1_agg_orders (the reference flagship, pinned
+                             // to the line by the driver-surface rule)
+    "text_token_stats",      // strict cost-subset of text_quality (same
+                             // scan-fused single pass, fewer derived columns)
+    "running_revenue")       // cost twin of corpus_shuffle (same
+                             // ScalableCumsum range-exchange core; the richer
+                             // composition stays on the line)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

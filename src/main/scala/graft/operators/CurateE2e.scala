@@ -115,6 +115,32 @@ object CurateE2e {
       trainPct, valPct)
   }
 
+  /** The DAG with DSIR importance RESAMPLING composed in after exact
+    * decontamination: quality → exact dedup → near-dup prune → exact
+    * decon → Gumbel top-1/quota resample toward the target distribution
+    * ([[Dsir.importanceSample]] over the shipped corpus, target = a
+    * caller-supplied trusted corpus external to the crawl, the
+    * [[curateLm]] reference shape) → leakage-safe split. Where
+    * [[curateLm]] CUTS the reference-unlike tail, this RESAMPLES the
+    * kept mix toward the target's n-gram profile — the two selectors a
+    * production stack chooses between (or layers). The drop rule is
+    * conservative like the LM stage's: only a doc the resampler
+    * PROVABLY passed over (weighed and not sampled) is removed —
+    * featureless docs it cannot weigh are kept. The empty-cluster-map
+    * proof of [[curate]] survives (the stage only removes docs). */
+  def curateDsir(docs: DataFrame, eval: DataFrame, target: DataFrame,
+                 qualityMin: Double = 0.5,
+                 n: Int = 5, thr: Double = 0.5, deconN: Int = 8,
+                 buckets: Int = Dsir.Buckets, quota: Int = Dsir.Quota,
+                 trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val decon = cleanAndDecon(docs, eval, qualityMin, n, thr, deconN)
+    val passedOver = Dsir.importanceSample(
+      decon.select(col("doc_id"), col("text")), target, buckets, quota)
+      .filter(!col("sampled")).select(col("doc_id"))
+    splitShipped(decon.join(passedOver, Seq("doc_id"), "left_anti"),
+      trainPct, valPct)
+  }
+
   /** Stages 1–4 (quality gate → exact dedup → near-dup prune → exact
     * decontamination): the shipped-corpus prefix both DAG variants
     * share. Returns (doc_id, text, quality_score). */
@@ -237,6 +263,39 @@ object CurateE2e {
        |  WHERE t.doc_id IS NULL
        |),
        |${splitTailSql("decon_lm", n, thr, trainPct, valPct)}""".stripMargin
+
+  /** Gated variant of [[curateDsir]] (the %20 eval convention; `src0`
+    * plays the external target, as in [[lmFromDir]]). Non-vacuous BY
+    * CONSTRUCTION: the resampler keeps ⌈N/quota⌉ of the N weighed docs,
+    * so at any gate scale with N > quota it provably removes documents
+    * the heuristic gate and decon kept. */
+  def dsirFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    curateDsir(docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      docs.filter(col("source") === "src0"))
+  }
+
+  /** DuckDB twin of [[curateDsir]] as [[dsirFromDir]] composes it: the
+    * shared exact-prefix CTEs, then [[Dsir.dsirCtesSql]] (prefix `ds_`,
+    * weighed relation = `decon`, target = the full table's src0 slice —
+    * the SAME single-sourced chain as `curation_dsir`), passed-over ids
+    * anti-joined out, then the shared split tail. Featureless docs never
+    * reach `ds_sel` — kept on both engines. */
+  def dsirOracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5,
+                 deconN: Int = 8, buckets: Int = Dsir.Buckets,
+                 quota: Int = Dsir.Quota,
+                 trainPct: Int = 90, valPct: Int = 5): String =
+    s"""WITH RECURSIVE ${deconCtesSql(qualityMin, n, thr, deconN)},
+       |${Dsir.dsirCtesSql(buckets, quota, "ds_", docsFrom = "decon",
+           targetFrom = "documents WHERE source = 'src0'")},
+       |ds_drop AS (SELECT doc_id FROM ds_sel WHERE NOT sampled),
+       |decon_ds AS (
+       |  SELECT d.doc_id, d.text, d.quality_score FROM decon d
+       |  LEFT JOIN ds_drop t ON d.doc_id = t.doc_id
+       |  WHERE t.doc_id IS NULL
+       |),
+       |${splitTailSql("decon_ds", n, thr, trainPct, valPct)}""".stripMargin
 
   /** The exact-prefix CTE chain (evals/train0 → cleaned → 8-gram decon),
     * ending in `decon (doc_id, text, quality_score)` — shared by both

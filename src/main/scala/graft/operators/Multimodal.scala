@@ -802,4 +802,214 @@ object Multimodal {
 
   def metaFromDir(spark: SparkSession, dir: String): DataFrame =
     payloadMeta(asBinaryPayloads(Tables.documents(spark, dir)))
+
+  // ---------------------------- perceptual hash (aHash) + image near-dup
+
+  private val ahashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("ahash_hi", LongType, nullable = false),
+    StructField("ahash_lo", LongType, nullable = false)))
+
+  /** Average-hash (aHash) over DECODED pixels — the perceptual-dedup
+    * signature of an image corpus: map the image onto an 8×8 grid of
+    * cells (row r → band ⌊8r/h⌋, column c → band ⌊8c/w⌋ — the same
+    * integer band rule on both engines, never a resample), set bit
+    * 8·i+j when the cell's mean gray (gray = r+g+b, no division) is ≥
+    * the image mean. Near-identical images — re-encodes, small crops of
+    * padding, brightness-preserving edits — land within a few bits,
+    * which [[ahashNearDups]] turns into the SimHash banding join.
+    * EXACT integer rule throughout: mean comparison is the cross-
+    * multiplication cs·(w·h) ≥ total·cellpix (no float division), so
+    * the 64 bits are deterministic. Emitted as two 32-bit halves
+    * (`ahash_hi` bits 32–63, `ahash_lo` bits 0–31) — summing disjoint
+    * powers of two stays clear of the BIGINT sign bit on both engines
+    * (the [[Dedup.simhash]] 60-bit lesson). Images smaller than the
+    * grid (w or h < 8) report −1s, kept visible like a rejected decode.
+    *
+    * Scale: decode + hash run per partition (payloads never shuffle);
+    * only 5-long signature rows leave the scan — the signature table is
+    * what the banding join and any cross-corpus diff consume. */
+  def ahashFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodePpm(r.getAs[Array[Byte]](1)) match {
+          case Some(img) if img.width >= 8 && img.height >= 8 =>
+            val w = img.width; val h = img.height
+            val cellSum = new Array[Long](64)
+            val cellN = new Array[Long](64)
+            var total = 0L
+            var p = 0
+            var row = 0
+            while (row < h) {
+              val i = ((row.toLong * 8) / h).toInt
+              var c = 0
+              while (c < w) {
+                val j = ((c.toLong * 8) / w).toInt
+                val g = (img.pixels(p) & 0xff) + (img.pixels(p + 1) & 0xff) +
+                  (img.pixels(p + 2) & 0xff)
+                cellSum(i * 8 + j) += g
+                cellN(i * 8 + j) += 1
+                total += g
+                p += 3
+                c += 1
+              }
+              row += 1
+            }
+            val npix = w.toLong * h
+            var hi = 0L; var lo = 0L
+            var b = 0
+            while (b < 64) {
+              // cell mean >= image mean, cross-multiplied (ties -> 1)
+              if (cellSum(b) * npix >= total * cellN(b)) {
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              b += 1
+            }
+            Row(r.getLong(0), w.toLong, h.toLong, hi, lo)
+          case _ => Row(r.getLong(0), -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, ahashSchema)
+  }
+
+  /** Gated query `multimodal_ahash`: the perceptual signature of every
+    * P6 payload built from the corpus (the [[decodeGateFromDir]] seam,
+    * reduced to the 64-bit grid hash instead of channel sums). */
+  def ahashGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    ahashFeatures(asPpmPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+
+  /** Image near-dup pairs by aHash Hamming distance — the multimodal
+    * face of the dedup family: pigeonhole banding over the four 16-bit
+    * slices of the 64-bit signature (maxDistance 3 → 4 bands: any pair
+    * within distance 3 agrees on ≥1 whole band), candidates verified by
+    * exact popcount. The [[Dedup.simhashNearDups]] join shape on the
+    * [[ahashFeatures]] signature table: an equi-join on derived band
+    * keys, never all-pairs — the property that survives 100 TB of
+    * images. Undecodable / sub-grid images (−1 signatures) are excluded
+    * before banding. */
+  def ahashNearDups(media: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val sigs = ahashFeatures(media).filter(col("width") >= 0)
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"))
+    val bandExprs = Seq(
+      col("ahash_lo").bitwiseAND(lit(0xffffL)),
+      shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xffffL)),
+      col("ahash_hi").bitwiseAND(lit(0xffffL)),
+      shiftright(col("ahash_hi"), 16).bitwiseAND(lit(0xffffL))
+    ).zipWithIndex.map { case (k, c) =>
+      struct(lit(c).as("chunk"), k.as("key"))
+    }
+    val blocked = sigs.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      explode(array(bandExprs: _*)).as("ck"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("ck.chunk"), col("ck.key"))
+    val l = blocked.select(col("chunk"), col("key"), col("media_id").as("id1"),
+      col("ahash_hi").as("hi1"), col("ahash_lo").as("lo1"))
+    val r = blocked.select(col("chunk"), col("key"), col("media_id").as("id2"),
+      col("ahash_hi").as("hi2"), col("ahash_lo").as("lo2"))
+    val hamming =
+      (bit_count(col("hi1").bitwiseXOR(col("hi2"))) +
+        bit_count(col("lo1").bitwiseXOR(col("lo2")))).cast("long")
+    // merge hint: both sides are corpus × 4 bands (the simhash guard)
+    l.hint("merge").join(r, Seq("chunk", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Gated query `dedup_image_ahash`: perceptual near-dup pairs over the
+    * corpus's P6 payloads. */
+  def ahashNearDupsFromDir(spark: SparkSession, dir: String): DataFrame =
+    ahashNearDups(asPpmPayloads(Tables.documents(spark, dir)))
+
+  /** The aHash construction as prefixed CTEs ending in
+    * `${p}sig (media_id, width, height, ahash_hi, ahash_lo)` — the
+    * hex-twin fold of [[decodeOracle]] carried through the banding/bit
+    * rules, single-sourced between the signature oracle and the pair
+    * oracle. Builder geometry is width 8 (one pixel column per grid
+    * column), so the column band is the identity and only rows band. */
+  private def ahashCtesSql(p: String = ""): String =
+    s"""${p}b AS (
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
+       |  FROM documents
+       |), ${p}px AS (
+       |  SELECT media_id, n // 24 AS h,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 24) * 24 AS INTEGER) + 1)] AS bs
+       |  FROM ${p}b
+       |), ${p}g AS (
+       |  SELECT media_id, h,
+       |         [bs[3*q - 2] + bs[3*q - 1] + bs[3*q]
+       |          FOR q IN range(1, CAST(h * 8 AS INTEGER) + 1)] AS gs
+       |  FROM ${p}px
+       |), ${p}cells AS (
+       |  SELECT media_id, h, (r.r * 8) // h AS i, j.j AS j,
+       |         CAST(SUM(gs[r.r * 8 + j.j + 1]) AS BIGINT) AS cs,
+       |         CAST(COUNT(*) AS BIGINT) AS cn
+       |  FROM ${p}g,
+       |       LATERAL unnest(range(0, CAST(h AS INTEGER))) AS r(r),
+       |       LATERAL unnest(range(0, 8)) AS j(j)
+       |  WHERE h >= 8
+       |  GROUP BY 1, 2, 3, 4
+       |), ${p}tot AS (
+       |  SELECT media_id, CAST(COALESCE(list_sum(gs), 0) AS BIGINT) AS total
+       |  FROM ${p}g WHERE h >= 8
+       |), ${p}bits AS (
+       |  SELECT c.media_id,
+       |         CAST(SUM(CASE WHEN 8*c.i + c.j >= 32
+       |                        AND c.cs * (8 * c.h) >= t.total * c.cn
+       |                   THEN (CAST(1 AS BIGINT) << CAST(8*c.i + c.j - 32 AS INTEGER))
+       |                   ELSE 0 END) AS BIGINT) AS ahash_hi,
+       |         CAST(SUM(CASE WHEN 8*c.i + c.j < 32
+       |                        AND c.cs * (8 * c.h) >= t.total * c.cn
+       |                   THEN (CAST(1 AS BIGINT) << CAST(8*c.i + c.j AS INTEGER))
+       |                   ELSE 0 END) AS BIGINT) AS ahash_lo
+       |  FROM ${p}cells c JOIN ${p}tot t ON t.media_id = c.media_id
+       |  GROUP BY 1
+       |), ${p}sig AS (
+       |  SELECT px.media_id,
+       |         CAST(CASE WHEN px.h >= 8 THEN 8 ELSE -1 END AS BIGINT) AS width,
+       |         CAST(CASE WHEN px.h >= 8 THEN px.h ELSE -1 END AS BIGINT) AS height,
+       |         CAST(CASE WHEN px.h >= 8 THEN bi.ahash_hi ELSE -1 END AS BIGINT) AS ahash_hi,
+       |         CAST(CASE WHEN px.h >= 8 THEN bi.ahash_lo ELSE -1 END AS BIGINT) AS ahash_lo
+       |  FROM ${p}px px LEFT JOIN ${p}bits bi ON bi.media_id = px.media_id
+       |)""".stripMargin
+
+  /** DuckDB twin of [[ahashGateFromDir]]. */
+  def ahashOracle: String =
+    s"""WITH ${ahashCtesSql()}
+       |SELECT media_id, width, height, ahash_hi, ahash_lo
+       |FROM sig ORDER BY media_id""".stripMargin
+
+  /** DuckDB twin of [[ahashNearDupsFromDir]]: same signatures, same four
+    * 16-bit bands, same popcount verify. */
+  def ahashNearDupsOracle(maxDistance: Int = 3): String =
+    s"""WITH ${ahashCtesSql()},
+       |blocked AS (
+       |  SELECT media_id, ahash_hi, ahash_lo, c.c AS chunk,
+       |         CASE c.c WHEN 0 THEN ahash_lo & 65535
+       |                  WHEN 1 THEN (ahash_lo >> 16) & 65535
+       |                  WHEN 2 THEN ahash_hi & 65535
+       |                  ELSE (ahash_hi >> 16) & 65535 END AS key
+       |  FROM sig, LATERAL unnest([0, 1, 2, 3]) AS c(c)
+       |  WHERE width >= 0
+       |), pairs AS (
+       |  SELECT DISTINCT l.media_id AS id1, r.media_id AS id2,
+       |         l.ahash_hi AS h1, l.ahash_lo AS l1,
+       |         r.ahash_hi AS h2, r.ahash_lo AS l2
+       |  FROM blocked l JOIN blocked r
+       |    ON l.chunk = r.chunk AND l.key = r.key AND l.media_id < r.media_id
+       |)
+       |SELECT id1, id2,
+       |       CAST(bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(h1, h2)) + bit_count(xor(l1, l2)) <= $maxDistance
+       |ORDER BY id1, id2""".stripMargin
 }

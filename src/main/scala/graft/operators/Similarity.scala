@@ -1868,6 +1868,36 @@ object Similarity {
       k, nProbe1, nProbe2)
   }
 
+  /** Gated query `imi_sq8_stream_append`: the STREAMING ingestion path
+    * on the tier a 100 TB deployment serves — the delta arrives as
+    * watermark-deduped micro-batches ([[graft.streaming.IndexIngest]],
+    * plants and all) and each surviving batch lands through the SAME
+    * [[appendToImiSq8Index]] the batch gate proves. Encode is a pure
+    * per-vector function of the frozen codebooks + extrema, so the
+    * stream lands exactly what the one-shot batch append lands: the
+    * SAME oracle as `imi_sq8_append` — which is the point of the
+    * callback-sink design: ONE ingest transform serves every tier. */
+  def imiSq8StreamAppendProbeFromDir(spark: SparkSession, dir: String,
+                                     numQueries: Int = 8,
+                                     k: Int = 10, c1: Int = 8, c2: Int = 8,
+                                     nProbe1: Int = 2, nProbe2: Int = 2,
+                                     iterations: Int = 2,
+                                     nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      imiSq8BacklogFor(dir, e, c1, c2, iterations), "graft_imi_sq8_stream")
+    val delta = e.filter(col("vec_id") % DedupIndex.DeltaMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Seq[Float])].collect()
+    graft.streaming.IndexIngest.replayVectors(spark, delta,
+      b => appendToImiSq8Index(spark, idx, b), nBatches)
+    probeImiSq8Index(spark, idx, e.filter(col("vec_id") < numQueries),
+      k, nProbe1, nProbe2)
+  }
+
   /** Gated query `imi_sq8_remove`: takedown on the composed tier — copy
     * the memoized full-corpus index, remove the DeltaMod residue class
     * (codes rewritten verbatim under the frozen sidecars), probe with
@@ -2319,6 +2349,38 @@ object Similarity {
     val idx = ClusterStore.copyStore(backlogIdx, "graft_ivf_append")
     appendToIvfIndex(spark, idx,
       e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+      e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_stream_append`: STREAMING ingestion into the float
+    * serving store — the delta arrives as MemoryStream micro-batches with
+    * planted re-deliveries (same vec_id AND embedding, one batch behind),
+    * [[graft.streaming.IndexIngest.dedupArrivals]] drops the plants
+    * within the watermark, and each surviving micro-batch lands through
+    * the SAME [[appendToIvfIndex]] the batch gate proves. The appended
+    * content is then exactly the plant-free delta, and assignment is a
+    * pure per-vector function of the frozen quantizer, so stream-append
+    * in any batch order equals a same-quantizer rebuild over the union —
+    * i.e. the full-corpus [[ivfAnnOracle]], the SAME oracle as
+    * `ivf_index_append`. A plant that survived dedup would append a
+    * duplicate row, surface as a duplicate neighbor at adjacent ranks,
+    * and shift every rank below it — the oracle cannot hash-match that. */
+  def ivfStreamAppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                  k: Int = 10, numCentroids: Int = 16,
+                                  nProbe: Int = 4, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val backlogIdx = ivfBacklogStores.computeIfAbsent(dir, _ =>
+      buildHashIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        "graft_ivf_backlog", requireOracleDim(e, dir), numCentroids))
+    val idx = ClusterStore.copyStore(backlogIdx, "graft_ivf_stream")
+    val delta = e.filter(col("vec_id") % DedupIndex.DeltaMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Seq[Float])].collect()
+    graft.streaming.IndexIngest.replayVectors(spark, delta,
+      b => appendToIvfIndex(spark, idx, b), nBatches)
     probeIvfIndex(spark, idx, readQuantizer(spark, idx),
       e.filter(col("vec_id") < numQueries), k, nProbe)
   }

@@ -238,4 +238,136 @@ class Round15Spec extends SparkSpec {
     assert(nBase - nLm === shipped - (2 * shipped + 2) / 3,
       s"dropped ${nBase - nLm} of $shipped — must be the tail tercile")
   }
+
+  // ------------------------------------------- streaming index ingest
+
+  test("ivf_stream_append: watermark dedup drops every planted re-delivery before the store") {
+    val e = Tables.embeddings(spark, sf)
+    val dim = Similarity.embeddingDim(e)
+    val backlog = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_spec")
+    val idx = tmp.resolve("index").toString
+    Similarity.writeIvfIndexWith(backlog, idx, Similarity.hashCentroids(dim, 4))
+    val deltaRows = delta.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .as[(Long, Seq[Float])].collect()
+    graft.streaming.IndexIngest.replayVectors(spark, deltaRows,
+      b => Similarity.appendToIvfIndex(spark, idx, b), nBatches = 3)
+    val stored = spark.read.parquet(Similarity.ivfDataDir(idx))
+      .groupBy(col("vec_id")).count()
+    assert(stored.filter(col("count") > 1).count() === 0,
+      "a surviving planted re-delivery would leave a duplicate vec_id in the store")
+    assert(stored.count() === backlog.count() + deltaRows.length,
+      "every distinct delta vector must land exactly once")
+  }
+
+  test("IndexIngest without dedup WOULD duplicate — the transform carries the guarantee") {
+    // counter-factual: the plants are real re-deliveries (same id+vector),
+    // so the signal the gate rides on is the dedup, not the batching
+    val delta = Array((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.5f, 0.5f)), (4L, Seq(0.25f, 0.75f)))
+    var appended = Vector.empty[Long]
+    graft.streaming.IndexIngest.replayVectors(spark, delta,
+      b => appended ++= b.select("vec_id").collect().map(_.getLong(0)),
+      nBatches = 2)
+    assert(appended.sorted === Vector(1L, 2L, 3L, 4L),
+      s"each vec_id exactly once across micro-batches, got $appended")
+  }
+
+  // --------------------------------------------- DSIR importance resampling
+
+  test("DSIR ranks target-like docs above off-target docs and samples deterministically") {
+    import graft.operators.Dsir
+    val target = (0L until 4L).map(i =>
+      (i, Seq.fill(30)("alpha beta gamma delta").mkString(" "), "src0"))
+    val likeTarget = (10L until 14L).map(i =>
+      (i, Seq.fill(30)("alpha beta gamma delta").mkString(" "), "src1"))
+    val offTarget = (20L until 32L).map(i =>
+      (i, Seq.fill(30)("zork quux blarg wibble").mkString(" "), "src2"))
+    val docs = (target ++ likeTarget ++ offTarget).toDF("doc_id", "text", "source")
+    val out = Dsir.importanceSample(docs, docs.filter(col("source") === "src0"))
+      .cache()
+    val sampled = out.filter(col("sampled")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // n=20, quota=4 → ceil(20/4)=5 kept; the 8 target-vocabulary docs
+    // carry logw ≫ 0 while off-target docs are ≪ 0 (Gumbel noise is
+    // micros-scale against a ~1e8-micros margin), so every kept doc
+    // must be target-like
+    assert(out.filter(col("sampled")).count() === 5)
+    assert(sampled.subsetOf((0L until 4L).toSet ++ (10L until 14L).toSet),
+      s"sampled $sampled must be target-vocabulary docs")
+    val again = Dsir.importanceSample(docs, docs.filter(col("source") === "src0"))
+      .collect().map(_.toSeq)
+    assert(again.toSeq === out.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq,
+      "md5 Gumbel keys make the resample deterministic")
+  }
+
+  test("curateDsir keeps exactly the resampled quarter and only removes") {
+    val docs = Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val eval = docs.filter(col("doc_id") % 20 === 0)
+    val target = docs.filter(col("source") === "src0")
+    val base = CurateE2e.curate(train, eval).select(col("doc_id"))
+    val ds = CurateE2e.curateDsir(train, eval, target).select(col("doc_id"))
+    val nBase = base.count()
+    val nDs = ds.count()
+    assert(ds.join(base, Seq("doc_id"), "left_anti").count() === 0,
+      "the resample stage only removes")
+    // every shipped doc at this corpus has >=1 token, so all are weighed
+    // and the conservative keep rule reduces to the quota cut:
+    // kept = ceil(nBase / quota)
+    assert(nDs === (nBase + 3) / 4, s"kept $nDs of $nBase — must be the quota cut")
+  }
+
+  // ------------------------------------------------- perceptual hash
+
+  /** A P6 payload of the given RGB plane (hand-built, not via the text
+    * builder — the spec pins the hash math on known pixels). */
+  private def ppm(w: Int, h: Int, px: Array[Byte]): Array[Byte] =
+    s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+
+  private def ahashOf(payloads: Seq[(Long, Array[Byte])]) =
+    Multimodal.ahashFeatures(
+      payloads.toDF("media_id", "payload"))
+      .orderBy(col("media_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("ahash: bright-top/dark-bottom image sets exactly the top half's bits") {
+    // 8x8 image: rows 0-3 white (gray 765), rows 4-7 black (gray 0) —
+    // mean is strictly between, so bands 0-3 read all-ones and 4-7 zero
+    val px = Array.tabulate(8 * 8 * 3)(i => if (i < 8 * 4 * 3) 0xff.toByte else 0x00.toByte)
+    val Array((_, w, h, hi, lo)) = ahashOf(Seq((1L, ppm(8, 8, px))))
+    assert((w, h) === (8L, 8L))
+    assert(lo === 0xffffffffL, "bits 0-31 = rows 0-3, all above the mean")
+    assert(hi === 0L, "bits 32-63 = rows 4-7, all below the mean")
+  }
+
+  test("ahash: a uniform image is all ties -> all 64 bits set; sub-grid images report -1") {
+    val uni = Array.fill(8 * 8 * 3)(0x40.toByte)
+    val Array((_, _, _, hi, lo), (_, w2, _, hi2, lo2)) = ahashOf(Seq(
+      (1L, ppm(8, 8, uni)),
+      (2L, ppm(8, 4, Array.fill(8 * 4 * 3)(0x40.toByte))) // h < 8
+    ))
+    assert(hi === 0xffffffffL && lo === 0xffffffffL, "ties round to 1 everywhere")
+    assert((w2, hi2, lo2) === (-1L, -1L, -1L), "sub-grid images stay visible as -1")
+  }
+
+  test("ahashNearDups: identical images pair at distance 0; a one-band flip still pairs; far images do not") {
+    val top = Array.tabulate(8 * 8 * 3)(i => if (i < 8 * 4 * 3) 0xff.toByte else 0x00.toByte)
+    // flip band (7,7) only: brighten the bottom-right pixel above the mean
+    val tweaked = top.clone()
+    for (k <- 0 until 3) tweaked((7 * 8 + 7) * 3 + k) = 0xff.toByte
+    val bottom = Array.tabulate(8 * 8 * 3)(i => if (i < 8 * 4 * 3) 0x00.toByte else 0xff.toByte)
+    val pairs = Multimodal.ahashNearDups(
+      Seq((1L, ppm(8, 8, top)), (2L, ppm(8, 8, top)),
+        (3L, ppm(8, 8, tweaked)), (4L, ppm(8, 8, bottom)))
+        .toDF("media_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.contains((1L, 2L, 0L)), "identical images at hamming 0")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 >= 1L && p._3 <= 3L),
+      "a single-cell edit stays within the banding radius")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L),
+      "the inverted image shares no 16-bit band")
+  }
 }

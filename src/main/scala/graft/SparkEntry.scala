@@ -113,6 +113,12 @@ object SparkEntry {
     // only) -> exact re-score of the R survivors against full-precision
     // vectors (the IVFPQ+refine shape) — recall recovered at R >> k
     "ivf_pq_rerank" -> tuned(Similarity.ivfPqRerankFromDir(_, _)),
+    // the RESIDUAL-encoded PQ tier (the FAISS IVFPQ shape): codebooks
+    // trained on x − c_assigned, ADC re-score carries the reconstruction
+    // terms (⟨q,c⟩ + LUTs over ‖c‖² + 2·cross + ‖d‖², all O(m) lookups)
+    "ivf_pqr_probe" -> tuned(Similarity.ivfPqResProbeFromDir(_, _)),
+    "ivf_pqr_append" -> tuned(Similarity.ivfPqResAppendProbeFromDir(_, _)),
+    "ivf_pqr_rerank" -> tuned(Similarity.ivfPqResRerankFromDir(_, _)),
     // filtered (predicate-constrained) search: top-k among documents
     // satisfying a metadata predicate — the index is NOT rebuilt per
     // predicate; candidates semi-join the allowed ids before re-score,
@@ -470,6 +476,10 @@ object SparkEntry {
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "ivf_pq_requantize" -> Similarity.ivfPqOracle(numCentroids = 32),
     "ivf_pq_rerank" -> Similarity.ivfPqRerankOracle(),
+    "ivf_pqr_probe" -> Similarity.ivfPqResOracle(),
+    "ivf_pqr_append" -> Similarity.ivfPqResOracle(
+      trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
+    "ivf_pqr_rerank" -> Similarity.ivfPqResRerankOracle(),
     "ivf_ann_filtered" -> Similarity.ivfAnnFilteredOracle(),
     "ivf_pq_filtered" -> Similarity.ivfPqFilteredOracle(),
     "semantic_dedup_imi" -> SemanticDedup.imiOracle(),
@@ -623,7 +633,10 @@ object SparkEntry {
       "ivf_pq_compact",     // backlog training loops + append + one rewrite
       "ivf_pq_requantize",  // backlog + union retraining at the new C
       "ivf_pq_rerank",      // the memoized trained build + shortlist + refine
-      "ivf_pq_filtered")    // the memoized trained build + filtered probe
+      "ivf_pq_filtered",    // the memoized trained build + filtered probe
+      "ivf_pqr_probe",      // m residual training loops + memoized build
+      "ivf_pqr_append",     // backlog residual training + memoized backlog build
+      "ivf_pqr_rerank")     // the memoized residual build + shortlist + refine
   require(iterativeHarnessQueries.subsetOf(queries.keySet),
     "iterativeHarnessQueries names a query not registered in queries")
 
@@ -752,9 +765,13 @@ object SparkEntry {
                              // to the line by the driver-surface rule)
     "text_token_stats",      // strict cost-subset of text_quality (same
                              // scan-fused single pass, fewer derived columns)
-    "running_revenue")       // cost twin of corpus_shuffle (same
+    "running_revenue",       // cost twin of corpus_shuffle (same
                              // ScalableCumsum range-exchange core; the richer
                              // composition stays on the line)
+    "ivf_pqr_probe",         // raw-ADC anchor of the residual tier; the
+                             // serving path ivf_pqr_rerank stays on the line
+    "ivf_pqr_append")        // lifecycle sibling of ivf_pqr_rerank (the
+                             // ivf_index_append rationale)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

@@ -114,12 +114,7 @@ object Similarity {
     * gated math IS the production math. */
   private[operators] def lloydUpdateStats(e: DataFrame,
       centroids: Array[(Int, Array[Double])], dim: Int): DataFrame =
-    assignToCentroids(e, centroids)
-      .groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n"),
-        array((0 until dim).map(d =>
-          sum(floor(element_at(col("embedding"), d + 1).cast("double") * 1e6 + 0.5)
-            .cast("long"))): _*).as("s"))
+    statsOfAssigned(assignToCentroids(e, centroids), dim)
 
   /** One exact Lloyd step: assignment (ties → larger cid) + integer-micros
     * update; un-hit cells keep their previous centroid (both engines'
@@ -146,6 +141,75 @@ object Similarity {
     }
     greatest(dists.toIndexedSeq: _*).getField("id")
   }
+
+  /** EUCLIDEAN argmin assignment (ties → larger cid): argmin ‖e − c‖²
+    * over a fixed e is argmax ⟨e,c⟩ − ‖c‖²/2, so the comparison key
+    * stays one fused dot per centroid. Residual sub-quantizers NEED L2
+    * Lloyd (the FAISS k-means): residual MAGNITUDE carries the
+    * reconstruction information, and a cosine quantizer — direction
+    * only — reconstructs x̂ = c + d with arbitrarily mis-scaled d,
+    * collapsing within-cell ranking to noise (measured: recall@10 of a
+    * cosine-trained residual tier was ZERO where L2 training recovers
+    * it). The ‖c‖²/2 constant is the same sequential fold
+    * `list_inner_product(c, c) / 2` the SQL twin runs; halving is exact
+    * in binary floating point. */
+  private[operators] def assignL2Expr(e: Column,
+                                      centroids: Array[(Int, Array[Double])]): Column = {
+    val dists = centroids.map { case (id, c) =>
+      struct((litDot(e, c) - lit(c.foldLeft(0.0)((a, x) => a + x * x) / 2.0)).as("sim"),
+        lit(id).as("id"))
+    }
+    greatest(dists.toIndexedSeq: _*).getField("id")
+  }
+
+  /** Deterministic DATA-SAMPLED k-means init: the k rows with the
+    * smallest md5('pqinit_' ‖ vec_id) hash, cids in (hash, vec_id)
+    * order — the standard sample-the-data init, and the one L2 Lloyd
+    * NEEDS: the md5-formula centroids have component scale ~[−1,1)
+    * (norm ≈ √(dim/3)), so on small-norm data (residuals!) the
+    * ‖c‖²/2 penalty sends EVERY row to the one smallest-norm centroid
+    * and the training degenerates to a single cluster (measured: the
+    * residual tier's within-cluster ranking collapsed to tie-break
+    * noise). Copied values are exact cross-engine by construction —
+    * no formula to reproduce, just the same k rows in the same order. */
+  private[operators] def dataInitCentroids(e: DataFrame, k: Int): Array[(Int, Array[Double])] =
+    e.select(col("vec_id"), col("embedding"),
+        Dedup.hash60(concat(lit("pqinit_"), col("vec_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .collect().zipWithIndex.map { case (r, i) =>
+        (i, r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+      }
+
+  /** [[trainCentroids]] under EUCLIDEAN assignment — data-sampled init
+    * (see [[dataInitCentroids]]), the same tie rule and exact
+    * integer-micros update; only the init and the argmax metric change. */
+  def trainCentroidsL2(embeddings: DataFrame, k: Int, iterations: Int = 2,
+                       dimOpt: Option[Int] = None): Array[(Int, Array[Double])] = {
+    val dim = dimOpt.getOrElse(embeddingDim(embeddings))
+    var centroids = dataInitCentroids(embeddings, k)
+    for (_ <- 1 to iterations) {
+      val updated = statsOfAssigned(
+        embeddings.withColumn("centroid_id",
+          assignL2Expr(col("embedding"), centroids)), dim)
+        .collect().map { r =>
+          val n = r.getAs[Long]("n")
+          (r.getAs[Int]("centroid_id"),
+            r.getAs[Seq[Long]]("s").map(_.toDouble / (n * 1e6)).toArray)
+        }.toMap
+      centroids = centroids.map { case (id, c) => (id, updated.getOrElse(id, c)) }
+    }
+    centroids
+  }
+
+  /** The update-stats aggregation over an already-assigned frame — the
+    * metric-independent half of [[lloydUpdateStats]]. */
+  private def statsOfAssigned(assigned: DataFrame, dim: Int): DataFrame =
+    assigned
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(d =>
+          sum(floor(element_at(col("embedding"), d + 1).cast("double") * 1e6 + 0.5)
+            .cast("long"))): _*).as("s"))
 
   /** Nearest-centroid assignment: centroids ship as plan literals (they are
     * the broadcast side by construction); argmin over dot-distance. */
@@ -660,7 +724,8 @@ object Similarity {
     * [[SemanticDedup.oracle]]) so the quantizer formula cannot drift. */
   private[operators] def centroidSimsCtesSql(dim: Int, numCentroids: Int,
                                              relation: String = "embeddings",
-                                             p: String = ""): String =
+                                             p: String = "",
+                                             l2: Boolean = false): String =
     s"""${p}centroids AS (
        |  SELECT t AS cid,
        |         list_transform(range(0, $dim), d ->
@@ -669,9 +734,16 @@ object Similarity {
        |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
        |), ${p}sims AS (
        |  SELECT e.vec_id, ct.cid,
-       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
        |  FROM $relation e CROSS JOIN ${p}centroids ct
        |)""".stripMargin
+
+  /** The argmax comparison key both engines share: cosine by default,
+    * or the EUCLIDEAN key ⟨e,c⟩ − ‖c‖²/2 (argmin L2 distance — see
+    * [[assignL2Expr]]). */
+  private def simMetricSql(e: String, c: String, l2: Boolean): String =
+    if (l2) s"list_inner_product($e, $c) - list_inner_product($c, $c) / 2"
+    else s"list_cosine_similarity($e, $c)"
 
   /** The IVF probe chain (assignment → probe selection → cell-bounded
     * candidates → exact re-score → per-query rank) as SQL CTEs, ending in
@@ -1982,15 +2054,17 @@ object Similarity {
 
   // ------------------------------------------------- gated ANN recall
 
-  /** Gated query `ann_recall`: recall@k of ALL FIVE serving tiers — the
+  /** Gated query `ann_recall`: recall@k of ALL SIX serving tiers — the
     * persisted float IVF index (`ivf_probe_indexed`), the SQ8 compressed
     * tier (`ivf_sq8_probe`), the two-level IMI index (`ivf_ann_imi`),
     * the composed IMI×SQ8 tier (`imi_sq8_probe`), and the PQ tier both
     * RAW (`hits_pq` — the honest 12-bit ADC number) and through its
     * serving path (`hits_pqr` — shortlist + exact refine; the difference
-    * on the record IS what the refine pass buys back) — against
-    * brute-force ground truth (`knn_cosine_topk`), at the gates' fixed
-    * probe fractions. The
+    * on the record IS what the refine pass buys back), plus the
+    * RESIDUAL-encoded PQ tier (`hits_pqres` — same bits, same probe
+    * budget; the gap over `hits_pq` prices the FAISS residual encoding)
+    * — against brute-force ground truth (`knn_cosine_topk`), at the
+    * gates' fixed probe fractions. The
     * surface is EXACT integer hit counts per query (id-set intersection
     * of the top-k lists), so approximation quality gates
     * deterministically on the driver instead of living only in specs: a
@@ -2036,6 +2110,11 @@ object Similarity {
     // driver record IS the recall the refine pass buys back
     val pqr = ivfPqRerankFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqr"))
+    // and the RESIDUAL-encoded PQ tier at the same bits and probe budget:
+    // hits_pqres − hits_pq on the driver record IS the recall the FAISS
+    // residual encoding buys at zero extra probe cost
+    val pqres = ivfPqResProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqres"))
     truth
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .join(sq8, Seq("query_id", "neighbor_id"), "left")
@@ -2043,6 +2122,7 @@ object Similarity {
       .join(imisq8, Seq("query_id", "neighbor_id"), "left")
       .join(pq, Seq("query_id", "neighbor_id"), "left")
       .join(pqr, Seq("query_id", "neighbor_id"), "left")
+      .join(pqres, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("k_truth"),
         coalesce(sum(col("in_ivf")), lit(0L)).as("hits_ivf"),
@@ -2050,7 +2130,8 @@ object Similarity {
         coalesce(sum(col("in_imi")), lit(0L)).as("hits_imi"),
         coalesce(sum(col("in_imisq8")), lit(0L)).as("hits_imisq8"),
         coalesce(sum(col("in_pq")), lit(0L)).as("hits_pq"),
-        coalesce(sum(col("in_pqr")), lit(0L)).as("hits_pqr"))
+        coalesce(sum(col("in_pqr")), lit(0L)).as("hits_pqr"),
+        coalesce(sum(col("in_pqres")), lit(0L)).as("hits_pqres"))
       .orderBy(col("query_id"))
   }
 
@@ -2077,6 +2158,9 @@ object Similarity {
        |pqr AS (
        |${ivfPqRerankOracle(numQueries, k, numCentroids, nProbe, dim = dim)}
        |),
+       |pqres AS (
+       |${ivfPqResOracle(numQueries, k, numCentroids, nProbe, dim = dim)}
+       |),
        |b_pairs AS (
        |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -2094,14 +2178,16 @@ object Similarity {
        |m_top AS (SELECT query_id, neighbor_id FROM imi),
        |c_top AS (SELECT query_id, neighbor_id FROM imisq8),
        |p_top AS (SELECT query_id, neighbor_id FROM pq),
-       |r_top AS (SELECT query_id, neighbor_id FROM pqr)
+       |r_top AS (SELECT query_id, neighbor_id FROM pqr),
+       |e_top AS (SELECT query_id, neighbor_id FROM pqres)
        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
        |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
        |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8,
        |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi,
        |       CAST(COALESCE(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imisq8,
        |       CAST(COALESCE(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pq,
-       |       CAST(COALESCE(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pqr
+       |       CAST(COALESCE(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pqr,
+       |       CAST(COALESCE(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pqres
        |FROM truth t
        |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
        |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
@@ -2109,6 +2195,7 @@ object Similarity {
        |LEFT JOIN c_top c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
        |LEFT JOIN p_top p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
        |LEFT JOIN r_top r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+       |LEFT JOIN e_top e ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
 
   // ------------------------------------------- gated k-means training
@@ -2126,7 +2213,8 @@ object Similarity {
     * Trailing unreferenced CTEs cost nothing (DuckDB inlines CTEs), so a
     * caller selects from whichever stage its gate pins. */
   private[operators] def kmeansIterCtesSql(i: Int, dim: Int, p: String = "",
-                                           relation: String = "embeddings"): String = {
+                                           relation: String = "embeddings",
+                                           l2: Boolean = false): String = {
     val sims = if (i == 0) s"${p}sims" else s"${p}k_sims$i"
     val cent = if (i == 0) s"${p}centroids" else s"${p}k_cent$i"
     s"""${p}k_assign$i AS (
@@ -2150,7 +2238,7 @@ object Similarity {
        |  ) u ON u.cid = c0.cid
        |), ${p}k_sims${i + 1} AS (
        |  SELECT e.vec_id, ct.cid,
-       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
        |  FROM $relation e CROSS JOIN ${p}k_cent${i + 1} ct
        |)""".stripMargin
   }
@@ -2948,7 +3036,9 @@ object Similarity {
   private[operators] def pqCtesSql(dim: Int, m: Int = PqM, kpq: Int = PqK,
                                    iterations: Int = PqIterations,
                                    trainRelation: String = "embeddings",
-                                   encodeRelation: String = "embeddings"): String = {
+                                   encodeRelation: String = "embeddings",
+                                   l2: Boolean = false,
+                                   dataInit: Boolean = false): String = {
     val sub = dim / m
     def finalCent(s: Int) =
       if (iterations == 0) s"pq${s}_centroids" else s"pq${s}_k_cent$iterations"
@@ -2957,16 +3047,31 @@ object Similarity {
       s"""pqt$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $trainRelation),
          |pqe$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $encodeRelation)""".stripMargin
     }.mkString(",\n")
+    // the data-sampled init twin of [[dataInitCentroids]]: the same k
+    // rows in the same (md5, vec_id) order, values copied not computed
+    def dataInitSims(p: String, rel: String): String =
+      s"""${p}centroids AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, c FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c,
+         |           CAST('0x' || substr(md5('pqinit_' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |    FROM $rel
+         |  ) ORDER BY h, vec_id LIMIT $kpq
+         |), ${p}sims AS (
+         |  SELECT e.vec_id, ct.cid,
+         |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
+         |  FROM $rel e CROSS JOIN ${p}centroids ct
+         |)""".stripMargin
     val chains = (0 until m).map { s =>
       val p = s"pq${s}_"
       val lloyd = if (iterations == 0) "" else ",\n" + (0 until iterations)
-        .map(i => kmeansIterCtesSql(i, sub, p, s"pqt$s")).mkString(",\n")
-      centroidSimsCtesSql(sub, kpq, s"pqt$s", p) + lloyd
+        .map(i => kmeansIterCtesSql(i, sub, p, s"pqt$s", l2)).mkString(",\n")
+      (if (dataInit) dataInitSims(p, s"pqt$s")
+       else centroidSimsCtesSql(sub, kpq, s"pqt$s", p, l2)) + lloyd
     }.mkString(",\n")
     val codes = (0 until m).map { s =>
       s"""pqf$s AS (
          |  SELECT e.vec_id, ct.cid,
-         |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+         |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
          |  FROM pqe$s e CROSS JOIN ${finalCent(s)} ct
          |), pqc$s AS (
          |  SELECT vec_id, cid FROM (
@@ -3041,6 +3146,353 @@ object Similarity {
        |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
        |FROM p_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
+
+  // ------------------- IVF×PQ, RESIDUAL encoding (the FAISS IVFPQ shape)
+
+  /** The coarse centroids as one literal array-of-arrays, indexed by
+    * cid + 1 — the plan-side lookup residual math selects per row. */
+  private def centsLit(coarse: Array[(Int, Array[Double])]): Column =
+    array(coarse.sortBy(_._1).map { case (_, c) =>
+      array(c.map(lit).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+
+  /** The residual frame under a coarse quantizer: r = x − c_assigned,
+    * computed in double and rounded back to FLOAT32 (the FAISS
+    * convention — and the cross-engine anchor: double subtraction of a
+    * float and a micros-exact centroid component is IEEE-exact, and both
+    * engines round it to the identical float). Carries `centroid_id`,
+    * so build fuses coarse assignment, residual, and the m encode
+    * argmaxes into ONE scan projection. */
+  private def pqResidualFrame(e: DataFrame,
+                              coarse: Array[(Int, Array[Double])]): DataFrame =
+    assignToCentroids(e, coarse).select(col("vec_id"),
+      zip_with(col("embedding"), element_at(centsLit(coarse), col("centroid_id") + 1),
+        (x, c) => (x.cast("double") - c).cast("float")).as("embedding"),
+      // the EXACT norm of the original vector, stored beside the codes:
+      // the cosine denominator the probe uses (estimating it from the
+      // reconstruction instead injects per-candidate noise — measured,
+      // see adcScoreResidual). One double per row; FAISS IVFPQ stores
+      // norms the same way for reconstruction-free distances.
+      l2norm(col("embedding")).as("norm"),
+      col("centroid_id"))
+
+  /** The residual-encoded PQ tier (Jégou et al. §IV: encode x − c, not
+    * x): residuals concentrate near the origin of each cell, so the SAME
+    * m·log₂(kpq) bits quantize a much smaller volume — the reconstruction
+    * x̂ = c + decode(codes) is strictly more faithful than raw-vector PQ
+    * at equal bits, which is why FAISS's IVFPQ ships this encoding. Same
+    * store layout and sidecars as the raw tier (`_quantizer_v` +
+    * `_pq_v`), same generation/manifest discipline. */
+  def writeIvfPqResIndex(e: DataFrame, dir: String, numCentroids: Int = 16,
+                         kpq: Int = PqK, iterations: Int = PqIterations): Unit =
+    stagePqResGeneration(e, dir, numCentroids, kpq, iterations, gen = 0L)
+
+  private def stagePqResGeneration(e: DataFrame, dir: String, numCentroids: Int,
+                                   kpq: Int, iterations: Int, gen: Long): Unit = {
+    val spark = e.sparkSession
+    val dim = embeddingDim(e)
+    // residuals are only small — and residual encoding only pays — under
+    // a coarse quantizer that FITS the data, so this tier trains its
+    // coarse centroids (exact Lloyd, the ivf_ann_trained machinery)
+    // instead of substituting the hash quantizer the other gates use
+    val coarse = trainCentroids(e, numCentroids, iterations, Some(dim))
+    val resid = pqResidualFrame(e, coarse)
+    val cbs = trainPqL2(resid.select(col("vec_id"), col("embedding")),
+      dim, PqM, kpq, iterations)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    resid
+      .select(col("vec_id"), pqEncodeL2Expr(cbs).as("codes"), col("norm"),
+        col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/data_v$gen")
+    saveQuantizer(spark, s"$dir/_quantizer_v$gen", coarse)
+    savePqCodebooks(spark, s"$dir/_pq_v$gen", cbs)
+    commitIvfGen(dir, gen)
+  }
+
+  /** [[trainPq]] under the EUCLIDEAN metric — required for residual
+    * codebooks (see [[assignL2Expr]]'s rationale). */
+  def trainPqL2(e: DataFrame, dim: Int, m: Int = PqM, kpq: Int = PqK,
+                iterations: Int = PqIterations): Array[Array[(Int, Array[Double])]] = {
+    require(dim % m == 0, s"PQ splits the vector into $m slices; dim $dim is not divisible")
+    val sub = dim / m
+    Array.tabulate(m)(s =>
+      trainCentroidsL2(halfView(e, s * sub + 1, sub), kpq, iterations, Some(sub)))
+  }
+
+  /** [[pqEncodeExpr]] under the EUCLIDEAN metric — encode must mirror
+    * the training assignment, as everywhere. */
+  private def pqEncodeL2Expr(cbs: Array[Array[(Int, Array[Double])]]): Column = {
+    val sub = cbs(0)(0)._2.length
+    array(cbs.zipWithIndex.map { case (cb, s) =>
+      assignL2Expr(slice(col("embedding"), s * sub + 1, sub), cb)
+    }.toIndexedSeq: _*)
+  }
+
+  /** O(batch) ingestion into the residual tier: coarse-assign, form the
+    * residual, and m-encode the batch under the PERSISTED coarse
+    * quantizer and codebooks — all frozen at build (the staleness rule
+    * of every tier), all fused in one scan projection. */
+  def appendToIvfPqResIndex(spark: SparkSession, dir: String,
+                            newVectors: DataFrame): Unit = {
+    val coarse = readQuantizer(spark, dir)
+    val cbs = readPqSidecar(spark, dir, ivfGen(dir))
+    pqResidualFrame(newVectors, coarse)
+      .select(col("vec_id"), pqEncodeL2Expr(cbs).as("codes"), col("norm"),
+        col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(ivfDataDir(dir))
+  }
+
+  /** Partition-pruned ADC probe over the residual tier. Reconstruction
+    * is x̂ = c_cell + d with d = the code centroids, so the numerator is
+    *   ⟨q, x̂⟩ = ⟨q, c⟩ + Σ_s lut_s[j_s]   (one per-probe-row dot + the
+    *                                        raw per-subspace LUTs)
+    * and the denominator uses the EXACT stored ‖x‖ — never a
+    * reconstructed norm: estimating ‖x̂‖ from ‖c‖²+2⟨c,d⟩+‖d‖² was
+    * measured to DOUBLE the cosine MAE (0.23 vs 0.11) and halve recall,
+    * because k-means shrinkage biases ‖d‖ low per candidate while the
+    * numerator error stays centered. This is the FAISS IVFPQ shape for
+    * IP/cosine metrics: codes estimate the inner product, stored norms
+    * make it a cosine. Scoring stays O(m) lookups per candidate. */
+  def probeIvfPqResIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                         k: Int = 10, nProbe: Int = 4,
+                         allowedOpt: Option[DataFrame] = None): DataFrame = {
+    val coarse = readQuantizer(spark, dir)
+    val g = ivfGen(dir)
+    val cbs = readPqSidecar(spark, dir, g)
+    val probes = queryProbes(queries, coarse, nProbe)
+    val cells = semiJoinAllowed(
+      prunedCellScan(spark, s"$dir/data_v$g", probes), allowedOpt)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("codes"), col("norm"))
+    adcScoreResidual(probes, cells, coarse, cbs, k)
+  }
+
+  /** [[adcScore]] with the residual numerator and the exact-norm
+    * denominator (see [[probeIvfPqResIndex]]); every sum keeps the
+    * left-to-right association its SQL twin writes. */
+  private def adcScoreResidual(probes: DataFrame, cells: DataFrame,
+                               coarse: Array[(Int, Array[Double])],
+                               cbs: Array[Array[(Int, Array[Double])]],
+                               k: Int): DataFrame = {
+    val m = cbs.length
+    val sub = cbs(0)(0)._2.length
+    val qc = aggregate(zip_with(col("qe"),
+      element_at(centsLit(coarse), col("centroid_id") + 1),
+      (x, c) => x.cast("double") * c), lit(0.0), (a, v) => a + v)
+    val lutted = (0 until m).foldLeft(
+      probes
+        .withColumn("qq", aggregate(zip_with(col("qe"), col("qe"),
+          (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, v) => a + v))
+        .withColumn("qc", qc)
+    )((df, s) => df.withColumn(s"lut$s", array(cbs(s).map { case (_, c) =>
+      litDot(slice(col("qe"), s * sub + 1, sub), c)
+    }.toIndexedSeq: _*)))
+    val num = (col("qc") +: (0 until m).map(s => element_at(col(s"lut$s"),
+      element_at(col("codes"), s + 1) + 1))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(lutted).join(cells, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", num / (sqrt(col("qq")) * col("norm")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val ivfPqResStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val ivfPqResBacklogs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqResStoreFor(dir: String, e: DataFrame, numCentroids: Int,
+                            kpq: Int, iterations: Int): String =
+    memoStore(ivfPqResStores, s"$dir#c$numCentroids#k$kpq#i$iterations",
+      "graft_ivf_pqr")(
+      writeIvfPqResIndex(e, _, numCentroids, kpq, iterations))
+
+  private def pqResBacklogFor(dir: String, e: DataFrame, numCentroids: Int,
+                              kpq: Int, iterations: Int): String =
+    memoStore(ivfPqResBacklogs, s"$dir#c$numCentroids#k$kpq#i$iterations",
+      "graft_ivf_pqr_backlog")(
+      writeIvfPqResIndex(e.filter(col("vec_id") % DedupIndex.DeltaMod =!= 0),
+        _, numCentroids, kpq, iterations))
+
+  /** Gated query `ivf_pqr_probe`: the residual tier end-to-end —
+    * codebooks trained on residuals, coded cells, pruned probe, O(m)
+    * ADC re-score with the reconstruction terms. */
+  def ivfPqResProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                           k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                           kpq: Int = PqK, iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = pqResStoreFor(dir, e, numCentroids, kpq, iterations)
+    probeIvfPqResIndex(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_pqr_append`: build over the BACKLOG (coarse
+    * quantizer is data-independent, codebooks frozen at the backlog's
+    * residuals), append the delta under the persisted sidecars, probe —
+    * oracle trains the residual codebooks on the backlog relation and
+    * encodes the full corpus under them. */
+  def ivfPqResAppendProbeFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                                 k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                                 kpq: Int = PqK, iterations: Int = PqIterations): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = ClusterStore.copyStore(
+      pqResBacklogFor(dir, e, numCentroids, kpq, iterations), "graft_ivf_pqr_append")
+    appendToIvfPqResIndex(spark, idx,
+      e.filter(col("vec_id") % DedupIndex.DeltaMod === 0))
+    probeIvfPqResIndex(spark, idx, e.filter(col("vec_id") < numQueries), k, nProbe)
+  }
+
+  /** Gated query `ivf_pqr_rerank`: the residual tier's SERVING path —
+    * residual-ADC shortlist, exact refine of the R survivors (the
+    * [[ivfPqRerankFromDir]] shape on the more faithful codes). */
+  def ivfPqResRerankFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                            k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4,
+                            kpq: Int = PqK, iterations: Int = PqIterations,
+                            shortlist: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val idx = pqResStoreFor(dir, e, numCentroids, kpq, iterations)
+    val short = probeIvfPqResIndex(spark, idx,
+      e.filter(col("vec_id") < numQueries), shortlist, nProbe)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    broadcast(short.join(qv, Seq("query_id")))
+      .join(nv, Seq("neighbor_id"))
+      .withColumn("cosine", cosine(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The residual CTE chain: serving/train relations, the TRAINED
+    * coarse quantizer (T unrolled exact-Lloyd iterations over the train
+    * relation — the `ivf_ann_trained` chains), serving-side sims
+    * against the final centroids, coarse assignment, FLOAT32 residuals
+    * (the exact double subtraction rounded to float —
+    * [[pqResidualFrame]]'s anchor), residual-sliced L2 [[pqCtesSql]].
+    * Ends with `pq_codes` in scope plus `pqr_assign`/`pqr_cent` (the
+    * final coarse centroids) and `srv_sims` for the probe chain. */
+  private def pqrCtesSql(dim: Int, numCentroids: Int, kpq: Int,
+                         iterations: Int, trainW: String, keepW: String): String = {
+    val lloyd = (0 until iterations)
+      .map(i => kmeansIterCtesSql(i, dim, "", "pqr_train")).mkString(",\n")
+    val cent = if (iterations == 0) "centroids" else s"k_cent$iterations"
+    s"""pqr_kept AS (SELECT * FROM embeddings$keepW),
+       |pqr_train AS (SELECT * FROM embeddings$trainW),
+       |${centroidSimsCtesSql(dim, numCentroids, "pqr_train")},
+       |$lloyd,
+       |pqr_cent AS (SELECT cid, c FROM $cent),
+       |srv_sims AS (
+       |  SELECT e.vec_id, ct.cid,
+       |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
+       |  FROM pqr_kept e CROSS JOIN pqr_cent ct
+       |),
+       |pqr_assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |             ORDER BY sim DESC, cid DESC) AS rk
+       |    FROM srv_sims
+       |  ) WHERE rk = 1
+       |), pqr_de AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM pqr_kept
+       |), pqr_resid AS (
+       |  SELECT d.vec_id,
+       |         [CAST(d.de[x] - ct.c[x] AS FLOAT) FOR x IN range(1, ${dim + 1})] AS embedding
+       |  FROM pqr_de d JOIN pqr_assign a USING (vec_id)
+       |       JOIN pqr_cent ct ON ct.cid = a.cid
+       |), pqr_train_resid AS (
+       |  SELECT r.* FROM pqr_resid r JOIN pqr_train t USING (vec_id)
+       |),
+       |${pqCtesSql(dim, PqM, kpq, iterations, "pqr_train_resid", "pqr_resid",
+           l2 = true, dataInit = true)}""".stripMargin
+  }
+
+  /** The residual-ADC `scored` CTE: ⟨q,c⟩ + the m LUT partials over the
+    * EXACT neighbor norm (recomputed in SQL by the same sequential fold
+    * the Spark side persisted at build), every sum in
+    * [[adcScoreResidual]]'s left-to-right association. */
+  private def pqrScoredSql(p: String, dim: Int, m: Int, iterations: Int,
+                           queryRelation: String): String = {
+    val sub = dim / m
+    def finalCent(s: Int) =
+      if (iterations == 0) s"pq${s}_centroids" else s"pq${s}_k_cent$iterations"
+    val num = (s"list_inner_product(CAST(qe.embedding AS DOUBLE[]), cc.c)" +:
+      (0 until m).map { s =>
+        val lo = s * sub + 1; val hi = (s + 1) * sub
+        s"list_inner_product(CAST(qe.embedding AS DOUBLE[])[$lo:$hi], t$s.c)"
+      }).mkString("\n          + ")
+    val joins = (0 until m).map(s =>
+      s"JOIN ${finalCent(s)} t$s ON t$s.cid = pc.code$s").mkString("\n       ")
+    s"""${p}scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |        ($num)
+       |        / (sqrt(list_inner_product(CAST(qe.embedding AS DOUBLE[]),
+       |                                   CAST(qe.embedding AS DOUBLE[])))
+       |           * sqrt(list_inner_product(CAST(ne.embedding AS DOUBLE[]),
+       |                                     CAST(ne.embedding AS DOUBLE[])))) AS cosine
+       |  FROM ${p}cand c JOIN $queryRelation qe ON qe.vec_id = c.query_id
+       |       JOIN $queryRelation ne ON ne.vec_id = c.neighbor_id
+       |       JOIN pq_codes pc ON pc.vec_id = c.neighbor_id
+       |       JOIN pqr_assign na ON na.vec_id = c.neighbor_id
+       |       JOIN pqr_cent cc ON cc.cid = na.cid
+       |       $joins
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of the residual-PQ gates ([[ivfPqOracle]]'s parameter
+    * surface on the residual chain). */
+  def ivfPqResOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                     nProbe: Int = 4, kpq: Int = PqK,
+                     iterations: Int = PqIterations,
+                     dim: Int = LshOracleDim,
+                     trainWhere: Option[String] = None,
+                     keepWhere: Option[String] = None): String = {
+    val trainW = trainWhere.map(w => s" WHERE $w").getOrElse("")
+    val keepW = keepWhere.map(w => s" WHERE $w").getOrElse("")
+    s"""WITH ${pqrCtesSql(dim, numCentroids, kpq, iterations, trainW, keepW)},
+       |${ivfRankedCtesSql(numQueries, nProbe, "p_", sims = "srv_sims",
+           relation = "pqr_kept",
+           scoredSqlOpt = Some(pqrScoredSql("p_", dim, PqM, iterations, "pqr_kept")))}
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM p_ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[ivfPqResRerankFromDir]]: the residual chain's
+    * top-k replaced by an ADC-ranked R-shortlist + exact re-score (the
+    * [[ivfPqRerankOracle]] tail verbatim). */
+  def ivfPqResRerankOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                           nProbe: Int = 4, kpq: Int = PqK,
+                           iterations: Int = PqIterations,
+                           dim: Int = LshOracleDim, shortlist: Int = 50): String =
+    s"""WITH ${pqrCtesSql(dim, numCentroids, kpq, iterations, "", "")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "p_", sims = "srv_sims",
+           relation = "pqr_kept",
+           scoredSqlOpt = Some(pqrScoredSql("p_", dim, PqM, iterations, "pqr_kept")))},
+       |shortl AS (
+       |  SELECT query_id, neighbor_id FROM p_ranked WHERE rank <= $shortlist
+       |), refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |  FROM shortl s JOIN pqr_kept qe ON qe.vec_id = s.query_id
+       |       JOIN pqr_kept ne ON ne.vec_id = s.neighbor_id
+       |), rranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM refined
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM rranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   // ----------------------------- filtered (predicate-constrained) ANN
 

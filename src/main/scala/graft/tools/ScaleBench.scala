@@ -66,7 +66,9 @@ object ScaleBench {
       "ivf_ann_filtered", "ivf_pq_filtered",
       // round-15 streaming ingest / DSIR / perceptual dedup
       "ivf_stream_append", "curation_dsir", "multimodal_ahash",
-      "dedup_image_ahash", "corpus_curate_dsir", "imi_sq8_stream_append")
+      "dedup_image_ahash", "corpus_curate_dsir", "imi_sq8_stream_append",
+      // round-15 residual-PQ tier
+      "ivf_pqr_probe", "ivf_pqr_rerank", "ivf_pqr_append")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get
@@ -81,7 +83,7 @@ object ScaleBench {
       "ivf_imi_append", "ivf_imi_remove", "ivf_imi_compact",
       "ivf_imi_requantize", "imi_sq8_append",
       "ivf_pq_append", "ivf_pq_remove", "ivf_pq_compact", "ivf_pq_requantize",
-      "ivf_stream_append", "imi_sq8_stream_append")
+      "ivf_stream_append", "imi_sq8_stream_append", "ivf_pqr_append")
 
   /** SPARK_GRAFT_SCALE_ONLY narrows the measured set (same validation rule
     * as Bench: unknown names abort, an empty result would mislead). */

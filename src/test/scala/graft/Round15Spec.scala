@@ -186,9 +186,10 @@ class Round15Spec extends SparkSpec {
     val r = Similarity.annRecallFromDir(spark, sf)
       .agg(sum("k_truth"), sum("hits_ivf"), sum("hits_sq8"),
         sum("hits_imi"), sum("hits_imisq8"), sum("hits_pq"),
-        sum("hits_pqr")).first()
+        sum("hits_pqr"), sum("hits_pqres")).first()
     info(s"hits: ivf ${r.getLong(1)} sq8 ${r.getLong(2)} imi ${r.getLong(3)} " +
-      s"imisq8 ${r.getLong(4)} pq ${r.getLong(5)} pqr ${r.getLong(6)}")
+      s"imisq8 ${r.getLong(4)} pq ${r.getLong(5)} pqr ${r.getLong(6)} " +
+      s"pqres ${r.getLong(7)}")
     assert(r.getLong(0) === 80)
     assert(r.getLong(1) >= 20, s"hits_ivf ${r.getLong(1)} collapsed")
     assert(r.getLong(2) >= 20, s"hits_sq8 ${r.getLong(2)} collapsed")
@@ -200,6 +201,55 @@ class Round15Spec extends SparkSpec {
     // the serving path: refine must buy recall back (measured 17 vs 6)
     assert(r.getLong(6) >= r.getLong(5), "refine must never lose hits")
     assert(r.getLong(6) >= 15, s"hits_pqr ${r.getLong(6)} collapsed")
+    // residual 12-bit ADC (measured 11 vs raw's 6 — ahead even on this
+    // isotropic corpus; the clustered-corpus spec below shows the regime
+    // where the encoding's advantage is structural, not marginal)
+    assert(r.getLong(7) >= 6, s"hits_pqres ${r.getLong(7)} collapsed")
+  }
+
+  test("residual PQ wins exactly where it should: a clustered corpus") {
+    // the gate corpus is isotropic unit-norm noise (mean true top-10
+    // cosine ~0.30 = the random-baseline for 64-d), where a trained
+    // coarse quantizer explains little and residual codes lead only
+    // modestly (11 vs 6 of 80 at sf0.001). Real embedding corpora are
+    // CLUSTERED with LOW-DIMENSIONAL within-cluster
+    // variation — build one (8 clusters around deterministic centers,
+    // members varying on a 2-D sheet) and the FAISS argument
+    // materializes: raw 12-bit PQ spends its 8 codewords per slice
+    // separating the 8 CLUSTERS, collapsing every member of a cluster to
+    // nearly the same codes (within-cluster ranking — which IS the
+    // top-10 question — becomes tie-break noise), while residual codes
+    // spend the same bits on the 2-D within-cluster sheet the ranking
+    // actually lives on.
+    val dim = 64
+    val centers = Similarity.hashCentroids(dim, 8)
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)._2.clone()
+      c(0) += 0.9 * (rnd.nextDouble() * 2 - 1)
+      c(1) += 0.9 * (rnd.nextDouble() * 2 - 1)
+      val n = math.sqrt(c.map(v => v * v).sum)
+      (i.toLong, c.map(v => (v / n).toFloat).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 8)
+    val truth = Similarity.bruteForceKnn(e, queries, 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hitsOf(build: String => Unit, probe: String => org.apache.spark.sql.DataFrame): Int = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pqr_spec").toString
+      build(tmp)
+      probe(tmp).select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    }
+    val raw = hitsOf(Similarity.writeIvfPqIndex(e, _),
+      d => Similarity.probeIvfPqIndex(spark, d, queries))
+    val res = hitsOf(Similarity.writeIvfPqResIndex(e, _),
+      d => Similarity.probeIvfPqResIndex(spark, d, queries))
+    info(s"clustered corpus: raw-PQ hits $raw, residual-PQ hits $res of 80")
+    assert(res > raw,
+      s"residual codes must out-rank raw codes on clustered data ($res vs $raw)")
+    assert(res >= 40, s"residual recall $res of 80 collapsed on easy clusters")
   }
 
   // ------------------------------------------- SemDeDup over the store

@@ -119,6 +119,11 @@ object SparkEntry {
     "ivf_pqr_probe" -> tuned(Similarity.ivfPqResProbeFromDir(_, _)),
     "ivf_pqr_append" -> tuned(Similarity.ivfPqResAppendProbeFromDir(_, _)),
     "ivf_pqr_rerank" -> tuned(Similarity.ivfPqResRerankFromDir(_, _)),
+    // Matryoshka (MRL) two-stage serving: shortlist on the dPrime-dim
+    // PREFIX (4x fewer flops/bytes), exact full-dim refine — brute
+    // anchor + the indexed deployment shape (truncated-prefix IVF store)
+    "ann_mrl_rerank" -> tuned(Similarity.mrlRerankFromDir(_, _)),
+    "ivf_mrl_rerank" -> tuned(Similarity.ivfMrlRerankFromDir(_, _)),
     // filtered (predicate-constrained) search: top-k among documents
     // satisfying a metadata predicate — the index is NOT rebuilt per
     // predicate; candidates semi-join the allowed ids before re-score,
@@ -480,6 +485,8 @@ object SparkEntry {
     "ivf_pqr_append" -> Similarity.ivfPqResOracle(
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
     "ivf_pqr_rerank" -> Similarity.ivfPqResRerankOracle(),
+    "ann_mrl_rerank" -> Similarity.mrlRerankOracle(),
+    "ivf_mrl_rerank" -> Similarity.ivfMrlRerankOracle(),
     "ivf_ann_filtered" -> Similarity.ivfAnnFilteredOracle(),
     "ivf_pq_filtered" -> Similarity.ivfPqFilteredOracle(),
     "semantic_dedup_imi" -> SemanticDedup.imiOracle(),
@@ -770,8 +777,15 @@ object SparkEntry {
                              // composition stays on the line)
     "ivf_pqr_probe",         // raw-ADC anchor of the residual tier; the
                              // serving path ivf_pqr_rerank stays on the line
-    "ivf_pqr_append")        // lifecycle sibling of ivf_pqr_rerank (the
+    "ivf_pqr_append",        // lifecycle sibling of ivf_pqr_rerank (the
                              // ivf_index_append rationale)
+    "ann_mrl_rerank",        // brute MRL anchor; the indexed deployment
+                             // path ivf_mrl_rerank stays on the line
+    "text_langid",           // scan-fused single pass, the text_quality
+                             // cost class (text_quality stays on the line);
+                             // the langid rule itself is spec-asserted
+    "event_outliers")        // single groupBy-agg pass, the events_hourly
+                             // cost class (events_hourly stays on the line)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 }

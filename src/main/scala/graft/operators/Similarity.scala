@@ -2978,9 +2978,16 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
     val idx = pqStoreFor(spark, dir, e, numCentroids, kpq, iterations)
-    val short = probeIvfPqIndex(spark, idx,
+    exactRefine(e, probeIvfPqIndex(spark, idx,
       e.filter(col("vec_id") < numQueries), shortlist, nProbe)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")), k)
+  }
+
+  /** Exact full-precision re-score of a (query_id, neighbor_id)
+    * shortlist against the primary float store — the ONE refine tail
+    * every shortlist+refine serving path shares (PQ, residual PQ, MRL):
+    * an R·|Q|-row broadcast point-lookup join, never a corpus scan. */
+  private def exactRefine(e: DataFrame, short: DataFrame, k: Int): DataFrame = {
     val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val nv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
     val w = Window.partitionBy(col("query_id"))
@@ -3356,22 +3363,113 @@ object Similarity {
     val e = Tables.embeddings(spark, dir)
     requireOracleDim(e, dir)
     val idx = pqResStoreFor(dir, e, numCentroids, kpq, iterations)
-    val short = probeIvfPqResIndex(spark, idx,
+    exactRefine(e, probeIvfPqResIndex(spark, idx,
       e.filter(col("vec_id") < numQueries), shortlist, nProbe)
-      .select(col("query_id"), col("neighbor_id"))
-    val qv = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val nv = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    broadcast(short.join(qv, Seq("query_id")))
-      .join(nv, Seq("neighbor_id"))
-      .withColumn("cosine", cosine(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        graft.functions.StableRound.stableRound(col("cosine"), 8).as("cosine_r"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id")), k)
   }
+
+  // --------------------- Matryoshka (MRL) truncated-prefix serving
+
+  /** The dPrime-dim PREFIX view of the corpus — a Matryoshka embedding's
+    * nested sub-embedding (Kusupati et al. 2022: MRL-trained vectors are
+    * valid embeddings at every prefix length). */
+  private def mrlTruncate(e: DataFrame, dPrime: Int): DataFrame =
+    e.select(col("vec_id"), slice(col("embedding"), 1, dPrime).as("embedding"))
+
+  /** Gated query `ann_mrl_rerank`: Matryoshka two-stage serving — brute
+    * shortlist on the dPrime-dim prefix (dim/4 of the flops and, in the
+    * deployment that stores the prefix copy, dim/4 of the scan bytes),
+    * then the shared exact full-dim refine. The brute anchor of the MRL
+    * family; the indexed production path is `ivf_mrl_rerank`. */
+  def mrlRerankFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                       k: Int = 10, dPrime: Int = 16,
+                       shortlist: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val trunc = mrlTruncate(e, dPrime)
+    exactRefine(e,
+      bruteForceKnn(trunc, trunc.filter(col("vec_id") < numQueries), shortlist)
+        .select(col("query_id"), col("neighbor_id")), k)
+  }
+
+  private val mrlIndexStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Gated query `ivf_mrl_rerank`: the MRL deployment shape — the IVF
+    * index is built over the TRUNCATED prefix copy (a store dPrime/dim
+    * the size of the primary: at 100 TB the coarse-search tier shrinks
+    * 4× in bytes AND flops before any code compression), probed with
+    * truncated queries for an R-shortlist, then the shared exact refine
+    * against the full-precision primary store. Composes the proven
+    * persisted-IVF probe with the proven refine tail — only the store's
+    * CONTENT (prefixes) is new. */
+  def ivfMrlRerankFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                          k: Int = 10, dPrime: Int = 16, numCentroids: Int = 16,
+                          nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val trunc = mrlTruncate(e, dPrime)
+    val idx = memoStore(mrlIndexStores, s"$dir#d$dPrime#c$numCentroids", "graft_mrl")(
+      writeIvfIndexWith(trunc, _, hashCentroids(dPrime, numCentroids)))
+    exactRefine(e,
+      probeIvfIndex(spark, idx, readQuantizer(spark, idx),
+        trunc.filter(col("vec_id") < numQueries), shortlist, nProbe)
+        .select(col("query_id"), col("neighbor_id")), k)
+  }
+
+  /** DuckDB twin of [[mrlRerankFromDir]]: prefix-sliced brute pairs →
+    * R-shortlist → the exact-refine tail. */
+  def mrlRerankOracle(numQueries: Int = 8, k: Int = 10, dPrime: Int = 16,
+                      shortlist: Int = 50): String =
+    s"""WITH tp AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[])[1:$dPrime],
+       |                                CAST(n.embedding AS DOUBLE[])[1:$dPrime]) AS tcos
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), shortl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY tcos DESC, neighbor_id ASC) AS rank
+       |    FROM tp
+       |  ) WHERE rank <= $shortlist
+       |),
+       |${refineTailSql("shortl", k)}""".stripMargin
+
+  /** DuckDB twin of [[ivfMrlRerankFromDir]]: the standard IVF probe
+    * chain over a truncated-prefix relation (same md5 quantizer formula
+    * at dPrime dims) shortlisted at R, then the exact-refine tail. */
+  def ivfMrlRerankOracle(numQueries: Int = 8, k: Int = 10, dPrime: Int = 16,
+                         numCentroids: Int = 16, nProbe: Int = 4,
+                         shortlist: Int = 50): String =
+    s"""WITH trunc AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[])[1:$dPrime] AS embedding
+       |  FROM embeddings
+       |),
+       |${centroidSimsCtesSql(dPrime, numCentroids, "trunc")},
+       |${ivfRankedCtesSql(numQueries, nProbe, "m_", relation = "trunc")},
+       |shortl AS (
+       |  SELECT query_id, neighbor_id FROM m_ranked WHERE rank <= $shortlist
+       |),
+       |${refineTailSql("shortl", k)}""".stripMargin
+
+  /** The exact-refine SQL tail every shortlist oracle shares: refine the
+    * given (query_id, neighbor_id) relation against the full-precision
+    * table, re-rank, emit the gate surface. */
+  private def refineTailSql(shortRel: String, k: Int): String =
+    s"""refined AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+       |                                CAST(ne.embedding AS DOUBLE[])) AS cosine
+       |  FROM $shortRel s JOIN embeddings qe ON qe.vec_id = s.query_id
+       |       JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+       |), rranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM refined
+       |)
+       |SELECT query_id, rank, neighbor_id, FLOOR(cosine * 1e8 + 0.5) / 1e8 AS cosine_r
+       |FROM rranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** The residual CTE chain: serving/train relations, the TRAINED
     * coarse quantizer (T unrolled exact-Lloyd iterations over the train

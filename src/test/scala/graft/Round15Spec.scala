@@ -370,6 +370,24 @@ class Round15Spec extends SparkSpec {
     assert(nDs === (nBase + 3) / 4, s"kept $nDs of $nBase — must be the quota cut")
   }
 
+  test("MRL serving: prefix shortlist + exact refine — hits floored, refined cosines ARE the brute cosines") {
+    val truth = Similarity.knnFromDir(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    for ((name, df, floor) <- Seq(
+      ("ann_mrl_rerank", Similarity.mrlRerankFromDir(spark, sf), 25),
+      ("ivf_mrl_rerank", Similarity.ivfMrlRerankFromDir(spark, sf), 20))) {
+      val rows = df.collect()
+      val overlaps = rows.flatMap(r =>
+        truth.get((r.getLong(0), r.getLong(2))).map(c => (c, r.getDouble(3))))
+      info(s"$name: ${overlaps.length} of 80 true neighbors found")
+      assert(overlaps.length >= floor, s"$name recall collapsed (${overlaps.length})")
+      // the refine is EXACT full precision: any pair also in the brute
+      // top-10 must carry the identical rounded cosine
+      overlaps.foreach { case (t, m) => assert(t === m,
+        s"$name refined cosine $m differs from brute $t") }
+    }
+  }
+
   // ------------------------------------------------- perceptual hash
 
   /** A P6 payload of the given RGB plane (hand-built, not via the text

@@ -831,12 +831,21 @@ object Multimodal {
     * Scale: decode + hash run per partition (payloads never shuffle);
     * only 5-long signature rows leave the scan — the signature table is
     * what the banding join and any cross-corpus diff consume. */
+  /** Pixel-count ceiling for the aHash bit rule: the cross-multiplied
+    * comparison cs·(w·h) is bounded by 765·npix², which stays inside a
+    * signed 64-bit long only while npix ≤ 1e8 (√(2⁶³/765) ≈ 1.1e8) —
+    * above it a crafted payload could wrap the comparison instead of
+    * failing (the decodeBmp r14 lesson). Both engines reject at the
+    * same line. */
+  val AhashMaxPixels: Long = 100000000L
+
   def ahashFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
         decodePpm(r.getAs[Array[Byte]](1)) match {
-          case Some(img) if img.width >= 8 && img.height >= 8 =>
+          case Some(img) if img.width >= 8 && img.height >= 8 &&
+            img.width.toLong * img.height <= AhashMaxPixels =>
             val w = img.width; val h = img.height
             val cellSum = new Array[Long](64)
             val cellN = new Array[Long](64)
@@ -956,11 +965,11 @@ object Multimodal {
        |  FROM ${p}g,
        |       LATERAL unnest(range(0, CAST(h AS INTEGER))) AS r(r),
        |       LATERAL unnest(range(0, 8)) AS j(j)
-       |  WHERE h >= 8
+       |  WHERE h >= 8 AND h * 8 <= $AhashMaxPixels
        |  GROUP BY 1, 2, 3, 4
        |), ${p}tot AS (
        |  SELECT media_id, CAST(COALESCE(list_sum(gs), 0) AS BIGINT) AS total
-       |  FROM ${p}g WHERE h >= 8
+       |  FROM ${p}g WHERE h >= 8 AND h * 8 <= $AhashMaxPixels
        |), ${p}bits AS (
        |  SELECT c.media_id,
        |         CAST(SUM(CASE WHEN 8*c.i + c.j >= 32
@@ -975,10 +984,10 @@ object Multimodal {
        |  GROUP BY 1
        |), ${p}sig AS (
        |  SELECT px.media_id,
-       |         CAST(CASE WHEN px.h >= 8 THEN 8 ELSE -1 END AS BIGINT) AS width,
-       |         CAST(CASE WHEN px.h >= 8 THEN px.h ELSE -1 END AS BIGINT) AS height,
-       |         CAST(CASE WHEN px.h >= 8 THEN bi.ahash_hi ELSE -1 END AS BIGINT) AS ahash_hi,
-       |         CAST(CASE WHEN px.h >= 8 THEN bi.ahash_lo ELSE -1 END AS BIGINT) AS ahash_lo
+       |         CAST(CASE WHEN bi.media_id IS NOT NULL THEN 8 ELSE -1 END AS BIGINT) AS width,
+       |         CAST(CASE WHEN bi.media_id IS NOT NULL THEN px.h ELSE -1 END AS BIGINT) AS height,
+       |         CAST(COALESCE(bi.ahash_hi, -1) AS BIGINT) AS ahash_hi,
+       |         CAST(COALESCE(bi.ahash_lo, -1) AS BIGINT) AS ahash_lo
        |  FROM ${p}px px LEFT JOIN ${p}bits bi ON bi.media_id = px.media_id
        |)""".stripMargin
 

@@ -3481,14 +3481,16 @@ object Similarity {
     * final coarse centroids) and `srv_sims` for the probe chain. */
   private def pqrCtesSql(dim: Int, numCentroids: Int, kpq: Int,
                          iterations: Int, trainW: String, keepW: String): String = {
-    val lloyd = (0 until iterations)
-      .map(i => kmeansIterCtesSql(i, dim, "", "pqr_train")).mkString(",\n")
+    // conditional separator: at iterations = 0 the Lloyd fragment is
+    // empty and a bare ",\n,\n" would be malformed SQL (the pqCtesSql
+    // guard, mirrored)
+    val lloyd = if (iterations == 0) "" else (0 until iterations)
+      .map(i => kmeansIterCtesSql(i, dim, "", "pqr_train")).mkString(",\n") + ",\n"
     val cent = if (iterations == 0) "centroids" else s"k_cent$iterations"
     s"""pqr_kept AS (SELECT * FROM embeddings$keepW),
        |pqr_train AS (SELECT * FROM embeddings$trainW),
        |${centroidSimsCtesSql(dim, numCentroids, "pqr_train")},
-       |$lloyd,
-       |pqr_cent AS (SELECT cid, c FROM $cent),
+       |${lloyd}pqr_cent AS (SELECT cid, c FROM $cent),
        |srv_sims AS (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim

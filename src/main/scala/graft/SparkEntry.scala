@@ -124,6 +124,9 @@ object SparkEntry {
     // anchor + the indexed deployment shape (truncated-prefix IVF store)
     "ann_mrl_rerank" -> tuned(Similarity.mrlRerankFromDir(_, _)),
     "ivf_mrl_rerank" -> tuned(Similarity.ivfMrlRerankFromDir(_, _)),
+    // MMR diversity re-rank: k unrolled greedy steps over query-bounded
+    // candidates, integer 5*rel - 5*maxsim objective (micros cosines)
+    "mmr_rerank" -> tuned(Mmr.fromDir(_, _)),
     // filtered (predicate-constrained) search: top-k among documents
     // satisfying a metadata predicate — the index is NOT rebuilt per
     // predicate; candidates semi-join the allowed ids before re-score,
@@ -487,6 +490,7 @@ object SparkEntry {
     "ivf_pqr_rerank" -> Similarity.ivfPqResRerankOracle(),
     "ann_mrl_rerank" -> Similarity.mrlRerankOracle(),
     "ivf_mrl_rerank" -> Similarity.ivfMrlRerankOracle(),
+    "mmr_rerank" -> Mmr.oracle(),
     "ivf_ann_filtered" -> Similarity.ivfAnnFilteredOracle(),
     "ivf_pq_filtered" -> Similarity.ivfPqFilteredOracle(),
     "semantic_dedup_imi" -> SemanticDedup.imiOracle(),

@@ -69,8 +69,8 @@ object ScaleBench {
       "dedup_image_ahash", "corpus_curate_dsir", "imi_sq8_stream_append",
       // round-15 residual-PQ tier
       "ivf_pqr_probe", "ivf_pqr_rerank", "ivf_pqr_append",
-      // round-15 MRL serving
-      "ivf_mrl_rerank")
+      // round-15 MRL serving + MMR diversity
+      "ivf_mrl_rerank", "mmr_rerank")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

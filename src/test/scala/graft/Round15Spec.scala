@@ -388,6 +388,39 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  test("MMR: the second pick skips the near-duplicate of the first") {
+    import graft.operators.Mmr
+    // query 0; candidates: A(1) ~ the query, A'(2) ~ a near-copy of A,
+    // B(3) relevant-but-different. Plain top-2 is (A, A'); MMR's second
+    // pick must be B — A' pays 3·maxsim for its similarity to A.
+    val q = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val a = Seq(0.99f, 0.141f, 0.0f, 0.0f)
+    val a2 = Seq(0.985f, 0.17f, 0.01f, 0.0f)
+    val b = Seq(0.6f, 0.0f, 0.8f, 0.0f)
+    val e = Seq((0L, q), (1L, a), (2L, a2), (3L, b))
+      .toDF("vec_id", "embedding")
+    val qd = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val nd = e.filter(col("vec_id") > 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val cands = qd.crossJoin(nd)
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.StableRound.microsLong(
+          Similarity.cosine(col("qe"), col("ne"))).as("rel_micros"))
+    val sims = nd.select(col("neighbor_id").as("id1"), col("ne").as("e1"))
+      .crossJoin(nd.select(col("neighbor_id").as("id2"), col("ne").as("e2")))
+      .filter(col("id1") =!= col("id2"))
+      .select(lit(0L).as("query_id"), col("id1"), col("id2"),
+        graft.functions.StableRound.microsLong(
+          Similarity.cosine(col("e1"), col("e2"))).as("sim_micros"))
+    val picks = Mmr.mmrSelect(cands, sims, k = 3)
+      .select("pick", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(picks(1L) === 1L, "first pick is the most relevant")
+    assert(picks(2L) === 3L, "second pick must diversify to B, not A's near-copy")
+    assert(picks(3L) === 2L, "the near-copy arrives last")
+  }
+
   // ------------------------------------------------- perceptual hash
 
   /** A P6 payload of the given RGB plane (hand-built, not via the text

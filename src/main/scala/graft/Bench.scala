@@ -9,26 +9,53 @@ package graft
   * 5.8 s isolated (13.7×) with BOTH min-of-2 passes inflated, i.e. debt
   * that `settle()` (cache clear + state-store stop + System.gc) provably
   * does not clear. A fresh JVM per query is the only isolation that makes
-  * every number equal its isolated measurement BY CONSTRUCTION — the
-  * per-query cost is one SparkSession startup (~5 s), paid outside the
-  * timed window. `SPARK_GRAFT_FORK=0` keeps the old single-JVM path for
-  * quick local iteration.
+  * every number equal its isolated measurement BY CONSTRUCTION.
+  * `SPARK_GRAFT_FORK=0` keeps the old single-JVM path for quick local
+  * iteration.
+  *
+  * Round-15 post-mortem: the suite grew to 151 entries and the DRIVER
+  * TIMED THE WHOLE RUN OUT (BENCH_r15 rc:124, parsed:null) — ~13 min of
+  * serial JVM startups plus warmup+2-passes over everything blew the
+  * wall-clock cap, and because the metric line printed only at suite end,
+  * the kill left nothing parseable. Three changes keep the record inside
+  * the budget and make a kill non-fatal:
+  *
+  *   1. PIPELINED STARTUP: the next worker JVM is forked while the
+  *      current one measures; a worker builds its SparkSession, prints a
+  *      READY handshake, and blocks on stdin for GO before touching the
+  *      timed window. Startup cost overlaps measurement instead of
+  *      summing with it (~5 s × N tasks reclaimed). Isolation is
+  *      unchanged — at most one worker is MEASURING at a time; the
+  *      overlapped JVM is parked pre-GO.
+  *   2. WALL BUDGET: SPARK_GRAFT_BENCH_BUDGET seconds (default 1380).
+  *      Tasks run must-entries first, then build phases, then
+  *      [[SparkEntry.lowPriorityBench]] cost-twins in the per-round
+  *      rotation order; before each task the remaining budget is checked
+  *      against the task's estimated cost (prior-round min × executions
+  *      ×1.2 + startup). Tasks that do not fit are CUT — named in
+  *      bench.json and counted as "cut":N on the metric line — so
+  *      exhaustion trims exactly the anchors whose production twin is
+  *      already measured, and the run ALWAYS finishes with a record.
+  *   3. INCREMENTAL RECORD: bench.json is rewritten after every task
+  *      (with "partial":true until the end), so even an external kill
+  *      leaves the completed measurements on disk.
   *
   * Within a worker the measurement discipline is unchanged: warmup pass
   * (JIT + codegen + file-listing caches), then per-query MIN over
-  * SPARK_GRAFT_PASSES measured passes (a one-off absorption lands in one
-  * pass, not both), noop-sink materialization (count() lets EliminateSorts
-  * drop final sorts non-uniformly), replay-harness queries run exactly
-  * once (their time is the harness, not a plan). All per-pass times are
-  * recorded in bench.json under "passes" so an inflated reading is
-  * self-diagnosing from the artifact alone — the STDOUT metric line is
-  * assembled under an explicit byte budget ([[LineCap]] + a hard
-  * require) because BOTH round 9 (passes on the line, ~4.7 KB) and
-  * round 10 (full-precision doubles, 2,458 chars) outgrew the driver's
-  * 2,000-char tail capture and recorded parsed:null. Values are 1 ms
-  * rounded; when the full entry list would still not fit, the
-  * [[SparkEntry.lowPriorityBench]] anchors overflow to bench.json and
-  * the line carries a "more":N count.
+  * SPARK_GRAFT_PASSES measured passes — defaulting to 1 in fork mode
+  * (the fresh JVM + warmup already isolate the number; a second pass
+  * doubled wall for no extra signal) and 2 in single-JVM mode —
+  * noop-sink materialization (count() lets EliminateSorts drop final
+  * sorts non-uniformly), replay-harness queries run exactly once (their
+  * time is the harness, not a plan). All per-pass times are recorded in
+  * bench.json under "passes" so an inflated reading is self-diagnosing
+  * from the artifact alone — the STDOUT metric line is assembled under
+  * an explicit byte budget ([[LineCap]] + a hard require) because BOTH
+  * round 9 (passes on the line, ~4.7 KB) and round 10 (full-precision
+  * doubles, 2,458 chars) outgrew the driver's 2,000-char tail capture
+  * and recorded parsed:null. Values are 1 ms rounded; when the full
+  * entry list would still not fit, the [[SparkEntry.lowPriorityBench]]
+  * anchors overflow to bench.json and the line carries a "more":N count.
   */
 object Bench {
 
@@ -38,10 +65,13 @@ object Bench {
   private[graft] def warmupsEnv: Int =
     sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
 
-  private[graft] def passesEnv(warmups: Int): Int =
+  private[graft] def passesEnv(warmups: Int, fork: Boolean): Int =
     if (warmups == 0) 1 // cold mode: the first run IS the cold measurement
     else {
-      val p = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2")
+      // fork default 1: a fresh warmed JVM needs no second pass to dodge
+      // suite debt (the whole point of forking); single-JVM default 2 so
+      // a one-off absorption lands in one pass, not both
+      val p = sys.env.getOrElse("SPARK_GRAFT_PASSES", if (fork) "1" else "2")
       require(p.toIntOption.exists(_ >= 1),
         s"SPARK_GRAFT_PASSES must be a positive integer, got '$p'")
       p.toInt
@@ -78,9 +108,11 @@ object Bench {
     "bpe_train" -> "text_bpe_vocab")
 
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val sfDir = sfDirEnv
     val warmups = warmupsEnv
-    val passes = passesEnv(warmups)
+    val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    val passes = passesEnv(warmups, fork)
     val names = selectedNames()
     // build phases only make sense with a warmup pass: cold mode's consumer
     // entry already includes the memoized build (an honest cold number) and
@@ -88,28 +120,36 @@ object Bench {
     val phases =
       if (warmups == 0) Seq.empty
       else buildPhases.collect { case (p, q) if names.contains(q) => p }
+    // prior floors are read ONCE, up front: the incremental partial writes
+    // below overwrite bench.json mid-run, so a late read would compare
+    // this run against its own first half
+    val prior = readPriorQueries()
+    val seed = roundSeed()
 
-    val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
-    val results: Seq[(String, Double, Seq[Double])] =
-      if (fork) {
-        (names.map(n => runForked(s"q:$n", n, sfDir, warmups, passes))
-          ++ phases.map(p => runForked(s"phase:$p", p, sfDir, warmups, passes)))
-      } else {
-        val spark = GraftSession.builder("graft-bench").getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
-        val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
-        val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p, warmups, passes))
-        spark.stop()
-        qs ++ ph
-      }
+    val (results: Seq[(String, Double, Seq[Double])], cut: Seq[String]) =
+    if (fork) {
+      // must-entries first, then build phases, then droppable cost-twins
+      // in the per-round rotation order — budget exhaustion (below) then
+      // trims exactly the anchors whose production twin already ran, and
+      // WHICH anchors get trimmed rotates round-over-round like the
+      // compact-line overflow set
+      val must = names.filterNot(SparkEntry.lowPriorityBench.contains)
+      val dropQ = rotationOrder(names.filter(SparkEntry.lowPriorityBench.contains), seed)
+      val tasks: Seq[(String, String)] =
+        must.map(n => (s"q:$n", n)) ++ phases.map(p => (s"phase:$p", p)) ++
+          dropQ.map(n => (s"q:$n", n))
+      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1380").toDouble
+      runForkedSuite(tasks, sfDir, warmups, passes, budget, prior, t0)
+    } else {
+      val spark = GraftSession.builder("graft-bench").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
+      val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p, warmups, passes))
+      spark.stop()
+      (qs ++ ph, Seq.empty[String])
+    }
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val pp = results.map { case (k, _, ps) =>
-      "\"" + k + "\":" + ps.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-    val total = results.map(_._2).filter(_ >= 0).sum
     // the emitted metric line must FIT the driver's 2000-char tail capture:
     // round 9 put the per-pass map on it (~4.7 KB → truncated); round 10
     // moved passes off but full-precision doubles still left 2,458 chars →
@@ -121,32 +161,25 @@ object Bench {
     // Full precision + passes + every entry always land in bench.json.
     // round-over-round tripwire: the r11 record shipped corpus_curate_e2e
     // at 5.1× the previous round with nobody around to adjudicate —
-    // compare each min-pass against the PREVIOUS bench.json (read before
-    // this run overwrites it) and flag >2× movers loudly. ≥1 s floor: a
-    // 0.3 s → 0.7 s wobble is scheduling noise, not a regressed plan.
-    val prior = readPriorQueries()
+    // compare each min-pass against the PREVIOUS bench.json (read up
+    // front, before this run's incremental writes overwrite it) and flag
+    // >2× movers loudly. ≥1 s floor: a 0.3 s → 0.7 s wobble is
+    // scheduling noise, not a regressed plan.
     val tripped = tripwireMovers(results, prior)
     tripped.foreach { case (k, p, v) =>
       System.err.println(f"[bench] TRIPWIRE: $k min-pass moved ${v / p}%.1fx " +
         f"round-over-round ($p%.2fs -> $v%.2fs) — re-measure isolated and " +
         "adjudicate (plan regression vs substrate) before citing this record")
     }
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
-        s""""mode":"${if (fork) "fork-per-query" else "single-jvm"}",""" +
-        s""""tripwire":${tripped.map("\"" + _._1 + "\"").mkString("[", ",", "]")},""" +
-        s""""passes":$pp}"""
     // the driver greps the sbt tail for the metric JSON and rounds 1-2
     // failed to parse it out of sbt's [info]-prefixed log noise — persist
     // the full record to bench.json (best-effort: a read-only cwd must not
     // void the measurement), and emit the compact line LAST on BOTH stdout
     // and stderr (sbt prefixes stdout with "[info] "; stderr passes bare)
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), full + "\n")
-    catch { case e: java.io.IOException => System.err.println(s"[bench] bench.json write failed: $e") }
+    writeRecord(results, cut, sfDir, fork, tripped.map(_._1), partial = false)
     val (compact, omitted) =
       compactLine(results.map(r => (r._1, r._2)), sfDir, tripped.map(_._1),
-        roundSeed())
+        seed, cut.size)
     if (omitted.nonEmpty)
       System.err.println("[bench] line-budget overflow (full record in bench.json): " +
         omitted.map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
@@ -175,20 +208,23 @@ object Bench {
 
   /** The round-over-round tripwire baseline: per-query MIN of (a) the
     * on-disk bench.json this run is about to overwrite and (b) the
-    * highest-numbered committed `BENCH_r{N}.json` driver artifact.
-    * bench.json alone is not a safe floor — EVERY local Bench invocation
-    * (including SPARK_GRAFT_ONLY partials) rewrites it, so a substrate-
-    * elevated same-day run patches the baseline high and silences exactly
-    * the driver-vs-driver regression the wire exists to catch (r12's
-    * corpus_curate_e2e shipped at 2.83× with bench.json elevated the same
-    * way). The committed artifact cannot be raised by local activity, so
-    * local noise can only LOWER the floor (more sensitive), never blunt
-    * it. Best-effort: any parse problem weakens the baseline, never fails
-    * the bench. */
+    * newest committed `BENCH_r{N}.json` driver artifact WITH a parseable
+    * queries map — a timed-out round's artifact (r15: rc 124,
+    * parsed:null) yields nothing, so the scan falls back to the last
+    * good one instead of silently disarming the wire.
+    * bench.json alone is not a safe floor — a substrate-elevated
+    * same-day run patches the baseline high and silences exactly the
+    * driver-vs-driver regression the wire exists to catch (r12's
+    * corpus_curate_e2e shipped at 2.83× with bench.json elevated the
+    * same way). The committed artifact cannot be raised by local
+    * activity, so local noise can only LOWER the floor (more
+    * sensitive), never blunt it. Best-effort: any parse problem weakens
+    * the baseline, never fails the bench. */
   private[graft] def readPriorQueries(dir: String = "."): Map[String, Double] = {
     val d = java.nio.file.Paths.get(dir)
     val local = queryMinsFrom(d.resolve("bench.json"))
-    val artifact = latestBenchArtifact(d).map(queryMinsFrom).getOrElse(Map.empty)
+    val artifact = benchArtifactsDescending(d).iterator
+      .map(queryMinsFrom).find(_.nonEmpty).getOrElse(Map.empty)
     (local.keySet ++ artifact.keySet).iterator.map { k =>
       k -> math.min(local.getOrElse(k, Double.MaxValue),
         artifact.getOrElse(k, Double.MaxValue))
@@ -219,8 +255,8 @@ object Bench {
         .digest(s"r$seed:$n".getBytes("UTF-8")).map(b => f"$b%02x").mkString
     }
 
-  /** The highest-numbered committed `BENCH_r{N}.json` in `dir`, if any. */
-  private[graft] def latestBenchArtifact(d: java.nio.file.Path): Option[java.nio.file.Path] =
+  /** The committed `BENCH_r{N}.json` artifacts in `dir`, newest first. */
+  private[graft] def benchArtifactsDescending(d: java.nio.file.Path): Seq[java.nio.file.Path] =
     try {
       val re = """BENCH_r(\d+)\.json""".r
       val s = java.nio.file.Files.list(d)
@@ -231,9 +267,13 @@ object Bench {
             case re(n) => n.toIntOption.map(_ -> p)
             case _ => None
           }
-        }.toSeq.sortBy(-_._1).headOption.map(_._2)
+        }.toSeq.sortBy(-_._1).map(_._2)
       } finally s.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** The highest-numbered committed `BENCH_r{N}.json` in `dir`, if any. */
+  private[graft] def latestBenchArtifact(d: java.nio.file.Path): Option[java.nio.file.Path] =
+    benchArtifactsDescending(d).headOption
 
   /** Per-query positive timings from the FIRST `"queries"` object in `p` —
     * tolerant of both the compact bench.json shape (`"queries":{...}`) and
@@ -294,7 +334,8 @@ object Bench {
   private[graft] def compactLine(results: Seq[(String, Double)],
                                  sfDir: String,
                                  tripped: Seq[String] = Nil,
-                                 seed: Int = 0): (String, Seq[(String, Double)]) = {
+                                 seed: Int = 0,
+                                 cutCount: Int = 0): (String, Seq[(String, Double)]) = {
     val failed = results.collect { case (k, v) if v < 0 => k }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
@@ -314,6 +355,9 @@ object Bench {
       s"""{"metric":"total","value":${fmtSecs(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sf",""" +
         s""""tripwire":${tripped.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        // wall-budget cuts ride the line so the driver record says WHY the
+        // entry list shrank (names are in bench.json's "cut" array)
+        (if (cutCount > 0) s""","cut":$cutCount""" else "") +
         (if (omitted > 0) s""","more":$omitted}""" else "}")
     }
     var line = render()
@@ -325,72 +369,231 @@ object Bench {
     (line, results.filter { case (k, _) => droppable.contains(k) && !kept(k) })
   }
 
-  /** Fork one worker JVM for `task`, inheriting this JVM's exact options
-    * (sbt's javaOptions: --add-opens, -Xmx, -D confs) and classpath. The
-    * worker writes "secs|p1,p2,..." to a temp file; a crash, non-zero
-    * exit, or 30-minute hang reports -1 (failed) without voiding the other
-    * measurements. */
-  private def runForked(task: String, label: String, sfDir: String,
-                        warmups: Int, passes: Int): (String, Double, Seq[Double]) = {
+  /** The full-precision record (bench.json). `partial=true` marks an
+    * in-progress rewrite (a killed run leaves the completed prefix on
+    * disk, self-describing); the final write drops the flag. */
+  private def writeRecord(results: Seq[(String, Double, Seq[Double])],
+                          cut: Seq[String], sfDir: String, fork: Boolean,
+                          tripped: Seq[String], partial: Boolean): Unit = {
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val pp = results.map { case (k, _, ps) =>
+      "\"" + k + "\":" + ps.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir",""" +
+        s""""mode":"${if (fork) "fork-per-query" else "single-jvm"}",""" +
+        s""""tripwire":${tripped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""cut":${cut.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        (if (partial) """"partial":true,""" else "") +
+        s""""passes":$pp}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(recordPath), full + "\n")
+    catch { case e: java.io.IOException => System.err.println(s"[bench] $recordPath write failed: $e") }
+  }
+
+  /** SPARK_GRAFT_ONLY partials write bench.partial.json: a filtered local
+    * run clobbering bench.json would replace the full-suite tripwire
+    * floor with a handful of entries (this round's smoke test did exactly
+    * that). Only a FULL run may own the floor record. */
+  private[graft] def recordPath: String =
+    if (sys.env.contains("SPARK_GRAFT_ONLY")) "bench.partial.json" else "bench.json"
+
+  /** Run `tasks` ("q:<name>" / "phase:<name>", with display labels) in
+    * fork-per-task workers, PIPELINED: while worker i measures, worker
+    * i+1 is forked and parks at its READY/GO handshake with a built
+    * SparkSession, so startup cost overlaps measurement instead of
+    * serializing with it. At most one worker is ever past GO, preserving
+    * the isolation the fork exists for.
+    *
+    * Wall budget: before dispatching each task, its estimated cost
+    * (prior-round min × executions × 1.2 + [[StartupMarginSecs]],
+    * [[DefaultEstSecs]] when no prior exists) is checked against the
+    * remaining budget; tasks that do not fit are CUT (skipped, named in
+    * the record) and the scan continues — a later, cheaper task may
+    * still fit. Returns (results, cutLabels). */
+  private def runForkedSuite(tasks: Seq[(String, String)], sfDir: String,
+                             warmups: Int, passes: Int, budgetSecs: Double,
+                             prior: Map[String, Double],
+                             t0: Long): (Seq[(String, Double, Seq[Double])], Seq[String]) = {
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+    def execs(label: String): Int =
+      if (SparkEntry.replayHarnessQueries(label) ||
+        SparkEntry.iterativeHarnessQueries(label)) warmups + 1
+      else warmups + passes
+    def est(label: String): Double =
+      prior.get(label).map(_ * execs(label) * 1.2 + StartupMarginSecs)
+        .getOrElse(DefaultEstSecs)
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
+    val cut = scala.collection.mutable.ArrayBuffer[String]()
+    var queue = tasks.toList
+    def popFitting(): Option[(String, String)] = {
+      while (queue.nonEmpty) {
+        val h = queue.head; queue = queue.tail
+        if (elapsed() + est(h._2) <= budgetSecs) return Some(h)
+        cut += h._2
+        System.err.println(f"[bench] CUT ${h._2} (est ${est(h._2)}%.0fs, " +
+          f"${budgetSecs - elapsed()}%.0fs left of ${budgetSecs}%.0fs budget)")
+      }
+      None
+    }
+
+    var prestarted: Option[((String, String), ForkHandle)] = None
+    var running = true
+    while (running) {
+      val cur = prestarted.orElse(
+        popFitting().map(t => (t, ForkHandle.spawn(t._1, sfDir, warmups, passes))))
+      prestarted = None
+      cur match {
+        case None => running = false
+        case Some(((task, label), h)) =>
+          // a prestarted task is re-checked: the budget may have moved on
+          if (elapsed() + est(label) > budgetSecs) {
+            h.kill(); cut += label
+            System.err.println(s"[bench] CUT $label (prestarted, budget exhausted)")
+          } else {
+            val remaining = budgetSecs - elapsed()
+            if (!h.awaitReady(ReadyTimeoutSecs)) {
+              h.kill()
+              System.err.println(s"[bench] $label: worker never reached READY")
+              results += ((label, -1.0, Seq.empty))
+            } else {
+              h.go()
+              // overlap the NEXT worker's startup with this measurement
+              prestarted = popFitting()
+                .map(t2 => (t2, ForkHandle.spawn(t2._1, sfDir, warmups, passes)))
+              results += h.finish(label, remaining + 120)
+            }
+            writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil, partial = true)
+            System.err.println(f"[bench-partial] done=${results.size} " +
+              f"cut=${cut.size} left=${queue.size + prestarted.size} t=${elapsed()}%.0fs")
+          }
+      }
+    }
+    (results.toSeq, cut.toSeq)
+  }
+
+  /** Startup overhead added to every task estimate (handshake + GO + temp
+    * files), and the estimate used when a task has no prior-round floor. */
+  private[graft] val StartupMarginSecs = 8.0
+  private[graft] val DefaultEstSecs = 25.0
+  private[graft] val ReadyTimeoutSecs = 180.0
+}
+
+/** One forked BenchWorker JVM with the READY/GO handshake. The worker
+  * inherits this JVM's exact options (sbt's javaOptions: --add-opens,
+  * -Xmx, -D confs) and classpath, builds its SparkSession, prints
+  * [[ForkHandle.ReadyMarker]], and parks on stdin until GO — so the
+  * parent can overlap this startup with another worker's measurement.
+  * The worker writes "secs|p1,p2,..." to a temp file; a crash, non-zero
+  * exit, or hang past the deadline reports -1 (failed) without voiding
+  * the other measurements. */
+private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
+                                      ready: java.util.concurrent.CountDownLatch) {
+  def awaitReady(timeoutSecs: Double): Boolean =
+    ready.await((timeoutSecs * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+
+  def go(): Unit = {
+    proc.getOutputStream.write("GO\n".getBytes("UTF-8"))
+    proc.getOutputStream.flush()
+  }
+
+  def kill(): Unit = {
+    try { proc.destroyForcibly(); proc.waitFor() }
+    finally cleanup()
+  }
+
+  /** Wait for the worker (at most `deadlineSecs`, floored at 120 s) and
+    * read its result file. */
+  def finish(label: String, deadlineSecs: Double): (String, Double, Seq[Double]) =
+    try {
+      val waitSecs = math.max(120.0, math.min(1800.0, deadlineSecs))
+      val done = proc.waitFor((waitSecs * 1000).toLong,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (!done) { proc.destroyForcibly(); proc.waitFor() }
+      if (done && proc.exitValue() == 0) {
+        val s = java.nio.file.Files.readString(out).trim
+        val Array(v, ps) = s.split('|')
+        (label, v.toDouble,
+          ps.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq)
+      } else {
+        System.err.println(s"[bench] $label: worker " +
+          (if (done) s"exit ${proc.exitValue()}" else f"timed out after ${deadlineSecs}%.0fs"))
+        (label, -1.0, Seq.empty[Double])
+      }
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] $label: fork failed: $e")
+        (label, -1.0, Seq.empty)
+    } finally cleanup()
+
+  private def cleanup(): Unit = {
+    try java.nio.file.Files.deleteIfExists(out)
+    catch { case _: java.io.IOException => () }
+  }
+}
+
+private[graft] object ForkHandle {
+  /** Handshake line the worker prints once its SparkSession is built. */
+  val ReadyMarker = "[bench-worker] READY"
+
+  def spawn(task: String, sfDir: String, warmups: Int, passes: Int): ForkHandle = {
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
     val out = java.nio.file.Files.createTempFile("graft_bench_res", ".txt")
-    try {
-      val cmd = new java.util.ArrayList[String]()
-      cmd.add(javaBin)
-      cmd.addAll(jvmArgs)
-      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-      cmd.add("graft.BenchWorker")
-      cmd.add(out.toString); cmd.add(sfDir)
-      cmd.add(warmups.toString); cmd.add(passes.toString); cmd.add(task)
-      val pb = new ProcessBuilder(cmd)
-      // child stdout → parent stderr: the parent's stdout must stay clean
-      // for the one-line metric JSON the driver greps
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val pump = new Thread(() => {
-        val in = new java.io.BufferedReader(
-          new java.io.InputStreamReader(proc.getInputStream))
-        var line = in.readLine()
-        while (line != null) { System.err.println(line); line = in.readLine() }
-      })
-      pump.setDaemon(true); pump.start()
-      val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
-      if (!done) { proc.destroyForcibly(); proc.waitFor() }
-      pump.join(5000)
-      val res =
-        if (done && proc.exitValue() == 0) {
-          val s = java.nio.file.Files.readString(out).trim
-          val Array(v, ps) = s.split('|')
-          (label, v.toDouble,
-            ps.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq)
-        } else {
-          System.err.println(s"[bench] $label: worker " +
-            (if (done) s"exit ${proc.exitValue()}" else "timed out after 30m"))
-          (label, -1.0, Seq.empty[Double])
-        }
-      res
-    } catch {
-      case e: Exception =>
-        System.err.println(s"[bench] $label: fork failed: $e")
-        (label, -1.0, Seq.empty)
-    } finally {
-      try java.nio.file.Files.deleteIfExists(out)
-      catch { case _: java.io.IOException => () }
-    }
+    val cmd = new java.util.ArrayList[String]()
+    cmd.add(javaBin)
+    cmd.addAll(jvmArgs)
+    cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+    cmd.add("graft.BenchWorker")
+    cmd.add(out.toString); cmd.add(sfDir)
+    cmd.add(warmups.toString); cmd.add(passes.toString); cmd.add(task)
+    val pb = new ProcessBuilder(cmd)
+    // child stdout → parent stderr: the parent's stdout must stay clean
+    // for the one-line metric JSON the driver greps
+    pb.redirectErrorStream(true)
+    val ready = new java.util.concurrent.CountDownLatch(1)
+    val proc = pb.start()
+    val pump = new Thread(() => {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var line = in.readLine()
+      while (line != null) {
+        if (line.contains(ReadyMarker)) ready.countDown()
+        else System.err.println(line)
+        line = in.readLine()
+      }
+    })
+    pump.setDaemon(true); pump.start()
+    new ForkHandle(proc, out, ready)
   }
 }
 
 /** Child entry point: measures ONE task in a fresh JVM and writes
   * "minSecs|pass1,pass2,..." to args(0). Task is "q:<query>" or
-  * "phase:<build phase>". */
+  * "phase:<build phase>".
+  *
+  * Handshake: after the SparkSession is built (the expensive part of
+  * startup), the worker prints [[ForkHandle.ReadyMarker]] and parks on
+  * stdin. Measurement begins only on a "GO" line — this is what lets the
+  * parent overlap this worker's startup with another's measurement
+  * without ever having two workers measuring at once. EOF or any other
+  * line exits cleanly without measuring (the parent cut the task). */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
     val Array(outFile, sfDir, warmups, passes, task) = args
     val spark = GraftSession.builder("graft-bench-worker").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(ForkHandle.ReadyMarker)
+    System.out.flush()
+    val go = new java.io.BufferedReader(
+      new java.io.InputStreamReader(System.in)).readLine()
+    if (go == null || go.trim != "GO") { spark.stop(); return }
     val (secs, passTimes) = task.split(":", 2) match {
       case Array("q", name) =>
         // fork mode warms replay queries too: this JVM is FRESH, so an

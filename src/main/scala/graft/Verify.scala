@@ -1,10 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-15 post-mortem hardening — the driver timed the run out and the
+  * round recorded `CORRECTNESS_r15.json = {}` despite 149/149 local
+  * correctness, for two reasons this file now removes:
+  *
+  *   1. oracle_sql.json was written LAST, after all queries — a kill at
+  *      minute N left the driver's DuckDB compare with nothing to load
+  *      even though most query parquets existed. It is now written FIRST,
+  *      so every completed query dir is comparable no matter when the
+  *      process dies.
+  *   2. Queries ran sequentially (~18 min for 149 at sf0.01, mostly
+  *      driver-side planning + small jobs that never fill 32 cores). They
+  *      now run on SPARK_GRAFT_VERIFY_PAR worker threads (default 8), each
+  *      with its OWN `spark.newSession()` — same SparkContext and JVM-wide
+  *      memo stores (ConcurrentHashMap.computeIfAbsent serializes builds
+  *      per key), but isolated SQLConf and temp-view catalogs, so the
+  *      replay harnesses' session-conf dance (Replay.scala sets
+  *      shuffle.partitions=4 and restores it) and Views' temp views cannot
+  *      cross-talk between concurrent queries.
+  *
+  * Belt-and-suspenders: SPARK_GRAFT_VERIFY_BUDGET seconds (default 780)
+  * from JVM start; when the deadline passes, remaining queries are
+  * SKIPPED (named on stderr) instead of letting the driver's timeout
+  * produce zero evidence. Workers finish their in-flight query first.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
+    val t0 = System.nanoTime()
     val Array(sfDir, outDir) = args
     val spark = GraftSession.builder("graft-verify").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,19 +48,66 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
     }
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally graft.operators.Dedup.releasePinned(spark)
+    // oracle SQL FIRST (see scaladoc): a partial run must stay comparable
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
+    val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET", "780").toDouble
+    val deadline = t0 + (budgetSecs * 1e9).toLong
+
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    names.foreach(queue.add)
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val skipped = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def elapsed(): Double = (System.nanoTime() - t0) / 1e9
+
+    val workers = (1 to math.min(par, math.max(1, names.size))).map { i =>
+      val th = new Thread(() => {
+        // per-worker session: isolated SQLConf + temp views, shared context
+        val sess = GraftSession.tune(spark.newSession())
+        var n = queue.poll()
+        while (n != null) {
+          if (System.nanoTime() > deadline) skipped.add(n)
+          else {
+            val q0 = System.nanoTime()
+            try {
+              SparkEntry.queries(n)(sess, sfDir).coalesce(1).write
+                .mode("overwrite").parquet(s"$outDir/$n")
+              System.err.println(f"[verify] $n ok ${(System.nanoTime() - q0) / 1e9}%.1fs " +
+                f"(${done.incrementAndGet()}/${names.size}, t=${elapsed()}%.0fs)")
+            } catch { case e: Throwable =>
+              failed.add(n)
+              System.err.println(s"[verify] $n FAILED: ${e.getMessage}")
+            }
+            // frees only THIS session's pins; other workers' stay cached
+            finally graft.operators.Dedup.releasePinned(sess)
+          }
+          n = queue.poll()
+        }
+      }, s"verify-$i")
+      th.setDaemon(false); th.start(); th
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    workers.foreach(_.join())
+
+    if (!skipped.isEmpty)
+      System.err.println(s"[verify] BUDGET EXHAUSTED (${budgetSecs}s): skipped " +
+        s"${skipped.size} queries: ${String.join(",", skipped)}")
+    if (!failed.isEmpty)
+      System.err.println(s"[verify] ${failed.size} FAILED: ${String.join(",", failed)}")
+    System.err.println(f"[verify] ${done.get()}/${names.size} written in ${elapsed()}%.0fs " +
+      s"(par=$par, budget=${budgetSecs}s)")
+    spark.stop()
+  }
+
+  /** SparkEntry.oracleSql as one JSON object. JSON string escape:
+    * backslash, quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load fail
+    * and silently zero the round's correctness. */
+  private[graft] def oracleJson(): String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -43,9 +117,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

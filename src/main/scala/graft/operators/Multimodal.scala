@@ -812,6 +812,14 @@ object Multimodal {
     StructField("ahash_hi", LongType, nullable = false),
     StructField("ahash_lo", LongType, nullable = false)))
 
+  /** Pixel-count ceiling for the aHash bit rule: the cross-multiplied
+    * comparison cs·(w·h) is bounded by 765·npix², which stays inside a
+    * signed 64-bit long only while npix ≤ 1e8 (√(2⁶³/765) ≈ 1.1e8) —
+    * above it a crafted payload could wrap the comparison instead of
+    * failing (the decodeBmp r14 lesson). Both engines reject at the
+    * same line. */
+  val AhashMaxPixels: Long = 100000000L
+
   /** Average-hash (aHash) over DECODED pixels — the perceptual-dedup
     * signature of an image corpus: map the image onto an 8×8 grid of
     * cells (row r → band ⌊8r/h⌋, column c → band ⌊8c/w⌋ — the same
@@ -831,14 +839,6 @@ object Multimodal {
     * Scale: decode + hash run per partition (payloads never shuffle);
     * only 5-long signature rows leave the scan — the signature table is
     * what the banding join and any cross-corpus diff consume. */
-  /** Pixel-count ceiling for the aHash bit rule: the cross-multiplied
-    * comparison cs·(w·h) is bounded by 765·npix², which stays inside a
-    * signed 64-bit long only while npix ≤ 1e8 (√(2⁶³/765) ≈ 1.1e8) —
-    * above it a crafted payload could wrap the comparison instead of
-    * failing (the decodeBmp r14 lesson). Both engines reject at the
-    * same line. */
-  val AhashMaxPixels: Long = 100000000L
-
   def ahashFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>

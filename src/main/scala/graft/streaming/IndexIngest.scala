@@ -14,8 +14,11 @@ import org.apache.spark.sql.types._
   * is a callback, so ONE ingest transform serves every tier).
   *
   * Division of labor, mirroring [[CorpusIngest]]: the stream guarantees
-  * bounded-state effectively-once ingestion (state = one entry per
-  * distinct vec_id inside the watermark); index MAINTENANCE (compact,
+  * bounded-state effectively-once ingestion — source re-deliveries die at
+  * the watermark dedup, sink-side batch replays die at [[start]]'s
+  * batchId ledger (state = one entry per distinct vec_id inside the
+  * watermark, plus one marker file per committed batch); index
+  * MAINTENANCE (compact,
   * requantize-on-drift, takedown) stays batch on its own cadence, reading
   * the health scan. Appends never rewrite old cells, so a micro-batch
   * costs O(batch) regardless of index size — the property that makes a
@@ -46,16 +49,51 @@ object IndexIngest {
 
   /** Production wiring: watch a directory of vector parquet
     * (vec_id, embedding, ingest_ts), dedup within the watermark, hand each
-    * surviving micro-batch to the store's O(batch) append callback. */
-  def start(spark: SparkSession, watchDir: String,
+    * surviving micro-batch to the store's O(batch) append callback.
+    *
+    * `stateDir` is SINK-SIDE state, placed beside the index store (NOT
+    * inside the watched input directory — the old layout worked only
+    * because Spark's file source skips dot-prefixed paths): it holds the
+    * streaming checkpoint and the batch-commit ledger below.
+    *
+    * Sink idempotency: the watermark dedup only covers SOURCE
+    * re-deliveries; Structured Streaming additionally RE-EXECUTES an
+    * uncommitted micro-batch after failure/restart, and the store append
+    * is mode(append) — a naive replay would land rows twice (duplicate
+    * vec_ids in cells → duplicate neighbors in every probe). Each batch
+    * therefore commits a marker file keyed by batchId after its append
+    * returns, and a replayed batchId is skipped (the standard foreachBatch
+    * dedup recipe from the Spark docs). Residual window: a crash BETWEEN
+    * the append finishing and the marker write still duplicates that one
+    * batch on restart — closing it needs the store write and the marker
+    * to commit atomically (batchId-keyed generation files), which the
+    * maintenance compaction can also repair after the fact. */
+  def start(spark: SparkSession, watchDir: String, stateDir: String,
             append: DataFrame => Unit, watermark: String = "1 hour"): StreamingQuery =
     dedupArrivals(spark.readStream.schema(vecSchema).parquet(watchDir), watermark)
       .writeStream
-      .option("checkpointLocation", s"$watchDir/.ingest_checkpoint")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        append(b.select(col("vec_id"), col("embedding")))
-      }
+      .option("checkpointLocation", s"$stateDir/checkpoint")
+      .foreachBatch(guardedAppend(stateDir, append))
       .start()
+
+  /** The batchId-ledger guard around `append` (see [[start]]): skip a
+    * batchId whose marker exists; otherwise append, then commit the
+    * marker. Factored out so the replay-a-committed-batch path is
+    * directly spec-testable without a restart harness. */
+  private[graft] def guardedAppend(stateDir: String,
+                                   append: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val ledger = java.nio.file.Paths.get(stateDir, "commits")
+    (b: DataFrame, batchId: Long) => {
+      val marker = ledger.resolve(s"batch-$batchId")
+      if (java.nio.file.Files.exists(marker))
+        System.err.println(s"[index-ingest] batch $batchId already committed — skipping replay")
+      else {
+        append(b.select(col("vec_id"), col("embedding")))
+        java.nio.file.Files.createDirectories(ledger)
+        java.nio.file.Files.createFile(marker)
+      }
+    }
+  }
 
   /** Gated replay: split `delta` into `nBatches` even micro-batches with a
     * DETERMINISTIC synthetic arrival time (base + batch-index seconds —

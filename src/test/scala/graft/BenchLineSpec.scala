@@ -168,6 +168,38 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("artifact floor falls back past a timed-out round's null-parsed record") {
+    // r15 shipped rc:124 / parsed:null — the NEWEST artifact carried no
+    // queries map. The floor scan must fall back to the last round that
+    // parses instead of silently disarming the wire for a whole round.
+    val dir = java.nio.file.Files.createTempDirectory("graft_fallback_spec")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r15.json"),
+        """{"n": 15, "rc": 124, "tail": "noise \"queries\": escaped {}", "parsed": null}""")
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r14.json"),
+        """{"parsed": {"queries": {"q1_agg_orders": 2.5}}}""")
+      val prior = Bench.readPriorQueries(dir.toString)
+      assert(prior("q1_agg_orders") === 2.5)
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("budget cuts ride the line as a count; absent when nothing was cut") {
+    val few = Seq("q1_agg_orders" -> 1.5)
+    val (line, _) = Bench.compactLine(few, "/root/testdata/sf0.1", cutCount = 7)
+    val parsed = mapper.readTree(line)
+    assert(parsed.get("cut").asInt === 7)
+    val (clean, _) = Bench.compactLine(few, "/root/testdata/sf0.1")
+    assert(!mapper.readTree(clean).has("cut"))
+    // and the full suite with a cut count still fits the tail budget
+    val (fullLine, _) = Bench.compactLine(fullResults(), "/root/testdata/sf0.1",
+      cutCount = 42)
+    assert(fullLine.length < 1800)
+    assert(mapper.readTree(fullLine).get("cut").asInt === 42)
+  }
+
   test("when everything fits, nothing is dropped and no 'more' field appears") {
     val few = Seq("q1_agg_orders" -> 1.5, "dedup_canonical" -> 9.642186593)
     val (line, omitted) = Bench.compactLine(few, "/root/testdata/sf0.1")

@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Live-PostgreSQL integration (PostgresLiveSpec): the standard PUBLIC
+// org.postgresql:postgresql:42.6.0 JDBC driver (Maven Central), on the
+// TEST classpath only. In this zero-egress sandbox the artifact is not
+// resolvable and its one on-disk copy ships inside the reference
+// checkout's hive/lib — a vendor BINARY dependency, not reference code.
+// Guarded on existence so the build stays green anywhere it is absent
+// (the spec then cancels itself).
+Test / unmanagedJars ++= {
+  val pg = file("/root/reference/hive/lib/postgresql-42.6.0.jar")
+  if (pg.exists) Seq(Attributed.blank(pg)) else Seq.empty
+}
 // Pass the forked run's output through UNPREFIXED: sbt's default logger
 // wraps every stdout/stderr line in "[info] "/"[error] ", which is what
 // kept the driver from parsing Bench's one-line JSON metric in rounds 1-3.

@@ -2,16 +2,19 @@ package graft
 
 /** Benchmark harness.
   *
-  * Default mode forks ONE FRESH JVM PER QUERY (graft.BenchWorker): rounds
+  * Default mode forks FRESH WORKER JVMs (graft.BenchWorker): rounds
   * 6-8 each chased a different in-suite attribution artifact — residual
   * state-store threads, deferred GC debt absorbed by the first heavy query
   * after warmup, and finally dedup_canonical reading 79.7 s in-suite vs
   * 5.8 s isolated (13.7×) with BOTH min-of-2 passes inflated, i.e. debt
   * that `settle()` (cache clear + state-store stop + System.gc) provably
-  * does not clear. A fresh JVM per query is the only isolation that makes
-  * every number equal its isolated measurement BY CONSTRUCTION.
-  * `SPARK_GRAFT_FORK=0` keeps the old single-JVM path for quick local
-  * iteration.
+  * does not clear. A fresh JVM is the only isolation that makes a number
+  * equal its isolated measurement BY CONSTRUCTION. The fork unit is ONE
+  * QUERY — except for [[SparkEntry.benchForkFamilies]]: gates sharing a
+  * memoized build measure inside one worker (train once, serve many),
+  * because fork-per-query re-paid the same training ~20× and that
+  * redundant wall is what broke round 15's cap. `SPARK_GRAFT_FORK=0`
+  * keeps the old single-JVM path for quick local iteration.
   *
   * Round-15 post-mortem: the suite grew to 151 entries and the DRIVER
   * TIMED THE WHOLE RUN OUT (BENCH_r15 rc:124, parsed:null) — ~13 min of
@@ -128,18 +131,18 @@ object Bench {
 
     val (results: Seq[(String, Double, Seq[Double])], cut: Seq[String]) =
     if (fork) {
-      // must-entries first, then build phases, then droppable cost-twins
-      // in the per-round rotation order — budget exhaustion (below) then
-      // trims exactly the anchors whose production twin already ran, and
-      // WHICH anchors get trimmed rotates round-over-round like the
-      // compact-line overflow set
+      // must-entries first, then droppable cost-twins in the per-round
+      // rotation order — budget exhaustion (below) then trims exactly the
+      // anchors whose production twin already ran, and WHICH anchors get
+      // trimmed rotates round-over-round like the compact-line overflow
+      // set. Queries sharing a memoized build fold into ONE worker unit
+      // ([[SparkEntry.benchForkFamilies]]), with their build phases
+      // attached, so the family's training runs once, not once per fork.
       val must = names.filterNot(SparkEntry.lowPriorityBench.contains)
       val dropQ = rotationOrder(names.filter(SparkEntry.lowPriorityBench.contains), seed)
-      val tasks: Seq[(String, String)] =
-        must.map(n => (s"q:$n", n)) ++ phases.map(p => (s"phase:$p", p)) ++
-          dropQ.map(n => (s"q:$n", n))
-      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1380").toDouble
-      runForkedSuite(tasks, sfDir, warmups, passes, budget, prior, t0)
+      val units = forkUnits(must ++ dropQ, phases)
+      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toDouble
+      runForkedSuite(units, sfDir, warmups, passes, budget, prior, t0)
     } else {
       val spark = GraftSession.builder("graft-bench").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
@@ -401,20 +404,65 @@ object Bench {
   private[graft] def recordPath: String =
     if (sys.env.contains("SPARK_GRAFT_ONLY")) "bench.partial.json" else "bench.json"
 
-  /** Run `tasks` ("q:<name>" / "phase:<name>", with display labels) in
-    * fork-per-task workers, PIPELINED: while worker i measures, worker
-    * i+1 is forked and parks at its READY/GO handshake with a built
-    * SparkSession, so startup cost overlaps measurement instead of
+  /** One forked worker's workload: `tasks` are ("q:<name>" |
+    * "phase:<name>", display label) pairs measured sequentially in one
+    * JVM. Singleton for isolated queries; a whole
+    * [[SparkEntry.benchForkFamilies]] family (plus its build phases) for
+    * memo-sharing gates. */
+  private[graft] final case class BenchUnit(tasks: Seq[(String, String)]) {
+    def labels: Seq[String] = tasks.map(_._2)
+    def spec: String = tasks.map(_._1).mkString(";")
+  }
+
+  /** Group the ordered query names into fork units. A family unit is
+    * emitted at its FIRST member's position in `ordered` (so a family
+    * with any must-entry runs in the must block), members kept in their
+    * `ordered` relative order, the family's build phases appended last
+    * (measurePhase bypasses the memo deliberately, so phase cost stays
+    * visible regardless of position). Phases whose family never formed
+    * (consumer filtered out) trail as singletons. */
+  private[graft] def forkUnits(ordered: Seq[String], phases: Seq[String]): Seq[BenchUnit] = {
+    val famOf: Map[String, String] = SparkEntry.benchForkFamilies.flatMap {
+      case (f, ms) => ms.map(_ -> f)
+    }
+    val consumerOf: Map[String, String] = buildPhases.toMap // phase -> consumer query
+    val phaseFam: Map[String, String] =
+      phases.flatMap(p => consumerOf.get(p).flatMap(famOf.get).map(p -> _)).toMap
+    val emitted = scala.collection.mutable.Set[String]()
+    val units = scala.collection.mutable.ArrayBuffer[BenchUnit]()
+    for (n <- ordered if !emitted(n)) {
+      famOf.get(n) match {
+        case Some(f) =>
+          val members = ordered.filter(m => famOf.get(m).contains(f))
+          val famPhases = phases.filter(p => phaseFam.get(p).contains(f))
+          units += BenchUnit(members.map(m => (s"q:$m", m)) ++
+            famPhases.map(p => (s"phase:$p", p)))
+          emitted ++= members
+        case None =>
+          units += BenchUnit(Seq((s"q:$n", n)))
+          emitted += n
+      }
+    }
+    val attached = phaseFam.keySet
+    units ++= phases.filterNot(attached).map(p => BenchUnit(Seq((s"phase:$p", p))))
+    units.toSeq
+  }
+
+  /** Run `units` in forked workers, PIPELINED: while worker i measures,
+    * worker i+1 is forked and parks at its READY/GO handshake with a
+    * built SparkSession, so startup cost overlaps measurement instead of
     * serializing with it. At most one worker is ever past GO, preserving
     * the isolation the fork exists for.
     *
-    * Wall budget: before dispatching each task, its estimated cost
-    * (prior-round min × executions × 1.2 + [[StartupMarginSecs]],
-    * [[DefaultEstSecs]] when no prior exists) is checked against the
-    * remaining budget; tasks that do not fit are CUT (skipped, named in
-    * the record) and the scan continues — a later, cheaper task may
-    * still fit. Returns (results, cutLabels). */
-  private def runForkedSuite(tasks: Seq[(String, String)], sfDir: String,
+    * Wall budget: before dispatching each unit, its estimated cost (sum
+    * of member estimates — prior-round min × executions × 1.2 — plus
+    * [[StartupMarginSecs]], [[FamilyBuildSurchargeSecs]] for multi-task
+    * units, [[DefaultEstSecs]] per member with no prior) is checked
+    * against the remaining budget. A unit that does not fit is first
+    * TRIMMED to its must-entries (droppable members cut by name); if even
+    * that does not fit the whole unit is cut, and the scan continues — a
+    * later, cheaper unit may still fit. Returns (results, cutLabels). */
+  private def runForkedSuite(allUnits: Seq[BenchUnit], sfDir: String,
                              warmups: Int, passes: Int, budgetSecs: Double,
                              prior: Map[String, Double],
                              t0: Long): (Seq[(String, Double, Seq[Double])], Seq[String]) = {
@@ -423,63 +471,84 @@ object Bench {
       if (SparkEntry.replayHarnessQueries(label) ||
         SparkEntry.iterativeHarnessQueries(label)) warmups + 1
       else warmups + passes
-    def est(label: String): Double =
-      prior.get(label).map(_ * execs(label) * 1.2 + StartupMarginSecs)
-        .getOrElse(DefaultEstSecs)
+    def estLabel(label: String): Double =
+      prior.get(label).map(_ * execs(label) * 1.2).getOrElse(DefaultEstSecs)
+    def estUnit(u: BenchUnit): Double =
+      u.labels.map(estLabel).sum + StartupMarginSecs +
+        (if (u.tasks.size > 1) FamilyBuildSurchargeSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
-    var queue = tasks.toList
-    def popFitting(): Option[(String, String)] = {
+    var queue = allUnits.toList
+    def popFitting(): Option[BenchUnit] = {
       while (queue.nonEmpty) {
-        val h = queue.head; queue = queue.tail
-        if (elapsed() + est(h._2) <= budgetSecs) return Some(h)
-        cut += h._2
-        System.err.println(f"[bench] CUT ${h._2} (est ${est(h._2)}%.0fs, " +
-          f"${budgetSecs - elapsed()}%.0fs left of ${budgetSecs}%.0fs budget)")
+        val u = queue.head; queue = queue.tail
+        val left = budgetSecs - elapsed()
+        if (estUnit(u) <= left) return Some(u)
+        // trim to must-entries before giving up on the whole unit
+        val mustTasks = u.tasks.filter { case (s, l) =>
+          s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
+        }
+        val trimmed = BenchUnit(mustTasks)
+        if (mustTasks.nonEmpty && mustTasks.size < u.tasks.size &&
+          estUnit(trimmed) <= left) {
+          val dropped = u.labels.diff(trimmed.labels)
+          cut ++= dropped
+          System.err.println(s"[bench] TRIM unit to must-entries, cutting " +
+            dropped.mkString(","))
+          return Some(trimmed)
+        }
+        cut ++= u.labels
+        System.err.println(f"[bench] CUT ${u.labels.mkString(",")} " +
+          f"(est ${estUnit(u)}%.0fs, $left%.0fs left of ${budgetSecs}%.0fs budget)")
       }
       None
     }
 
-    var prestarted: Option[((String, String), ForkHandle)] = None
+    var prestarted: Option[(BenchUnit, ForkHandle)] = None
     var running = true
     while (running) {
       val cur = prestarted.orElse(
-        popFitting().map(t => (t, ForkHandle.spawn(t._1, sfDir, warmups, passes))))
+        popFitting().map(u => (u, ForkHandle.spawn(u.spec, sfDir, warmups, passes))))
       prestarted = None
       cur match {
         case None => running = false
-        case Some(((task, label), h)) =>
-          // a prestarted task is re-checked: the budget may have moved on
-          if (elapsed() + est(label) > budgetSecs) {
-            h.kill(); cut += label
-            System.err.println(s"[bench] CUT $label (prestarted, budget exhausted)")
+        case Some((u, h)) =>
+          // a prestarted unit is re-checked: the budget may have moved on
+          if (elapsed() + estUnit(u) > budgetSecs + StartupMarginSecs) {
+            h.kill(); cut ++= u.labels
+            System.err.println(s"[bench] CUT ${u.labels.mkString(",")} " +
+              "(prestarted, budget exhausted)")
           } else {
             val remaining = budgetSecs - elapsed()
             if (!h.awaitReady(ReadyTimeoutSecs)) {
               h.kill()
-              System.err.println(s"[bench] $label: worker never reached READY")
-              results += ((label, -1.0, Seq.empty))
+              System.err.println(s"[bench] ${u.labels.mkString(",")}: worker never reached READY")
+              results ++= u.labels.map(l => (l, -1.0, Seq.empty[Double]))
             } else {
               h.go()
               // overlap the NEXT worker's startup with this measurement
               prestarted = popFitting()
-                .map(t2 => (t2, ForkHandle.spawn(t2._1, sfDir, warmups, passes)))
-              results += h.finish(label, remaining + 120)
+                .map(u2 => (u2, ForkHandle.spawn(u2.spec, sfDir, warmups, passes)))
+              results ++= h.finish(u.labels, remaining + 180)
             }
             writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil, partial = true)
             System.err.println(f"[bench-partial] done=${results.size} " +
-              f"cut=${cut.size} left=${queue.size + prestarted.size} t=${elapsed()}%.0fs")
+              f"cut=${cut.size} unitsLeft=${queue.size + prestarted.size} t=${elapsed()}%.0fs")
           }
       }
     }
     (results.toSeq, cut.toSeq)
   }
 
-  /** Startup overhead added to every task estimate (handshake + GO + temp
-    * files), and the estimate used when a task has no prior-round floor. */
+  /** Startup overhead added to every unit estimate (handshake + GO + temp
+    * files); the per-member estimate used when no prior-round floor
+    * exists; and the one-time memoized-build surcharge estimated for a
+    * family unit (the training/build cost its members' warm minutes do
+    * not show). */
   private[graft] val StartupMarginSecs = 8.0
-  private[graft] val DefaultEstSecs = 25.0
+  private[graft] val DefaultEstSecs = 20.0
+  private[graft] val FamilyBuildSurchargeSecs = 60.0
   private[graft] val ReadyTimeoutSecs = 180.0
 }
 
@@ -506,28 +575,40 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
     finally cleanup()
   }
 
-  /** Wait for the worker (at most `deadlineSecs`, floored at 120 s) and
-    * read its result file. */
-  def finish(label: String, deadlineSecs: Double): (String, Double, Seq[Double]) =
+  /** Wait for the worker (at most `deadlineSecs`, floored at 300 s —
+    * family units measure several members) and read its result file: one
+    * "label|minSecs|p1,p2,..." line per task. Labels with no line (crash
+    * or timeout mid-family) report -1; lines already written before a
+    * crash still count — a dying worker loses only its unmeasured tail. */
+  def finish(labels: Seq[String], deadlineSecs: Double): Seq[(String, Double, Seq[Double])] =
     try {
-      val waitSecs = math.max(120.0, math.min(1800.0, deadlineSecs))
+      val waitSecs = math.max(300.0, math.min(2400.0, deadlineSecs))
       val done = proc.waitFor((waitSecs * 1000).toLong,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
-      if (done && proc.exitValue() == 0) {
-        val s = java.nio.file.Files.readString(out).trim
-        val Array(v, ps) = s.split('|')
-        (label, v.toDouble,
-          ps.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq)
-      } else {
-        System.err.println(s"[bench] $label: worker " +
-          (if (done) s"exit ${proc.exitValue()}" else f"timed out after ${deadlineSecs}%.0fs"))
-        (label, -1.0, Seq.empty[Double])
-      }
+      val got: Map[String, (Double, Seq[Double])] =
+        try {
+          java.nio.file.Files.readString(out).linesIterator.flatMap { line =>
+            line.split('|') match {
+              case Array(l, v, ps) => Some(l -> (v.toDouble,
+                ps.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq))
+              case Array(l, v) => Some(l -> (v.toDouble, Seq.empty[Double]))
+              case _ => None
+            }
+          }.toMap
+        } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (!done || proc.exitValue() != 0)
+        System.err.println(s"[bench] ${labels.mkString(",")}: worker " +
+          (if (done) s"exit ${proc.exitValue()}" else f"timed out after ${deadlineSecs}%.0fs") +
+          s" (${got.size}/${labels.size} results recovered)")
+      labels.map(l => got.get(l) match {
+        case Some((v, ps)) => (l, v, ps)
+        case None => (l, -1.0, Seq.empty[Double])
+      })
     } catch {
       case e: Exception =>
-        System.err.println(s"[bench] $label: fork failed: $e")
-        (label, -1.0, Seq.empty)
+        System.err.println(s"[bench] ${labels.mkString(",")}: fork failed: $e")
+        labels.map(l => (l, -1.0, Seq.empty[Double]))
     } finally cleanup()
 
   private def cleanup(): Unit = {
@@ -574,19 +655,21 @@ private[graft] object ForkHandle {
   }
 }
 
-/** Child entry point: measures ONE task in a fresh JVM and writes
-  * "minSecs|pass1,pass2,..." to args(0). Task is "q:<query>" or
-  * "phase:<build phase>".
+/** Child entry point: measures one UNIT (";"-separated "q:<query>" /
+  * "phase:<build phase>" specs — a singleton or a memo-sharing family) in
+  * a fresh JVM and appends one "label|minSecs|pass1,pass2,..." line per
+  * task to args(0) AS EACH TASK COMPLETES — a crash mid-family loses only
+  * the unmeasured tail, never finished measurements.
   *
   * Handshake: after the SparkSession is built (the expensive part of
   * startup), the worker prints [[ForkHandle.ReadyMarker]] and parks on
   * stdin. Measurement begins only on a "GO" line — this is what lets the
   * parent overlap this worker's startup with another's measurement
   * without ever having two workers measuring at once. EOF or any other
-  * line exits cleanly without measuring (the parent cut the task). */
+  * line exits cleanly without measuring (the parent cut the unit). */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
-    val Array(outFile, sfDir, warmups, passes, task) = args
+    val Array(outFile, sfDir, warmups, passes, unitSpec) = args
     val spark = GraftSession.builder("graft-bench-worker").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(ForkHandle.ReadyMarker)
@@ -594,27 +677,37 @@ object BenchWorker {
     val go = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in)).readLine()
     if (go == null || go.trim != "GO") { spark.stop(); return }
-    val (secs, passTimes) = task.split(":", 2) match {
-      case Array("q", name) =>
-        // fork mode warms replay queries too: this JVM is FRESH, so an
-        // unwarmed replay measures codegen/JIT cold start of the whole
-        // streaming machinery on top of the harness (observed 31.6 s vs
-        // 7.5 s warm for sessions_streaming). In the shared-JVM suite the
-        // preceding queries provided that warmth, which is why the
-        // single-JVM path keeps them unwarmed (round-8 policy).
-        val r = BenchCore.measure(spark, sfDir, Seq(name), warmups.toInt,
-          passes.toInt, warmReplays = true)
-        (r.head._2, r.head._3)
-      case Array("phase", name) =>
-        val (_, v, ps) = BenchCore.measurePhase(spark, sfDir, name,
-          warmups.toInt, passes.toInt)
-        (v, ps)
-      case other => sys.error(s"unknown bench task: ${other.mkString(":")}")
+    def record(label: String, secs: Double, passTimes: Seq[Double]): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+        s"$label|$secs|${passTimes.mkString(",")}\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    val specs = unitSpec.split(";").toSeq
+    val qNames = specs.collect { case s if s.startsWith("q:") => s.drop(2) }
+    val phaseNames = specs.collect { case s if s.startsWith("phase:") => s.drop(6) }
+    require(qNames.size + phaseNames.size == specs.size,
+      s"unknown bench task in unit: $unitSpec")
+    // fork mode warms replay queries too: this JVM is FRESH, so an
+    // unwarmed replay measures codegen/JIT cold start of the whole
+    // streaming machinery on top of the harness (observed 31.6 s vs
+    // 7.5 s warm for sessions_streaming). In the shared-JVM suite the
+    // preceding queries provided that warmth, which is why the
+    // single-JVM path keeps them unwarmed (round-8 policy). A family's
+    // members measure one-by-one IN THIS ONE JVM: the memo stores are
+    // JVM-global, so the first member's warmup pays the shared build and
+    // every later member's warmup is a memo hit — the family economics —
+    // while each completed member lands its result line immediately.
+    qNames.foreach { n =>
+      val r = BenchCore.measure(spark, sfDir, Seq(n), warmups.toInt,
+        passes.toInt, warmReplays = true)
+      record(r.head._1, r.head._2, r.head._3)
     }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"$secs|${passTimes.mkString(",")}")
+    phaseNames.foreach { p =>
+      val (_, v, ps) = BenchCore.measurePhase(spark, sfDir, p,
+        warmups.toInt, passes.toInt)
+      record(p, v, ps)
+    }
     spark.stop()
-    if (secs < 0) sys.exit(1)
   }
 }
 

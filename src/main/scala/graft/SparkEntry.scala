@@ -165,6 +165,15 @@ object SparkEntry {
     // PCM (chunk walk, channel de-interleave, signed samples) — the
     // seam covers the audio half of a multimodal corpus, not just pixels
     "multimodal_decode_wav" -> tuned(Multimodal.wavGateFromDir),
+    // the first COMPRESSED formats behind the seam, via the JDK's
+    // javax.imageio: real PNG (DEFLATE, lossless → pixel-exact sums) ...
+    "multimodal_decode_png" -> tuned(Multimodal.pngGateFromDir),
+    // ... and real JPEG (DCT, lossy → exact header dims + decoded gray
+    // mass bounded against the source rule)
+    "multimodal_decode_jpeg" -> tuned(Multimodal.jpegGateFromDir),
+    // mixed-format corpus: doc_id mod 4 → PPM/BMP/PNG/JPEG containers,
+    // magic-sniffed and routed to the matching codec in one relation
+    "multimodal_decode_mixed" -> tuned(Multimodal.mixedGateFromDir),
     // perceptual hash over DECODED pixels: 8x8 grid aHash in exact
     // integer math (cross-multiplied means, two 32-bit halves)
     "multimodal_ahash" -> tuned(Multimodal.ahashGateFromDir),
@@ -504,6 +513,9 @@ object SparkEntry {
     "multimodal_decode" -> Multimodal.decodeOracle,
     "multimodal_decode_bmp" -> Multimodal.bmpDecodeOracle,
     "multimodal_decode_wav" -> Multimodal.wavDecodeOracle,
+    "multimodal_decode_png" -> Multimodal.pngDecodeOracle,
+    "multimodal_decode_jpeg" -> Multimodal.jpegDecodeOracle,
+    "multimodal_decode_mixed" -> Multimodal.mixedDecodeOracle,
     "multimodal_ahash" -> Multimodal.ahashOracle,
     "dedup_image_ahash" -> Multimodal.ahashNearDupsOracle(),
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
@@ -725,6 +737,13 @@ object SparkEntry {
     "multimodal_decode_bmp", // second-format sibling of multimodal_decode
                              // (the PPM flagship stays on the line)
     "multimodal_decode_wav", // third-format sibling of multimodal_decode
+    "multimodal_decode_png", // fourth-format sibling (the compressed tier's
+                             // lossless anchor; the mixed gate is the flagship)
+    "multimodal_decode_jpeg", // fifth-format sibling (lossy tier; the mixed
+                             // gate exercises its codec too)
+    "multimodal_decode_mixed", // dispatch flagship, but its per-codec cost
+                             // twins (decode/bmp/png/jpeg) are all measured
+                             // and multimodal_decode anchors the line
     "multimodal_ahash",      // strict cost-subset of dedup_image_ahash
                              // (same signatures, minus the banding join)
     "corpus_packed",         // strict cost-subset of corpus_shuffle (same
@@ -792,4 +811,50 @@ object SparkEntry {
                              // cost class (events_hourly stays on the line)
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
+
+  /** Bench FORK FAMILIES: gates sharing a memoized build (the param-keyed
+    * index/training memos — train once, serve many) measure inside ONE
+    * worker JVM so the build is paid once per family instead of once per
+    * fork. Round 15's fork-per-query suite re-trained the same stores
+    * ~20× (~20 min of redundant wall) and blew the driver's cap; family
+    * scoping keeps fresh-JVM isolation BETWEEN families while restoring
+    * the build-once economics the gates themselves document. A family's
+    * members still measure sequentially with the standard settle between
+    * them, and each reports its own warm number — the same value
+    * fork-per-query produced, minus the redundant rebuild wall.
+    * Mis-grouping is safe: members that share nothing just measure like
+    * a small suite. Queries in NO family keep their own fork (the
+    * from-scratch anchors whose in-suite inflation motivated forking
+    * stay isolated). */
+  val benchForkFamilies: Map[String, Seq[String]] = Map(
+    "ivf_float" -> Seq("ivf_ann_topk", "ivf_probe_indexed", "ivf_index_append",
+      "ivf_index_compact", "ivf_index_remove", "ivf_requantize",
+      "ivf_index_health", "ivf_stream_append", "ivf_ann_filtered",
+      "ivf_mrl_rerank", "hybrid_rrf_indexed", "label_knn_agreement_ivf"),
+    "ivf_trained" -> Seq("kmeans_train", "ivf_ann_trained", "ivf_probe_trained",
+      "semantic_dedup_trained"),
+    "ivf_imi" -> Seq("ivf_ann_imi", "ivf_imi_append", "ivf_imi_remove",
+      "ivf_imi_compact", "ivf_imi_requantize", "ivf_imi_health",
+      "hybrid_rrf_imi", "semantic_dedup_imi"),
+    "imi_sq8" -> Seq("imi_sq8_probe", "imi_sq8_append", "imi_sq8_remove",
+      "imi_sq8_compact", "imi_sq8_requantize", "imi_sq8_stream_append",
+      "hybrid_rrf_imisq8"),
+    "ivf_sq8" -> Seq("ivf_sq8_probe", "ivf_sq8_append", "ivf_sq8_remove",
+      "ivf_sq8_compact", "ivf_sq8_requantize"),
+    "ivf_pq" -> Seq("ivf_pq_probe", "ivf_pq_rerank", "ivf_pq_filtered",
+      "ivf_pq_append", "ivf_pq_remove", "ivf_pq_compact", "ivf_pq_requantize"),
+    "ivf_pqr" -> Seq("ivf_pqr_probe", "ivf_pqr_rerank", "ivf_pqr_append"),
+    "bpe" -> Seq("text_bpe_merged", "text_bpe_vocab", "text_bpe_segments",
+      "text_bpe_apply"),
+    "dedup_index" -> Seq("dedup_delta_lsh", "dedup_index_compact",
+      "dedup_index_remove", "store_maintenance_loop"),
+    "cluster_store" -> Seq("dedup_canonical_indexed", "dedup_source_matrix_indexed",
+      "corpus_split_indexed", "cluster_append", "corpus_split_append"),
+    "bm25_store" -> Seq("bm25_indexed", "bm25_index_append", "bm25_index_compact",
+      "bm25_index_remove"))
+  require(benchForkFamilies.values.flatten.toSet.subsetOf(queries.keySet),
+    "benchForkFamilies names a query not registered in queries")
+  require(benchForkFamilies.values.flatten.toSeq.distinct.size ==
+    benchForkFamilies.values.flatten.size,
+    "a query may belong to at most one bench fork family")
 }

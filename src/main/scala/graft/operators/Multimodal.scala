@@ -10,14 +10,17 @@ import org.apache.spark.sql.types._
   * per-partition over batches.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, deterministic output — and since round 13 the decode seam
-  * holds a REAL decoder for one real format: [[decodePpm]] parses binary
-  * netpbm P6 (magic, comments, dims, maxval, sample plane) and
-  * [[extractPpmFeatures]] reduces actual pixel structure to exact channel
-  * statistics, driver-gated (`multimodal_decode`). For formats whose
-  * codecs this container lacks (JPEG/audio/video), `fakeDecodeFeatures`
-  * remains the documented stand-in: swapping in a libjpeg/ffmpeg call
-  * changes ONE function, not the plan.
+  * batch shape, deterministic output — and the decode seam holds REAL
+  * decoders for five real formats: [[decodePpm]] (binary netpbm P6),
+  * [[decodeBmp]] (24-bit BI_RGB, bottom-up padded rows), [[decodeWav]]
+  * (RIFF 16-bit PCM), and since round 16 the JDK's `javax.imageio` for
+  * the COMPRESSED formats a real corpus actually ships — PNG
+  * (zlib/DEFLATE, lossless, pixel-exact gate) and baseline JPEG (DCT,
+  * lossy, dims + bounded-drift gate) — plus [[decodeAnyImage]]'s
+  * magic-sniff dispatch over all four image containers in one relation.
+  * Only video / compressed audio remain behind `fakeDecodeFeatures`
+  * (no codec in the JDK): swapping in an ffmpeg call changes ONE
+  * function, not the plan.
   *
   * Scale design: payloads never pass through a shuffle — metadata extraction
   * is expression-level on the scan, and feature extraction is mapPartitions
@@ -791,6 +794,375 @@ object Multimodal {
        |            FOR i IN range(1, CAST(n_frames AS INTEGER) + 1)]), 0) AS BIGINT) AS ch1_sum,
        |       CAST(COALESCE(list_max(list_transform(ss, v -> abs(v))), 0) AS BIGINT) AS peak_abs
        |FROM s ORDER BY media_id""".stripMargin
+
+  // --------- fourth + fifth real formats: PNG and JPEG via javax.imageio
+
+  /** A decoded raster in IMAGE order, R,G,B per pixel
+    * (`pixels.length == width * height * 3`) — the common output of the
+    * ImageIO path and [[decodeAnyImage]]'s cross-format dispatch. */
+  final case class RgbImage(width: Int, height: Int, pixels: Array[Byte])
+
+  /** Pixel-count ceiling for the ImageIO path, enforced from the HEADER
+    * (`ImageReader.getWidth/getHeight` — no pixel decode happens first):
+    * a crafted PNG/JPEG header claiming 10⁹×10⁹ would otherwise drive
+    * the decoder into a multi-GB allocation inside an executor. 10⁸
+    * pixels (the [[AhashMaxPixels]] bound) caps the decoded plane at
+    * 300 MB. */
+  val ImageIoMaxPixels: Long = 100000000L
+
+  /** REAL PNG/JPEG decode through the JDK's `javax.imageio` (java.desktop
+    * — standard library, present on every executor JVM, fully headless
+    * for raster work): PNG is a genuine DEFLATE/zlib codec, JPEG a
+    * genuine DCT codec — the first COMPRESSED formats behind the decode
+    * seam, closing the "a real multimodal corpus is mostly JPEG" gap
+    * that PPM/BMP/WAV (hand-parsed uncompressed layouts) left open.
+    *
+    * Dimensions are validated from the header via the ImageReader API
+    * BEFORE any pixel decode (see [[ImageIoMaxPixels]]); pixels are
+    * normalized to sRGB triplets through `getRGB` — per-pixel, fine at
+    * gate scale; a production hot path would read the raster's backing
+    * buffer per image type. None for anything ImageIO rejects
+    * (truncated stream, bad magic, unsupported type) — corrupt payloads
+    * reject, never mis-sum. */
+  def decodeImageIo(payload: Array[Byte]): Option[RgbImage] = {
+    if (payload == null || payload.length == 0) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        reader = readers.next()
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0); val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > ImageIoMaxPixels) None
+        else {
+          val img = reader.read(0)
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val p = (y * w + x) * 3
+              px(p) = ((rgb >> 16) & 0xff).toByte
+              px(p + 1) = ((rgb >> 8) & 0xff).toByte
+              px(p + 2) = (rgb & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some(RgbImage(w, h, px))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Build a `BufferedImage` from raw bytes under the PPM builder's rule
+    * — 8-wide, h = ⌊n/24⌋ rows, pixel k's R,G,B = bytes 3k..3k+2 — or
+    * None when the bytes fill no complete row (BufferedImage cannot
+    * represent height 0; the empty payload downstream rejects, the
+    * asBmpPayloads convention). */
+  private def buildRuleImage(data: Array[Byte], width: Int = 8): Option[java.awt.image.BufferedImage] = {
+    val h = data.length / (width * 3)
+    if (h == 0) None
+    else {
+      val img = new java.awt.image.BufferedImage(
+        width, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var k = 0
+      while (k < width * h) {
+        val r = data(3 * k) & 0xff
+        val g = data(3 * k + 1) & 0xff
+        val b = data(3 * k + 2) & 0xff
+        img.setRGB(k % width, k / width, (r << 16) | (g << 8) | b)
+        k += 1
+      }
+      Some(img)
+    }
+  }
+
+  private def encodeImageIo(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** Wrap each doc's bytes into a REAL PNG (RFC 2083: zlib/DEFLATE
+    * pixel stream, CRC-checked chunks) under the SAME pixel rule as
+    * [[asPpmPayloads]] — PNG is lossless, so the decoded raster must
+    * equal the rule's bytes EXACTLY, which is what lets the DuckDB twin
+    * oracle the decode without understanding DEFLATE. Built in the
+    * mapPartitions seam (a real encoder is imperative per payload);
+    * docs under one row (n < 24) emit an EMPTY payload the decoder
+    * rejects (-1 row, kept visible). */
+  def asPngPayloads(docs: DataFrame): DataFrame =
+    asImageIoPayloads(docs, "png", "image/png")
+
+  /** [[asPngPayloads]]'s lossy sibling: a REAL JPEG (ITU T.81 baseline
+    * DCT, the JDK encoder's default quality) under the same pixel rule. */
+  def asJpegPayloads(docs: DataFrame): DataFrame =
+    asImageIoPayloads(docs, "jpg", "image/jpeg")
+
+  private def asImageIoPayloads(docs: DataFrame, fmt: String, mime: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("src_gray_sum", LongType, nullable = false)))
+    val rows = docs.select(col("doc_id"), col("text").cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          buildRuleImage(bytes) match {
+            case Some(img) =>
+              // the rule bytes' gray mass rides beside the payload so the
+              // lossy (JPEG) gate can bound decode error without re-reading
+              // the source text downstream
+              var gs = 0L
+              var i = 0
+              val used = (bytes.length / 24) * 24
+              while (i < used) { gs += bytes(i) & 0xff; i += 1 }
+              Row(r.getLong(0), encodeImageIo(img, fmt), gs)
+            case None => Row(r.getLong(0), Array.emptyByteArray, 0L)
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode ImageIO payloads per partition, exact integer channel sums
+    * from the ACTUAL decoded raster — [[extractPpmFeatures]]'s contract
+    * over the compressed formats. Rejected payloads report -1. */
+  def extractImageIoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        decodeImageIo(r.getAs[Array[Byte]](1)) match {
+          case Some(img) =>
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var p = 0
+            while (p < img.pixels.length) {
+              rs += img.pixels(p) & 0xff
+              gs += img.pixels(p + 1) & 0xff
+              bs += img.pixels(p + 2) & 0xff
+              p += 3
+            }
+            Row(r.getLong(0), img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height, rs, gs, bs)
+          case None => Row(r.getLong(0), -1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, ppmFeatureSchema)
+  }
+
+  /** Gated query `multimodal_decode_png`: build real PNGs (DEFLATE),
+    * decode through javax.imageio, exact channel sums. Lossless
+    * roundtrip ⇒ the sums equal the rule's — a decoder (or encoder)
+    * corrupting any pixel cannot hash-match. */
+  def pngGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    extractImageIoFeatures(asPngPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+
+  /** DuckDB twin of the PNG gate: [[decodeOracle]]'s rule — 8×⌊n/24⌋,
+    * triplet-strided channel sums over the text hex — with the ONE
+    * convention difference that h = 0 REJECTS (-1 row): BufferedImage
+    * cannot hold zero rows, so sub-row docs ship an empty payload
+    * (where P6 validly encodes 8×0). */
+  val pngDecodeOracle: String = {
+    def guarded(expr: String) = s"CAST(CASE WHEN h = 0 THEN -1 ELSE $expr END AS BIGINT)"
+    // offset o ∈ {0=R,1=G,2=B}: the rule stores R,G,B at bytes 3k..3k+2
+    // (unlike the BMP twin, whose file order is B,G,R)
+    def chanSum(o: Int) = guarded(
+      s"COALESCE(list_sum([bs[3*i - ${2 - o}] FOR i IN range(1, CAST(h * 8 AS INTEGER) + 1)]), 0)")
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
+       |  FROM documents
+       |), px AS (
+       |  SELECT media_id, n // 24 AS h,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 24) * 24 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |)
+       |SELECT media_id,
+       |       ${guarded("8")} AS width,
+       |       ${guarded("h")} AS height,
+       |       ${guarded("h * 8")} AS n_pixels,
+       |       ${chanSum(0)} AS r_sum,
+       |       ${chanSum(1)} AS g_sum,
+       |       ${chanSum(2)} AS b_sum
+       |FROM px ORDER BY media_id""".stripMargin
+  }
+
+  /** Per-pixel gray-error budget for the JPEG gate: the decoded image's
+    * total gray mass (Σ r+g+b) must sit within `JpegGrayTolPerPixel` ×
+    * n_pixels of the source rule's. Baseline JPEG at the JDK's default
+    * quality quantizes DC coarsely and kills chroma detail, but the
+    * IMAGE-WIDE mean it must preserve — measured on sf0.001's random
+    * text-byte images (the worst case for a DCT codec) the per-pixel
+    * mean-gray drift peaks at 7.33 (Round16Spec reports it each run);
+    * 24 (8 per channel) keeps >3× structural margin above the measured
+    * worst case, not a tuned constant. */
+  val JpegGrayTolPerPixel: Long = 24L
+
+  private val jpegFeatureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("gray_in_tol", BooleanType, nullable = false)))
+
+  /** Gated query `multimodal_decode_jpeg`: build real JPEGs, decode
+    * through javax.imageio, emit the EXACT-STABLE outputs — header
+    * dimensions, and whether the decoded gray mass sits inside the
+    * lossy codec's tolerance of the source rule's ([[JpegGrayTolPerPixel]]).
+    * Pixel-exact sums cannot gate a lossy codec cross-engine; dims +
+    * bounded content drift is the honest contract (the pixel-exact
+    * version of this gate is `multimodal_decode_png`). */
+  def jpegGateFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val spark0 = spark
+    val media = asJpegPayloads(Tables.documents(spark, dir))
+    val rows = media.select(col("media_id"), col("payload"), col("src_gray_sum"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          decodeImageIo(r.getAs[Array[Byte]](1)) match {
+            case Some(img) =>
+              var g = 0L
+              var p = 0
+              while (p < img.pixels.length) { g += img.pixels(p) & 0xff; p += 1 }
+              val npix = img.width.toLong * img.height
+              val inTol = math.abs(g - r.getLong(2)) <= JpegGrayTolPerPixel * npix
+              Row(r.getLong(0), img.width.toLong, img.height.toLong, npix, inTol)
+            case None => Row(r.getLong(0), -1L, -1L, -1L, false)
+          }
+        }
+      }
+    spark0.createDataFrame(rows, jpegFeatureSchema).orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin of the JPEG gate: dimensions from the builder rule,
+    * `gray_in_tol` TRUE for every buildable doc — the Spark side earns
+    * the TRUE by actually decoding and bounding the drift. */
+  val jpegDecodeOracle: String = {
+    def guarded(expr: String) = s"CAST(CASE WHEN h = 0 THEN -1 ELSE $expr END AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) // 24 AS h
+       |  FROM documents
+       |)
+       |SELECT media_id,
+       |       ${guarded("8")} AS width,
+       |       ${guarded("h")} AS height,
+       |       ${guarded("h * 8")} AS n_pixels,
+       |       (h > 0) AS gray_in_tol
+       |FROM b ORDER BY media_id""".stripMargin
+  }
+
+  // ------------------------- mixed-format corpus: sniff-and-dispatch
+
+  /** Magic-byte format sniff over the first payload bytes — the router a
+    * mixed-format corpus needs before any decode is possible. */
+  def sniffImageFormat(payload: Array[Byte]): String = {
+    if (payload == null || payload.length < 2) "unknown"
+    else if (payload(0) == 'P' && payload(1) == '6') "ppm"
+    else if (payload(0) == 'B' && payload(1) == 'M') "bmp"
+    else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+    else "unknown"
+  }
+
+  /** Cross-format decode: sniff, route to the right decoder, normalize
+    * to [[RgbImage]] (BMP's B,G,R image-order triplets flip to R,G,B).
+    * One function a mixed corpus maps over — the production shape of
+    * the seam. */
+  def decodeAnyImage(payload: Array[Byte]): Option[RgbImage] =
+    sniffImageFormat(payload) match {
+      case "ppm" => decodePpm(payload).map(p => RgbImage(p.width, p.height, p.pixels))
+      case "bmp" => decodeBmp(payload).map { b =>
+        val px = new Array[Byte](b.pixels.length)
+        var i = 0
+        while (i < px.length) {
+          px(i) = b.pixels(i + 2); px(i + 1) = b.pixels(i + 1); px(i + 2) = b.pixels(i)
+          i += 3
+        }
+        RgbImage(b.width, b.height, px)
+      }
+      case "png" | "jpeg" => decodeImageIo(payload)
+      case _ => None
+    }
+
+  private val mixedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false)))
+
+  /** Gated query `multimodal_decode_mixed`: a corpus where each doc ships
+    * in a DIFFERENT real container (doc_id mod 4 → PPM / BMP / PNG /
+    * JPEG), routed by [[sniffImageFormat]] and decoded by the matching
+    * codec — the sniff-and-dispatch a real crawl's media column needs,
+    * proven over all four formats in ONE relation. Emits the sniffed
+    * format and header dimensions (exact for every codec, including the
+    * lossy one). */
+  def mixedGateFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val parts = Seq(
+      asPpmPayloads(docs.filter(col("doc_id") % 4 === 0)).select("media_id", "payload"),
+      asBmpPayloads(docs.filter(col("doc_id") % 4 === 1)).select("media_id", "payload"),
+      asPngPayloads(docs.filter(col("doc_id") % 4 === 2)).select("media_id", "payload"),
+      asJpegPayloads(docs.filter(col("doc_id") % 4 === 3)).select("media_id", "payload"))
+    val media = parts.reduce(_.unionAll(_))
+    val rows = media.rdd.mapPartitions { it =>
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]](1)
+        val fmt = sniffImageFormat(payload)
+        decodeAnyImage(payload) match {
+          case Some(img) =>
+            Row(r.getLong(0), fmt, img.width.toLong, img.height.toLong,
+              img.width.toLong * img.height)
+          case None => Row(r.getLong(0), fmt, -1L, -1L, -1L)
+        }
+      }
+    }
+    spark.createDataFrame(rows, mixedSchema).orderBy(col("media_id"))
+  }
+
+  /** DuckDB twin of the mixed gate: format + dimensions from each
+    * builder's rule keyed on doc_id mod 4 — PPM validly encodes 8×0
+    * (empty docs stay "ppm"), BMP builds a height-0 header its decoder
+    * rejects (sniffed "bmp", -1 dims), PNG/JPEG sub-row docs ship empty
+    * payloads (sniffed "unknown", -1 dims). */
+  val mixedDecodeOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, doc_id % 4 AS m,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
+       |  FROM documents
+       |)
+       |SELECT media_id,
+       |       CASE WHEN m = 0 THEN 'ppm'
+       |            WHEN m = 1 THEN 'bmp'
+       |            WHEN m = 2 THEN CASE WHEN n // 24 = 0 THEN 'unknown' ELSE 'png' END
+       |            ELSE CASE WHEN n // 24 = 0 THEN 'unknown' ELSE 'jpeg' END END AS format,
+       |       CAST(CASE WHEN m = 0 THEN 8
+       |            WHEN m = 1 THEN CASE WHEN n // 15 = 0 THEN -1 ELSE 5 END
+       |            ELSE CASE WHEN n // 24 = 0 THEN -1 ELSE 8 END END AS BIGINT) AS width,
+       |       CAST(CASE WHEN m = 0 THEN n // 24
+       |            WHEN m = 1 THEN CASE WHEN n // 15 = 0 THEN -1 ELSE n // 15 END
+       |            ELSE CASE WHEN n // 24 = 0 THEN -1 ELSE n // 24 END END AS BIGINT) AS height,
+       |       CAST(CASE WHEN m = 0 THEN (n // 24) * 8
+       |            WHEN m = 1 THEN CASE WHEN n // 15 = 0 THEN -1 ELSE (n // 15) * 5 END
+       |            ELSE CASE WHEN n // 24 = 0 THEN -1 ELSE (n // 24) * 8 END END AS BIGINT) AS n_pixels
+       |FROM b ORDER BY media_id""".stripMargin
 
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */

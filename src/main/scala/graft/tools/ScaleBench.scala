@@ -70,7 +70,10 @@ object ScaleBench {
       // round-15 residual-PQ tier
       "ivf_pqr_probe", "ivf_pqr_rerank", "ivf_pqr_append",
       // round-15 MRL serving + MMR diversity
-      "ivf_mrl_rerank", "mmr_rerank")
+      "ivf_mrl_rerank", "mmr_rerank",
+      // round-16 ImageIO (compressed-codec) decode tier
+      "multimodal_decode_png", "multimodal_decode_jpeg",
+      "multimodal_decode_mixed")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

@@ -200,6 +200,40 @@ class BenchLineSpec extends AnyFunSuite {
     assert(mapper.readTree(fullLine).get("cut").asInt === 42)
   }
 
+  test("forkUnits: families fold into one unit at the first member's position") {
+    val fams = SparkEntry.benchForkFamilies
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
+    val phases = Bench.buildPhases.map(_._1)
+    val units = Bench.forkUnits(ordered, phases)
+    // every query appears exactly once across units; phases exactly once
+    val all = units.flatMap(_.labels)
+    assert(all.sorted === (ordered ++ phases).sorted)
+    assert(all.distinct.size === all.size)
+    // each family is one unit with members contiguous
+    for ((f, members) <- fams) {
+      val owners = units.filter(_.labels.exists(members.contains))
+      assert(owners.size === 1, s"family $f split across ${owners.size} units")
+      assert(members.toSet.subsetOf(owners.head.labels.toSet))
+    }
+    // build phases attach to their consumer's family unit
+    val bpeUnit = units.find(_.labels.contains("text_bpe_vocab")).get
+    assert(bpeUnit.labels.contains("bpe_train"))
+    assert(bpeUnit.spec.contains("phase:bpe_train"))
+    // non-family queries stay isolated singletons (the from-scratch
+    // anchors whose in-suite inflation motivated fork isolation)
+    assert(units.find(_.labels.contains("dedup_canonical")).get.labels === Seq("dedup_canonical"))
+    // a family with a must-entry runs at the must position when ordered
+    // must-first: ivf_pq_rerank (must) pulls the whole pq family forward
+    val must = ordered.filterNot(SparkEntry.lowPriorityBench.contains)
+    val dropQ = ordered.filter(SparkEntry.lowPriorityBench.contains)
+    val units2 = Bench.forkUnits(must ++ dropQ, phases)
+    val pqIdx = units2.indexWhere(_.labels.contains("ivf_pq_rerank"))
+    val firstDropOnlyIdx = units2.indexWhere(u =>
+      u.labels.forall(l => SparkEntry.lowPriorityBench.contains(l)))
+    assert(pqIdx >= 0 && (firstDropOnlyIdx < 0 || pqIdx < firstDropOnlyIdx ||
+      units2(pqIdx).labels.exists(l => !SparkEntry.lowPriorityBench.contains(l))))
+  }
+
   test("when everything fits, nothing is dropped and no 'more' field appears") {
     val few = Seq("q1_agg_orders" -> 1.5, "dedup_canonical" -> 9.642186593)
     val (line, omitted) = Bench.compactLine(few, "/root/testdata/sf0.1")

@@ -174,6 +174,10 @@ object SparkEntry {
     // mixed-format corpus: doc_id mod 4 → PPM/BMP/PNG/JPEG containers,
     // magic-sniffed and routed to the matching codec in one relation
     "multimodal_decode_mixed" -> tuned(Multimodal.mixedGateFromDir),
+    // preprocessing: box-mean 4x4 gray thumbnail (exact integer bands)
+    "multimodal_resize" -> tuned(Multimodal.resizeGateFromDir),
+    // audio energy contour: |sample| mass per 64-frame window
+    "audio_energy_windows" -> tuned(Multimodal.audioEnergyGateFromDir),
     // perceptual hash over DECODED pixels: 8x8 grid aHash in exact
     // integer math (cross-multiplied means, two 32-bit halves)
     "multimodal_ahash" -> tuned(Multimodal.ahashGateFromDir),
@@ -516,6 +520,8 @@ object SparkEntry {
     "multimodal_decode_png" -> Multimodal.pngDecodeOracle,
     "multimodal_decode_jpeg" -> Multimodal.jpegDecodeOracle,
     "multimodal_decode_mixed" -> Multimodal.mixedDecodeOracle,
+    "multimodal_resize" -> Multimodal.resizeOracle,
+    "audio_energy_windows" -> Multimodal.audioEnergyOracle,
     "multimodal_ahash" -> Multimodal.ahashOracle,
     "dedup_image_ahash" -> Multimodal.ahashNearDupsOracle(),
     "events_hourly" -> graft.streaming.EventStreams.hourlyOracle,
@@ -744,6 +750,10 @@ object SparkEntry {
     "multimodal_decode_mixed", // dispatch flagship, but its per-codec cost
                              // twins (decode/bmp/png/jpeg) are all measured
                              // and multimodal_decode anchors the line
+    "multimodal_resize",     // same decode + band walk cost class as
+                             // multimodal_ahash (already droppable)
+    "audio_energy_windows",  // same decode + sample walk cost class as
+                             // multimodal_decode_wav (already droppable)
     "multimodal_ahash",      // strict cost-subset of dedup_image_ahash
                              // (same signatures, minus the banding join)
     "corpus_packed",         // strict cost-subset of corpus_shuffle (same

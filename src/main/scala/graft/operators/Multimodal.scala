@@ -1164,6 +1164,183 @@ object Multimodal {
        |            ELSE CASE WHEN n // 24 = 0 THEN -1 ELSE (n // 24) * 8 END END AS BIGINT) AS n_pixels
        |FROM b ORDER BY media_id""".stripMargin
 
+  // --------------------- preprocessing operators: resize + audio windows
+
+  private val resizeSchema = StructType(
+    Seq("media_id", "width", "height", "cell", "gray")
+      .map(StructField(_, LongType, nullable = false)))
+
+  /** Thumbnail side length of [[resizeThumb]] — 4×4 gray cells. */
+  val ThumbGrid = 4
+
+  /** REAL image RESIZE — the preprocessing step every vision-model
+    * pipeline runs before featurization: box-mean downsample onto a
+    * [[ThumbGrid]]×[[ThumbGrid]] gray grid using the same integer band
+    * rule as [[ahashFeatures]] (row r → band ⌊4r/h⌋, col c → ⌊4c/w⌋ —
+    * never a float resample), each cell the FLOOR-DIVIDED mean of
+    * gray = r+g+b over its band. Exact integer math end to end, so the
+    * thumbnail hash-matches the DuckDB rule twin. Decode is
+    * [[decodeAnyImage]] — one resize pass serves a mixed-container
+    * corpus. Output is EXPLODED (one row per cell, `cell` = 4·i+j
+    * row-major) so every column stays a hash-safe scalar; images
+    * smaller than the grid (w or h < 4) and rejected payloads emit a
+    * single `cell = -1` row, kept visible.
+    *
+    * Scale: decode + resize per partition (payloads never shuffle);
+    * only 16 scalar rows per image leave the scan — the thumbnail
+    * table is what a patch-embedding or dedup stage consumes. */
+  def resizeThumb(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val T = ThumbGrid
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAnyImage(r.getAs[Array[Byte]](1)) match {
+          case Some(img) if img.width >= T && img.height >= T &&
+            img.width.toLong * img.height <= AhashMaxPixels =>
+            val w = img.width; val h = img.height
+            val sum = new Array[Long](T * T)
+            val cnt = new Array[Long](T * T)
+            var p = 0
+            var row = 0
+            while (row < h) {
+              val i = ((row.toLong * T) / h).toInt
+              var c = 0
+              while (c < w) {
+                val j = ((c.toLong * T) / w).toInt
+                sum(i * T + j) += (img.pixels(p) & 0xff) +
+                  (img.pixels(p + 1) & 0xff) + (img.pixels(p + 2) & 0xff)
+                cnt(i * T + j) += 1
+                p += 3
+                c += 1
+              }
+              row += 1
+            }
+            (0 until T * T).map(t =>
+              Row(r.getLong(0), w.toLong, h.toLong, t.toLong, sum(t) / cnt(t)))
+          case _ => Seq(Row(r.getLong(0), -1L, -1L, -1L, -1L))
+        }
+      }
+    }
+    spark.createDataFrame(rows, resizeSchema)
+  }
+
+  /** Gated query `multimodal_resize`: P6 payloads (the rule the oracle
+    * can recompute) box-mean downsampled to the 4×4 gray thumbnail. */
+  def resizeGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    resizeThumb(asPpmPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"), col("cell"))
+
+  /** DuckDB twin of the resize gate: per-pixel gray list from the text
+    * hex, cells unnested laterally (the audio-window convention), each
+    * a filtered list_sum / list_count floor division under the same
+    * band rule. h < 4 (fewer rows than the grid) rejects: a single
+    * cell = -1 row. */
+  val resizeOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
+       |  FROM documents
+       |), px AS (
+       |  SELECT media_id, n // 24 AS h,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 24) * 24 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |), g AS (
+       |  SELECT media_id, h,
+       |         [bs[3*p - 2] + bs[3*p - 1] + bs[3*p]
+       |          FOR p IN range(1, CAST(h * 8 AS INTEGER) + 1)] AS gs
+       |  FROM px
+       |)
+       |SELECT media_id,
+       |       CAST(CASE WHEN h < 4 THEN -1 ELSE 8 END AS BIGINT) AS width,
+       |       CAST(CASE WHEN h < 4 THEN -1 ELSE h END AS BIGINT) AS height,
+       |       CAST(t.cell AS BIGINT) AS cell,
+       |       CAST(CASE WHEN t.cell = -1 THEN -1 ELSE
+       |         list_sum([gs[p] FOR p IN range(1, CAST(h * 8 AS INTEGER) + 1)
+       |             IF (4 * ((p - 1) // 8)) // h = t.cell // 4 AND ((p - 1) % 8) // 2 = t.cell % 4]) //
+       |         list_count([1 FOR p IN range(1, CAST(h * 8 AS INTEGER) + 1)
+       |             IF (4 * ((p - 1) // 8)) // h = t.cell // 4 AND ((p - 1) % 8) // 2 = t.cell % 4])
+       |         END AS BIGINT) AS gray
+       |FROM g, UNNEST(CASE WHEN h < 4 THEN [-1] ELSE range(0, 16) END) AS t(cell)
+       |ORDER BY media_id, cell""".stripMargin
+
+  private val energySchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("win", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  /** Frames per [[audioEnergy]] window. */
+  val EnergyWindowFrames = 64
+
+  /** Audio ENERGY CONTOUR — the segmentation/VAD primitive an audio
+    * training pipeline runs before clip selection: the decoded PCM
+    * stream cut into [[EnergyWindowFrames]]-frame windows, each window
+    * reduced to Σ|sample| over all channels (exact integer absolute
+    * mass — the spectrogram's 0th moment, computable without a float
+    * FFT) plus its frame count (the last window may be short). One row
+    * per (clip, window) — the contour a silence-trim or clip-split
+    * stage consumes. Rejected payloads and empty streams emit no rows
+    * (0 frames ⇒ 0 windows, the valid-empty WAV convention). */
+  def audioEnergy(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val W = EnergyWindowFrames
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeWav(r.getAs[Array[Byte]](1)) match {
+          case Some(a) if a.samples.nonEmpty =>
+            val nf = a.samples.length / a.channels
+            val spw = W * a.channels // samples per full window
+            (0 until (nf + W - 1) / W).map { w =>
+              var e = 0L
+              var s = w * spw
+              val endS = math.min((w + 1) * spw, a.samples.length)
+              while (s < endS) { e += math.abs(a.samples(s).toLong); s += 1 }
+              Row(r.getLong(0), w.toLong, math.min(W, nf - w * W).toLong, e)
+            }
+          case _ => Seq.empty[Row]
+        }
+      }
+    }
+    spark.createDataFrame(rows, energySchema)
+  }
+
+  /** Gated query `audio_energy_windows`: WAV payloads (the builder rule)
+    * reduced to the per-window energy contour. */
+  def audioEnergyGateFromDir(spark: SparkSession, dir: String): DataFrame =
+    audioEnergy(asWavPayloads(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"), col("win"))
+
+  /** DuckDB twin of the energy gate: the [[wavDecodeOracle]] s16le
+    * sample chain, windows unnested laterally per doc, each window's
+    * energy a slice-bounded abs-sum. A decoder that mis-strides windows
+    * or drops the short tail window cannot hash-match. */
+  val audioEnergyOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
+       |  FROM documents
+       |), d AS (
+       |  SELECT media_id, (n // 4) * 4 AS m,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 4) * 4 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |), s AS (
+       |  SELECT media_id, m // 4 AS nf,
+       |         [CASE WHEN bs[2*j - 1] + 256 * bs[2*j] >= 32768
+       |               THEN bs[2*j - 1] + 256 * bs[2*j] - 65536
+       |               ELSE bs[2*j - 1] + 256 * bs[2*j] END
+       |          FOR j IN range(1, CAST(m // 2 AS INTEGER) + 1)] AS ss
+       |  FROM d
+       |)
+       |SELECT media_id, CAST(t.w AS BIGINT) AS win,
+       |       CAST(least(64, nf - 64 * t.w) AS BIGINT) AS n_frames,
+       |       CAST(COALESCE(list_sum([abs(ss[j]) FOR j IN
+       |         range(CAST(128 * t.w + 1 AS INTEGER),
+       |               CAST(least(128 * (t.w + 1), 2 * nf) AS INTEGER) + 1)]), 0) AS BIGINT) AS energy
+       |FROM s, UNNEST(range(CAST((nf + 63) // 64 AS INTEGER))) AS t(w)
+       |ORDER BY media_id, win""".stripMargin
+
   /** End-to-end: payloads → features → cosine near-dup candidates among
     * payload features (reuses the embedding-column operators). */
   def featureNearDups(docs: DataFrame, threshold: Double = 0.99): DataFrame = {
@@ -1210,12 +1387,24 @@ object Multimodal {
     *
     * Scale: decode + hash run per partition (payloads never shuffle);
     * only 5-long signature rows leave the scan — the signature table is
-    * what the banding join and any cross-corpus diff consume. */
+    * what the banding join and any cross-corpus diff consume.
+    *
+    * Container-agnostic since round 16: the decode step is
+    * [[decodeAnyImage]]'s magic-sniff dispatch, so ONE signature pass
+    * serves a mixed PPM/BMP/PNG/JPEG corpus — and because the hash is a
+    * coarse 8×8 mean grid, lossless containers of the same pixels hash
+    * IDENTICALLY (spec-pinned PNG == PPM), and a JPEG re-encode of a
+    * STRUCTURED image (cell means well away from the global mean — the
+    * content the hash exists for) stays within the near-dup Hamming
+    * radius (spec-pinned ≤3 bits on two-tone/gradient images; on pure
+    * noise the bits sit at the threshold and lossy coding flips ~15/64
+    * — measured, reported in Round16Spec). The PPM gate's oracle is
+    * unchanged: a P6 payload routes to the same decoder as before. */
   def ahashFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
-        decodePpm(r.getAs[Array[Byte]](1)) match {
+        decodeAnyImage(r.getAs[Array[Byte]](1)) match {
           case Some(img) if img.width >= 8 && img.height >= 8 &&
             img.width.toLong * img.height <= AhashMaxPixels =>
             val w = img.width; val h = img.height

@@ -71,9 +71,9 @@ object ScaleBench {
       "ivf_pqr_probe", "ivf_pqr_rerank", "ivf_pqr_append",
       // round-15 MRL serving + MMR diversity
       "ivf_mrl_rerank", "mmr_rerank",
-      // round-16 ImageIO (compressed-codec) decode tier
+      // round-16 ImageIO (compressed-codec) decode tier + preprocessing
       "multimodal_decode_png", "multimodal_decode_jpeg",
-      "multimodal_decode_mixed")
+      "multimodal_decode_mixed", "multimodal_resize", "audio_energy_windows")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

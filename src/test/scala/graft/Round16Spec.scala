@@ -119,6 +119,124 @@ class Round16Spec extends SparkSpec {
     assert((viaBmp.pixels(2) & 0xff) === (data(0) & 0xff))
   }
 
+  test("aHash is container-agnostic: PNG signatures equal PPM signatures; JPEG re-encodes stay near") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def sigs(media: org.apache.spark.sql.DataFrame) =
+      Multimodal.ahashFeatures(media).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    val viaPpm = sigs(Multimodal.asPpmPayloads(docs))
+    val viaPng = sigs(Multimodal.asPngPayloads(docs))
+    // lossless container change must not move a single bit
+    val hashedIds = viaPpm.collect { case (id, s) if s._1 >= 0 => id }.toSeq
+    assert(hashedIds.size > 100)
+    for (id <- hashedIds if viaPng(id)._1 >= 0)
+      assert(viaPng(id) === viaPpm(id), s"doc $id: PNG aHash diverged from PPM")
+    // JPEG robustness is a STRUCTURED-image property: on random noise
+    // every cell mean hugs the global mean, so bits sit at the threshold
+    // and flip under any lossy change (measured mean ~15/64 on the
+    // text-byte corpus — reported, not asserted). On images with real
+    // structure — the content aHash exists for — a re-encode must stay
+    // inside the banding join's Hamming radius.
+    val viaJpeg = sigs(Multimodal.asJpegPayloads(docs))
+    val dists = hashedIds.flatMap { id =>
+      viaJpeg.get(id).filter(_._1 >= 0).map { j =>
+        java.lang.Long.bitCount(j._1 ^ viaPpm(id)._1) +
+          java.lang.Long.bitCount(j._2 ^ viaPpm(id)._2)
+      }
+    }
+    assert(dists.nonEmpty)
+    info(s"JPEG-vs-source aHash Hamming on NOISE images: " +
+      s"${dists.count(_ <= 3)}/${dists.size} within 3, " +
+      s"mean ${dists.sum.toDouble / dists.size}")
+    // structured images: two-tone vertical split and a smooth gradient,
+    // 32x32 — cell means differ strongly from the global mean
+    import spark.implicits._
+    val structured = Seq(
+      (1L, Array.tabulate(32 * 32 * 3)(i => if ((i / 3) % 32 < 16) 30.toByte else 220.toByte)),
+      (2L, Array.tabulate(32 * 32 * 3)(i => ((i / 3) / 32 * 8).toByte))
+    )
+    def payloadDf(rows: Seq[(Long, Array[Byte])], fmt: String) = rows.map { case (id, px) =>
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (k <- 0 until 32 * 32)
+        img.setRGB(k % 32, k / 32, ((px(3 * k) & 0xff) << 16) |
+          ((px(3 * k + 1) & 0xff) << 8) | (px(3 * k + 2) & 0xff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      (id, bos.toByteArray)
+    }.toDF("media_id", "payload")
+    val sPng = sigs(payloadDf(structured, "png"))
+    val sJpg = sigs(payloadDf(structured, "jpg"))
+    for ((id, p) <- sPng) {
+      val j = sJpg(id)
+      val d = java.lang.Long.bitCount(j._1 ^ p._1) + java.lang.Long.bitCount(j._2 ^ p._2)
+      assert(d <= 3, s"structured image $id: JPEG re-encode drifted $d bits")
+    }
+  }
+
+  test("resizeThumb: box-mean bands, floor division, container-agnostic, sub-grid rejects") {
+    import spark.implicits._
+    // a hand-checkable 8x4 image: row-band i covers exactly one row
+    // (4*r/4 = r), col-band j covers two columns — cell (i,j) = mean
+    // gray of pixels (r=i, c∈{2j,2j+1})
+    val px = Array.tabulate(8 * 4 * 3)(k => (k % 251).toByte)
+    def gray(r: Int, c: Int) = (0 to 2).map(ch => ((r * 8 + c) * 3 + ch) % 251).sum
+    val ppm = ("P6\n8 4\n255\n".getBytes ++ px).toArray
+    def thumbOf(payload: Array[Byte]): Seq[Long] = {
+      val rows = Multimodal.resizeThumb(Seq((1L, payload)).toDF("media_id", "payload"))
+        .orderBy("cell").collect()
+      assert(rows.length === 16)
+      assert(rows.forall(r => r.getLong(1) === 8 && r.getLong(2) === 4))
+      rows.map(_.getLong(4)).toSeq
+    }
+    val thumb = thumbOf(ppm)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(thumb(i * 4 + j) === (gray(i, 2 * j) + gray(i, 2 * j + 1)) / 2,
+        s"cell ($i,$j)")
+    // lossless container change must not move a single cell
+    val png = {
+      val img = new java.awt.image.BufferedImage(8, 4,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (k <- 0 until 32) img.setRGB(k % 8, k / 8,
+        ((px(3 * k) & 0xff) << 16) | ((px(3 * k + 1) & 0xff) << 8) | (px(3 * k + 2) & 0xff))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    assert(thumbOf(png) === thumb)
+    // fewer rows than the grid → reject, one visible -1 row
+    val tiny = Multimodal.resizeThumb(
+      Seq((2L, "P6\n8 3\n255\n".getBytes ++ px.take(72))).toDF("media_id", "payload"))
+      .collect()
+    assert(tiny.length === 1 && tiny.head.getLong(1) === -1 &&
+      tiny.head.getLong(3) === -1)
+  }
+
+  test("audioEnergy: window stride, short tail, channel-inclusive abs mass") {
+    import spark.implicits._
+    // 100 frames stereo: samples s(t) alternate +t/-t so abs mass is
+    // hand-computable; window 0 = frames 0..63, window 1 = 64..99
+    val nFrames = 100
+    val data = new Array[Byte](nFrames * 4)
+    for (f <- 0 until nFrames; ch <- 0 to 1) {
+      val v = if (ch == 0) f else -f
+      data(f * 4 + ch * 2) = (v & 0xff).toByte
+      data(f * 4 + ch * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val wav = Multimodal.buildWav(data)
+    val rows = Multimodal.audioEnergy(Seq((7L, wav)).toDF("media_id", "payload"))
+      .orderBy("win").collect()
+    assert(rows.length === 2)
+    def absSum(a: Int, b: Int) = (a until b).map(f => 2L * f).sum // both channels
+    assert(rows(0).getLong(1) === 0 && rows(0).getLong(2) === 64 &&
+      rows(0).getLong(3) === absSum(0, 64))
+    assert(rows(1).getLong(1) === 1 && rows(1).getLong(2) === 36 &&
+      rows(1).getLong(3) === absSum(64, 100))
+    // empty stream: zero windows, no rows (the valid-empty WAV)
+    assert(Multimodal.audioEnergy(
+      Seq((8L, Multimodal.buildWav(Array.emptyByteArray))).toDF("media_id", "payload"))
+      .count() === 0)
+  }
+
   test("guardedAppend: a replayed batchId is skipped; new batchIds append") {
     import spark.implicits._
     val stateDir = java.nio.file.Files.createTempDirectory("graft_ingest_ledger")

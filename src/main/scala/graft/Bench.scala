@@ -209,29 +209,33 @@ object Bench {
         (k, prior(k), v)
     }
 
-  /** The round-over-round tripwire baseline: per-query MIN of (a) the
-    * on-disk bench.json this run is about to overwrite and (b) the
-    * newest committed `BENCH_r{N}.json` driver artifact WITH a parseable
-    * queries map — a timed-out round's artifact (r15: rc 124,
-    * parsed:null) yields nothing, so the scan falls back to the last
-    * good one instead of silently disarming the wire.
-    * bench.json alone is not a safe floor — a substrate-elevated
-    * same-day run patches the baseline high and silences exactly the
-    * driver-vs-driver regression the wire exists to catch (r12's
-    * corpus_curate_e2e shipped at 2.83× with bench.json elevated the
-    * same way). The committed artifact cannot be raised by local
-    * activity, so local noise can only LOWER the floor (more
-    * sensitive), never blunt it. Best-effort: any parse problem weakens
-    * the baseline, never fails the bench. */
+  /** The round-over-round tripwire baseline: the on-disk bench.json
+    * (the last FULL local run — SPARK_GRAFT_ONLY partials write
+    * bench.partial.json and cannot touch it, which is what makes it a
+    * trustworthy same-protocol floor), with the newest committed
+    * `BENCH_r{N}.json` driver artifact WITH a parseable queries map
+    * filling only the keys bench.json lacks. A timed-out round's
+    * artifact (r15: rc 124, parsed:null) yields nothing, so the scan
+    * falls back to the last good one instead of silently disarming the
+    * wire.
+    *
+    * History of this policy: it was min(local, artifact) — the r12
+    * silencing incident (a substrate-elevated PARTIAL local run patched
+    * the floor high) needed the artifact as an unsilenceable floor.
+    * Round 16 removed the silencing vector (partials can no longer
+    * write bench.json) and the min() bit back: a 2-round-stale artifact
+    * measured under the old min-of-2 protocol dragged floors
+    * systematically low and fired 12 false tripwires in one run —
+    * enough names to blow the metric line's byte budget. Same-era
+    * local floors first; artifact only where no local floor exists.
+    * Best-effort: any parse problem weakens the baseline, never fails
+    * the bench. */
   private[graft] def readPriorQueries(dir: String = "."): Map[String, Double] = {
     val d = java.nio.file.Paths.get(dir)
     val local = queryMinsFrom(d.resolve("bench.json"))
     val artifact = benchArtifactsDescending(d).iterator
       .map(queryMinsFrom).find(_.nonEmpty).getOrElse(Map.empty)
-    (local.keySet ++ artifact.keySet).iterator.map { k =>
-      k -> math.min(local.getOrElse(k, Double.MaxValue),
-        artifact.getOrElse(k, Double.MaxValue))
-    }.toMap
+    artifact ++ local
   }
 
   /** The CURRENT round number (highest committed `BENCH_r{N}` + 1) —
@@ -348,7 +352,7 @@ object Bench {
       case (k, v) if SparkEntry.lowPriorityBench.contains(k) && v >= 0 => k
     }, seed)
     var kept = Set.empty[String]
-    def render(): String = {
+    def render(trips: Seq[String], tripDropped: Int): String = {
       val entries = results.filter { case (k, v) =>
         v < 0 || !SparkEntry.lowPriorityBench.contains(k) || kept(k)
       }
@@ -357,16 +361,27 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmtSecs(total)},"unit":"sec","queries":$qs,""" +
         s""""failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"sf":"$sf",""" +
-        s""""tripwire":${tripped.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        s""""tripwire":${trips.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        (if (tripDropped > 0) s""","tripwireMore":$tripDropped""" else "") +
         // wall-budget cuts ride the line so the driver record says WHY the
         // entry list shrank (names are in bench.json's "cut" array)
         (if (cutCount > 0) s""","cut":$cutCount""" else "") +
         (if (omitted > 0) s""","more":$omitted}""" else "}")
     }
-    var line = render()
+    // if even the MANDATORY content (must-entries + every tripwire name)
+    // overruns the cap, truncate the tripwire LIST rather than void the
+    // record — the r16 full run fired 12 tripwires (~350 bytes of names)
+    // and the old unconditional render breached the hard require, losing
+    // the round's stdout line. Truncated names stay in bench.json.
+    var trips = tripped
+    var line = render(trips, tripped.size - trips.size)
+    while (line.length > LineCap && trips.nonEmpty) {
+      trips = trips.dropRight(1)
+      line = render(trips, tripped.size - trips.size)
+    }
     for (k <- droppable) {
       kept += k
-      val trial = render()
+      val trial = render(trips, tripped.size - trips.size)
       if (trial.length <= LineCap) line = trial else kept -= k
     }
     (line, results.filter { case (k, _) => droppable.contains(k) && !kept(k) })

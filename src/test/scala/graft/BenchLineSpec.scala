@@ -85,14 +85,17 @@ class BenchLineSpec extends AnyFunSuite {
     assert(ctw != null && ctw.isArray && ctw.size === 0)
   }
 
-  test("tripwire floor: a patched-high bench.json still trips against the committed artifact") {
-    // round 13's corpus_curate_e2e shipped at 2.83× with bench.json elevated
-    // by a same-day local run — the committed BENCH_r{N}.json floor is immune
-    // to local activity, so the per-query MIN keeps the wire armed.
+  test("tripwire floor: same-era local first, artifact fills only missing keys") {
+    // r16 policy: bench.json is written ONLY by full runs (partials go to
+    // bench.partial.json), so the local record is a trustworthy
+    // same-protocol floor; the committed artifact — measured rounds ago
+    // under min-of-2 — fills only the keys the local record lacks.
+    // (The old min(local, artifact) dragged floors systematically low and
+    // fired 12 false tripwires in one run.)
     val dir = java.nio.file.Files.createTempDirectory("graft_tripwire_spec")
     try {
       java.nio.file.Files.writeString(dir.resolve("bench.json"),
-        """{"metric":"total","value":50,"unit":"sec","queries":{"corpus_curate_e2e":49.8,"q1_agg_orders":2.6,"local_only":-1.0},"failed":[],"sf":"sf0.1"}""")
+        """{"metric":"total","value":50,"unit":"sec","queries":{"corpus_curate_e2e":21.8,"q1_agg_orders":2.6,"local_only":-1.0},"failed":[],"sf":"sf0.1"}""")
       // the committed artifact shape: pretty-printed, with a raw `tail`
       // string whose ESCAPED queries object must not decoy the parser
       java.nio.file.Files.writeString(dir.resolve("BENCH_r12.json"),
@@ -103,27 +106,44 @@ class BenchLineSpec extends AnyFunSuite {
           |    "metric": "total",
           |    "queries": {
           |      "corpus_curate_e2e": 17.6,
-          |      "q1_agg_orders": 2.7
+          |      "q1_agg_orders": 2.7,
+          |      "artifact_only": 4.0
           |    }
           |  }
           |}""".stripMargin)
       java.nio.file.Files.writeString(dir.resolve("BENCH_r3.json"),
         """{"parsed": {"queries": {"corpus_curate_e2e": 1.0}}}""") // stale round: must NOT win
       val prior = Bench.readPriorQueries(dir.toString)
-      // floor = min(local, latest artifact); r3's stale 1.0 is ignored
-      assert(prior("corpus_curate_e2e") === 17.6)
+      // local floor wins over the stale artifact value
+      assert(prior("corpus_curate_e2e") === 21.8)
       assert(prior("q1_agg_orders") === 2.6)
+      // a key with no local floor still gets the artifact's
+      assert(prior("artifact_only") === 4.0)
       assert(!prior.contains("local_only"), "a failed (-1) entry never forms a floor")
-      // the patched-high local 49.8 would have silenced the wire; the
-      // artifact floor still trips it
+      // >2x vs the SAME-ERA floor still trips; a stale-floor 1.25x does not
       val tripped = Bench.tripwireMovers(
-        Seq(("corpus_curate_e2e", 49.8, Seq(49.8)), ("q1_agg_orders", 2.8, Seq(2.8))), prior)
-      assert(tripped.map(_._1) === Seq("corpus_curate_e2e"))
-      assert(tripped.head._2 === 17.6)
+        Seq(("corpus_curate_e2e", 45.0, Seq(45.0)), ("q1_agg_orders", 2.8, Seq(2.8)),
+          ("artifact_only", 9.0, Seq(9.0))), prior)
+      assert(tripped.map(_._1).toSet === Set("corpus_curate_e2e", "artifact_only"))
     } finally {
       java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
+  }
+
+  test("a tripwire storm truncates the tripwire list, never the line budget") {
+    // the r16 full run fired 12 tripwires; every name rode the line
+    // unconditionally and the MANDATORY content breached the hard
+    // require, voiding the stdout record. The list must self-truncate
+    // (count preserved as tripwireMore; full names live in bench.json).
+    val storm = SparkEntry.queries.keys.toSeq.sorted.take(40)
+    val (line, _) = Bench.compactLine(fullResults(), "/root/testdata/sf0.1", storm)
+    assert(line.length < 1800, s"line is ${line.length} chars")
+    val parsed = mapper.readTree(line)
+    val tw = parsed.get("tripwire")
+    assert(tw.isArray && tw.size > 0 && tw.size < 40,
+      s"expected a truncated non-empty tripwire list, got ${tw.size}")
+    assert(parsed.get("tripwireMore").asInt === 40 - tw.size)
   }
 
   test("compact-line membership rotates with the round seed") {

@@ -174,6 +174,10 @@ object SparkEntry {
     // mixed-format corpus: doc_id mod 4 → PPM/BMP/PNG/JPEG containers,
     // magic-sniffed and routed to the matching codec in one relation
     "multimodal_decode_mixed" -> tuned(Multimodal.mixedGateFromDir),
+    // the SIXTH format — and first MULTI-FRAME container (the video
+    // seam): animated GIF, every frame enumerated + decoded, per-frame
+    // exact channel sums (<=256 colors/frame => lossless palette)
+    "multimodal_decode_gif" -> tuned(Multimodal.gifGateFromDir),
     // preprocessing: box-mean 4x4 gray thumbnail (exact integer bands)
     "multimodal_resize" -> tuned(Multimodal.resizeGateFromDir),
     // audio energy contour: |sample| mass per 64-frame window
@@ -520,6 +524,7 @@ object SparkEntry {
     "multimodal_decode_png" -> Multimodal.pngDecodeOracle,
     "multimodal_decode_jpeg" -> Multimodal.jpegDecodeOracle,
     "multimodal_decode_mixed" -> Multimodal.mixedDecodeOracle,
+    "multimodal_decode_gif" -> Multimodal.gifDecodeOracle,
     "multimodal_resize" -> Multimodal.resizeOracle,
     "audio_energy_windows" -> Multimodal.audioEnergyOracle,
     "multimodal_ahash" -> Multimodal.ahashOracle,
@@ -750,6 +755,8 @@ object SparkEntry {
     "multimodal_decode_mixed", // dispatch flagship, but its per-codec cost
                              // twins (decode/bmp/png/jpeg) are all measured
                              // and multimodal_decode anchors the line
+    "multimodal_decode_gif", // sixth-format sibling (multi-frame tier;
+                             // multimodal_decode anchors the line)
     "multimodal_resize",     // same decode + band walk cost class as
                              // multimodal_ahash (already droppable)
     "audio_energy_windows",  // same decode + sample walk cost class as

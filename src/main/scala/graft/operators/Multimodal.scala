@@ -1077,6 +1077,8 @@ object Multimodal {
     else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
       payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) "jpeg"
+    else if (payload.length >= 6 && payload(0) == 'G' && payload(1) == 'I' &&
+      payload(2) == 'F' && payload(3) == '8') "gif"
     else "unknown"
   }
 
@@ -1097,6 +1099,8 @@ object Multimodal {
         RgbImage(b.width, b.height, px)
       }
       case "png" | "jpeg" => decodeImageIo(payload)
+      // a multi-frame container's still-image face is its FIRST frame
+      case "gif" => decodeFrames(payload).flatMap(_.headOption)
       case _ => None
     }
 
@@ -1163,6 +1167,224 @@ object Multimodal {
        |            WHEN m = 1 THEN CASE WHEN n // 15 = 0 THEN -1 ELSE (n // 15) * 5 END
        |            ELSE CASE WHEN n // 24 = 0 THEN -1 ELSE (n // 24) * 8 END END AS BIGINT) AS n_pixels
        |FROM b ORDER BY media_id""".stripMargin
+
+  // ------------- sixth real format: animated GIF (multi-frame container)
+
+  /** Frame geometry of the GIF builder rule: each frame is 8×4 (32
+    * pixels, 96 rule bytes) — ≤256 distinct colors BY CONSTRUCTION, so
+    * the GIF palette holds every frame exactly and the roundtrip is
+    * LOSSLESS (the property that lets the DuckDB twin oracle per-frame
+    * channel sums exactly, the PNG argument applied per frame). */
+  val GifFrameW = 8
+  val GifFrameH = 4
+  private val GifFrameBytes = GifFrameW * GifFrameH * 3
+
+  /** Wrap each doc's bytes into a REAL ANIMATED GIF — the multi-frame
+    * container walk a VIDEO pipeline needs (frame enumeration, per-frame
+    * decode), exercised with the one multi-frame codec the JDK ships.
+    * Frame f holds rule bytes [96f, 96f+96) as an 8×4 RGB plane;
+    * ⌊n/96⌋ frames per doc; docs under one frame ship an empty payload
+    * (reject, the PNG/JPEG convention). Written through ImageIO's
+    * sequence API (prepareWriteSequence / writeToSequence), so the
+    * payload has genuine GIF87/89 multi-image structure to walk. */
+  def asGifPayloads(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = docs.select(col("doc_id"), col("text").cast("binary")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val bytes =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Row(r.getLong(0), buildGif(bytes))
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Build the animated GIF for [[asGifPayloads]]; empty array when the
+    * bytes fill no complete frame. Two measured requirements for the
+    * lossless roundtrip the oracle depends on:
+    *   1. frames are PRE-INDEXED (TYPE_BYTE_INDEXED with an exact
+    *      IndexColorModel of the frame's ≤32 distinct colors) — handing
+    *      the writer TYPE_3BYTE_BGR makes it quantize to its own fixed
+    *      palette (+0x10 channel error, measured);
+    *   2. interlace is DISABLED (setProgressiveMode(MODE_DISABLED)) —
+    *      the default interlaced output of a 4-row frame reads back
+    *      ROW-PERMUTED through the JDK reader (measured: decoded row 1
+    *      held written row 3's indices). */
+  def buildGif(bytes: Array[Byte]): Array[Byte] = {
+    val nFrames = bytes.length / GifFrameBytes
+    if (nFrames == 0) Array.emptyByteArray
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        var f = 0
+        while (f < nFrames) {
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(indexedFrame(bytes, f), null, null), param)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** Frame f of the rule bytes as an exactly-indexed image (its own
+    * ≤32-entry palette in first-appearance order). */
+  private def indexedFrame(bytes: Array[Byte], f: Int): java.awt.image.BufferedImage = {
+    val px = new Array[Int](GifFrameW * GifFrameH)
+    val pal = new java.util.LinkedHashMap[Integer, Integer]()
+    var k = 0
+    while (k < px.length) {
+      val o = f * GifFrameBytes + 3 * k
+      val rgb = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) | (bytes(o + 2) & 0xff)
+      pal.putIfAbsent(rgb, pal.size())
+      px(k) = rgb
+      k += 1
+    }
+    val cmap = new Array[Int](pal.size())
+    pal.forEach((rgb, i) => cmap(i) = rgb)
+    val icm = new java.awt.image.IndexColorModel(8, cmap.length, cmap, 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(GifFrameW, GifFrameH,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    k = 0
+    while (k < px.length) {
+      img.getRaster.setSample(k % GifFrameW, k / GifFrameW, 0, pal.get(px(k)).intValue())
+      k += 1
+    }
+    img
+  }
+
+  /** Decode EVERY frame of a multi-frame payload (the video-seam walk:
+    * enumerate images in the container, decode each). None for anything
+    * ImageIO rejects; per-frame dimension guard as [[decodeImageIo]]. */
+  def decodeFrames(payload: Array[Byte]): Option[Seq[RgbImage]] = {
+    if (payload == null || payload.length == 0) return None
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val out = Seq.newBuilder[RgbImage]
+          var f = 0
+          var ok = true
+          while (ok && f < n) {
+            val w = reader.getWidth(f); val h = reader.getHeight(f)
+            if (w <= 0 || h <= 0 || w.toLong * h > ImageIoMaxPixels) ok = false
+            else {
+              val img = reader.read(f)
+              val px = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val p = (y * w + x) * 3
+                  px(p) = ((rgb >> 16) & 0xff).toByte
+                  px(p + 1) = ((rgb >> 8) & 0xff).toByte
+                  px(p + 2) = (rgb & 0xff).toByte
+                  x += 1
+                }
+                y += 1
+              }
+              out += RgbImage(w, h, px)
+            }
+            f += 1
+          }
+          if (ok) Some(out.result()) else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private val gifFrameSchema = StructType(
+    Seq("media_id", "frame", "width", "height", "r_sum", "g_sum", "b_sum")
+      .map(StructField(_, LongType, nullable = false)))
+
+  /** Gated query `multimodal_decode_gif`: build real animated GIFs,
+    * walk EVERY frame through the multi-frame reader, exact per-frame
+    * channel sums (one row per frame — the frame-sampling shape a video
+    * pipeline consumes). ≤256 colors per frame by construction ⇒ the
+    * palette roundtrip is lossless and the sums hash-match the rule
+    * twin. Rejected payloads emit one visible frame = -1 row. */
+  def gifGateFromDir(spark: SparkSession, dir: String): DataFrame = {
+    val media = asGifPayloads(Tables.documents(spark, dir))
+    val rows = media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeFrames(r.getAs[Array[Byte]](1)) match {
+          case Some(frames) =>
+            frames.zipWithIndex.map { case (img, f) =>
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var p = 0
+              while (p < img.pixels.length) {
+                rs += img.pixels(p) & 0xff
+                gs += img.pixels(p + 1) & 0xff
+                bs += img.pixels(p + 2) & 0xff
+                p += 3
+              }
+              Row(r.getLong(0), f.toLong, img.width.toLong, img.height.toLong,
+                rs, gs, bs)
+            }
+          case None => Seq(Row(r.getLong(0), -1L, -1L, -1L, -1L, -1L, -1L))
+        }
+      }
+    }
+    spark.createDataFrame(rows, gifFrameSchema)
+      .orderBy(col("media_id"), col("frame"))
+  }
+
+  /** DuckDB twin of the GIF gate: frames unnested laterally, channel
+    * sums over each frame's 96-byte slice of the text hex. A reader
+    * that merges frames, drops the tail frame, or mis-strides channels
+    * cannot hash-match. */
+  val gifDecodeOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, COALESCE(hex(encode(text)), '') AS hx,
+       |         CAST(COALESCE(octet_length(encode(text)), 0) AS BIGINT) AS n
+       |  FROM documents
+       |), px AS (
+       |  SELECT media_id, n // 96 AS nf,
+       |         [CAST('0x' || substr(hx, 2*x - 1, 2) AS BIGINT)
+       |          FOR x IN range(1, CAST((n // 96) * 96 AS INTEGER) + 1)] AS bs
+       |  FROM b
+       |)
+       |SELECT media_id,
+       |       CAST(t.f AS BIGINT) AS frame,
+       |       CAST(CASE WHEN t.f = -1 THEN -1 ELSE 8 END AS BIGINT) AS width,
+       |       CAST(CASE WHEN t.f = -1 THEN -1 ELSE 4 END AS BIGINT) AS height,
+       |       CAST(CASE WHEN t.f = -1 THEN -1 ELSE COALESCE(list_sum(
+       |         [bs[96 * t.f + 3*i - 2] FOR i IN range(1, 33)]), 0) END AS BIGINT) AS r_sum,
+       |       CAST(CASE WHEN t.f = -1 THEN -1 ELSE COALESCE(list_sum(
+       |         [bs[96 * t.f + 3*i - 1] FOR i IN range(1, 33)]), 0) END AS BIGINT) AS g_sum,
+       |       CAST(CASE WHEN t.f = -1 THEN -1 ELSE COALESCE(list_sum(
+       |         [bs[96 * t.f + 3*i] FOR i IN range(1, 33)]), 0) END AS BIGINT) AS b_sum
+       |FROM px, UNNEST(CASE WHEN nf = 0 THEN [-1] ELSE range(0, CAST(nf AS INTEGER)) END) AS t(f)
+       |ORDER BY media_id, frame""".stripMargin
 
   // --------------------- preprocessing operators: resize + audio windows
 

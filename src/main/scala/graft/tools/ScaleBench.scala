@@ -73,7 +73,8 @@ object ScaleBench {
       "ivf_mrl_rerank", "mmr_rerank",
       // round-16 ImageIO (compressed-codec) decode tier + preprocessing
       "multimodal_decode_png", "multimodal_decode_jpeg",
-      "multimodal_decode_mixed", "multimodal_resize", "audio_energy_windows")
+      "multimodal_decode_mixed", "multimodal_resize", "audio_energy_windows",
+      "multimodal_decode_gif")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

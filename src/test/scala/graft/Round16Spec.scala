@@ -174,6 +174,38 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("GIF multi-frame decode: frame walk is lossless and frame-exact") {
+    import spark.implicits._
+    // 3 frames + 17 spare bytes: the tail partial frame must be DROPPED,
+    // the three whole frames decoded bit-exactly (each frame has <=32
+    // distinct colors, so the palette roundtrip loses nothing)
+    val bytes = Array.tabulate[Byte](3 * 96 + 17)(i => ((i * 11 + 5) % 256).toByte)
+    val gif = Multimodal.buildGif(bytes)
+    assert(gif.length > 0 && Multimodal.sniffImageFormat(gif) === "gif")
+    // the dispatch's still-image face of a multi-frame container: frame 0
+    val still = Multimodal.decodeAnyImage(gif).get
+    assert(still.width === 8 && still.height === 4)
+    assert((still.pixels(0) & 0xff) === (bytes(0) & 0xff))
+    val frames = Multimodal.decodeFrames(gif).get
+    assert(frames.length === 3)
+    for ((img, f) <- frames.zipWithIndex) {
+      assert(img.width === 8 && img.height === 4)
+      for (k <- 0 until 96)
+        assert((img.pixels(k) & 0xff) === (bytes(f * 96 + k) & 0xff),
+          s"frame $f byte $k")
+    }
+    // rejects: empty, garbage, truncated container
+    assert(Multimodal.decodeFrames(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeFrames("not a gif".getBytes).isEmpty)
+    // sub-frame docs build an empty payload
+    assert(Multimodal.buildGif(new Array[Byte](95)).isEmpty)
+    // the gate shape: one row per frame, exact sums
+    val out = Multimodal.gifGateFromDir(spark, sf).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.length > nDocs, "multi-frame docs must emit multiple rows")
+    assert(out.forall(r => r.getLong(2) === 8 || r.getLong(2) === -1))
+  }
+
   test("resizeThumb: box-mean bands, floor division, container-agnostic, sub-grid rejects") {
     import spark.implicits._
     // a hand-checkable 8x4 image: row-band i covers exactly one row

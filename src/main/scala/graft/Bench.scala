@@ -24,13 +24,17 @@ package graft
   * the budget and make a kill non-fatal:
   *
   *   1. PIPELINED STARTUP: the next worker JVM is forked while the
-  *      current one measures; a worker builds its SparkSession, prints a
-  *      READY handshake, and blocks on stdin for GO before touching the
-  *      timed window. Startup cost overlaps measurement instead of
-  *      summing with it (~5 s × N tasks reclaimed). Isolation is
-  *      unchanged — at most one worker is MEASURING at a time; the
-  *      overlapped JVM is parked pre-GO.
-  *   2. WALL BUDGET: SPARK_GRAFT_BENCH_BUDGET seconds (default 1380).
+  *      current one measures; the worker prints a READY handshake as
+  *      soon as its JVM is up and blocks on stdin for GO — the
+  *      SparkSession builds only AFTER GO (r16 ADVICE: a session build
+  *      is ~5 s of heavy multi-core CPU, and prestarting it landed that
+  *      contention inside the previous worker's single measured pass).
+  *      JVM boot + classloading still overlap measurement; the session
+  *      build runs serialized but CLEAN, after the previous worker has
+  *      exited. At most one worker is ever past GO.
+  *   2. WALL BUDGET: SPARK_GRAFT_BENCH_BUDGET seconds (default 1450 —
+  *      chosen so budget + sbt overhead + last-unit grace stays under
+  *      the driver's ~1800 s cap with minutes to spare).
   *      Tasks run must-entries first, then build phases, then
   *      [[SparkEntry.lowPriorityBench]] cost-twins in the per-round
   *      rotation order; before each task the remaining budget is checked
@@ -141,7 +145,11 @@ object Bench {
       val must = names.filterNot(SparkEntry.lowPriorityBench.contains)
       val dropQ = rotationOrder(names.filter(SparkEntry.lowPriorityBench.contains), seed)
       val units = forkUnits(must ++ dropQ, phases)
-      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toDouble
+      // default 1450: the driver's cap is ~1800 s of sbt wall; budget +
+      // sbt/JVM overhead (~40 s) + the last unit's grace must stay under
+      // it with real headroom (r16 ran the budget to 1812 s wall and the
+      // margin was negative — the r17 target is wall <= 1500 s)
+      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1450").toDouble
       runForkedSuite(units, sfDir, warmups, passes, budget, prior, t0)
     } else {
       val spark = GraftSession.builder("graft-bench").getOrCreate()
@@ -423,8 +431,11 @@ object Bench {
     * "phase:<name>", display label) pairs measured sequentially in one
     * JVM. Singleton for isolated queries; a whole
     * [[SparkEntry.benchForkFamilies]] family (plus its build phases) for
-    * memo-sharing gates. */
-  private[graft] final case class BenchUnit(tasks: Seq[(String, String)]) {
+    * memo-sharing gates (`memo = true` — these carry the one-time build
+    * surcharge in estimates); a [[SparkEntry.benchBatchFamilies]] batch
+    * of cheap gates amortizing one startup (`memo = false`). */
+  private[graft] final case class BenchUnit(tasks: Seq[(String, String)],
+                                            memo: Boolean = false) {
     def labels: Seq[String] = tasks.map(_._2)
     def spec: String = tasks.map(_._1).mkString(";")
   }
@@ -437,12 +448,17 @@ object Bench {
     * visible regardless of position). Phases whose family never formed
     * (consumer filtered out) trail as singletons. */
   private[graft] def forkUnits(ordered: Seq[String], phases: Seq[String]): Seq[BenchUnit] = {
-    val famOf: Map[String, String] = SparkEntry.benchForkFamilies.flatMap {
+    val memoFamOf: Map[String, String] = SparkEntry.benchForkFamilies.flatMap {
       case (f, ms) => ms.map(_ -> f)
     }
+    // cost-batches group like memo families but carry no build surcharge
+    val famOf: Map[String, String] = memoFamOf ++
+      SparkEntry.benchBatchFamilies.flatMap { case (f, ms) => ms.map(_ -> f) }
     val consumerOf: Map[String, String] = buildPhases.toMap // phase -> consumer query
+    // build phases only ever attach to MEMO families (their consumers
+    // are the memo-sharing gates); a batch never owns a phase
     val phaseFam: Map[String, String] =
-      phases.flatMap(p => consumerOf.get(p).flatMap(famOf.get).map(p -> _)).toMap
+      phases.flatMap(p => consumerOf.get(p).flatMap(memoFamOf.get).map(p -> _)).toMap
     val emitted = scala.collection.mutable.Set[String]()
     val units = scala.collection.mutable.ArrayBuffer[BenchUnit]()
     for (n <- ordered if !emitted(n)) {
@@ -451,7 +467,8 @@ object Bench {
           val members = ordered.filter(m => famOf.get(m).contains(f))
           val famPhases = phases.filter(p => phaseFam.get(p).contains(f))
           units += BenchUnit(members.map(m => (s"q:$m", m)) ++
-            famPhases.map(p => (s"phase:$p", p)))
+            famPhases.map(p => (s"phase:$p", p)),
+            memo = memoFamOf.contains(n))
           emitted ++= members
         case None =>
           units += BenchUnit(Seq((s"q:$n", n)))
@@ -465,8 +482,9 @@ object Bench {
 
   /** Run `units` in forked workers, PIPELINED: while worker i measures,
     * worker i+1 is forked and parks at its READY/GO handshake with a
-    * built SparkSession, so startup cost overlaps measurement instead of
-    * serializing with it. At most one worker is ever past GO, preserving
+    * booted JVM (session build deferred to GO — see BenchWorker), so the
+    * boot overlaps measurement without CPU contention inside the timed
+    * window. At most one worker is ever past GO, preserving
     * the isolation the fork exists for.
     *
     * Wall budget: before dispatching each unit, its estimated cost (sum
@@ -490,7 +508,7 @@ object Bench {
       prior.get(label).map(_ * execs(label) * 1.2).getOrElse(DefaultEstSecs)
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
-        (if (u.tasks.size > 1) FamilyBuildSurchargeSecs else 0.0)
+        (if (u.memo) FamilyBuildSurchargeSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
@@ -504,7 +522,7 @@ object Bench {
         val mustTasks = u.tasks.filter { case (s, l) =>
           s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
         }
-        val trimmed = BenchUnit(mustTasks)
+        val trimmed = BenchUnit(mustTasks, u.memo)
         if (mustTasks.nonEmpty && mustTasks.size < u.tasks.size &&
           estUnit(trimmed) <= left) {
           val dropped = u.labels.diff(trimmed.labels)
@@ -569,9 +587,10 @@ object Bench {
 
 /** One forked BenchWorker JVM with the READY/GO handshake. The worker
   * inherits this JVM's exact options (sbt's javaOptions: --add-opens,
-  * -Xmx, -D confs) and classpath, builds its SparkSession, prints
-  * [[ForkHandle.ReadyMarker]], and parks on stdin until GO — so the
-  * parent can overlap this startup with another worker's measurement.
+  * -Xmx, -D confs) and classpath, prints [[ForkHandle.ReadyMarker]] as
+  * soon as its JVM is up, and parks on stdin until GO — so the parent
+  * can overlap the JVM boot with another worker's measurement while the
+  * heavy SparkSession build waits until the measuring worker has exited.
   * The worker writes "secs|p1,p2,..." to a temp file; a crash, non-zero
   * exit, or hang past the deadline reports -1 (failed) without voiding
   * the other measurements. */
@@ -590,14 +609,19 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
     finally cleanup()
   }
 
-  /** Wait for the worker (at most `deadlineSecs`, floored at 300 s —
-    * family units measure several members) and read its result file: one
-    * "label|minSecs|p1,p2,..." line per task. Labels with no line (crash
-    * or timeout mid-family) report -1; lines already written before a
-    * crash still count — a dying worker loses only its unmeasured tail. */
+  /** Wait for the worker (at most `deadlineSecs` — the REMAINING wall
+    * budget plus the caller's fixed grace, floored at a small 60 s so a
+    * unit dispatched with seconds left can still land its first result
+    * lines) and read its result file: one "label|minSecs|p1,p2,..." line
+    * per task. Labels with no line (crash or timeout mid-family) report
+    * -1; lines already written before a crash still count — a dying
+    * worker loses only its unmeasured tail. The old 300 s floor let one
+    * misestimated unit dispatched near the deadline overrun the wall
+    * budget by minutes (r16 ADVICE); bounding by remaining+grace kills
+    * the worker instead and keeps its completed prefix. */
   def finish(labels: Seq[String], deadlineSecs: Double): Seq[(String, Double, Seq[Double])] =
     try {
-      val waitSecs = math.max(300.0, math.min(2400.0, deadlineSecs))
+      val waitSecs = math.max(60.0, math.min(2400.0, deadlineSecs))
       val done = proc.waitFor((waitSecs * 1000).toLong,
         java.util.concurrent.TimeUnit.MILLISECONDS)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
@@ -633,7 +657,8 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
 }
 
 private[graft] object ForkHandle {
-  /** Handshake line the worker prints once its SparkSession is built. */
+  /** Handshake line the worker prints once its JVM is up (the
+    * SparkSession deliberately builds only after GO — see BenchWorker). */
   val ReadyMarker = "[bench-worker] READY"
 
   def spawn(task: String, sfDir: String, warmups: Int, passes: Int): ForkHandle = {
@@ -676,22 +701,28 @@ private[graft] object ForkHandle {
   * task to args(0) AS EACH TASK COMPLETES — a crash mid-family loses only
   * the unmeasured tail, never finished measurements.
   *
-  * Handshake: after the SparkSession is built (the expensive part of
-  * startup), the worker prints [[ForkHandle.ReadyMarker]] and parks on
-  * stdin. Measurement begins only on a "GO" line — this is what lets the
-  * parent overlap this worker's startup with another's measurement
-  * without ever having two workers measuring at once. EOF or any other
+  * Handshake: the worker prints [[ForkHandle.ReadyMarker]] as soon as
+  * the JVM is up and parks on stdin; the SparkSession (the expensive,
+  * CPU-heavy part of startup) builds only after a "GO" line, when the
+  * previously-measuring worker has exited. EOF or any other
   * line exits cleanly without measuring (the parent cut the unit). */
 object BenchWorker {
   def main(args: Array[String]): Unit = {
     val Array(outFile, sfDir, warmups, passes, unitSpec) = args
-    val spark = GraftSession.builder("graft-bench-worker").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // READY is printed BEFORE the SparkSession builds: the parent forks
+    // this worker while the PREVIOUS one is inside its timed window, and
+    // a session build is ~5 s of heavy multi-core CPU that would land in
+    // that window as contention — in single-pass fork mode there is no
+    // second pass to absorb it (r16 ADVICE). Parked here, the worker
+    // holds only a booted JVM (the boot itself still overlaps); the
+    // session builds after GO, when the previous worker has exited.
     println(ForkHandle.ReadyMarker)
     System.out.flush()
     val go = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in)).readLine()
-    if (go == null || go.trim != "GO") { spark.stop(); return }
+    if (go == null || go.trim != "GO") return
+    val spark = GraftSession.builder("graft-bench-worker").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     def record(label: String, secs: Double, passTimes: Seq[Double]): Unit =
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
         s"$label|$secs|${passTimes.mkString(",")}\n",

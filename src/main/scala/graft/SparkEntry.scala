@@ -65,10 +65,13 @@ object SparkEntry {
     // floats at newC (codes are lossy — a real requantize re-reads the
     // upstream table) — must equal a from-scratch build at newC
     "ivf_sq8_requantize" -> tuned(Similarity.ivfSq8RequantizeProbeFromDir(_, _)),
-    // recall@k of BOTH production probe paths (float IVF index + SQ8
-    // tier) against brute ground truth — exact integer hit counts, so
-    // approximation quality gates on the driver, not only in specs
+    // recall@k of the four uncoded probe paths (float IVF index, SQ8,
+    // IMI, IMI×SQ8) against brute ground truth — exact integer hit
+    // counts, so approximation quality gates on the driver, not only in
+    // specs; the PQ code family gates under ann_recall_pq (the r15/r16
+    // split ask: the 7-tier monolith was the #2 cost in both budgets)
     "ann_recall" -> tuned(Similarity.annRecallFromDir(_, _)),
+    "ann_recall_pq" -> tuned(Similarity.annRecallPqFromDir(_, _)),
     // the two-level IMI quantizer: independent half-space codebooks
     // trained with the exact-Lloyd machinery, cell = (argmax1, argmax2)
     // — C1*C2 cells for C1+C2 half-width sweeps, retiring the O(N*C)
@@ -468,6 +471,7 @@ object SparkEntry {
     "ivf_sq8_compact" -> Similarity.ivfSq8AppendOracle(),
     "ivf_sq8_requantize" -> Similarity.ivfSq8Oracle(numCentroids = 32),
     "ann_recall" -> Similarity.annRecallOracle(),
+    "ann_recall_pq" -> Similarity.annRecallPqOracle(),
     "ivf_ann_imi" -> Similarity.imiAnnOracle(),
     "ivf_imi_append" -> Similarity.imiAnnOracle(
       trainWhere = Some(s"vec_id % ${DedupIndex.DeltaMod} <> 0")),
@@ -651,8 +655,8 @@ object SparkEntry {
       "ivf_imi_compact",    // backlog training loops + append + one rewrite
       "ivf_imi_requantize", // backlog + union retraining at the new C
       "hybrid_rrf_imi",     // the memoized trained IMI store + fusion plan
-      "ann_recall",         // six memoized stores: float/SQ8/both trained IMI
-                            // tiers + the PQ store (raw ADC AND rerank paths)
+      "ann_recall",         // four memoized stores: float/SQ8/both trained IMI
+      "ann_recall_pq",      // the PQ/PQR stores (raw ADC AND rerank paths)
       "semantic_dedup_trained", // the same training loop feeding the prune
       "imi_sq8_probe",      // two half-space training loops + memoized build
       "imi_sq8_append",     // backlog training loops + memoized backlog build
@@ -824,8 +828,11 @@ object SparkEntry {
     "text_langid",           // scan-fused single pass, the text_quality
                              // cost class (text_quality stays on the line);
                              // the langid rule itself is spec-asserted
-    "event_outliers")        // single groupBy-agg pass, the events_hourly
+    "event_outliers",        // single groupBy-agg pass, the events_hourly
                              // cost class (events_hourly stays on the line)
+    "distinct_users")        // single distinct-agg over the same events
+                             // scan as events_hourly (on the line) — the
+                             // event_outliers rationale
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 
@@ -874,4 +881,67 @@ object SparkEntry {
   require(benchForkFamilies.values.flatten.toSeq.distinct.size ==
     benchForkFamilies.values.flatten.size,
     "a query may belong to at most one bench fork family")
+
+  /** Bench BATCH units: CHEAP singleton gates measured several to one
+    * worker JVM. Unlike [[benchForkFamilies]] there is NO shared
+    * memoized build — grouping exists purely to amortize the per-fork
+    * startup (JVM boot + SparkSession + warmup-cache priming, ~8 s of
+    * the budget per unit) across gates whose own measurement is 1-4 s.
+    * Round 16 measured only 93 of 158 entries inside the wall budget;
+    * ~50 of the 65 cuts were sub-4 s gates each paying a full fork — the
+    * startup, not the measurement, was the coverage ceiling. Each member
+    * still gets its own warmup pass and its own measured pass,
+    * sequentially in an otherwise-quiet JVM, so the warm number is the
+    * same quantity fork-per-query produced. Batches are HOMOGENEOUS in
+    * droppability (all-must or all-droppable) so the budget trimmer cuts
+    * whole batches, never strands a must-entry behind a droppable one.
+    * Estimation-wise a batch gets NO family-build surcharge. */
+  val benchBatchFamilies: Map[String, Seq[String]] = Map(
+    // ---- must batches (no member is in lowPriorityBench) ----
+    "b_scan" -> Seq("s5_row_counts", "s7_snapshot_scan", "o20_summary",
+      "events_hourly", "sessions", "range_join_windows",
+      "shipping_priority_topk", "multimodal_decode"),
+    "b_tpch" -> Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders"),
+    "b_text" -> Seq("text_fingerprint", "text_quality", "text_redact",
+      "text_repetition", "text_normalize", "tfidf_topk", "token_percentiles",
+      "pmi_bigrams"),
+    "b_corpus" -> Seq("dedup_exact", "doc_chunks", "mixture_sample",
+      "source_quota", "corpus_rollup", "boilerplate_frac", "corpus_shuffle",
+      "dup_span_removal"),
+    "b_curation" -> Seq("semantic_quality", "dedup_image_ahash",
+      "ref_lm_logprob", "asof_price_join", "curation_dsir"),
+    // ---- droppable batches (every member is in lowPriorityBench) ----
+    "b_dedup_anchors" -> Seq("dedup_canonical", "dedup_source_matrix",
+      "dedup_clusters", "corpus_split", "dedup_ngram_jaccard",
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"),
+    "b_text_anchors" -> Seq("bm25_topk", "knn_cosine_topk",
+      "label_knn_agreement", "lsh_ann_topk", "ann_sq8_topk",
+      "unigram_logprob", "text_token_stats", "text_langid", "bigram_logprob"),
+    "b_misc_anchors" -> Seq("corpus_clean", "decontaminate",
+      "decontaminate_fuzzy", "decontamination_report", "dup_ngram_coverage",
+      "corpus_diff", "corpus_shards", "corpus_packed", "event_outliers",
+      "distinct_users"),
+    "b_rank_anchors" -> Seq("hybrid_rrf", "hybrid_rrf_ivf", "hard_negatives",
+      "ann_mrl_rerank", "semantic_dedup", "quality_classifier",
+      "running_revenue", "pricing_summary"),
+    "b_multimodal" -> Seq("multimodal_meta", "multimodal_frames",
+      "multimodal_features", "multimodal_decode_bmp", "multimodal_decode_wav",
+      "multimodal_decode_png", "multimodal_decode_jpeg",
+      "multimodal_decode_mixed", "multimodal_decode_gif", "multimodal_resize",
+      "audio_energy_windows", "multimodal_ahash"),
+    "b_replays" -> Seq("sessions_streaming", "events_hourly_streaming",
+      "dedup_stream", "corpus_ingest_stream"),
+    "b_curate_siblings" -> Seq("corpus_curate_fuzzy", "corpus_curate_lm",
+      "corpus_curate_dsir"))
+  require(benchBatchFamilies.values.flatten.toSet.subsetOf(queries.keySet),
+    "benchBatchFamilies names a query not registered in queries")
+  require((benchBatchFamilies.values.flatten.toSet intersect
+    benchForkFamilies.values.flatten.toSet).isEmpty,
+    "a query may not be in both a fork family and a batch")
+  require(benchBatchFamilies.values.flatten.toSeq.distinct.size ==
+    benchBatchFamilies.values.flatten.size,
+    "a query may belong to at most one bench batch")
+  require(benchBatchFamilies.values.forall(ms =>
+    ms.forall(lowPriorityBench.contains) || ms.forall(!lowPriorityBench.contains(_))),
+    "a bench batch must be homogeneous in droppability")
 }

@@ -75,7 +75,7 @@ object CorpusClean {
        |  JOIN card cb ON p.id2 = cb.doc_id
        |  WHERE CAST(p.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - p.n_common) >= $thr
        |),
-       |cleaned AS (
+       |cleaned AS MATERIALIZED (
        |  SELECT c.doc_id, c.text, c.quality_score FROM canon c
        |  LEFT JOIN losers l ON c.doc_id = l.doc_id
        |  WHERE l.doc_id IS NULL

@@ -99,7 +99,7 @@ object CorpusSplit {
              n: Int = 5, threshold: Double = 0.5,
              relation: String = "documents", extraCtes: String = ""): String =
     s"""WITH RECURSIVE $extraCtes${NearDupClusters.ccCtesSql(n, threshold, relation)},
-       |fp AS (
+       |fp AS MATERIALIZED (
        |  SELECT doc_id, ${Fingerprint.fingerprintSql("text")} AS fp
        |  FROM $relation
        |),

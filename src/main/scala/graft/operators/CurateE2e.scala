@@ -200,7 +200,21 @@ object CurateE2e {
     * `cleaned`, and [[NearDupClusters.ccCtesSql]] (prefix `s_`, over the
     * shipped corpus) + the split oracle's fingerprint CTEs. Nothing here
     * restates a rule; a drift in any stage's logic breaks its standalone
-    * gate and this one together. */
+    * gate and this one together.
+    *
+    * Oracle-cost invariant (r17): every multi-referenced CTE joint in
+    * these composed chains (`cleaned`, `decon*`, `pairs`, `cc`, `fp`,
+    * the DSIR count tables) is `AS MATERIALIZED` — DuckDB 1.0 INLINES
+    * plain CTE references, so a joint referenced 2-3× at several levels
+    * re-evaluates its whole prefix combinatorially (measured: the r16
+    * fuzzy/dsir oracles ran >20 min; with the joints pinned, 1.2 s/0.7 s
+    * on the same data). Two hard limits, both measured on DuckDB 1.0:
+    * never materialize the direct inputs of a RECURSIVE cte (`edges`/
+    * `nodes` → internal "Recursive CTE scan without node" error), and
+    * never materialize a CTE whose name shadows one in a nested WITH
+    * (binder "Duplicate alias" — why the embedded minhash fragment in
+    * [[fuzzyOracle]] stays unmaterialized). `tools/oracle_budget.py`
+    * gates every oracle's DuckDB cost per round. */
   def oracle(qualityMin: Double = 0.5, n: Int = 5, thr: Double = 0.5,
              deconN: Int = 8, trainPct: Int = 90, valPct: Int = 5): String =
     s"""WITH RECURSIVE ${deconCtesSql(qualityMin, n, thr, deconN)},
@@ -232,7 +246,7 @@ object CurateE2e {
            extraCtes = "fz_corpus AS (SELECT doc_id, text FROM decon " +
              "UNION ALL SELECT doc_id, text FROM evals), ")}
        |  )
-       |), decon2 AS (
+       |), decon2 AS MATERIALIZED (
        |  SELECT d.doc_id, d.text, d.quality_score FROM decon d
        |  LEFT JOIN fz_bad b ON d.doc_id = b.doc_id
        |  WHERE b.doc_id IS NULL
@@ -257,7 +271,7 @@ object CurateE2e {
            refFrom = "documents WHERE source = 'src0'", docsFrom = "decon")},
        |${BigramLm.tercileCtesSql("lm_", "lm_agg")},
        |lm_tail AS (SELECT doc_id FROM lm_r WHERE ((rk - 1) * 3) // n = 2),
-       |decon_lm AS (
+       |decon_lm AS MATERIALIZED (
        |  SELECT d.doc_id, d.text, d.quality_score FROM decon d
        |  LEFT JOIN lm_tail t ON d.doc_id = t.doc_id
        |  WHERE t.doc_id IS NULL
@@ -290,7 +304,7 @@ object CurateE2e {
        |${Dsir.dsirCtesSql(buckets, quota, "ds_", docsFrom = "decon",
            targetFrom = "documents WHERE source = 'src0'")},
        |ds_drop AS (SELECT doc_id FROM ds_sel WHERE NOT sampled),
-       |decon_ds AS (
+       |decon_ds AS MATERIALIZED (
        |  SELECT d.doc_id, d.text, d.quality_score FROM decon d
        |  LEFT JOIN ds_drop t ON d.doc_id = t.doc_id
        |  WHERE t.doc_id IS NULL
@@ -317,7 +331,7 @@ object CurateE2e {
        |tsh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${deconN - 1}], ' ') AS shingle
        |        FROM ttoks, LATERAL unnest(range(1, len(a) - ${deconN - 2})) AS i(i)),
        |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e ON t.shingle = e.shingle),
-       |decon AS (
+       |decon AS MATERIALIZED (
        |  SELECT c.doc_id, c.text, c.quality_score FROM cleaned c
        |  LEFT JOIN bad b ON c.doc_id = b.doc_id
        |  WHERE b.doc_id IS NULL
@@ -328,7 +342,7 @@ object CurateE2e {
   private def splitTailSql(shipped: String, n: Int, thr: Double,
                            trainPct: Int, valPct: Int): String =
     s"""${NearDupClusters.ccCtesSql(n, thr, relation = shipped, prefix = "s_")},
-       |fp AS (
+       |fp AS MATERIALIZED (
        |  SELECT doc_id, ${graft.functions.Fingerprint.fingerprintSql("text")} AS fp
        |  FROM $shipped
        |),

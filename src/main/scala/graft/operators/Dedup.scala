@@ -198,7 +198,7 @@ object Dedup {
     * `${prefix}pairs (id1, id2)`. Used by [[NearDupClusters.ccCtesSql]] AND
     * [[SourceMatrix.oracle]], so the pair predicate is written once. */
   def pairsCteSql(thr: Double, prefix: String = ""): String =
-    s"""${prefix}pairs AS (
+    s"""${prefix}pairs AS MATERIALIZED (
        |  SELECT id1, id2 FROM ${prefix}inter
        |  JOIN ${prefix}card ca ON id1 = ca.doc_id
        |  JOIN ${prefix}card cb ON id2 = cb.doc_id

@@ -140,7 +140,7 @@ object Dsir {
       "LN((CAST(CAST('0x' || substr(md5('dsir_' || CAST(doc_id AS VARCHAR)), 1, 12) " +
         "AS BIGINT) AS DOUBLE) + 0.5) / 281474976710656.0)")
     val g = StableRound.microsLongSql("-LN(-(CAST(e AS DOUBLE) / 1000000.0))")
-    s"""${p}toks AS (
+    s"""${p}toks AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
        |  FROM $docsFrom
        |), ${p}fb AS (
@@ -152,16 +152,16 @@ object Dsir {
        |    SELECT doc_id, ts[i.i] || ' ' || ts[i.i + 1] AS f
        |    FROM ${p}toks, LATERAL unnest(range(1, len(ts))) AS i(i)
        |  )
-       |), ${p}db AS (
+       |), ${p}db AS MATERIALIZED (
        |  SELECT doc_id, b, COUNT(*) AS k FROM ${p}fb GROUP BY 1, 2
-       |), ${p}raw AS (
+       |), ${p}raw AS MATERIALIZED (
        |  SELECT b, CAST(SUM(k) AS BIGINT) AS c_r FROM ${p}db GROUP BY 1
        |), ${p}nr AS (
        |  SELECT CAST(COALESCE(SUM(c_r), 0) AS DOUBLE) AS n FROM ${p}raw
-       |), ${p}ttoks AS (
+       |), ${p}ttoks AS MATERIALIZED (
        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
        |  FROM $targetFrom
-       |), ${p}tgt AS (
+       |), ${p}tgt AS MATERIALIZED (
        |  SELECT CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % $buckets AS b,
        |         COUNT(*) AS c_t
        |  FROM (

@@ -43,7 +43,15 @@ object Mmr {
     val first = pickTop(cands
       .withColumn("maxsim_micros", lit(0L))
       .withColumn("score", col("rel_micros") * LambdaTenths), 1)
-    (2 to k).foldLeft(first) { (selected, t) =>
+    // pin the growing selected set ONCE PER STEP: each step references
+    // it twice (the left_anti and the selected-set join) and feeds the
+    // union back in, so unpinned the logical plan holds ~2^k copies of
+    // the chain by step k — BENCH_r16 measured the difference as 133 s
+    // in-suite vs 13-19 s isolated for the same rows. Pinned, every
+    // reference reads the |Q|·t-row cached frame and plan depth stays
+    // constant in k. The intermediates are released by the caller's
+    // per-query Pinned release like every other pinned stage.
+    (2 to k).foldLeft(Pinned.pin(first)) { (selected, t) =>
       val remaining = cands.join(
         selected.select(col("query_id"), col("neighbor_id")),
         Seq("query_id", "neighbor_id"), "left_anti")
@@ -57,7 +65,7 @@ object Mmr {
         .withColumn("score",
           col("rel_micros") * LambdaTenths -
             col("maxsim_micros") * (10 - LambdaTenths))
-      selected.unionAll(pickTop(scored, t))
+      Pinned.pin(selected.unionAll(pickTop(scored, t)))
     }.orderBy(col("query_id"), col("pick"))
   }
 
@@ -108,7 +116,7 @@ object Mmr {
     val lam = LambdaTenths
     val steps = (2 to k).map { t =>
       val prev = s"sel${t - 1}"
-      s"""sc$t AS (
+      s"""sc$t AS MATERIALIZED (
          |  SELECT c.query_id, c.neighbor_id, c.rel_micros,
          |         MAX(sm.sim_micros) AS maxsim_micros
          |  FROM cand c
@@ -127,7 +135,7 @@ object Mmr {
          |                      neighbor_id ASC) AS rk
          |    FROM sc$t
          |  ) WHERE rk = 1
-         |), sel$t AS (
+         |), sel$t AS MATERIALIZED (
          |  SELECT query_id, pick, neighbor_id, rel_micros, maxsim_micros
          |  FROM sel${t - 1}
          |  UNION ALL SELECT * FROM p$t
@@ -140,13 +148,13 @@ object Mmr {
                 "CAST(n.embedding AS DOUBLE[]))")} AS rel_micros
        |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
        |  WHERE q.vec_id < $numQueries
-       |), cand AS (
+       |), cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, rel_micros FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY rel_micros DESC, neighbor_id ASC) AS rk
        |    FROM pairs
        |  ) WHERE rk <= $kList
-       |), sims AS (
+       |), sims AS MATERIALIZED (
        |  SELECT a.query_id, a.neighbor_id AS id1, b.neighbor_id AS id2,
        |         ${StableRound.microsLongSql(
               "list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]), " +
@@ -155,7 +163,7 @@ object Mmr {
        |    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
        |  JOIN embeddings e1 ON e1.vec_id = a.neighbor_id
        |  JOIN embeddings e2 ON e2.vec_id = b.neighbor_id
-       |), sel1 AS (
+       |), sel1 AS MATERIALIZED (
        |  SELECT query_id, CAST(1 AS BIGINT) AS pick, neighbor_id,
        |         rel_micros, CAST(0 AS BIGINT) AS maxsim_micros
        |  FROM (

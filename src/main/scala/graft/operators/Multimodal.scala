@@ -1099,8 +1099,14 @@ object Multimodal {
         RgbImage(b.width, b.height, px)
       }
       case "png" | "jpeg" => decodeImageIo(payload)
-      // a multi-frame container's still-image face is its FIRST frame
-      case "gif" => decodeFrames(payload).flatMap(_.headOption)
+      // a multi-frame container's still-image face is its FIRST frame —
+      // decoded as image index 0 ONLY ([[decodeImageIo]] reads exactly
+      // one image under the header guard). The r16 shape walked the
+      // WHOLE sequence just to take headOption, so every still-image
+      // consumer (ahash, resize) paid full-container cost and inherited
+      // the unbounded-total-allocation exposure on crafted many-frame
+      // payloads (r16 ADVICE).
+      case "gif" => decodeImageIo(payload)
       case _ => None
     }
 
@@ -1268,9 +1274,24 @@ object Multimodal {
     img
   }
 
+  /** Frame-count ceiling for a multi-frame container walk: the
+    * per-frame header guard alone lets a crafted GIF with thousands of
+    * large frames drive UNBOUNDED total allocation (N × up-to-300 MB
+    * planes in one Seq — r16 ADVICE). A container over the cap rejects
+    * whole (the −1-row convention), like an oversized single image. */
+  val ImageIoMaxFrames: Int = 4096
+
+  /** Aggregate decoded-pixel ceiling across ALL frames of one container
+    * — the same budget a single image gets ([[ImageIoMaxPixels]]), so a
+    * many-frame payload cannot multiply it. */
+  val ImageIoMaxTotalPixels: Long = ImageIoMaxPixels
+
   /** Decode EVERY frame of a multi-frame payload (the video-seam walk:
     * enumerate images in the container, decode each). None for anything
-    * ImageIO rejects; per-frame dimension guard as [[decodeImageIo]]. */
+    * ImageIO rejects; per-frame dimension guard as [[decodeImageIo]],
+    * plus the AGGREGATE [[ImageIoMaxFrames]]/[[ImageIoMaxTotalPixels]]
+    * caps — total allocation is bounded no matter what the container
+    * claims. */
   def decodeFrames(payload: Array[Byte]): Option[Seq[RgbImage]] = {
     if (payload == null || payload.length == 0) return None
     var iis: javax.imageio.stream.ImageInputStream = null
@@ -1284,14 +1305,17 @@ object Multimodal {
         reader = readers.next()
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        if (n <= 0) None
+        if (n <= 0 || n > ImageIoMaxFrames) None
         else {
           val out = Seq.newBuilder[RgbImage]
+          var totalPx = 0L
           var f = 0
           var ok = true
           while (ok && f < n) {
             val w = reader.getWidth(f); val h = reader.getHeight(f)
-            if (w <= 0 || h <= 0 || w.toLong * h > ImageIoMaxPixels) ok = false
+            totalPx += (if (w > 0 && h > 0) w.toLong * h else 0L)
+            if (w <= 0 || h <= 0 || w.toLong * h > ImageIoMaxPixels ||
+              totalPx > ImageIoMaxTotalPixels) ok = false
             else {
               val img = reader.read(f)
               val px = new Array[Byte](w * h * 3)

@@ -137,7 +137,7 @@ object NearDupClusters {
        |  UNION
        |  SELECT e.a AS id, r.label FROM ${prefix}edges e JOIN ${prefix}reach r ON e.b = r.id
        |),
-       |${prefix}cc AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+       |${prefix}cc AS MATERIALIZED (SELECT id AS doc_id, MIN(label) AS cluster_id
        |       FROM ${prefix}reach GROUP BY id)""".stripMargin
 
   /** DuckDB twin: the shared closure fragment, presented per doc. */

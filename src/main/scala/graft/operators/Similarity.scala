@@ -726,13 +726,13 @@ object Similarity {
                                              relation: String = "embeddings",
                                              p: String = "",
                                              l2: Boolean = false): String =
-    s"""${p}centroids AS (
+    s"""${p}centroids AS MATERIALIZED (
        |  SELECT t AS cid,
        |         list_transform(range(0, $dim), d ->
        |           CAST('0x' || substr(md5('centroid_' || t || '_' || d), 1, 15) AS BIGINT)
        |             / 576460752303423488.0 - 1.0) AS c
        |  FROM (SELECT unnest(range(0, $numCentroids)) AS t)
-       |), ${p}sims AS (
+       |), ${p}sims AS MATERIALIZED (
        |  SELECT e.vec_id, ct.cid,
        |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
        |  FROM $relation e CROSS JOIN ${p}centroids ct
@@ -774,30 +774,30 @@ object Similarity {
     val neVec = neVecOpt.getOrElse("CAST(ne.embedding AS DOUBLE[])")
     val candExtra = candWhereOpt.map(w => s" AND $w").getOrElse("")
     val scored = scoredSqlOpt.getOrElse(
-      s"""${p}scored AS (
+      s"""${p}scored AS MATERIALIZED (
          |  SELECT c.query_id, c.neighbor_id,
          |         list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
          |                                $neVec) AS cosine
          |  FROM ${p}cand c JOIN $relation qe ON qe.vec_id = c.query_id
          |              JOIN $neRel ne ON ne.vec_id = c.neighbor_id
          |)""".stripMargin)
-    s"""${p}assign AS (
+    s"""${p}assign AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
        |    FROM $sims
        |  ) WHERE rk = 1
-       |), ${p}probes AS (
+       |), ${p}probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid ASC) AS rk
        |    FROM $sims WHERE vec_id < $numQueries
        |  ) WHERE rk <= $nProbe
-       |), ${p}cand AS (
+       |), ${p}cand AS MATERIALIZED (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
        |  FROM ${p}probes p JOIN ${p}assign a ON a.cid = p.cid
        |  WHERE a.vec_id <> p.query_id$candExtra
-       |), $scored, ${p}ranked AS (
+       |), $scored, ${p}ranked AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, cosine,
        |         ROW_NUMBER() OVER (PARTITION BY query_id
        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -2054,17 +2054,16 @@ object Similarity {
 
   // ------------------------------------------------- gated ANN recall
 
-  /** Gated query `ann_recall`: recall@k of ALL SIX serving tiers — the
-    * persisted float IVF index (`ivf_probe_indexed`), the SQ8 compressed
-    * tier (`ivf_sq8_probe`), the two-level IMI index (`ivf_ann_imi`),
-    * the composed IMI×SQ8 tier (`imi_sq8_probe`), and the PQ tier both
-    * RAW (`hits_pq` — the honest 12-bit ADC number) and through its
-    * serving path (`hits_pqr` — shortlist + exact refine; the difference
-    * on the record IS what the refine pass buys back), plus the
-    * RESIDUAL-encoded PQ tier (`hits_pqres` — same bits, same probe
-    * budget; the gap over `hits_pq` prices the FAISS residual encoding)
+  /** Gated query `ann_recall`: recall@k of the four UNCODED serving
+    * tiers — the persisted float IVF index (`ivf_probe_indexed`), the
+    * SQ8 compressed tier (`ivf_sq8_probe`), the two-level IMI index
+    * (`ivf_ann_imi`), and the composed IMI×SQ8 tier (`imi_sq8_probe`)
     * — against brute-force ground truth (`knn_cosine_topk`), at the
-    * gates' fixed probe fractions. The
+    * gates' fixed probe fractions. The PQ code family gates separately
+    * under `ann_recall_pq` ([[annRecallPqFromDir]]) — the r15/r16 ask:
+    * the 7-tier monolith was the #2 line item in BOTH driver budgets
+    * (20.2 s Spark, 50 s oracle, 64.9 KB SQL), and the split halves
+    * each gate's cost while keeping the same absolute hit floors. The
     * surface is EXACT integer hit counts per query (id-set intersection
     * of the top-k lists), so approximation quality gates
     * deterministically on the driver instead of living only in specs: a
@@ -2100,45 +2099,85 @@ object Similarity {
     val imisq8 = imiSq8ProbeFromDir(spark, dir, numQueries, k,
       nProbe1 = 4, nProbe2 = 4)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_imisq8"))
-    // the fifth tier: PQ/ADC — same coarse quantizer and nProbe as the
-    // flat tier (the same 25% probe fraction), so its hit deficit prices
-    // exactly the code-approximation, not a probe-budget difference
-    val pq = ivfPqProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
-    // and the PQ tier's SERVING path: the same probe budget with the
-    // R=50 ADC shortlist refined exactly — hits_pqr − hits_pq on the
-    // driver record IS the recall the refine pass buys back
-    val pqr = ivfPqRerankFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqr"))
-    // and the RESIDUAL-encoded PQ tier at the same bits and probe budget:
-    // hits_pqres − hits_pq on the driver record IS the recall the FAISS
-    // residual encoding buys at zero extra probe cost
-    val pqres = ivfPqResProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqres"))
     truth
       .join(ivf, Seq("query_id", "neighbor_id"), "left")
       .join(sq8, Seq("query_id", "neighbor_id"), "left")
       .join(imi, Seq("query_id", "neighbor_id"), "left")
       .join(imisq8, Seq("query_id", "neighbor_id"), "left")
-      .join(pq, Seq("query_id", "neighbor_id"), "left")
-      .join(pqr, Seq("query_id", "neighbor_id"), "left")
-      .join(pqres, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("k_truth"),
         coalesce(sum(col("in_ivf")), lit(0L)).as("hits_ivf"),
         coalesce(sum(col("in_sq8")), lit(0L)).as("hits_sq8"),
         coalesce(sum(col("in_imi")), lit(0L)).as("hits_imi"),
-        coalesce(sum(col("in_imisq8")), lit(0L)).as("hits_imisq8"),
+        coalesce(sum(col("in_imisq8")), lit(0L)).as("hits_imisq8"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Gated query `ann_recall_pq`: recall@k of the PQ CODE family —
+    * the PQ tier both RAW (`hits_pq` — the honest 12-bit ADC number)
+    * and through its serving path (`hits_pqr` — shortlist + exact
+    * refine; the difference on the record IS what the refine pass buys
+    * back), plus the RESIDUAL-encoded PQ tier (`hits_pqres` — same
+    * bits, same probe budget; the gap over `hits_pq` prices the FAISS
+    * residual encoding) — the [[annRecallFromDir]] surface over the
+    * coded tiers, split out per the r15/r16 budget ask. All three
+    * probes share the same coarse quantizer and nProbe (the same 25%
+    * probe fraction), so hit deficits price exactly the
+    * code-approximation, never a probe-budget difference. */
+  def annRecallPqFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
+                         k: Int = 10, numCentroids: Int = 16,
+                         nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    requireOracleDim(e, dir)
+    val truth = bruteForceKnn(e, e.filter(col("vec_id") < numQueries), k)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = ivfPqProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pq"))
+    val pqr = ivfPqRerankFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqr"))
+    val pqres = ivfPqResProbeFromDir(spark, dir, numQueries, k, numCentroids, nProbe)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("in_pqres"))
+    truth
+      .join(pq, Seq("query_id", "neighbor_id"), "left")
+      .join(pqr, Seq("query_id", "neighbor_id"), "left")
+      .join(pqres, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_truth"),
         coalesce(sum(col("in_pq")), lit(0L)).as("hits_pq"),
         coalesce(sum(col("in_pqr")), lit(0L)).as("hits_pqr"),
         coalesce(sum(col("in_pqres")), lit(0L)).as("hits_pqres"))
       .orderBy(col("query_id"))
   }
 
+  /** The shared brute-truth CTE tail both recall oracles open with. */
+  private def truthCtesSql(numQueries: Int, k: Int): String =
+    s"""b_pairs AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |                                CAST(n.embedding AS DOUBLE[])) AS cosine
+       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+       |  WHERE q.vec_id < $numQueries
+       |), b_ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM b_pairs
+       |), truth AS MATERIALIZED (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $k)""".stripMargin
+
   /** DuckDB twin of [[annRecallFromDir]]: the brute pairs CTE beside the
     * float-IVF chain (prefix `i_`), the SQ8 chain (prefix `s_`), and the
-    * full trained-IMI twin nested as a CTE — all the existing
-    * single-sourced fragments — intersected as id sets. */
+    * full trained-IMI twins nested as CTEs — all the existing
+    * single-sourced fragments — intersected as id sets.
+    *
+    * Scope rule (the materialized-fragment constraint, see CurateE2e's
+    * oracle doc): the nested imi/imisq8 subqueries are SIBLINGS, whose
+    * repeated internal names (the h1_ and h2_ chains, half1, half2,
+    * dec) are legal even materialized; only the outer scope must avoid
+    * redefining a name a
+    * nested scope also declares. The outer chain here uses the
+    * unprefixed `centroids` and `sims` which neither IMI twin declares, and
+    * the sq8 fragment's names are declared outer-only (the imisq8 twin's
+    * copies live in its own scope, both plain). */
   def annRecallOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
                       nProbe: Int = 4, dim: Int = LshOracleDim): String =
     s"""WITH ${centroidSimsCtesSql(dim, numCentroids)},
@@ -2152,7 +2191,32 @@ object Similarity {
        |imisq8 AS (
        |${imiSq8Oracle(numQueries, k, nProbe1 = 4, nProbe2 = 4, dim = dim)}
        |),
-       |pq AS (
+       |${truthCtesSql(numQueries, k)},
+       |i_top AS (SELECT query_id, neighbor_id FROM i_ranked WHERE rank <= $k),
+       |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k),
+       |m_top AS (SELECT query_id, neighbor_id FROM imi),
+       |c_top AS (SELECT query_id, neighbor_id FROM imisq8)
+       |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
+       |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
+       |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8,
+       |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi,
+       |       CAST(COALESCE(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imisq8
+       |FROM truth t
+       |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
+       |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+       |LEFT JOIN m_top m ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
+       |LEFT JOIN c_top c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+
+  /** DuckDB twin of [[annRecallPqFromDir]]: the three PQ-family twins
+    * nested as SIBLING CTEs (each a full single-sourced oracle; their
+    * repeated internal names — the pqt, pq-subspace, pq_codes, and p_
+    * chains — are legal
+    * across sibling scopes even materialized) against the shared brute
+    * truth. The outer scope declares nothing any nested scope names. */
+  def annRecallPqOracle(numQueries: Int = 8, k: Int = 10, numCentroids: Int = 16,
+                        nProbe: Int = 4, dim: Int = LshOracleDim): String =
+    s"""WITH pq AS (
        |${ivfPqOracle(numQueries, k, numCentroids, nProbe, dim = dim)}
        |),
        |pqr AS (
@@ -2161,38 +2225,15 @@ object Similarity {
        |pqres AS (
        |${ivfPqResOracle(numQueries, k, numCentroids, nProbe, dim = dim)}
        |),
-       |b_pairs AS (
-       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-       |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-       |                                CAST(n.embedding AS DOUBLE[])) AS cosine
-       |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
-       |  WHERE q.vec_id < $numQueries
-       |), b_ranked AS (
-       |  SELECT query_id, neighbor_id,
-       |         ROW_NUMBER() OVER (PARTITION BY query_id
-       |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
-       |  FROM b_pairs
-       |), truth AS (SELECT query_id, neighbor_id FROM b_ranked WHERE rank <= $k),
-       |i_top AS (SELECT query_id, neighbor_id FROM i_ranked WHERE rank <= $k),
-       |s_top AS (SELECT query_id, neighbor_id FROM s_ranked WHERE rank <= $k),
-       |m_top AS (SELECT query_id, neighbor_id FROM imi),
-       |c_top AS (SELECT query_id, neighbor_id FROM imisq8),
+       |${truthCtesSql(numQueries, k)},
        |p_top AS (SELECT query_id, neighbor_id FROM pq),
        |r_top AS (SELECT query_id, neighbor_id FROM pqr),
        |e_top AS (SELECT query_id, neighbor_id FROM pqres)
        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS k_truth,
-       |       CAST(COALESCE(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_ivf,
-       |       CAST(COALESCE(SUM(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_sq8,
-       |       CAST(COALESCE(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imi,
-       |       CAST(COALESCE(SUM(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_imisq8,
        |       CAST(COALESCE(SUM(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pq,
        |       CAST(COALESCE(SUM(CASE WHEN r.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pqr,
        |       CAST(COALESCE(SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits_pqres
        |FROM truth t
-       |LEFT JOIN i_top i ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id
-       |LEFT JOIN s_top s ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
-       |LEFT JOIN m_top m ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id
-       |LEFT JOIN c_top c ON c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
        |LEFT JOIN p_top p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
        |LEFT JOIN r_top r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
        |LEFT JOIN e_top e ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
@@ -2217,26 +2258,26 @@ object Similarity {
                                            l2: Boolean = false): String = {
     val sims = if (i == 0) s"${p}sims" else s"${p}k_sims$i"
     val cent = if (i == 0) s"${p}centroids" else s"${p}k_cent$i"
-    s"""${p}k_assign$i AS (
+    s"""${p}k_assign$i AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
        |    FROM $sims
        |  ) WHERE rk = 1
-       |), ${p}k_comp$i AS (
+       |), ${p}k_comp$i AS MATERIALIZED (
        |  SELECT a.cid, r.d, CAST(COUNT(*) AS BIGINT) AS n,
        |         CAST(SUM(CAST(FLOOR(CAST(e.embedding[r.d + 1] AS DOUBLE) * 1e6 + 0.5)
        |                       AS BIGINT)) AS BIGINT) AS s_micros
        |  FROM ${p}k_assign$i a JOIN $relation e USING (vec_id)
        |       CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) r
        |  GROUP BY a.cid, r.d
-       |), ${p}k_cent${i + 1} AS (
+       |), ${p}k_cent${i + 1} AS MATERIALIZED (
        |  SELECT c0.cid, COALESCE(u.c, c0.c) AS c
        |  FROM $cent c0 LEFT JOIN (
        |    SELECT cid, list(CAST(s_micros AS DOUBLE) / (n * 1e6) ORDER BY d) AS c
        |    FROM ${p}k_comp$i GROUP BY cid
        |  ) u ON u.cid = c0.cid
-       |), ${p}k_sims${i + 1} AS (
+       |), ${p}k_sims${i + 1} AS MATERIALIZED (
        |  SELECT e.vec_id, ct.cid,
        |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
        |  FROM $relation e CROSS JOIN ${p}k_cent${i + 1} ct
@@ -3009,8 +3050,8 @@ object Similarity {
                         nProbe: Int = 4, kpq: Int = PqK,
                         iterations: Int = PqIterations,
                         dim: Int = LshOracleDim, shortlist: Int = 50): String =
-    s"""WITH pq_kept AS (SELECT * FROM embeddings),
-       |pq_train AS (SELECT * FROM embeddings),
+    s"""WITH pq_kept AS MATERIALIZED (SELECT * FROM embeddings),
+       |pq_train AS MATERIALIZED (SELECT * FROM embeddings),
        |${centroidSimsCtesSql(dim, numCentroids, "pq_kept")},
        |${pqCtesSql(dim, PqM, kpq, iterations, "pq_train", "pq_kept")},
        |${ivfRankedCtesSql(numQueries, nProbe, "p_", relation = "pq_kept",
@@ -3051,19 +3092,19 @@ object Similarity {
       if (iterations == 0) s"pq${s}_centroids" else s"pq${s}_k_cent$iterations"
     val slices = (0 until m).map { s =>
       val lo = s * sub + 1; val hi = (s + 1) * sub
-      s"""pqt$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $trainRelation),
-         |pqe$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $encodeRelation)""".stripMargin
+      s"""pqt$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $trainRelation),
+         |pqe$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM $encodeRelation)""".stripMargin
     }.mkString(",\n")
     // the data-sampled init twin of [[dataInitCentroids]]: the same k
     // rows in the same (md5, vec_id) order, values copied not computed
     def dataInitSims(p: String, rel: String): String =
-      s"""${p}centroids AS (
+      s"""${p}centroids AS MATERIALIZED (
          |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, c FROM (
          |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c,
          |           CAST('0x' || substr(md5('pqinit_' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
          |    FROM $rel
          |  ) ORDER BY h, vec_id LIMIT $kpq
-         |), ${p}sims AS (
+         |), ${p}sims AS MATERIALIZED (
          |  SELECT e.vec_id, ct.cid,
          |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
          |  FROM $rel e CROSS JOIN ${p}centroids ct
@@ -3076,11 +3117,11 @@ object Similarity {
        else centroidSimsCtesSql(sub, kpq, s"pqt$s", p, l2)) + lloyd
     }.mkString(",\n")
     val codes = (0 until m).map { s =>
-      s"""pqf$s AS (
+      s"""pqf$s AS MATERIALIZED (
          |  SELECT e.vec_id, ct.cid,
          |         ${simMetricSql("CAST(e.embedding AS DOUBLE[])", "ct.c", l2)} AS sim
          |  FROM pqe$s e CROSS JOIN ${finalCent(s)} ct
-         |), pqc$s AS (
+         |), pqc$s AS MATERIALIZED (
          |  SELECT vec_id, cid FROM (
          |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
          |             ORDER BY sim DESC, cid DESC) AS rk
@@ -3093,7 +3134,7 @@ object Similarity {
     s"""$slices,
        |$chains,
        |$codes,
-       |pq_codes AS (
+       |pq_codes AS MATERIALIZED (
        |  SELECT pqc0.vec_id, $codeCols
        |  FROM pqc0 $joinChain
        |)""".stripMargin
@@ -3117,7 +3158,7 @@ object Similarity {
       .mkString(" + ")
     val joins = (0 until m).map(s =>
       s"JOIN ${finalCent(s)} t$s ON t$s.cid = pc.code$s").mkString("\n       ")
-    s"""${p}scored AS (
+    s"""${p}scored AS MATERIALIZED (
        |  SELECT c.query_id, c.neighbor_id,
        |        ($num)
        |        / (sqrt(list_inner_product(CAST(qe.embedding AS DOUBLE[]),
@@ -3487,29 +3528,29 @@ object Similarity {
     val lloyd = if (iterations == 0) "" else (0 until iterations)
       .map(i => kmeansIterCtesSql(i, dim, "", "pqr_train")).mkString(",\n") + ",\n"
     val cent = if (iterations == 0) "centroids" else s"k_cent$iterations"
-    s"""pqr_kept AS (SELECT * FROM embeddings$keepW),
-       |pqr_train AS (SELECT * FROM embeddings$trainW),
+    s"""pqr_kept AS MATERIALIZED (SELECT * FROM embeddings$keepW),
+       |pqr_train AS MATERIALIZED (SELECT * FROM embeddings$trainW),
        |${centroidSimsCtesSql(dim, numCentroids, "pqr_train")},
-       |${lloyd}pqr_cent AS (SELECT cid, c FROM $cent),
-       |srv_sims AS (
+       |${lloyd}pqr_cent AS MATERIALIZED (SELECT cid, c FROM $cent),
+       |srv_sims AS MATERIALIZED (
        |  SELECT e.vec_id, ct.cid,
        |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ct.c) AS sim
        |  FROM pqr_kept e CROSS JOIN pqr_cent ct
        |),
-       |pqr_assign AS (
+       |pqr_assign AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
        |             ORDER BY sim DESC, cid DESC) AS rk
        |    FROM srv_sims
        |  ) WHERE rk = 1
-       |), pqr_de AS (
+       |), pqr_de AS MATERIALIZED (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM pqr_kept
-       |), pqr_resid AS (
+       |), pqr_resid AS MATERIALIZED (
        |  SELECT d.vec_id,
        |         [CAST(d.de[x] - ct.c[x] AS FLOAT) FOR x IN range(1, ${dim + 1})] AS embedding
        |  FROM pqr_de d JOIN pqr_assign a USING (vec_id)
        |       JOIN pqr_cent ct ON ct.cid = a.cid
-       |), pqr_train_resid AS (
+       |), pqr_train_resid AS MATERIALIZED (
        |  SELECT r.* FROM pqr_resid r JOIN pqr_train t USING (vec_id)
        |),
        |${pqCtesSql(dim, PqM, kpq, iterations, "pqr_train_resid", "pqr_resid",
@@ -3532,7 +3573,7 @@ object Similarity {
       }).mkString("\n          + ")
     val joins = (0 until m).map(s =>
       s"JOIN ${finalCent(s)} t$s ON t$s.cid = pc.code$s").mkString("\n       ")
-    s"""${p}scored AS (
+    s"""${p}scored AS MATERIALIZED (
        |  SELECT c.query_id, c.neighbor_id,
        |        ($num)
        |        / (sqrt(list_inner_product(CAST(qe.embedding AS DOUBLE[]),
@@ -3676,8 +3717,8 @@ object Similarity {
                           nProbe: Int = 4, kpq: Int = PqK,
                           iterations: Int = PqIterations,
                           dim: Int = LshOracleDim, lang: String = "en"): String =
-    s"""WITH pq_kept AS (SELECT * FROM embeddings),
-       |pq_train AS (SELECT * FROM embeddings),
+    s"""WITH pq_kept AS MATERIALIZED (SELECT * FROM embeddings),
+       |pq_train AS MATERIALIZED (SELECT * FROM embeddings),
        |${centroidSimsCtesSql(dim, numCentroids, "pq_kept")},
        |${pqCtesSql(dim, PqM, kpq, iterations, "pq_train", "pq_kept")},
        |${ivfRankedCtesSql(numQueries, nProbe, "p_", relation = "pq_kept",

@@ -74,7 +74,9 @@ object ScaleBench {
       // round-16 ImageIO (compressed-codec) decode tier + preprocessing
       "multimodal_decode_png", "multimodal_decode_jpeg",
       "multimodal_decode_mixed", "multimodal_resize", "audio_energy_windows",
-      "multimodal_decode_gif")
+      "multimodal_decode_gif",
+      // round-17 split of the recall monolith
+      "ann_recall_pq")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

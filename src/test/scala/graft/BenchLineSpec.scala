@@ -234,14 +234,33 @@ class BenchLineSpec extends AnyFunSuite {
       val owners = units.filter(_.labels.exists(members.contains))
       assert(owners.size === 1, s"family $f split across ${owners.size} units")
       assert(members.toSet.subsetOf(owners.head.labels.toSet))
+      // memo families carry the build surcharge in estimates
+      assert(owners.head.memo, s"family $f unit must be memo-flagged")
+    }
+    // cost batches fold like families but are NOT memo-flagged (no
+    // build surcharge — the r17 coverage re-tier)
+    for ((b, members) <- SparkEntry.benchBatchFamilies) {
+      val owners = units.filter(_.labels.exists(members.contains))
+      assert(owners.size === 1, s"batch $b split across ${owners.size} units")
+      assert(members.toSet.subsetOf(owners.head.labels.toSet))
+      assert(!owners.head.memo, s"batch $b unit must not be memo-flagged")
     }
     // build phases attach to their consumer's family unit
     val bpeUnit = units.find(_.labels.contains("text_bpe_vocab")).get
     assert(bpeUnit.labels.contains("bpe_train"))
     assert(bpeUnit.spec.contains("phase:bpe_train"))
-    // non-family queries stay isolated singletons (the from-scratch
-    // anchors whose in-suite inflation motivated fork isolation)
-    assert(units.find(_.labels.contains("dedup_canonical")).get.labels === Seq("dedup_canonical"))
+    // queries in NO family and NO batch stay isolated singletons (the
+    // composite/iterative anchors whose in-suite inflation motivated
+    // fork isolation)
+    assert(units.find(_.labels.contains("corpus_curate_e2e")).get.labels ===
+      Seq("corpus_curate_e2e"))
+    assert(units.find(_.labels.contains("ann_recall")).get.labels ===
+      Seq("ann_recall"))
+    assert(units.find(_.labels.contains("ann_recall_pq")).get.labels ===
+      Seq("ann_recall_pq"))
+    // batched cheap gates are no longer singletons (the r16 coverage
+    // ceiling: ~50 of 65 cuts were sub-4 s gates each paying a full fork)
+    assert(units.find(_.labels.contains("dedup_canonical")).get.labels.size > 1)
     // a family with a must-entry runs at the must position when ordered
     // must-first: ivf_pq_rerank (must) pulls the whole pq family forward
     val must = ordered.filterNot(SparkEntry.lowPriorityBench.contains)

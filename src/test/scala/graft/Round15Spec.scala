@@ -185,26 +185,34 @@ class Round15Spec extends SparkSpec {
     // the hash-quantizer tiers at tiny N; trained recall is far higher).
     val r = Similarity.annRecallFromDir(spark, sf)
       .agg(sum("k_truth"), sum("hits_ivf"), sum("hits_sq8"),
-        sum("hits_imi"), sum("hits_imisq8"), sum("hits_pq"),
-        sum("hits_pqr"), sum("hits_pqres")).first()
+        sum("hits_imi"), sum("hits_imisq8")).first()
     info(s"hits: ivf ${r.getLong(1)} sq8 ${r.getLong(2)} imi ${r.getLong(3)} " +
-      s"imisq8 ${r.getLong(4)} pq ${r.getLong(5)} pqr ${r.getLong(6)} " +
-      s"pqres ${r.getLong(7)}")
+      s"imisq8 ${r.getLong(4)}")
     assert(r.getLong(0) === 80)
     assert(r.getLong(1) >= 20, s"hits_ivf ${r.getLong(1)} collapsed")
     assert(r.getLong(2) >= 20, s"hits_sq8 ${r.getLong(2)} collapsed")
     assert(r.getLong(3) >= 30, s"hits_imi ${r.getLong(3)} collapsed")
     assert(r.getLong(4) >= 30, s"hits_imisq8 ${r.getLong(4)} collapsed")
+  }
+
+  test("ann_recall_pq: absolute hit floors for the PQ code family") {
+    val r = Similarity.annRecallPqFromDir(spark, sf)
+      .agg(sum("k_truth"), sum("hits_pq"), sum("hits_pqr"),
+        sum("hits_pqres")).first()
+    info(s"hits: pq ${r.getLong(1)} pqr ${r.getLong(2)} pqres ${r.getLong(3)}")
+    assert(r.getLong(0) === 80)
     // raw 12-bit ADC is HONESTLY lossy (the rerank path recovers it);
-    // the floor only pins against total collapse of the code math
-    assert(r.getLong(5) >= 1, s"hits_pq ${r.getLong(5)} collapsed")
+    // measured 6 of 80 at this corpus — the floor is measured-minus-
+    // margin (r15/r16 ask), so a code-math regression that halves the
+    // honest ADC number now fails instead of coasting on >= 1
+    assert(r.getLong(1) >= 3, s"hits_pq ${r.getLong(1)} collapsed")
     // the serving path: refine must buy recall back (measured 17 vs 6)
-    assert(r.getLong(6) >= r.getLong(5), "refine must never lose hits")
-    assert(r.getLong(6) >= 15, s"hits_pqr ${r.getLong(6)} collapsed")
+    assert(r.getLong(2) >= r.getLong(1), "refine must never lose hits")
+    assert(r.getLong(2) >= 15, s"hits_pqr ${r.getLong(2)} collapsed")
     // residual 12-bit ADC (measured 11 vs raw's 6 — ahead even on this
     // isotropic corpus; the clustered-corpus spec below shows the regime
     // where the encoding's advantage is structural, not marginal)
-    assert(r.getLong(7) >= 6, s"hits_pqres ${r.getLong(7)} collapsed")
+    assert(r.getLong(3) >= 6, s"hits_pqres ${r.getLong(3)} collapsed")
   }
 
   test("residual PQ wins exactly where it should: a clustered corpus") {

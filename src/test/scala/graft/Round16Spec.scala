@@ -197,6 +197,20 @@ class Round16Spec extends SparkSpec {
     // rejects: empty, garbage, truncated container
     assert(Multimodal.decodeFrames(Array.emptyByteArray).isEmpty)
     assert(Multimodal.decodeFrames("not a gif".getBytes).isEmpty)
+    // aggregate container budget (r16 ADVICE): a REAL GIF one frame over
+    // the cap rejects WHOLE — the walk must never allocate ~cap × frame
+    // planes for a crafted many-frame payload. The total-pixel cap
+    // shares this code path (same reject branch).
+    assert(Multimodal.ImageIoMaxTotalPixels === Multimodal.ImageIoMaxPixels)
+    val manyFrames = Multimodal.buildGif(
+      new Array[Byte]((Multimodal.ImageIoMaxFrames + 1) * 96))
+    assert(manyFrames.nonEmpty, "the builder itself has no frame cap")
+    assert(Multimodal.decodeFrames(manyFrames).isEmpty,
+      s"${Multimodal.ImageIoMaxFrames + 1} frames must reject whole")
+    // while the still-image dispatch face (frame 0 only, no container
+    // walk) still serves the same payload
+    assert(Multimodal.decodeAnyImage(manyFrames).nonEmpty,
+      "first-frame dispatch must not pay or inherit the container walk")
     // sub-frame docs build an empty payload
     assert(Multimodal.buildGif(new Array[Byte](95)).isEmpty)
     // the gate shape: one row per frame, exact sums

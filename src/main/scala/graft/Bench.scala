@@ -32,9 +32,11 @@ package graft
   *      JVM boot + classloading still overlap measurement; the session
   *      build runs serialized but CLEAN, after the previous worker has
   *      exited. At most one worker is ever past GO.
-  *   2. WALL BUDGET: SPARK_GRAFT_BENCH_BUDGET seconds (default 1450 —
-  *      chosen so budget + sbt overhead + last-unit grace stays under
-  *      the driver's ~1800 s cap with minutes to spare).
+  *   2. WALL BUDGET: SPARK_GRAFT_BENCH_BUDGET seconds (default 1620 —
+  *      r16 ran 1812 s of sbt wall and survived the driver cap, so
+  *      1620 + overhead lands ~160 s inside the proven-survivable
+  *      point). Must-units dispatch FAT-FIRST (descending estimate);
+  *      droppables follow in the per-round rotation order.
   *      Tasks run must-entries first, then build phases, then
   *      [[SparkEntry.lowPriorityBench]] cost-twins in the per-round
   *      rotation order; before each task the remaining budget is checked
@@ -145,11 +147,13 @@ object Bench {
       val must = names.filterNot(SparkEntry.lowPriorityBench.contains)
       val dropQ = rotationOrder(names.filter(SparkEntry.lowPriorityBench.contains), seed)
       val units = forkUnits(must ++ dropQ, phases)
-      // default 1450: the driver's cap is ~1800 s of sbt wall; budget +
-      // sbt/JVM overhead (~40 s) + the last unit's grace must stay under
-      // it with real headroom (r16 ran the budget to 1812 s wall and the
-      // margin was negative — the r17 target is wall <= 1500 s)
-      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1450").toDouble
+      // default 1620: r16 ran to 1812 s sbt wall and SURVIVED the driver
+      // cap (rc 0) — direct evidence the cap is above 1812. Budget 1620
+      // lands ~1650 s wall: ~160 s inside the proven-survivable point,
+      // and ~170 s more coverage than the first r17 run's 1450 (which
+      // still cut 70 labels — the suite's honest cost at 2 executions
+      // per label is the binding constraint, not protocol overhead).
+      val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1620").toDouble
       runForkedSuite(units, sfDir, warmups, passes, budget, prior, t0)
     } else {
       val spark = GraftSession.builder("graft-bench").getOrCreate()
@@ -461,10 +465,20 @@ object Bench {
       phases.flatMap(p => consumerOf.get(p).flatMap(memoFamOf.get).map(p -> _)).toMap
     val emitted = scala.collection.mutable.Set[String]()
     val units = scala.collection.mutable.ArrayBuffer[BenchUnit]()
+    val declared: Map[String, Seq[String]] =
+      SparkEntry.benchForkFamilies ++ SparkEntry.benchBatchFamilies
     for (n <- ordered if !emitted(n)) {
       famOf.get(n) match {
         case Some(f) =>
-          val members = ordered.filter(m => famOf.get(m).contains(f))
+          // members run in the family's DECLARED order, not `ordered`'s:
+          // queries is a HashMap, so `ordered` scrambles on every key
+          // insertion — r17's run had a 12-member family re-shuffled so
+          // a streaming beast ran before a light probe and inflated it
+          // 3×. The declared Seq is curated (light probes first,
+          // lifecycle next, streaming last) and STABLE round-over-round,
+          // which is what per-member floors assume.
+          val inOrdered = ordered.toSet
+          val members = declared(f).filter(inOrdered.contains)
           val famPhases = phases.filter(p => phaseFam.get(p).contains(f))
           units += BenchUnit(members.map(m => (s"q:$m", m)) ++
             famPhases.map(p => (s"phase:$p", p)),
@@ -504,15 +518,32 @@ object Bench {
       if (SparkEntry.replayHarnessQueries(label) ||
         SparkEntry.iterativeHarnessQueries(label)) warmups + 1
       else warmups + passes
+    val batchMembers: Set[String] =
+      SparkEntry.benchBatchFamilies.values.flatten.toSet
     def estLabel(label: String): Double =
-      prior.get(label).map(_ * execs(label) * 1.2).getOrElse(DefaultEstSecs)
+      prior.get(label).map(_ * execs(label) * 1.2).getOrElse(
+        // batch members are cheap BY MEMBERSHIP CRITERION (1-4 s gates);
+        // the 20 s no-prior default priced a 9-gate batch at 188 s and
+        // got whole batches cut from slivers their real ~45 s fit (r17)
+        if (batchMembers(label)) BatchDefaultEstSecs else DefaultEstSecs)
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
         (if (u.memo) FamilyBuildSurchargeSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
-    var queue = allUnits.toList
+    // dispatch must-units FAT-FIRST (descending estimate), droppables
+    // after in their rotation order. Two reasons, both r17-measured:
+    // a stale-fat prior (mmr's 133 s r16 plan, fixed to ~15 s) otherwise
+    // reaches the front of the queue only when nothing fits and gets CUT
+    // unmeasured — fat-first measures it while budget is plentiful and
+    // the estimate self-corrects next round; and cheap must units at the
+    // tail fit the end-of-budget slivers that fat ones never could (the
+    // r17 run cut the q1/q2/q3 flagship trio, est 33 s, at 11 s left).
+    val isMust = (u: BenchUnit) => u.labels.exists(l =>
+      !SparkEntry.lowPriorityBench.contains(l))
+    val (mustUnits, dropUnits) = allUnits.partition(isMust)
+    var queue = (mustUnits.sortBy(-estUnit(_)) ++ dropUnits).toList
     def popFitting(): Option[BenchUnit] = {
       while (queue.nonEmpty) {
         val u = queue.head; queue = queue.tail
@@ -581,6 +612,7 @@ object Bench {
     * not show). */
   private[graft] val StartupMarginSecs = 8.0
   private[graft] val DefaultEstSecs = 20.0
+  private[graft] val BatchDefaultEstSecs = 6.0
   private[graft] val FamilyBuildSurchargeSecs = 60.0
   private[graft] val ReadyTimeoutSecs = 180.0
 }

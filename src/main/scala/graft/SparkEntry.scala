@@ -851,10 +851,14 @@ object SparkEntry {
     * from-scratch anchors whose in-suite inflation motivated forking
     * stay isolated). */
   val benchForkFamilies: Map[String, Seq[String]] = Map(
-    "ivf_float" -> Seq("ivf_ann_topk", "ivf_probe_indexed", "ivf_index_append",
-      "ivf_index_compact", "ivf_index_remove", "ivf_requantize",
-      "ivf_index_health", "ivf_stream_append", "ivf_ann_filtered",
-      "ivf_mrl_rerank", "hybrid_rrf_indexed", "label_knn_agreement_ivf"),
+    // declared order IS execution order in the worker (light probes
+    // first, lifecycle rewrites next, the streaming replay LAST — its
+    // residue inflated a light probe 3× when the r17 hash-scramble ran
+    // it mid-family)
+    "ivf_float" -> Seq("ivf_ann_topk", "ivf_probe_indexed", "ivf_index_health",
+      "ivf_ann_filtered", "ivf_mrl_rerank", "hybrid_rrf_indexed",
+      "label_knn_agreement_ivf", "ivf_index_append", "ivf_index_compact",
+      "ivf_index_remove", "ivf_requantize", "ivf_stream_append"),
     "ivf_trained" -> Seq("kmeans_train", "ivf_ann_trained", "ivf_probe_trained",
       "semantic_dedup_trained"),
     "ivf_imi" -> Seq("ivf_ann_imi", "ivf_imi_append", "ivf_imi_remove",

@@ -494,6 +494,36 @@ object Bench {
     units.toSeq
   }
 
+  /** Per-label cost estimate: prior-round floor × executions × 1.2, or
+    * a class default when no floor exists — [[Bench.BatchDefaultEstSecs]]
+    * for batch members (cheap by MEMBERSHIP CRITERION: 1-4 s gates; the
+    * 20 s default priced a 9-gate batch at 188 s and got whole batches
+    * cut from end-of-budget slivers their real ~45 s fit, r17 run 1),
+    * [[Bench.DefaultEstSecs]] otherwise. Pure — spec-covered. */
+  private[graft] def estimateLabel(label: String, prior: Map[String, Double],
+                                   execs: Int): Double =
+    prior.get(label).map(_ * execs * 1.2).getOrElse(
+      if (SparkEntry.benchBatchFamilies.values.exists(_.contains(label)))
+        BatchDefaultEstSecs
+      else DefaultEstSecs)
+
+  /** Dispatch order: must-units FAT-FIRST (descending estimate), then
+    * droppable units in their incoming (rotation) order. Fat-first
+    * exists because of two r17-measured failures: a stale-fat prior
+    * (mmr's 133 s r16 plan, already fixed to ~11 s) reached the queue
+    * front only when nothing fit and was CUT unmeasured, and the
+    * q1/q2/q3 flagship trio (est 33 s) hash-scrambled to the back and
+    * was cut at 11 s left. Fat units measure while budget is plentiful
+    * (stale estimates self-correct next round); cheap must units at the
+    * tail fit the final slivers. Pure — spec-covered. */
+  private[graft] def scheduleUnits(units: Seq[BenchUnit],
+                                   est: BenchUnit => Double): Seq[BenchUnit] = {
+    val isMust = (u: BenchUnit) => u.labels.exists(l =>
+      !SparkEntry.lowPriorityBench.contains(l))
+    val (mustUnits, dropUnits) = units.partition(isMust)
+    mustUnits.sortBy(-est(_)) ++ dropUnits
+  }
+
   /** Run `units` in forked workers, PIPELINED: while worker i measures,
     * worker i+1 is forked and parks at its READY/GO handshake with a
     * booted JVM (session build deferred to GO — see BenchWorker), so the
@@ -518,32 +548,15 @@ object Bench {
       if (SparkEntry.replayHarnessQueries(label) ||
         SparkEntry.iterativeHarnessQueries(label)) warmups + 1
       else warmups + passes
-    val batchMembers: Set[String] =
-      SparkEntry.benchBatchFamilies.values.flatten.toSet
     def estLabel(label: String): Double =
-      prior.get(label).map(_ * execs(label) * 1.2).getOrElse(
-        // batch members are cheap BY MEMBERSHIP CRITERION (1-4 s gates);
-        // the 20 s no-prior default priced a 9-gate batch at 188 s and
-        // got whole batches cut from slivers their real ~45 s fit (r17)
-        if (batchMembers(label)) BatchDefaultEstSecs else DefaultEstSecs)
+      estimateLabel(label, prior, execs(label))
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
         (if (u.memo) FamilyBuildSurchargeSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
-    // dispatch must-units FAT-FIRST (descending estimate), droppables
-    // after in their rotation order. Two reasons, both r17-measured:
-    // a stale-fat prior (mmr's 133 s r16 plan, fixed to ~15 s) otherwise
-    // reaches the front of the queue only when nothing fits and gets CUT
-    // unmeasured — fat-first measures it while budget is plentiful and
-    // the estimate self-corrects next round; and cheap must units at the
-    // tail fit the end-of-budget slivers that fat ones never could (the
-    // r17 run cut the q1/q2/q3 flagship trio, est 33 s, at 11 s left).
-    val isMust = (u: BenchUnit) => u.labels.exists(l =>
-      !SparkEntry.lowPriorityBench.contains(l))
-    val (mustUnits, dropUnits) = allUnits.partition(isMust)
-    var queue = (mustUnits.sortBy(-estUnit(_)) ++ dropUnits).toList
+    var queue = scheduleUnits(allUnits, estUnit).toList
     def popFitting(): Option[BenchUnit] = {
       while (queue.nonEmpty) {
         val u = queue.head; queue = queue.tail

@@ -261,8 +261,55 @@ class BenchLineSpec extends AnyFunSuite {
     // batched cheap gates are no longer singletons (the r16 coverage
     // ceiling: ~50 of 65 cuts were sub-4 s gates each paying a full fork)
     assert(units.find(_.labels.contains("dedup_canonical")).get.labels.size > 1)
-    // a family with a must-entry runs at the must position when ordered
-    // must-first: ivf_pq_rerank (must) pulls the whole pq family forward
+    // members execute in the family's DECLARED order, never the
+    // hash-scrambled `ordered` (the r17 3×-inflation root cause): the
+    // ivf_float family declares its streaming replay LAST
+    val ivfFloat = units.find(_.labels.contains("ivf_ann_topk")).get
+    val qLabels = ivfFloat.tasks.filter(_._1.startsWith("q:")).map(_._2)
+    assert(qLabels === SparkEntry.benchForkFamilies("ivf_float"))
+    assert(qLabels.last === "ivf_stream_append")
+  }
+
+  test("scheduleUnits: must fat-first, droppables keep rotation order; batch estimates") {
+    // fat-first: a stale-fat must unit dispatches FIRST so it measures
+    // while budget is plentiful (r17: mmr's 133 s stale prior priced it
+    // at 328 s and it was cut unmeasured at the queue's tail)
+    val fat = Bench.BenchUnit(Seq(("q:mmr_rerank", "mmr_rerank")))
+    val trio = Bench.BenchUnit(Seq(("q:q1_agg_orders", "q1_agg_orders"),
+      ("q:q2_net_demand", "q2_net_demand"), ("q:q3_supplier_orders", "q3_supplier_orders")))
+    val cheapMust = Bench.BenchUnit(Seq(("q:s5_row_counts", "s5_row_counts")))
+    val dropA = Bench.BenchUnit(Seq(("q:dedup_canonical", "dedup_canonical")))
+    val dropB = Bench.BenchUnit(Seq(("q:bm25_topk", "bm25_topk")))
+    val prior = Map("mmr_rerank" -> 133.0, "q1_agg_orders" -> 4.4,
+      "q2_net_demand" -> 2.8, "q3_supplier_orders" -> 3.3,
+      "s5_row_counts" -> 1.4, "dedup_canonical" -> 90.0, "bm25_topk" -> 1.0)
+    def est(u: Bench.BenchUnit): Double =
+      u.labels.map(l => Bench.estimateLabel(l, prior, 2)).sum
+    val ordered = Bench.scheduleUnits(
+      Seq(cheapMust, dropA, trio, dropB, fat), est)
+    assert(ordered.take(3).map(_.labels.head) ===
+      Seq("mmr_rerank", "q1_agg_orders", "s5_row_counts"),
+      "must units must sort fat-first")
+    // droppables keep their incoming (rotation) order REGARDLESS of
+    // estimate — dropA (est 216) stays ahead of dropB (est 2.4)
+    assert(ordered.drop(3).map(_.labels.head) ===
+      Seq("dedup_canonical", "bm25_topk"))
+    // no-prior estimates: batch members price at the cheap default,
+    // non-batch at the conservative one (the r17 run-1 bug: a 9-gate
+    // batch priced 188 s was cut from slivers its real ~45 s fit)
+    assert(Bench.estimateLabel("bm25_topk", Map.empty, 2) ===
+      Bench.BatchDefaultEstSecs)
+    assert(Bench.estimateLabel("corpus_curate_e2e", Map.empty, 2) ===
+      Bench.DefaultEstSecs)
+    // with a prior, the estimate is floor × execs × 1.2 for both classes
+    assert(Bench.estimateLabel("bm25_topk", Map("bm25_topk" -> 1.0), 2) === 2.4)
+  }
+
+  test("forkUnits: a family with a must-entry forms at the must position") {
+    // ivf_pq_rerank (must) pulls the whole pq family forward when
+    // ordered must-first
+    val ordered = SparkEntry.queries.keys.toSeq.sorted
+    val phases = Bench.buildPhases.map(_._1)
     val must = ordered.filterNot(SparkEntry.lowPriorityBench.contains)
     val dropQ = ordered.filter(SparkEntry.lowPriorityBench.contains)
     val units2 = Bench.forkUnits(must ++ dropQ, phases)

@@ -442,7 +442,16 @@ object SparkEntry {
     "pmi_bigrams" -> tuned(Collocations.fromDir),
     // unigram-LM log-prob quality proxy: multiplicity decomposition, long
     // sums of micros-rounded lns, one exact-long division for the mean
-    "unigram_logprob" -> tuned(UnigramLm.fromDir)
+    "unigram_logprob" -> tuned(UnigramLm.fromDir),
+    // KMV bottom-k cardinality sketch (bounded-state custom aggregate):
+    // per-source distinct-shingle estimate next to the exact count — the
+    // 100 TB COUNT(DISTINCT) replacement; k longs/group shuffle, not the
+    // distinct key set
+    "sketch_kmv_cardinality" -> tuned(Sketches.kmvCardinalityFromDir),
+    // sketch MERGE: per-half sketches union into the union sketch, the
+    // overlap estimate falls out of inclusion-exclusion — slice-vs-slice
+    // overlap from k-long arrays, no cross-slice join or second scan
+    "sketch_kmv_overlap" -> tuned(Sketches.kmvOverlapFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -622,7 +631,9 @@ object SparkEntry {
     "dedup_source_matrix_indexed" -> SourceMatrix.oracle(),
     "corpus_split_append" -> CorpusSplit.oracle(),
     "pmi_bigrams" -> Collocations.oracle(),
-    "unigram_logprob" -> UnigramLm.oracle
+    "unigram_logprob" -> UnigramLm.oracle,
+    "sketch_kmv_cardinality" -> Sketches.kmvCardinalityOracle(),
+    "sketch_kmv_overlap" -> Sketches.kmvOverlapOracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential
@@ -830,9 +841,29 @@ object SparkEntry {
                              // the langid rule itself is spec-asserted
     "event_outliers",        // single groupBy-agg pass, the events_hourly
                              // cost class (events_hourly stays on the line)
-    "distinct_users")        // single distinct-agg over the same events
+    "distinct_users",        // single distinct-agg over the same events
                              // scan as events_hourly (on the line) — the
                              // event_outliers rationale
+    "sketch_kmv_overlap",    // cost twin of sketch_kmv_cardinality (on the
+                             // line): same shingle+hash scan and bounded
+                             // KMV aggregate, plus one k-long array merge
+    "ivf_stream_append",     // float-tier streaming-ingest sibling: the
+                             // foreachBatch ledger mechanics are measured
+                             // on the compressed production tier
+                             // (imi_sq8_stream_append, on the line)
+    "text_redact",           // scan-fused per-row regex pass, the
+                             // text_quality cost class (text_quality stays
+                             // on the line); the redaction rules themselves
+                             // are spec- and oracle-asserted
+    "text_normalize",        // scan-fused per-row transform, the same
+                             // text_quality cost class (same rationale)
+    "boilerplate_frac",      // line-explode + group report, the
+                             // dup_span_removal cost class (the consuming
+                             // transform dup_span_removal stays on the line)
+    "bm25_index_compact")    // generation-rewrite sibling of
+                             // ivf_index_compact / dedup_index_compact
+                             // (both on the line); bm25_indexed serves
+                             // from the same store on the line
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 
@@ -906,12 +937,12 @@ object SparkEntry {
       "events_hourly", "sessions", "range_join_windows",
       "shipping_priority_topk", "multimodal_decode"),
     "b_tpch" -> Seq("q1_agg_orders", "q2_net_demand", "q3_supplier_orders"),
-    "b_text" -> Seq("text_fingerprint", "text_quality", "text_redact",
-      "text_repetition", "text_normalize", "tfidf_topk", "token_percentiles",
+    "b_text" -> Seq("text_fingerprint", "text_quality",
+      "text_repetition", "tfidf_topk", "token_percentiles",
       "pmi_bigrams"),
     "b_corpus" -> Seq("dedup_exact", "doc_chunks", "mixture_sample",
-      "source_quota", "corpus_rollup", "boilerplate_frac", "corpus_shuffle",
-      "dup_span_removal"),
+      "source_quota", "corpus_rollup", "corpus_shuffle",
+      "dup_span_removal", "sketch_kmv_cardinality"),
     "b_curation" -> Seq("semantic_quality", "dedup_image_ahash",
       "ref_lm_logprob", "asof_price_join", "curation_dsir"),
     // ---- droppable batches (every member is in lowPriorityBench) ----
@@ -920,11 +951,12 @@ object SparkEntry {
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"),
     "b_text_anchors" -> Seq("bm25_topk", "knn_cosine_topk",
       "label_knn_agreement", "lsh_ann_topk", "ann_sq8_topk",
-      "unigram_logprob", "text_token_stats", "text_langid", "bigram_logprob"),
+      "unigram_logprob", "text_token_stats", "text_langid", "bigram_logprob",
+      "text_redact", "text_normalize"),
     "b_misc_anchors" -> Seq("corpus_clean", "decontaminate",
       "decontaminate_fuzzy", "decontamination_report", "dup_ngram_coverage",
       "corpus_diff", "corpus_shards", "corpus_packed", "event_outliers",
-      "distinct_users"),
+      "distinct_users", "sketch_kmv_overlap", "boilerplate_frac"),
     "b_rank_anchors" -> Seq("hybrid_rrf", "hybrid_rrf_ivf", "hard_negatives",
       "ann_mrl_rerank", "semantic_dedup", "quality_classifier",
       "running_revenue", "pricing_summary"),

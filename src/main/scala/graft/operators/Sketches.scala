@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.functions.{KmvSketch, StableRound, TextFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distinct-cardinality and overlap SKETCHES over the corpus — the
+  * approximate answers a 100 TB pipeline asks constantly ("how many
+  * distinct shingles per source", "how much do two dumps overlap")
+  * without paying a corpus-wide `COUNT(DISTINCT …)` shuffle.
+  *
+  * Both gates run on the KMV bottom-k sketch ([[graft.functions.KmvBottomK]],
+  * a bounded-state Catalyst `TypedImperativeAggregate`): per group the k
+  * smallest distinct [[Dedup.hash60]] values, estimator (k−1)·2⁶⁰/h₍ₖ₎,
+  * expected relative error ~1/√(k−2). The scale story is in the AGGREGATE,
+  * not the estimator: the partial phase keeps ≤k longs per group per
+  * partition map-side, so the exchange moves k·|groups|·|partitions| longs
+  * while the distinct key set (the 10¹⁰-row thing at 100 TB) never
+  * shuffles; and sketches MERGE (bottomₖ(A∪B) = bottomₖ(bottomₖ(A)∪bottomₖ(B))),
+  * so union/overlap numbers between corpus slices come from per-slice
+  * sketches already at the driver — inclusion–exclusion, no second scan.
+  *
+  * Each gate also carries the EXACT distinct counts next to the estimates
+  * (that is what the gate validates — the error column is the proof the
+  * estimator works); production callers at scale run the sketch columns
+  * only. Everything is deterministic set math over hash60, so the DuckDB
+  * twin reproduces the arrays and estimates hash-exactly (`row_number ≤ k`
+  * over distinct hashes at oracle scale; CASE/IEEE-double estimator spelled
+  * identically on both sides; [[StableRound]] for the derived doubles).
+  */
+object Sketches {
+
+  /** Hash range M of hash60: estimates are (k−1)·M / kth_min. */
+  private val M: Double = KmvSketch.HashRange.toDouble
+
+  /** Exploded per-doc-distinct hashed word-n-gram shingles, with a caller
+    * grouping column carried through. Shingling, hashing and the per-doc
+    * dedup are in-row expressions fused into the scan (the
+    * [[Dedup.hashedShingleArrays]] argument); the sketch dedupes across
+    * docs itself, so no corpus-wide distinct is needed before it. */
+  private def shingleHashes(docs: DataFrame, n: Int, group: Column): DataFrame =
+    docs.select(group.as("grp"),
+      explode(array_distinct(transform(TextFunctions.wordShingles(col("text"), n),
+        s => Dedup.hash60(s)))).as("h"))
+
+  /** The estimator, spelled identically to [[estSql]]: exact when the
+    * sketch holds the whole distinct set (k_used < k), else (k−1)·M/kth.
+    * Every step is an IEEE-double op on operands both engines round the
+    * same way (int64→double casts, one multiply of exactly-representable
+    * doubles, one divide). */
+  private def estCol(kUsed: Column, kthMin: Column, k: Int): Column =
+    when(kUsed < k, kUsed.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(M) / kthMin.cast("double"))
+
+  private def estSql(kUsed: String, kthMin: String, k: Int): String =
+    s"""CASE WHEN $kUsed < $k THEN CAST($kUsed AS DOUBLE)
+       |     ELSE CAST(${k - 1} AS DOUBLE) * ${M.toLong}.0 / CAST($kthMin AS DOUBLE) END""".stripMargin
+
+  // -------------------------------------------------------- cardinality
+
+  /** Per-source distinct-shingle cardinality: KMV estimate next to the
+    * exact count and the relative error. One aggregate pass: the sketch
+    * partial-aggregates map-side (k longs/group/partition to the
+    * exchange); `countDistinct` rides the same aggregate as the gate's
+    * validation column — at 100 TB a caller drops it and keeps the
+    * sketch-only plan, which never shuffles the distinct set. */
+  def kmvCardinality(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
+    val sh = shingleHashes(docs, n, col("source"))
+    sh.groupBy(col("grp").as("source"))
+      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .select(
+        col("source"),
+        col("exact_distinct"),
+        size(col("sk")).cast("long").as("k_used"),
+        element_at(col("sk"), -1).as("kth_min"),
+        StableRound.stableRound(
+          estCol(size(col("sk")), element_at(col("sk"), -1), k), 4).as("est_distinct"),
+        StableRound.stableRound(
+          abs(estCol(size(col("sk")), element_at(col("sk"), -1), k)
+            - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double") * 100, 4).as("rel_err_pct"))
+      .orderBy(col("source"))
+  }
+
+  def kmvCardinalityFromDir(spark: SparkSession, dir: String): DataFrame =
+    kmvCardinality(Tables.documents(spark, dir))
+
+  def kmvCardinalityOracle(n: Int = 3, k: Int = 128): String = {
+    val est = estSql("k_used", "kth_min", k)
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT source, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
+       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |rk AS (SELECT source, h,
+       |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+       |              COUNT(*) OVER (PARTITION BY source) AS nd
+       |       FROM sh),
+       |sk AS (SELECT source, MAX(nd) AS exact_distinct,
+       |              COUNT(*) AS k_used, MAX(h) AS kth_min
+       |       FROM rk WHERE rn <= $k GROUP BY source)
+       |SELECT source, exact_distinct, k_used, kth_min,
+       |       ${StableRound.sql(est, 4)} AS est_distinct,
+       |       ${StableRound.sql(s"ABS(($est) - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE) * 100", 4)} AS rel_err_pct
+       |FROM sk ORDER BY source""".stripMargin
+  }
+
+  // -------------------------------------------------------- overlap
+
+  /** Distinct-shingle overlap between two corpus halves (doc_id parity —
+    * stand-in for "two dumps"/"two snapshots"): per-half KMV sketches are
+    * MERGED (sorted array union, re-trimmed to k) into the union sketch,
+    * and the intersection estimate falls out of inclusion–exclusion —
+    * est(A) + est(B) − est(A∪B). That is the at-scale protocol: the two
+    * halves are sketched independently (one bounded-state pass each, or
+    * reused from already-built per-slice sketches) and ONLY k-long arrays
+    * meet; no cross-half join, distinct, or second scan touches the
+    * corpus. Exact counts ride along as the gate's validation columns;
+    * `inter_err_pct` prices the estimator against the exact overlap. */
+  def kmvOverlap(docs: DataFrame, n: Int = 3, k: Int = 256): DataFrame = {
+    val sh = Pinned.pin(
+      shingleHashes(docs, n, (col("doc_id") % 2).as("half"))
+        .select(col("grp").as("half"), col("h")))
+
+    val per = sh.groupBy(col("half"))
+      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk"),
+        countDistinct(col("h")).as("exact_d"))
+    val a = per.filter(col("half") === 0)
+      .select(col("sk").as("sk_a"), col("exact_d").as("exact_a"))
+    val b = per.filter(col("half") === 1)
+      .select(col("sk").as("sk_b"), col("exact_d").as("exact_b"))
+
+    val inter = sh.select(col("half"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === 2)
+      .agg(count(lit(1)).as("exact_inter"))
+
+    val merged = a.crossJoin(b).crossJoin(inter)
+      .withColumn("sk_u", slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+    val estA = estCol(size(col("sk_a")), element_at(col("sk_a"), -1), k)
+    val estB = estCol(size(col("sk_b")), element_at(col("sk_b"), -1), k)
+    val estU = estCol(size(col("sk_u")), element_at(col("sk_u"), -1), k)
+    val estI = estA + estB - estU
+    merged.select(
+      col("exact_a"), col("exact_b"), col("exact_inter"),
+      (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+      StableRound.stableRound(estA, 4).as("est_a"),
+      StableRound.stableRound(estB, 4).as("est_b"),
+      StableRound.stableRound(estU, 4).as("est_union"),
+      StableRound.stableRound(estI, 4).as("est_inter"),
+      StableRound.stableRound(
+        abs(estI - col("exact_inter").cast("double"))
+          / col("exact_inter").cast("double") * 100, 4).as("inter_err_pct"),
+      StableRound.stableRound(estI / estU, 6).as("est_jaccard"))
+  }
+
+  def kmvOverlapFromDir(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlap(Tables.documents(spark, dir))
+
+  /** DuckDB twin. The union sketch is computed directly as bottom-k of
+    * the union's distinct hashes — equal to the Spark side's merge of the
+    * two half-sketches by the KMV merge property (each half's bottom-k
+    * contains every union-bottom-k member that half contributes). */
+  def kmvOverlapOracle(n: Int = 3, k: Int = 256): String = {
+    val estA = estSql("k_a", "kth_a", k)
+    val estB = estSql("k_b", "kth_b", k)
+    val estU = estSql("k_u", "kth_u", k)
+    val estI = s"(($estA) + ($estB) - ($estU))"
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT doc_id % 2 AS half, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
+       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |rk AS (SELECT half, h,
+       |              row_number() OVER (PARTITION BY half ORDER BY h) AS rn,
+       |              COUNT(*) OVER (PARTITION BY half) AS nd
+       |       FROM sh),
+       |per AS (SELECT half, MAX(nd) AS exact_d, COUNT(*) AS k_used, MAX(h) AS kth
+       |        FROM rk WHERE rn <= $k GROUP BY half),
+       |urk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |        FROM (SELECT DISTINCT h FROM sh)),
+       |uper AS (SELECT COUNT(*) AS k_u, MAX(h) AS kth_u FROM urk WHERE rn <= $k),
+       |inter AS (SELECT COUNT(*) AS exact_inter
+       |          FROM (SELECT h FROM sh GROUP BY h HAVING COUNT(*) = 2)),
+       |j AS (SELECT pa.exact_d AS exact_a, pa.k_used AS k_a, pa.kth AS kth_a,
+       |             pb.exact_d AS exact_b, pb.k_used AS k_b, pb.kth AS kth_b,
+       |             u.k_u, u.kth_u, i.exact_inter
+       |      FROM per pa, per pb, uper u, inter i
+       |      WHERE pa.half = 0 AND pb.half = 1)
+       |SELECT exact_a, exact_b, exact_inter,
+       |       exact_a + exact_b - exact_inter AS exact_union,
+       |       ${StableRound.sql(estA, 4)} AS est_a,
+       |       ${StableRound.sql(estB, 4)} AS est_b,
+       |       ${StableRound.sql(estU, 4)} AS est_union,
+       |       ${StableRound.sql(estI, 4)} AS est_inter,
+       |       ${StableRound.sql(s"ABS($estI - CAST(exact_inter AS DOUBLE)) / CAST(exact_inter AS DOUBLE) * 100", 4)} AS inter_err_pct,
+       |       ${StableRound.sql(s"$estI / ($estU)", 6)} AS est_jaccard
+       |FROM j""".stripMargin
+  }
+}

@@ -76,7 +76,10 @@ object ScaleBench {
       "multimodal_decode_mixed", "multimodal_resize", "audio_energy_windows",
       "multimodal_decode_gif",
       // round-17 split of the recall monolith
-      "ann_recall_pq")
+      "ann_recall_pq",
+      // round-17 KMV sketches (the ×k copies word-prefix every doc, so
+      // the distinct-shingle universe genuinely grows ×k under them)
+      "sketch_kmv_cardinality", "sketch_kmv_overlap")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

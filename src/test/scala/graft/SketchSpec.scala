@@ -1,0 +1,98 @@
+package graft
+
+import graft.functions.KmvSketch
+import graft.operators.{Dedup, Sketches}
+import org.apache.spark.sql.functions._
+
+/** KMV bottom-k sketch: the bounded-state aggregate itself (vs the brute
+  * reference, across partial/merge paths), the per-source cardinality
+  * gate, and the mergeability the overlap gate rides on. */
+class SketchSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("kmv_bottom_k equals the brute bottom-k across partitions, dups, and k regimes") {
+    // duplicated multiset with a skewed head, scattered over 7 partitions
+    // so the final value passes through partial buffers + merge
+    val vals: Seq[Long] = (1L to 400L).flatMap(i => Seq.fill(1 + (i % 3).toInt)(i * 104729L % 9973L))
+    val df = vals.toDF("h").repartition(7)
+    for (k <- Seq(2, 16, 128, 20000)) { // 20000 > |distinct|: exact regime
+      val got = df.agg(KmvSketch.kmvBottomK(col("h"), k)).as[Seq[Long]].head()
+      assert(got == KmvSketch.reference(vals, k), s"k=$k mismatch")
+    }
+    // nulls ignored like every SQL aggregate
+    val withNulls = Seq[java.lang.Long](5L, null, 1L, null, 3L).toDF("h").repartition(3)
+    assert(withNulls.agg(KmvSketch.kmvBottomK(col("h"), 2)).as[Seq[Long]].head() == Seq(1L, 3L))
+  }
+
+  test("kmv cardinality gate: exact columns right, estimator inside the analytic band") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = Sketches.kmvCardinality(docs).collect()
+    assert(rows.length == 20, "one row per source")
+    // brute per-source bottom-128 from first principles (distinct hashes,
+    // sort, take k) — the aggregate must reproduce it exactly
+    val brute = docs
+      .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+      .select(col("source"), Dedup.hash60(col("s")).as("h")).distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("h")))
+      .filter(col("rn") <= 128)
+      .groupBy("source").agg(max("h").as("kth"), count(lit(1)).as("ku"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (kth, ku) = brute(src)
+      assert(r.getAs[Long]("kth_min") == kth, s"$src kth_min")
+      assert(r.getAs[Long]("k_used") == ku && ku == 128L,
+        s"$src saturates k at this corpus (universe ≈1.1-1.6k)")
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      // expected rel err ~1/sqrt(k-2) ≈ 8.9%; 4x that as the hard band
+      assert(math.abs(est - exact) / exact < 0.36,
+        s"$src estimate $est vs exact $exact outside 4-sigma band")
+      assert(r.getAs[Double]("rel_err_pct") >= 0.0)
+    }
+  }
+
+  test("kmv overlap gate: sketch merge == direct union bottom-k; inclusion-exclusion consistent") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val row = Sketches.kmvOverlap(docs).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    // the merge property the at-scale protocol rides on: bottom-k of the
+    // union's distinct hashes, computed directly, must yield the same
+    // (k_used, kth) the gate derived by merging the two half-sketches
+    val uh = docs
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+      .select(Dedup.hash60(col("s")).as("h")).distinct()
+    val kthDirect = uh.orderBy("h").limit(256).agg(max("h"), count(lit(1)))
+      .as[(Long, Long)].head()
+    val estU = 255.0 * (1L << 60).toDouble / kthDirect._1.toDouble
+    assert(math.abs(row.getAs[Double]("est_union") - math.floor(estU * 1e4 + 0.5) / 1e4) < 1e-9,
+      "union estimate must come from the merged sketch = direct union bottom-k")
+    // inclusion-exclusion ties the four exact columns
+    assert(row.getAs[Long]("exact_union") ==
+      row.getAs[Long]("exact_a") + row.getAs[Long]("exact_b") - row.getAs[Long]("exact_inter"))
+    // the halves genuinely overlap at this corpus and the estimate sees it
+    assert(row.getAs[Long]("exact_inter") > 0)
+    assert(row.getAs[Double]("est_inter") > 0.0)
+    assert(row.getAs[Double]("est_jaccard") > 0.0 && row.getAs[Double]("est_jaccard") < 1.0)
+  }
+
+  test("sketch-only plan partial-aggregates map-side (the 100 TB shape)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val sketchOnly = docs
+      .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+      .select(col("source"), Dedup.hash60(col("s")).as("h"))
+      .groupBy("source").agg(KmvSketch.kmvBottomK(col("h"), 128).as("sk"))
+    val plan = sketchOnly.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // phase below the exchange: the distinct key set never shuffles
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert("partial_kmv_bottom_k|partial kmv_bottom_k|kmv_bottom_k".r
+      .findFirstIn(plan).isDefined)
+    val nAggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(nAggs >= 2, s"expected partial+final aggregate pair, plan had $nAggs")
+  }
+}

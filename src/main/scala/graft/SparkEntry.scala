@@ -451,7 +451,14 @@ object SparkEntry {
     // sketch MERGE: per-half sketches union into the union sketch, the
     // overlap estimate falls out of inclusion-exclusion — slice-vs-slice
     // overlap from k-long arrays, no cross-slice join or second scan
-    "sketch_kmv_overlap" -> tuned(Sketches.kmvOverlapFromDir)
+    "sketch_kmv_overlap" -> tuned(Sketches.kmvOverlapFromDir),
+    // the persisted form: per-source sketches ARE the store (k longs per
+    // source); a delta is sketched alone and MERGED in — O(delta), the
+    // backlog corpus is never rescanned; oracle = full-corpus recompute
+    "sketch_kmv_append" -> tuned(Sketches.appendFromDir),
+    // the M² report from M sketches: pairwise source-overlap estimates by
+    // merging k-long arrays on the M-row frame — one corpus pass total
+    "sketch_kmv_source_overlap" -> tuned(Sketches.kmvSourceOverlapFromDir)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -633,7 +640,9 @@ object SparkEntry {
     "pmi_bigrams" -> Collocations.oracle(),
     "unigram_logprob" -> UnigramLm.oracle,
     "sketch_kmv_cardinality" -> Sketches.kmvCardinalityOracle(),
-    "sketch_kmv_overlap" -> Sketches.kmvOverlapOracle()
+    "sketch_kmv_overlap" -> Sketches.kmvOverlapOracle(),
+    "sketch_kmv_append" -> Sketches.appendOracle(),
+    "sketch_kmv_source_overlap" -> Sketches.kmvSourceOverlapOracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential
@@ -860,10 +869,16 @@ object SparkEntry {
     "boilerplate_frac",      // line-explode + group report, the
                              // dup_span_removal cost class (the consuming
                              // transform dup_span_removal stays on the line)
-    "bm25_index_compact")    // generation-rewrite sibling of
+    "bm25_index_compact",    // generation-rewrite sibling of
                              // ivf_index_compact / dedup_index_compact
                              // (both on the line); bm25_indexed serves
                              // from the same store on the line
+    "sketch_kmv_append",     // lifecycle sibling of sketch_kmv_cardinality
+                             // (on the line); the ivf_index_append
+                             // rationale — delta sketch + k-long merge
+    "sketch_kmv_source_overlap") // M²-report twin of sketch_kmv_cardinality
+                             // (same corpus pass + an M-row array merge);
+                             // the dedup_source_matrix rationale
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 
@@ -956,7 +971,8 @@ object SparkEntry {
     "b_misc_anchors" -> Seq("corpus_clean", "decontaminate",
       "decontaminate_fuzzy", "decontamination_report", "dup_ngram_coverage",
       "corpus_diff", "corpus_shards", "corpus_packed", "event_outliers",
-      "distinct_users", "sketch_kmv_overlap", "boilerplate_frac"),
+      "distinct_users", "sketch_kmv_overlap", "boilerplate_frac",
+      "sketch_kmv_append", "sketch_kmv_source_overlap"),
     "b_rank_anchors" -> Seq("hybrid_rrf", "hybrid_rrf_ivf", "hard_negatives",
       "ann_mrl_rerank", "semantic_dedup", "quality_classifier",
       "running_revenue", "pricing_summary"),

@@ -157,6 +157,185 @@ object Sketches {
   def kmvOverlapFromDir(spark: SparkSession, dir: String): DataFrame =
     kmvOverlap(Tables.documents(spark, dir))
 
+  // -------------------------------------------------------- sketch store
+
+  /** Delta residue class: docs with `doc_id % DeltaMod == 0` arrive as the
+    * delta; the rest are the already-sketched backlog (the
+    * [[DedupIndex.DeltaMod]] convention). */
+  val DeltaMod = 5
+
+  /** Default k of the persisted store (shared by store build, append and
+    * the gate's oracle — a sketch only merges against a same-k sketch). */
+  val StoreK = 128
+
+  /** Persist per-source sketches of `docs` at `path`: one row per source,
+    * `sk` = its KMV bottom-[[StoreK]] array. The store IS the aggregate's
+    * output — k longs per source — so "maintaining distinct counts over
+    * 100 TB" persists kilobytes, not an index of the corpus.
+    *
+    * Deletion semantics, by design: a KMV sketch is MONOTONE (a set
+    * function of everything ever inserted), so removal cannot be applied
+    * to the sketch itself — there is no `sketch_kmv_remove` merge. The
+    * production protocol is the one the store's layout already supports:
+    * re-run [[writeStore]] for ONLY the sources that lost docs (source is
+    * the store's key, so the rewrite is partition-pruned to the touched
+    * groups), which is how every non-invertible summary (HLL, bloom
+    * filters) handles deletes. Appends stay O(delta) via [[appendProbe]]. */
+  def writeStore(docs: DataFrame, path: String, n: Int = 3, k: Int = StoreK): Unit =
+    shingleHashes(docs, n, col("source"))
+      .groupBy(col("grp").as("source"))
+      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk"))
+      .write.mode("overwrite").parquet(path)
+
+  /** O(delta) maintenance: sketch ONLY the delta (one bounded-state pass
+    * over the new docs), merge each source's delta sketch into the stored
+    * array (sorted-union re-trimmed to k — the KMV merge), and report the
+    * updated estimates. The backlog corpus is never rescanned; the only
+    * backlog bytes touched are the k-long stored arrays. The oracle is the
+    * FULL-corpus recompute — proving append(store, delta) ≡ rebuild, the
+    * merge property end-to-end. Sources seen only in the delta (or only in
+    * the store) pass through whole via the outer join + empty-array
+    * coalesce. */
+  def appendProbe(spark: SparkSession, storePath: String, delta: DataFrame,
+                  n: Int = 3, k: Int = StoreK): DataFrame = {
+    val stored = spark.read.parquet(storePath)
+      .select(col("source"), col("sk").as("sk_old"))
+    val fresh = shingleHashes(delta, n, col("source"))
+      .groupBy(col("grp").as("source"))
+      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk_new"))
+    val empty = array().cast("array<long>")
+    stored.join(fresh, Seq("source"), "full_outer")
+      .withColumn("sk", slice(array_sort(array_union(
+        coalesce(col("sk_old"), empty), coalesce(col("sk_new"), empty))), 1, k))
+      .select(
+        col("source"),
+        size(col("sk")).cast("long").as("k_used"),
+        element_at(col("sk"), -1).as("kth_min"),
+        StableRound.stableRound(
+          estCol(size(col("sk")), element_at(col("sk"), -1), k), 4).as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** Pairwise source-overlap matrix from per-source sketches: the M²
+    * question ("which sources feed me the same shingles?") answered from
+    * M sketches — ONE bounded-state pass over the corpus, then every pair
+    * estimate is a k-long array merge on the tiny per-source frame
+    * (M rows; the self-join is M², never corpus-sized, and broadcast).
+    * Per pair: est(A∩B) by inclusion–exclusion over the merged sketch,
+    * est_jaccard = est∩/est∪. The exact-overlap twin of this report is
+    * [[SourceMatrix]] (verified near-dup pairs); this is its
+    * cardinality-sketch counterpart for "shared raw content" at 100 TB,
+    * where the exact answer would need an M²-way distinct-key join. Pairs
+    * are emitted once (src_a < src_b), estimates clamped at 0 (inclusion–
+    * exclusion can go slightly negative at sketch resolution — the clamp
+    * is spelled identically in the oracle). */
+  def kmvSourceOverlap(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
+    val per = shingleHashes(docs, n, col("source"))
+      .groupBy(col("grp").as("source"))
+      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk"))
+    val a = per.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = per.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    val pairs = a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("sk_u", slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, k))
+    val estA = estCol(size(col("sk_a")), element_at(col("sk_a"), -1), k)
+    val estB = estCol(size(col("sk_b")), element_at(col("sk_b"), -1), k)
+    val estU = estCol(size(col("sk_u")), element_at(col("sk_u"), -1), k)
+    val estI = greatest(estA + estB - estU, lit(0.0))
+    pairs.select(
+      col("src_a"), col("src_b"),
+      StableRound.stableRound(estU, 4).as("est_union"),
+      StableRound.stableRound(estI, 4).as("est_inter"),
+      StableRound.stableRound(estI / estU, 6).as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def kmvSourceOverlapFromDir(spark: SparkSession, dir: String): DataFrame =
+    kmvSourceOverlap(Tables.documents(spark, dir))
+
+  /** DuckDB twin: per-source bottom-k (one window), pair unions computed
+    * directly as bottom-k over the DISTINCT union hashes of each pair —
+    * equal to the Spark side's sketch merge by the KMV merge property.
+    * The union ranking only needs the two sources' bottom-k rows (not
+    * their full hash sets) for exactly that reason, so the oracle stays
+    * M²·k-sized too. */
+  def kmvSourceOverlapOracle(n: Int = 3, k: Int = 128): String = {
+    val estA = estSql("k_a", "kth_a", k)
+    val estB = estSql("k_b", "kth_b", k)
+    val estU = estSql("k_u", "kth_u", k)
+    val estI = s"GREATEST(($estA) + ($estB) - ($estU), 0.0)"
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT source, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
+       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |rk AS (SELECT source, h,
+       |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |       FROM sh),
+       |bk AS MATERIALIZED (SELECT source, h FROM rk WHERE rn <= $k),
+       |per AS (SELECT source, COUNT(*) AS k_used, MAX(h) AS kth FROM bk GROUP BY source),
+       |uh AS (SELECT a.source AS src_a, b.source AS src_b, u.h,
+       |              row_number() OVER (PARTITION BY a.source, b.source ORDER BY u.h) AS rn
+       |       FROM per a JOIN per b ON a.source < b.source,
+       |       LATERAL (SELECT DISTINCT h FROM bk
+       |                WHERE bk.source = a.source OR bk.source = b.source) AS u(h)),
+       |up AS (SELECT src_a, src_b, COUNT(*) AS k_u, MAX(h) AS kth_u
+       |       FROM uh WHERE rn <= $k GROUP BY src_a, src_b),
+       |j AS (SELECT u.src_a, u.src_b, u.k_u, u.kth_u,
+       |             pa.k_used AS k_a, pa.kth AS kth_a,
+       |             pb.k_used AS k_b, pb.kth AS kth_b
+       |      FROM up u
+       |      JOIN per pa ON pa.source = u.src_a
+       |      JOIN per pb ON pb.source = u.src_b)
+       |SELECT src_a, src_b,
+       |       ${StableRound.sql(estU, 4)} AS est_union,
+       |       ${StableRound.sql(estI, 4)} AS est_inter,
+       |       ${StableRound.sql(s"($estI) / ($estU)", 6)} AS est_jaccard
+       |FROM j ORDER BY src_a, src_b""".stripMargin
+  }
+
+  /** One built store per (JVM, source dir) — the memoized-build gate
+    * pattern ([[DedupIndex.buildIndexFor]]): the first call pays the
+    * backlog build, repeat calls (bench's measured pass) time the DELTA
+    * path alone, which is the incremental claim. */
+  private val builtStore =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def buildStoreFor(spark: SparkSession, dir: String): String =
+    builtStore.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_kmv_store")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }))
+      writeStore(Tables.documents(spark, dir)
+        .filter(col("doc_id") % DeltaMod =!= 0), p.toString)
+      p.toString
+    })
+
+  /** Gate `sketch_kmv_append`: merge the delta's sketches into the
+    * persisted backlog store and report the merged estimates. */
+  def appendFromDir(spark: SparkSession, dir: String): DataFrame =
+    appendProbe(spark, buildStoreFor(spark, dir),
+      Tables.documents(spark, dir).filter(col("doc_id") % DeltaMod === 0))
+
+  /** Full-corpus recompute twin: bottom-[[StoreK]] per source over ALL
+    * documents — equal to the Spark side's store-merge by the KMV merge
+    * property. */
+  def appendOracle(n: Int = 3, k: Int = StoreK): String = {
+    val est = estSql("k_used", "kth_min", k)
+    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT source, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
+       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |rk AS (SELECT source, h,
+       |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |       FROM sh),
+       |sk AS (SELECT source, COUNT(*) AS k_used, MAX(h) AS kth_min
+       |       FROM rk WHERE rn <= $k GROUP BY source)
+       |SELECT source, k_used, kth_min,
+       |       ${StableRound.sql(est, 4)} AS est_distinct
+       |FROM sk ORDER BY source""".stripMargin
+  }
+
   /** DuckDB twin. The union sketch is computed directly as bottom-k of
     * the union's distinct hashes — equal to the Spark side's merge of the
     * two half-sketches by the KMV merge property (each half's bottom-k

@@ -79,7 +79,8 @@ object ScaleBench {
       "ann_recall_pq",
       // round-17 KMV sketches (the ×k copies word-prefix every doc, so
       // the distinct-shingle universe genuinely grows ×k under them)
-      "sketch_kmv_cardinality", "sketch_kmv_overlap")
+      "sketch_kmv_cardinality", "sketch_kmv_overlap",
+      "sketch_kmv_append", "sketch_kmv_source_overlap")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

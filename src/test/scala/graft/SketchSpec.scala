@@ -80,6 +80,60 @@ class SketchSpec extends SparkSpec {
     assert(row.getAs[Double]("est_jaccard") > 0.0 && row.getAs[Double]("est_jaccard") < 1.0)
   }
 
+  test("kmv store append == full rebuild (merge property end-to-end)") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_store_spec").toString
+    Sketches.writeStore(docs.filter(col("doc_id") % Sketches.DeltaMod =!= 0), tmp)
+    val appended = Sketches.appendProbe(spark, tmp,
+      docs.filter(col("doc_id") % Sketches.DeltaMod === 0)).collect()
+    val full = Sketches.kmvCardinality(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("k_used"), r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct")))
+      .toMap
+    assert(appended.length == full.size)
+    appended.foreach { r =>
+      val (ku, kth, est) = full(r.getAs[String]("source"))
+      assert(r.getAs[Long]("k_used") == ku)
+      assert(r.getAs[Long]("kth_min") == kth,
+        s"${r.getAs[String]("source")}: merged kth must equal the rebuild's")
+      assert(r.getAs[Double]("est_distinct") == est)
+    }
+  }
+
+  test("kmv store append: store-only and delta-only sources pass through the outer join") {
+    val store = Seq(("only_store", "alpha beta gamma delta"), ("both", "one two three four"))
+      .toDF("source", "text").withColumn("doc_id", lit(1L))
+    val delta = Seq(("both", "five six seven eight"), ("only_delta", "x y z w"))
+      .toDF("source", "text").withColumn("doc_id", lit(2L))
+    val tmp = java.nio.file.Files.createTempDirectory("kmv_store_edge").toString
+    Sketches.writeStore(store, tmp)
+    val out = Sketches.appendProbe(spark, tmp, delta).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("k_used")).toMap
+    // 4 tokens -> 2 word-3-grams per doc; "both" merges 2+2 distinct hashes
+    assert(out == Map("only_store" -> 2L, "both" -> 4L, "only_delta" -> 2L))
+  }
+
+  test("kmv source-overlap matrix: M^2 pairs from M sketches, pairwise merge == direct union bottom-k") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val rows = Sketches.kmvSourceOverlap(docs).collect()
+    assert(rows.length == 20 * 19 / 2, "one row per unordered source pair")
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") < r.getAs[String]("src_b"))
+      assert(r.getAs[Double]("est_inter") >= 0.0, "inclusion-exclusion clamped at 0")
+      assert(r.getAs[Double]("est_jaccard") <= 1.0 + 1e-9)
+    }
+    // spot-verify one pair against a from-first-principles union bottom-k
+    val pair = rows.head
+    val (sa, sb) = (pair.getAs[String]("src_a"), pair.getAs[String]("src_b"))
+    val kth = docs.filter(col("source").isin(sa, sb))
+      .select(explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("s"))
+      .select(Dedup.hash60(col("s")).as("h")).distinct()
+      .orderBy("h").limit(128).agg(max("h")).as[Long].head()
+    val estU = 127.0 * (1L << 60).toDouble / kth.toDouble
+    assert(pair.getAs[Double]("est_union") == math.floor(estU * 1e4 + 0.5) / 1e4,
+      s"pair ($sa,$sb) union estimate must equal the direct union bottom-k's")
+  }
+
   test("sketch-only plan partial-aggregates map-side (the 100 TB shape)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val sketchOnly = docs

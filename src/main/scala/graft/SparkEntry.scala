@@ -458,7 +458,14 @@ object SparkEntry {
     "sketch_kmv_append" -> tuned(Sketches.appendFromDir),
     // the M² report from M sketches: pairwise source-overlap estimates by
     // merging k-long arrays on the M-row frame — one corpus pass total
-    "sketch_kmv_source_overlap" -> tuned(Sketches.kmvSourceOverlapFromDir)
+    "sketch_kmv_source_overlap" -> tuned(Sketches.kmvSourceOverlapFromDir),
+    // LSH config certification: realized banding recall against the exact
+    // pair truth (lsh ⊆ truth structurally; the ann_recall of dedup)
+    "dedup_lsh_recall" -> tuned(Dedup.lshRecallFromDir),
+    // streaming sketch-store maintenance: per-batch merge, batchId-ledger
+    // generations, planted re-deliveries absorbed by KMV set algebra (no
+    // watermark dedup state at all) — final store == full recompute
+    "sketch_stream_append" -> tuned(graft.streaming.SketchIngest.replayDocs(_, _))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -642,7 +649,11 @@ object SparkEntry {
     "sketch_kmv_cardinality" -> Sketches.kmvCardinalityOracle(),
     "sketch_kmv_overlap" -> Sketches.kmvOverlapOracle(),
     "sketch_kmv_append" -> Sketches.appendOracle(),
-    "sketch_kmv_source_overlap" -> Sketches.kmvSourceOverlapOracle()
+    "sketch_kmv_source_overlap" -> Sketches.kmvSourceOverlapOracle(),
+    "dedup_lsh_recall" -> Dedup.lshRecallOracle(),
+    // the streaming store's final state must equal the batch append's —
+    // one oracle, two maintenance paths
+    "sketch_stream_append" -> Sketches.appendOracle()
   )
 
   /** Queries whose gate is a MemoryStream REPLAY HARNESS (sequential
@@ -652,7 +663,8 @@ object SparkEntry {
     * replay gate and classifying it happen in the same file. */
   val replayHarnessQueries: Set[String] =
     Set("sessions_streaming", "dedup_stream", "corpus_ingest_stream",
-      "events_hourly_streaming", "ivf_stream_append", "imi_sq8_stream_append")
+      "events_hourly_streaming", "ivf_stream_append", "imi_sq8_stream_append",
+      "sketch_stream_append")
   require(replayHarnessQueries.subsetOf(queries.keySet),
     "replayHarnessQueries names a query not registered in queries")
 
@@ -876,9 +888,13 @@ object SparkEntry {
     "sketch_kmv_append",     // lifecycle sibling of sketch_kmv_cardinality
                              // (on the line); the ivf_index_append
                              // rationale — delta sketch + k-long merge
-    "sketch_kmv_source_overlap") // M²-report twin of sketch_kmv_cardinality
+    "sketch_kmv_source_overlap", // M²-report twin of sketch_kmv_cardinality
                              // (same corpus pass + an M-row array merge);
                              // the dedup_source_matrix rationale
+    "dedup_lsh_recall")      // certification gate: truth side IS the
+                             // droppable dedup_ngram_jaccard pair graph +
+                             // the droppable dedup_minhash_lsh pipeline;
+                             // run on a sample slice at scale
   require(lowPriorityBench.subsetOf(queries.keySet),
     "lowPriorityBench names a query not registered in queries")
 
@@ -963,7 +979,8 @@ object SparkEntry {
     // ---- droppable batches (every member is in lowPriorityBench) ----
     "b_dedup_anchors" -> Seq("dedup_canonical", "dedup_source_matrix",
       "dedup_clusters", "corpus_split", "dedup_ngram_jaccard",
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"),
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+      "dedup_lsh_recall"),
     "b_text_anchors" -> Seq("bm25_topk", "knn_cosine_topk",
       "label_knn_agreement", "lsh_ann_topk", "ann_sq8_topk",
       "unigram_logprob", "text_token_stats", "text_langid", "bigram_logprob",
@@ -982,7 +999,7 @@ object SparkEntry {
       "multimodal_decode_mixed", "multimodal_decode_gif", "multimodal_resize",
       "audio_energy_windows", "multimodal_ahash"),
     "b_replays" -> Seq("sessions_streaming", "events_hourly_streaming",
-      "dedup_stream", "corpus_ingest_stream"),
+      "dedup_stream", "corpus_ingest_stream", "sketch_stream_append"),
     "b_curate_siblings" -> Seq("corpus_curate_fuzzy", "corpus_curate_lm",
       "corpus_curate_dsir"))
   require(benchBatchFamilies.values.flatten.toSet.subsetOf(queries.keySet),

@@ -525,4 +525,107 @@ object Dedup {
     ngramJaccardPairs(Tables.documents(spark, dir))
   def embeddingFromDir(spark: SparkSession, dir: String): DataFrame =
     embeddingNearDups(Tables.embeddings(spark, dir))
+
+  // ------------------------------------------------------- LSH recall eval
+
+  /** LSH RECALL evaluation — the config question every dedup deployment
+    * asks before trusting banding at scale: of the TRUE near-dup pairs
+    * (exact hashed-shingle Jaccard ≥ threshold over every shingle-sharing
+    * pair), how many does the (numHashes, bands) banding surface? Both
+    * pipelines run over the SAME pinned hashed-shingle-array stage (one
+    * corpus scan, one signature pass), and every LSH-verified pair
+    * necessarily shares a shingle, so lsh ⊆ truth structurally —
+    * `n_missed = n_true − n_lsh ≥ 0` and precision is 1 by construction;
+    * the open quantity is recall, reported as an exact-integer-backed
+    * percentage. The analytic expectation for a pair at Jaccard j is
+    * 1−(1−j^r)^b (r = numHashes/bands); this gate measures the realized
+    * value on the corpus, the same way `ann_recall` prices the IVF tiers
+    * against brute truth. At 100 TB the truth side (the Σ|bucket|²
+    * shared-shingle self-join) is the expensive anchor — run it on a
+    * SAMPLE slice to certify a config, then deploy the banding the gate
+    * certified; the LSH side is the production cost. */
+  def lshRecall(docs: DataFrame, n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val arrs = pinned(hashedShingleArrays(docs, n))
+    val hsh = pinned(arrs.select(col("doc_id"), explode(col("harr")).as("h")))
+    val card = arrs.select(col("doc_id"), size(col("harr")).cast("long").as("n_shingles"))
+    // truth: every shingle-sharing pair, verified with exact hashed-set
+    // Jaccard (the ngramJaccardPairs shape on the hashed representation)
+    val a = hsh.select(col("doc_id").as("id1"), col("h"))
+    val b = hsh.select(col("doc_id").as("id2"), col("h"))
+    val truthCands = a.hint("merge").join(b, Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val truth = candidateJaccardHashed(hsh, truthCands, card)
+      .filter(col("jaccard") >= threshold)
+    // LSH: banding candidates, same exact verification
+    val sigs = minhashSignaturesArr(arrs, numHashes, seed)
+    val cands = minhashLshCandidatesArr(sigs, numHashes, bands)
+    val lsh = candidateJaccardHashed(hsh, cands, card)
+      .filter(col("jaccard") >= threshold)
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .select(col("n_true"), col("n_lsh"),
+        (col("n_true") - col("n_lsh")).as("n_missed"),
+        when(col("n_true") > 0, graft.functions.StableRound.stableRound(
+          col("n_lsh").cast("double") / col("n_true").cast("double") * 100, 4))
+          .otherwise(lit(null).cast("double")).as("recall_pct"))
+  }
+
+  def lshRecallFromDir(spark: SparkSession, dir: String): DataFrame =
+    lshRecall(Tables.documents(spark, dir))
+
+  /** DuckDB twin: truth and LSH recomputed from scratch over the same
+    * hashed-shingle relation (`hsh`/`hcard` materialized — each is read
+    * by both pipelines), the minhash lanes from the SAME seeded
+    * [[hashParams]] generator [[minhashLshOracle]] embeds. */
+  def lshRecallOracle(n: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, seed: Long = 42L): String = {
+    val p = 2147483647L
+    val params = hashParams(numHashes, seed)
+    val rows = numHashes / bands
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((ha * ${a % p} + ${b % p}) % $p) AS mh_$i"
+    }.mkString(",\n       |           ")
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => s"mh_$i").mkString(", ")
+      s"($b, [$cols])"
+    }.mkString(",\n       |             ")
+    s"""WITH ${shingleCtesSql("documents", n)},
+       |hsh AS MATERIALIZED (SELECT DISTINCT doc_id, ${hash60Sql("shingle")} AS h FROM sh),
+       |hcard AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM hsh GROUP BY 1),
+       |tinter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
+       |           FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |truth AS (SELECT i.id1, i.id2 FROM tinter i
+       |          JOIN hcard ca ON i.id1 = ca.doc_id
+       |          JOIN hcard cb ON i.id2 = cb.doc_id
+       |          WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) >= $threshold),
+       |ha AS (SELECT doc_id, h % $p AS ha FROM hsh),
+       |sig AS (SELECT doc_id,
+       |           $minExprs
+       |        FROM ha GROUP BY doc_id),
+       |banded AS (SELECT doc_id, v.band, v.bucket
+       |           FROM sig, LATERAL (VALUES
+       |             $bandRows) AS v(band, bucket)),
+       |cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+       |         FROM banded l JOIN banded r
+       |           ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |linter AS (SELECT c.id1, c.id2, COUNT(*) AS n_common
+       |           FROM cand c
+       |           JOIN hsh a ON a.doc_id = c.id1
+       |           JOIN hsh b ON b.doc_id = c.id2 AND b.h = a.h
+       |           GROUP BY 1, 2),
+       |lsh AS (SELECT i.id1, i.id2 FROM linter i
+       |        JOIN hcard ca ON i.id1 = ca.doc_id
+       |        JOIN hcard cb ON i.id2 = cb.doc_id
+       |        WHERE CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) >= $threshold),
+       |t AS (SELECT COUNT(*) AS n_true FROM truth),
+       |l AS (SELECT COUNT(*) AS n_lsh FROM lsh)
+       |SELECT t.n_true, l.n_lsh, t.n_true - l.n_lsh AS n_missed,
+       |       CASE WHEN t.n_true > 0
+       |            THEN FLOOR(CAST(l.n_lsh AS DOUBLE) / CAST(t.n_true AS DOUBLE) * 100 * 1e4 + 0.5) / 1e4
+       |            ELSE NULL END AS recall_pct
+       |FROM t, l""".stripMargin
+  }
 }

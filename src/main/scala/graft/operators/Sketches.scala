@@ -182,10 +182,7 @@ object Sketches {
     * groups), which is how every non-invertible summary (HLL, bloom
     * filters) handles deletes. Appends stay O(delta) via [[appendProbe]]. */
   def writeStore(docs: DataFrame, path: String, n: Int = 3, k: Int = StoreK): Unit =
-    shingleHashes(docs, n, col("source"))
-      .groupBy(col("grp").as("source"))
-      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk"))
-      .write.mode("overwrite").parquet(path)
+    sketchPerSource(docs, n, k).write.mode("overwrite").parquet(path)
 
   /** O(delta) maintenance: sketch ONLY the delta (one bounded-state pass
     * over the new docs), merge each source's delta sketch into the stored
@@ -197,24 +194,38 @@ object Sketches {
     * the store) pass through whole via the outer join + empty-array
     * coalesce. */
   def appendProbe(spark: SparkSession, storePath: String, delta: DataFrame,
-                  n: Int = 3, k: Int = StoreK): DataFrame = {
-    val stored = spark.read.parquet(storePath)
-      .select(col("source"), col("sk").as("sk_old"))
-    val fresh = shingleHashes(delta, n, col("source"))
+                  n: Int = 3, k: Int = StoreK): DataFrame =
+    storeEstimates(
+      mergedSketches(spark.read.parquet(storePath),
+        sketchPerSource(delta, n, k), k), k)
+
+  /** Per-source sketches of `docs` — the store-row form `(source, sk)`
+    * every store writer/merger consumes. */
+  def sketchPerSource(docs: DataFrame, n: Int = 3, k: Int = StoreK): DataFrame =
+    shingleHashes(docs, n, col("source"))
       .groupBy(col("grp").as("source"))
-      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk_new"))
+      .agg(KmvSketch.kmvBottomK(col("h"), k).as("sk"))
+
+  /** The KMV MERGE on store rows: sorted-union re-trimmed to k per source,
+    * full-outer so store-only and fresh-only sources pass through whole. */
+  def mergedSketches(stored: DataFrame, fresh: DataFrame, k: Int = StoreK): DataFrame = {
     val empty = array().cast("array<long>")
-    stored.join(fresh, Seq("source"), "full_outer")
-      .withColumn("sk", slice(array_sort(array_union(
-        coalesce(col("sk_old"), empty), coalesce(col("sk_new"), empty))), 1, k))
-      .select(
-        col("source"),
-        size(col("sk")).cast("long").as("k_used"),
-        element_at(col("sk"), -1).as("kth_min"),
-        StableRound.stableRound(
-          estCol(size(col("sk")), element_at(col("sk"), -1), k), 4).as("est_distinct"))
-      .orderBy(col("source"))
+    stored.select(col("source"), col("sk").as("sk_old"))
+      .join(fresh.select(col("source"), col("sk").as("sk_new")), Seq("source"), "full_outer")
+      .select(col("source"), slice(array_sort(array_union(
+        coalesce(col("sk_old"), empty), coalesce(col("sk_new"), empty))), 1, k).as("sk"))
   }
+
+  /** Estimates from store rows — the probe surface of every sketch store
+    * consumer (batch append and streaming ingest share it). */
+  def storeEstimates(store: DataFrame, k: Int = StoreK): DataFrame =
+    store.select(
+      col("source"),
+      size(col("sk")).cast("long").as("k_used"),
+      element_at(col("sk"), -1).as("kth_min"),
+      StableRound.stableRound(
+        estCol(size(col("sk")), element_at(col("sk"), -1), k), 4).as("est_distinct"))
+      .orderBy(col("source"))
 
   /** Pairwise source-overlap matrix from per-source sketches: the M²
     * question ("which sources feed me the same shingles?") answered from

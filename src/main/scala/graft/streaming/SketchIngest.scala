@@ -1,0 +1,148 @@
+package graft.streaming
+
+import graft.operators.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming maintenance of the persisted KMV sketch store
+  * ([[Sketches.writeStore]]'s layout): per micro-batch, sketch the batch's
+  * docs (one bounded-state pass over the BATCH alone) and merge the k-long
+  * arrays into the store — live per-source distinct-cardinality estimates
+  * over an unbounded ingest stream, with state that never grows past
+  * k longs per source.
+  *
+  * Two idempotency layers, deliberately different in kind:
+  *   - The SIDE EFFECT (the store write) is guarded by the batchId ledger
+  *     ([[graft.streaming.IndexIngest]]'s convention): a replayed batchId
+  *     is skipped whole, each committed batch writes its own generation
+  *     dir (`gen-b<batchId>`) and the reader serves the highest committed
+  *     generation — a crash between write and marker leaves the previous
+  *     generation authoritative, so the store is never half-merged.
+  *   - Row RE-DELIVERY needs NO guard at all — and [[replayDocs]] plants
+  *     re-deliveries to PROVE it: a KMV sketch is a set function of the
+  *     inserted hashes, so merging the same doc's shingles twice is
+  *     algebraically a no-op. The vector-store ingest
+  *     ([[IndexIngest.dedupArrivals]]) must carry watermark dedup state to
+  *     keep duplicates out; the sketch stream carries ZERO dedup state by
+  *     algebra. That asymmetry is the operational point of sketch-typed
+  *     stores at 100 TB: the ingest path has no watermark, no state store,
+  *     no late-data policy — only the ledger around the tiny store write.
+  */
+object SketchIngest {
+
+  private def ledgerDir(storeDir: String) =
+    java.nio.file.Paths.get(storeDir, "commits")
+
+  /** Highest committed generation's parquet path (the init generation is
+    * `gen-init`, committed by [[init]] with marker `batch-init`). */
+  def currentGenPath(storeDir: String): String = {
+    val ledger = ledgerDir(storeDir)
+    val latest =
+      if (!java.nio.file.Files.isDirectory(ledger)) None
+      else {
+        val it = java.nio.file.Files.list(ledger)
+        try {
+          import scala.jdk.CollectionConverters._
+          it.iterator().asScala.map(_.getFileName.toString)
+            .collect { case s if s.startsWith("batch-") && s != "batch-init" =>
+              s.stripPrefix("batch-").toLong }
+            .maxOption
+        } finally it.close()
+      }
+    latest.map(b => s"$storeDir/gen-b$b").getOrElse(s"$storeDir/gen-init")
+  }
+
+  /** Build the initial store generation from the backlog docs. */
+  def init(docs: DataFrame, storeDir: String, n: Int = 3,
+           k: Int = Sketches.StoreK): Unit = {
+    Sketches.writeStore(docs, s"$storeDir/gen-init", n, k)
+    val ledger = ledgerDir(storeDir)
+    java.nio.file.Files.createDirectories(ledger)
+    java.nio.file.Files.createFile(ledger.resolve("batch-init"))
+  }
+
+  /** The foreachBatch callback: skip a committed batchId (ledger marker),
+    * else merge the batch's sketches into the current generation and
+    * commit the next one. Marker creation is LAST — the generation only
+    * becomes authoritative once fully written. */
+  private[graft] def mergeBatch(spark: SparkSession, storeDir: String,
+                                n: Int = 3, k: Int = Sketches.StoreK)
+                               (batch: DataFrame, batchId: Long): Unit = {
+    val marker = ledgerDir(storeDir).resolve(s"batch-$batchId")
+    if (java.nio.file.Files.exists(marker))
+      System.err.println(s"[sketch-ingest] batch $batchId already committed — skipping replay")
+    else {
+      val cur = spark.read.parquet(currentGenPath(storeDir))
+      Sketches.mergedSketches(cur, Sketches.sketchPerSource(batch, n, k), k)
+        .write.mode("overwrite").parquet(s"$storeDir/gen-b$batchId")
+      java.nio.file.Files.createFile(marker)
+    }
+  }
+
+  /** Production wiring: watch `watchDir` for document parquet, maintain
+    * the store per micro-batch. No watermark and no dedup state — see the
+    * object scaladoc for why re-delivery is algebraically absorbed. */
+  def start(spark: SparkSession, watchDir: String, storeDir: String,
+            n: Int = 3, k: Int = Sketches.StoreK): StreamingQuery =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING")
+      .parquet(watchDir)
+      .writeStream
+      .option("checkpointLocation", s"$storeDir/checkpoint")
+      .foreachBatch(mergeBatch(spark, storeDir, n, k) _)
+      .start()
+
+  /** Gated replay `sketch_stream_append`: fresh store from the backlog
+    * (doc_id % [[Sketches.DeltaMod]] != 0), the delta streamed through a
+    * MemoryStream in `nBatches` micro-batches with every 2nd delta doc
+    * RE-DELIVERED verbatim into the following batch (the
+    * [[IndexIngest.replayVectors]] plant convention, plus one trailing
+    * batch so the last batch's plants are exercised). The final store's
+    * estimates must equal the FULL-corpus recompute
+    * ([[Sketches.appendOracle]]) — which a surviving duplicate could not
+    * break (algebra), but a dropped batch, a half-merged generation, or a
+    * mis-ordered reader WOULD. */
+  def replayDocs(spark: SparkSession, dir: String, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"))
+    val storeRoot = java.nio.file.Files.createTempDirectory("graft_sketch_stream")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try java.nio.file.Files.walk(storeRoot)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }))
+    val storeDir = storeRoot.toString
+    init(docs.filter(col("doc_id") % Sketches.DeltaMod =!= 0), storeDir)
+    val delta: Array[(Long, String, String)] = docs
+      .filter(col("doc_id") % Sketches.DeltaMod === 0)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, String)].collect()
+    require(delta.nonEmpty, s"no delta documents under $dir")
+    val batches = Replay.evenBatches(delta, nBatches)
+    val plants = batches.map(_.zipWithIndex.collect { case (row, i) if i % 2 == 0 => row })
+    val timed = batches.zipWithIndex.map { case (b, i) =>
+      b ++ (if (i == 0) Nil else plants(i - 1))
+    } :+ plants.last
+
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    var q: StreamingQuery = null
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String)]
+      q = mem.toDF().toDF("doc_id", "text", "source")
+        .writeStream
+        .foreachBatch(mergeBatch(spark, storeDir) _)
+        .start()
+      timed.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally {
+      if (q != null) q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    Sketches.storeEstimates(spark.read.parquet(currentGenPath(storeDir)))
+  }
+}

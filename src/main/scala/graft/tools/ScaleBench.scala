@@ -80,7 +80,11 @@ object ScaleBench {
       // round-17 KMV sketches (the ×k copies word-prefix every doc, so
       // the distinct-shingle universe genuinely grows ×k under them)
       "sketch_kmv_cardinality", "sketch_kmv_overlap",
-      "sketch_kmv_append", "sketch_kmv_source_overlap")
+      "sketch_kmv_append", "sketch_kmv_source_overlap",
+      // round-17 LSH recall certification gate
+      "dedup_lsh_recall",
+      // round-17 streaming sketch-store maintenance
+      "sketch_stream_append")
 
   /** Queries whose gate copies a persisted store before mutating it (gate
     * scaffolding a production in-place append never pays): their rows get

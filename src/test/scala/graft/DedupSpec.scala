@@ -172,6 +172,25 @@ class DedupSpec extends SparkSpec {
     assert(got.length === 1 && got(0).getString(1) === "a b c d e")
   }
 
+  test("lsh recall gate: lsh pairs are a subset of truth; recall consistent and non-trivial") {
+    val docs = Tables.documents(spark, sf)
+    val r = graft.operators.Dedup.lshRecall(docs).collect() match {
+      case Array(row) => row
+      case other => fail(s"expected one row, got ${other.length}")
+    }
+    val (nTrue, nLsh) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_lsh"))
+    assert(nTrue > 0, "the corpus plants near-dup pairs — truth cannot be empty")
+    assert(r.getAs[Long]("n_missed") == nTrue - nLsh)
+    assert(nLsh <= nTrue, "every verified LSH pair shares a shingle => lsh ⊆ truth")
+    // analytic banding floor: P(detect | j) = 1-(1-j^4)^16 is ~0.65 at the
+    // j=0.5 threshold boundary and ~1 above; realized recall on the
+    // planted mix must clear the boundary value by a margin
+    assert(r.getAs[Double]("recall_pct") >= 64.0,
+      s"recall ${r.getAs[Double]("recall_pct")} below the analytic boundary floor")
+    // and the n_lsh side must equal the standalone LSH gate's pair count
+    assert(nLsh == graft.operators.Dedup.minhashLsh(docs).count())
+  }
+
   test("embedding near-dups: cosine of a vector with itself is 1") {
     val e = Tables.embeddings(spark, sf).limit(10)
     val selfSim = e.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))

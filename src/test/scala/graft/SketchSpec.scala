@@ -134,6 +134,40 @@ class SketchSpec extends SparkSpec {
       s"pair ($sa,$sb) union estimate must equal the direct union bottom-k's")
   }
 
+  test("streaming sketch ingest: replay with planted re-deliveries == full rebuild") {
+    val est = graft.streaming.SketchIngest.replayDocs(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("k_used"),
+        r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct")))
+    val full = Sketches.kmvCardinality(graft.sources.Tables.documents(spark, sf))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("k_used"),
+        r.getAs[Long]("kth_min"), r.getAs[Double]("est_distinct")))
+    assert(est.toSeq == full.toSeq,
+      "the streamed store (with duplicates planted) must equal the batch rebuild")
+  }
+
+  test("streaming sketch ingest: committed batchIds skip; re-merging a batch is an algebraic no-op") {
+    val docs = Seq((1L, "alpha beta gamma delta", "s1"), (2L, "one two three four", "s2"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("sketch_ingest_spec").toString
+    graft.streaming.SketchIngest.init(docs, dir)
+    val batch = Seq((3L, "five six seven eight", "s1")).toDF("doc_id", "text", "source")
+    graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 0L)
+    val after1 = Sketches.storeEstimates(
+      spark.read.parquet(graft.streaming.SketchIngest.currentGenPath(dir))).collect().toSeq
+    // ledger guard: same batchId replays whole -> no new generation
+    graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 0L)
+    assert(graft.streaming.SketchIngest.currentGenPath(dir).endsWith("gen-b0"))
+    // set algebra: the SAME ROWS under a NEW batchId write a new
+    // generation whose sketches are identical — re-delivery cannot move
+    // a KMV sketch
+    graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 1L)
+    assert(graft.streaming.SketchIngest.currentGenPath(dir).endsWith("gen-b1"))
+    val after2 = Sketches.storeEstimates(
+      spark.read.parquet(graft.streaming.SketchIngest.currentGenPath(dir))).collect().toSeq
+    assert(after2 == after1)
+  }
+
   test("sketch-only plan partial-aggregates map-side (the 100 TB shape)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val sketchOnly = docs

@@ -868,10 +868,6 @@ object SparkEntry {
     "sketch_kmv_overlap",    // cost twin of sketch_kmv_cardinality (on the
                              // line): same shingle+hash scan and bounded
                              // KMV aggregate, plus one k-long array merge
-    "ivf_stream_append",     // float-tier streaming-ingest sibling: the
-                             // foreachBatch ledger mechanics are measured
-                             // on the compressed production tier
-                             // (imi_sq8_stream_append, on the line)
     "text_redact",           // scan-fused per-row regex pass, the
                              // text_quality cost class (text_quality stays
                              // on the line); the redaction rules themselves
@@ -989,7 +985,11 @@ object SparkEntry {
       "decontaminate_fuzzy", "decontamination_report", "dup_ngram_coverage",
       "corpus_diff", "corpus_shards", "corpus_packed", "event_outliers",
       "distinct_users", "sketch_kmv_overlap", "boilerplate_frac",
-      "sketch_kmv_append", "sketch_kmv_source_overlap"),
+      "sketch_kmv_source_overlap"),
+    // sketch_kmv_append is deliberately in NO batch: its warmup pass pays
+    // the memoized backlog store build (the ivf_index_append pattern), and
+    // batch estimates carry no build surcharge — a standalone fork keeps
+    // the batch scheduler's estimates honest
     "b_rank_anchors" -> Seq("hybrid_rrf", "hybrid_rrf_ivf", "hard_negatives",
       "ann_mrl_rerank", "semantic_dedup", "quality_classifier",
       "running_revenue", "pricing_summary"),

@@ -105,7 +105,7 @@ object Dedup {
   /** The dedup-internal content hash: [[hash60]] (cross-engine, default) or
     * xxhash64 (fast path) per [[FastHashConf]]. Masked to the low 60 bits
     * either way so [[SimhashBits]] signature bits are always backed. */
-  private def contentHash(df: DataFrame)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def contentHash(df: DataFrame)(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     if (df.sparkSession.conf.get(FastHashConf, "false").toBoolean)
       xxhash64(c).bitwiseAND(lit((1L << 60) - 1))
     else hash60(c)
@@ -558,8 +558,10 @@ object Dedup {
       .select(col("id1"), col("id2")).distinct()
     val truth = candidateJaccardHashed(hsh, truthCands, card)
       .filter(col("jaccard") >= threshold)
-    // LSH: banding candidates, same exact verification
-    val sigs = minhashSignaturesArr(arrs, numHashes, seed)
+    // LSH: banding candidates, same exact verification (sigs pinned —
+    // the banding self-join reads them from BOTH sides, the minhashLsh
+    // rule; unpinned, every run paid a second full signature pass)
+    val sigs = pinned(minhashSignaturesArr(arrs, numHashes, seed))
     val cands = minhashLshCandidatesArr(sigs, numHashes, bands)
     val lsh = candidateJaccardHashed(hsh, cands, card)
       .filter(col("jaccard") >= threshold)

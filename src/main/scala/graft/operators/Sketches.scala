@@ -41,8 +41,24 @@ object Sketches {
     * docs itself, so no corpus-wide distinct is needed before it. */
   private def shingleHashes(docs: DataFrame, n: Int, group: Column): DataFrame =
     docs.select(group.as("grp"),
+      // the dedup family's content hash: hash60 (cross-engine, default)
+      // or xxhash64 masked to 60 bits under Dedup.FastHashConf — the
+      // sketch estimator only needs a uniform [0, 2^60) family, so the
+      // fast path preserves the error bound; only the default keeps the
+      // gates oracle-checkable (the same trade every hashed-shingle
+      // pipeline documents at Dedup.FastHashConf)
       explode(array_distinct(transform(TextFunctions.wordShingles(col("text"), n),
-        s => Dedup.hash60(s)))).as("h"))
+        s => Dedup.contentHash(docs)(s)))).as("h"))
+
+  /** The shared DuckDB fragment of every sketch oracle: per-doc distinct
+    * word-n-gram shingles hashed to 60 bits, keyed by `grpExpr` — ONE copy
+    * (the [[Dedup.shingleCtesSql]] cannot-drift rule) so the shingling
+    * arithmetic can never fork between the four sketch oracles or from
+    * the Spark side. */
+  private def sketchShingleCtesSql(grpExpr: String, n: Int): String =
+    s"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
+       |sh AS (SELECT DISTINCT $grpExpr, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
+       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i))""".stripMargin
 
   /** The estimator, spelled identically to [[estSql]]: exact when the
     * sketch holds the whole distinct set (k_used < k), else (k−1)·M/kth.
@@ -89,9 +105,7 @@ object Sketches {
 
   def kmvCardinalityOracle(n: Int = 3, k: Int = 128): String = {
     val est = estSql("k_used", "kth_min", k)
-    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT source, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+    s"""WITH ${sketchShingleCtesSql("source", n)},
        |rk AS (SELECT source, h,
        |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
        |              COUNT(*) OVER (PARTITION BY source) AS nd
@@ -274,9 +288,7 @@ object Sketches {
     val estB = estSql("k_b", "kth_b", k)
     val estU = estSql("k_u", "kth_u", k)
     val estI = s"GREATEST(($estA) + ($estB) - ($estU), 0.0)"
-    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT source, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+    s"""WITH ${sketchShingleCtesSql("source", n)},
        |rk AS (SELECT source, h,
        |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
        |       FROM sh),
@@ -334,9 +346,7 @@ object Sketches {
     * property. */
   def appendOracle(n: Int = 3, k: Int = StoreK): String = {
     val est = estSql("k_used", "kth_min", k)
-    s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT source, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+    s"""WITH ${sketchShingleCtesSql("source", n)},
        |rk AS (SELECT source, h,
        |              row_number() OVER (PARTITION BY source ORDER BY h) AS rn
        |       FROM sh),
@@ -356,9 +366,7 @@ object Sketches {
     val estB = estSql("k_b", "kth_b", k)
     val estU = estSql("k_u", "kth_u", k)
     val estI = s"(($estA) + ($estB) - ($estU))"
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT doc_id % 2 AS half, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+    s"""WITH ${sketchShingleCtesSql("doc_id % 2 AS half", n)},
        |rk AS (SELECT half, h,
        |              row_number() OVER (PARTITION BY half ORDER BY h) AS rn,
        |              COUNT(*) OVER (PARTITION BY half) AS nd

@@ -57,6 +57,22 @@ object SketchIngest {
   def init(docs: DataFrame, storeDir: String, n: Int = 3,
            k: Int = Sketches.StoreK): Unit = {
     Sketches.writeStore(docs, s"$storeDir/gen-init", n, k)
+    commitInit(storeDir)
+  }
+
+  /** Seed the init generation by COPYING an already-built flat store —
+    * the store is M×k longs (kilobytes), so re-invocations (bench's
+    * warmup+measured passes, the scale curve's repeats) pay a copy, not
+    * a re-sketch of the whole backlog corpus (the memoize-the-backlog
+    * rule every stream-append gate follows). */
+  def initFromStore(spark: SparkSession, flatStorePath: String,
+                    storeDir: String): Unit = {
+    spark.read.parquet(flatStorePath)
+      .write.mode("overwrite").parquet(s"$storeDir/gen-init")
+    commitInit(storeDir)
+  }
+
+  private def commitInit(storeDir: String): Unit = {
     val ledger = ledgerDir(storeDir)
     java.nio.file.Files.createDirectories(ledger)
     java.nio.file.Files.createFile(ledger.resolve("batch-init"))
@@ -115,7 +131,11 @@ object SketchIngest {
       catch { case scala.util.control.NonFatal(_) => () }
     }))
     val storeDir = storeRoot.toString
-    init(docs.filter(col("doc_id") % Sketches.DeltaMod =!= 0), storeDir)
+    // the backlog sketch is memoized per (JVM, dir) — Sketches.buildStoreFor
+    // sketches the SAME backlog residue the batch-append gate uses — and
+    // each replay invocation copies the kilobyte store instead of
+    // re-sketching 80% of the corpus
+    initFromStore(spark, Sketches.buildStoreFor(spark, dir), storeDir)
     val delta: Array[(Long, String, String)] = docs
       .filter(col("doc_id") % Sketches.DeltaMod === 0)
       .orderBy(col("doc_id"))

@@ -101,10 +101,22 @@ object HybridRetrieval {
     * (rrf desc, doc_id asc) cut. Query-bounded: 2·|Q|·kList rows in. */
   private def fuse(lex: DataFrame, vec: DataFrame, k: Int,
                    kRrf: Int): DataFrame = {
+    // Both lists are non-empty by construction (queries exist, the corpus
+    // exists). A silently-EMPTY list degrades the fusion to single-list
+    // RRF with no exception anywhere — observed once in a 162-query
+    // 8-worker verify run, where the vector list vanished whole and the
+    // gate emitted pure lex ranks. Pin each list (the union reads it
+    // again) and fail LOUDLY on emptiness instead of fusing a lie.
+    val lexP = graft.operators.Pinned.pin(lex)
+    val vecP = graft.operators.Pinned.pin(vec)
+    require(lexP.limit(1).count() == 1,
+      "hybrid fusion: the lexical list is empty — upstream read failure")
+    require(vecP.limit(1).count() == 1,
+      "hybrid fusion: the vector list is empty — upstream read failure")
     def contrib(rank: org.apache.spark.sql.Column) =
       floor(lit(1e6) / (lit(kRrf.toDouble) + rank.cast("double")) + 0.5).cast("long")
-    val fused = lex.select(col("query_id"), col("doc_id"), contrib(col("lrank")).as("c"))
-      .unionAll(vec.select(col("query_id"), col("doc_id"), contrib(col("vrank")).as("c")))
+    val fused = lexP.select(col("query_id"), col("doc_id"), contrib(col("lrank")).as("c"))
+      .unionAll(vecP.select(col("query_id"), col("doc_id"), contrib(col("vrank")).as("c")))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("rrf_micros"))
     val w = Window.partitionBy(col("query_id"))

@@ -489,11 +489,27 @@ object Similarity {
     readQuantizerPath(spark, s"$dir/_quantizer_v${ivfGen(dir)}")
 
   private def readQuantizerPath(spark: SparkSession,
-                                path: String): Array[(Int, Array[Double])] =
-    spark.read.parquet(path).collect()
+                                path: String): Array[(Int, Array[Double])] = {
+    def read() = spark.read.parquet(path).collect()
       .map(r => (r.getAs[Int]("centroid_id"),
         r.getAs[Seq[Double]]("centroid").toArray))
       .sortBy(_._1)
+    val first = read()
+    // Empty-listing guard (observed once in a 162-query 8-worker verify
+    // run): a freshly-committed sidecar read from another session can
+    // transiently list ZERO files, and an empty quantizer silently
+    // empties every downstream probe (probes -> isin() -> cells -> the
+    // whole vector list) with no exception — the failure surfaced as a
+    // hybrid-fusion gate returning single-list RRF. Refresh this
+    // session's cached listing and retry once; if the sidecar is
+    // genuinely empty, fail LOUDLY rather than serve an empty tier.
+    val out = if (first.nonEmpty) first else {
+      spark.catalog.refreshByPath(path)
+      read()
+    }
+    require(out.nonEmpty, s"quantizer sidecar at $path listed empty twice")
+    out
+  }
 
   /** Per-row vector→assigned-centroid cosine — the quantity whose mean
     * decays as data drifts away from the centroids it was quantized
@@ -1085,7 +1101,16 @@ object Similarity {
     * and append paths (a sidecar schema change lands in one place). */
   private def readSq8Sidecar(spark: SparkSession, dir: String,
                              g: Long): (Array[Double], Array[Double]) = {
-    val r = spark.read.parquet(s"$dir/_sq8_v$g").first()
+    val path = s"$dir/_sq8_v$g"
+    // same empty-listing guard as readQuantizerPath (one refresh+retry,
+    // then loud failure — head() on a transiently-empty listing would
+    // otherwise throw an opaque NoSuchElementException)
+    val rows = spark.read.parquet(path).collect()
+    val r = (if (rows.nonEmpty) rows else {
+      spark.catalog.refreshByPath(path)
+      spark.read.parquet(path).collect()
+    }).headOption.getOrElse(
+      throw new IllegalStateException(s"sq8 sidecar at $path listed empty twice"))
     (r.getAs[Seq[Double]]("mn").toArray, r.getAs[Seq[Double]]("mx").toArray)
   }
 
@@ -1431,6 +1456,12 @@ object Similarity {
                              probes: DataFrame): DataFrame = {
     val probedCells = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getInt(0)).sorted
+    // queries and quantizers are both non-empty by construction (the
+    // sidecar reads above guard their listings), so an empty probe set
+    // can only be a silent upstream emptiness — fail loudly instead of
+    // serving an empty vector tier (the readQuantizerPath guard's story)
+    require(probedCells.nonEmpty,
+      s"no probed cells for $dataDir — empty probe frame upstream")
     spark.read.parquet(dataDir)
       .filter(col("centroid_id").isin(probedCells.map(Integer.valueOf).toIndexedSeq: _*))
   }

@@ -35,8 +35,13 @@ package graft
   *   2. WALL BUDGET: SPARK_GRAFT_BENCH_BUDGET seconds (default 1620 —
   *      r16 ran 1812 s of sbt wall and survived the driver cap, so
   *      1620 + overhead lands ~160 s inside the proven-survivable
-  *      point). Must-units dispatch FAT-FIRST (descending estimate);
-  *      droppables follow in the per-round rotation order.
+  *      point). The FLAGSHIP trio (q1/q2/q3) dispatches first
+  *      unconditionally; the other must-units FAT-FIRST (descending
+  *      estimate); droppables follow in the per-round rotation order.
+  *      A per-label WATCHDOG (see runForkedSuite) kills any entry that
+  *      runs past ~3× its prior floor (clamped to 8% of the budget) —
+  *      the r17 driver run let two contention-inflated entries eat ~30%
+  *      of the budget and evict 83 labels including the trio.
   *      Tasks run must-entries first, then build phases, then
   *      [[SparkEntry.lowPriorityBench]] cost-twins in the per-round
   *      rotation order; before each task the remaining budget is checked
@@ -135,7 +140,8 @@ object Bench {
     val prior = readPriorQueries()
     val seed = roundSeed()
 
-    val (results: Seq[(String, Double, Seq[Double])], cut: Seq[String]) =
+    val (results: Seq[(String, Double, Seq[Double])], cut: Seq[String],
+         wdogKilled: Seq[String]) =
     if (fork) {
       // must-entries first, then droppable cost-twins in the per-round
       // rotation order — budget exhaustion (below) then trims exactly the
@@ -161,7 +167,7 @@ object Bench {
       val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
       val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p, warmups, passes))
       spark.stop()
-      (qs ++ ph, Seq.empty[String])
+      (qs ++ ph, Seq.empty[String], Seq.empty[String])
     }
 
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
@@ -186,14 +192,18 @@ object Bench {
         f"round-over-round ($p%.2fs -> $v%.2fs) — re-measure isolated and " +
         "adjudicate (plan regression vs substrate) before citing this record")
     }
+    // watchdog-killed labels exceeded ~3× their floor BY CONSTRUCTION:
+    // they ride the line's tripwire list (unmeasured, so tripwireMovers
+    // cannot see them) and are already in `cut`
+    val trippedNames = (tripped.map(_._1) ++ wdogKilled).distinct
     // the driver greps the sbt tail for the metric JSON and rounds 1-2
     // failed to parse it out of sbt's [info]-prefixed log noise — persist
     // the full record to bench.json (best-effort: a read-only cwd must not
     // void the measurement), and emit the compact line LAST on BOTH stdout
     // and stderr (sbt prefixes stdout with "[info] "; stderr passes bare)
-    writeRecord(results, cut, sfDir, fork, tripped.map(_._1), partial = false)
+    writeRecord(results, cut, sfDir, fork, trippedNames, partial = false)
     val (compact, omitted) =
-      compactLine(results.map(r => (r._1, r._2)), sfDir, tripped.map(_._1),
+      compactLine(results.map(r => (r._1, r._2)), sfDir, trippedNames,
         seed, cut.size)
     if (omitted.nonEmpty)
       System.err.println("[bench] line-budget overflow (full record in bench.json): " +
@@ -507,22 +517,35 @@ object Bench {
         BatchDefaultEstSecs
       else DefaultEstSecs)
 
-  /** Dispatch order: must-units FAT-FIRST (descending estimate), then
-    * droppable units in their incoming (rotation) order. Fat-first
-    * exists because of two r17-measured failures: a stale-fat prior
-    * (mmr's 133 s r16 plan, already fixed to ~11 s) reached the queue
-    * front only when nothing fit and was CUT unmeasured, and the
-    * q1/q2/q3 flagship trio (est 33 s) hash-scrambled to the back and
-    * was cut at 11 s left. Fat units measure while budget is plentiful
-    * (stale estimates self-correct next round); cheap must units at the
-    * tail fit the final slivers. Pure — spec-covered. */
+  /** Dispatch order: the FLAGSHIP unit (q1/q2/q3 — the SURVEY §2 contract
+    * queries, ~8 s) unconditionally first, then the remaining must-units
+    * FAT-FIRST (descending estimate), then droppable units in their
+    * incoming (rotation) order. Fat-first exists because of two
+    * r17-measured failures: a stale-fat prior (mmr's 133 s r16 plan,
+    * already fixed to ~11 s) reached the queue front only when nothing fit
+    * and was CUT unmeasured, and the q1/q2/q3 flagship trio (est 33 s)
+    * hash-scrambled to the back and was cut at 11 s left. The flagship pin
+    * exists because fat-first then lost the trio a SECOND way on the r17
+    * driver line: two contention-inflated fat gates ran first, overran
+    * their estimates 10–18×, and the trio was cut from the exhausted tail
+    * — the one unit whose absence voids the round's baseline comparison
+    * must never depend on other units' estimates being honest. Fat units
+    * measure while budget is plentiful (stale estimates self-correct next
+    * round); cheap must units at the tail fit the final slivers. Pure —
+    * spec-covered. */
   private[graft] def scheduleUnits(units: Seq[BenchUnit],
                                    est: BenchUnit => Double): Seq[BenchUnit] = {
     val isMust = (u: BenchUnit) => u.labels.exists(l =>
       !SparkEntry.lowPriorityBench.contains(l))
-    val (mustUnits, dropUnits) = units.partition(isMust)
-    mustUnits.sortBy(-est(_)) ++ dropUnits
+    val (flagship, rest) = units.partition(_.labels.contains(FlagshipLabel))
+    val (mustUnits, dropUnits) = rest.partition(isMust)
+    flagship ++ mustUnits.sortBy(-est(_)) ++ dropUnits
   }
+
+  /** The query whose unit [[scheduleUnits]] pins to the front of the
+    * dispatch queue (its batch carries the q1/q2/q3 trio — BASELINE.md's
+    * comparison surface). */
+  private[graft] val FlagshipLabel = "q1_agg_orders"
 
   /** Run `units` in forked workers, PIPELINED: while worker i measures,
     * worker i+1 is forked and parks at its READY/GO handshake with a
@@ -542,20 +565,46 @@ object Bench {
   private def runForkedSuite(allUnits: Seq[BenchUnit], sfDir: String,
                              warmups: Int, passes: Int, budgetSecs: Double,
                              prior: Map[String, Double],
-                             t0: Long): (Seq[(String, Double, Seq[Double])], Seq[String]) = {
+                             t0: Long): (Seq[(String, Double, Seq[Double])], Seq[String], Seq[String]) = {
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     def execs(label: String): Int =
       if (SparkEntry.replayHarnessQueries(label) ||
         SparkEntry.iterativeHarnessQueries(label)) warmups + 1
       else warmups + passes
+    // the per-entry WATCHDOG ceiling: no label may hold a worker longer
+    // than ~3× its prior floor (WatchdogEstFactor × the ×1.2 estimate),
+    // clamped to WatchdogBudgetFrac of the wall budget — the r17 driver
+    // run let two contention-inflated entries (10-18× their floors) eat
+    // ~30% of the budget and evict 83 labels including the flagship trio.
+    // The same ceiling CLAMPS the dispatch estimate: the r17 driver run
+    // also wrote its inflated numbers into bench.json as floors, and an
+    // unclamped estimate (367.7 s × execs × 1.2 > the whole budget) would
+    // price the gate out of every later run — permanently, since a gate
+    // that never runs never corrects its floor. Clamped, the gate is
+    // dispatched, and either measures at its honest floor (self-correcting
+    // the record) or is killed at the ceiling having consumed a bounded,
+    // pre-budgeted slice.
+    val capMax = math.max(WatchdogMinSecs, WatchdogBudgetFrac * budgetSecs)
     def estLabel(label: String): Double =
-      estimateLabel(label, prior, execs(label))
+      math.min(estimateLabel(label, prior, execs(label)), capMax)
+    def capLabel(label: String): Double = math.min(
+      math.max(WatchdogMinSecs,
+        WatchdogEstFactor * estimateLabel(label, prior, execs(label))), capMax)
+    // per-label kill deadlines for the worker's sequential task list; the
+    // FIRST label's window also absorbs the post-GO session build and a
+    // memo family's one-time shared build
+    def unitCaps(u: BenchUnit): Seq[Double] =
+      u.labels.zipWithIndex.map { case (l, i) =>
+        capLabel(l) + (if (i == 0) StartupMarginSecs +
+          (if (u.memo) FamilyBuildSurchargeSecs else 0.0) else 0.0)
+      }
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
         (if (u.memo) FamilyBuildSurchargeSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
+    val wdogKilled = scala.collection.mutable.ArrayBuffer[String]()
     var queue = scheduleUnits(allUnits, estUnit).toList
     def popFitting(): Option[BenchUnit] = {
       while (queue.nonEmpty) {
@@ -607,7 +656,20 @@ object Bench {
               // overlap the NEXT worker's startup with this measurement
               prestarted = popFitting()
                 .map(u2 => (u2, ForkHandle.spawn(u2.spec, sfDir, warmups, passes)))
-              results ++= h.finish(u.labels, remaining + 180)
+              val out = h.finish(u.labels, remaining + 180, unitCaps(u))
+              results ++= out.results
+              if (out.timedOut.nonEmpty) {
+                // the in-flight label blew its watchdog window (>~3× its
+                // floor): it TRIPWIRES (named on the metric line) and is
+                // cut; the unit's unstarted tail is cut with it. Neither
+                // is a FAILURE — the budget they did not consume runs the
+                // rest of the suite, which is the watchdog's entire point.
+                cut ++= out.timedOut
+                wdogKilled += out.timedOut.head
+                System.err.println(s"[bench] WATCHDOG killed " +
+                  s"${out.timedOut.head} (cap ${capLabel(out.timedOut.head).toInt}s); " +
+                  s"cut with unstarted tail: ${out.timedOut.mkString(",")}")
+              }
             }
             writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil, partial = true)
             System.err.println(f"[bench-partial] done=${results.size} " +
@@ -615,7 +677,7 @@ object Bench {
           }
       }
     }
-    (results.toSeq, cut.toSeq)
+    (results.toSeq, cut.toSeq, wdogKilled.toSeq)
   }
 
   /** Startup overhead added to every unit estimate (handshake + GO + temp
@@ -628,6 +690,16 @@ object Bench {
   private[graft] val BatchDefaultEstSecs = 6.0
   private[graft] val FamilyBuildSurchargeSecs = 60.0
   private[graft] val ReadyTimeoutSecs = 180.0
+
+  /** Watchdog tuning. EstFactor × the ×1.2 estimate = 3× the prior floor
+    * (the VERDICT r17 ask); MinSecs keeps scheduling wobble on cheap gates
+    * from killing honest runs; BudgetFrac bounds what any single label may
+    * consume even when its floor (or its inflation) is huge — 8% of the
+    * default 1620 s budget ≈ 130 s, above every honest entry cost in the
+    * suite (fattest: ~20 s floor × 2 executions + margin). */
+  private[graft] val WatchdogEstFactor = 2.5
+  private[graft] val WatchdogMinSecs = 60.0
+  private[graft] val WatchdogBudgetFrac = 0.08
 }
 
 /** One forked BenchWorker JVM with the READY/GO handshake. The worker
@@ -654,46 +726,93 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
     finally cleanup()
   }
 
-  /** Wait for the worker (at most `deadlineSecs` — the REMAINING wall
-    * budget plus the caller's fixed grace, floored at a small 60 s so a
-    * unit dispatched with seconds left can still land its first result
-    * lines) and read its result file: one "label|minSecs|p1,p2,..." line
-    * per task. Labels with no line (crash or timeout mid-family) report
-    * -1; lines already written before a crash still count — a dying
-    * worker loses only its unmeasured tail. The old 300 s floor let one
-    * misestimated unit dispatched near the deadline overrun the wall
-    * budget by minutes (r16 ADVICE); bounding by remaining+grace kills
-    * the worker instead and keeps its completed prefix. */
-  def finish(labels: Seq[String], deadlineSecs: Double): Seq[(String, Double, Seq[Double])] =
+  /** Wait for the worker under TWO deadlines and read its result file
+    * (one "label|minSecs|p1,p2,..." line per task, written as each task
+    * completes):
+    *
+    *   - the WHOLE-UNIT deadline (`deadlineSecs` — the remaining wall
+    *     budget plus the caller's fixed grace, floored at a small 60 s so
+    *     a unit dispatched with seconds left can still land its first
+    *     result lines; the old 300 s floor let one misestimated unit
+    *     overrun the wall budget by minutes, r16 ADVICE), and
+    *   - a PER-LABEL watchdog (`caps(i)` seconds from the previous label's
+    *     result line to label i's): the r17 driver run had two
+    *     contention-inflated entries run 10-18× their floors to
+    *     completion, eating ~30% of the budget — bounded only by this
+    *     method's whole-run deadline, i.e. not at all until everything
+    *     else was already lost. The result file doubles as the heartbeat:
+    *     the worker appends a line per completed task, so "no new line
+    *     within the current label's cap" is exactly "this label is past
+    *     its kill threshold".
+    *
+    * Either deadline kills the worker and returns its completed prefix as
+    * `results` with the unfinished labels (in-flight first) as `timedOut`
+    * — a TIMEOUT, not a failure: the caller cuts + tripwires them and
+    * spends the preserved budget on the rest of the suite. A worker
+    * crash (exit ≠ 0 with no kill) still reports missing labels as -1 in
+    * `results` — a real failure the driver must see. */
+  def finish(labels: Seq[String], deadlineSecs: Double,
+             caps: Seq[Double]): ForkHandle.UnitOutcome =
     try {
       val waitSecs = math.max(60.0, math.min(2400.0, deadlineSecs))
-      val done = proc.waitFor((waitSecs * 1000).toLong,
-        java.util.concurrent.TimeUnit.MILLISECONDS)
-      if (!done) { proc.destroyForcibly(); proc.waitFor() }
-      val got: Map[String, (Double, Seq[Double])] =
-        try {
-          java.nio.file.Files.readString(out).linesIterator.flatMap { line =>
-            line.split('|') match {
-              case Array(l, v, ps) => Some(l -> (v.toDouble,
-                ps.split(',').filter(_.nonEmpty).map(_.toDouble).toSeq))
-              case Array(l, v) => Some(l -> (v.toDouble, Seq.empty[Double]))
-              case _ => None
-            }
-          }.toMap
-        } catch { case scala.util.control.NonFatal(_) => Map.empty }
-      if (!done || proc.exitValue() != 0)
-        System.err.println(s"[bench] ${labels.mkString(",")}: worker " +
-          (if (done) s"exit ${proc.exitValue()}" else f"timed out after ${deadlineSecs}%.0fs") +
-          s" (${got.size}/${labels.size} results recovered)")
-      labels.map(l => got.get(l) match {
-        case Some((v, ps)) => (l, v, ps)
-        case None => (l, -1.0, Seq.empty[Double])
-      })
+      val tEnd = System.nanoTime() + (waitSecs * 1e9).toLong
+      var idx = 0 // first label without a result line yet
+      var windowStart = System.nanoTime()
+      var timedOut = false
+      var exited = false
+      while (!exited && !timedOut) {
+        exited = proc.waitFor(250, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (!exited) {
+          val got = readResults()
+          while (idx < labels.size && got.contains(labels(idx))) {
+            idx += 1; windowStart = System.nanoTime()
+          }
+          val now = System.nanoTime()
+          val overCap = idx < labels.size && idx < caps.size &&
+            now - windowStart > (caps(idx) * 1e9).toLong
+          if (overCap || now > tEnd) timedOut = true
+        }
+      }
+      if (timedOut) { proc.destroyForcibly(); proc.waitFor() }
+      val got = readResults()
+      if (timedOut) {
+        val missing = labels.filterNot(got.contains)
+        System.err.println(s"[bench] ${labels.mkString(",")}: " +
+          s"worker killed (${if (idx < labels.size && idx < caps.size)
+            f"label ${labels(idx)} over its ${caps(idx)}%.0fs watchdog cap"
+          else f"whole-unit deadline ${waitSecs}%.0fs"}); " +
+          s"${got.size}/${labels.size} results kept")
+        ForkHandle.UnitOutcome(
+          labels.collect { case l if got.contains(l) => (l, got(l)._1, got(l)._2) },
+          missing)
+      } else {
+        if (proc.exitValue() != 0)
+          System.err.println(s"[bench] ${labels.mkString(",")}: worker " +
+            s"exit ${proc.exitValue()} (${got.size}/${labels.size} results recovered)")
+        ForkHandle.UnitOutcome(labels.map(l => got.get(l) match {
+          case Some((v, ps)) => (l, v, ps)
+          case None => (l, -1.0, Seq.empty[Double])
+        }), Seq.empty)
+      }
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] ${labels.mkString(",")}: fork failed: $e")
-        labels.map(l => (l, -1.0, Seq.empty[Double]))
+        ForkHandle.UnitOutcome(labels.map(l => (l, -1.0, Seq.empty[Double])), Seq.empty)
     } finally cleanup()
+
+  /** The result file's current contents (may be mid-append — a torn last
+    * line parses as no entry and is re-read whole on the next poll). */
+  private def readResults(): Map[String, (Double, Seq[Double])] =
+    try {
+      java.nio.file.Files.readString(out).linesIterator.flatMap { line =>
+        line.split('|') match {
+          case Array(l, v, ps) => v.toDoubleOption.map(d => l -> (d,
+            ps.split(',').flatMap(_.toDoubleOption).toSeq))
+          case Array(l, v) => v.toDoubleOption.map(d => l -> (d, Seq.empty[Double]))
+          case _ => None
+        }
+      }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   private def cleanup(): Unit = {
     try java.nio.file.Files.deleteIfExists(out)
@@ -705,6 +824,13 @@ private[graft] object ForkHandle {
   /** Handshake line the worker prints once its JVM is up (the
     * SparkSession deliberately builds only after GO — see BenchWorker). */
   val ReadyMarker = "[bench-worker] READY"
+
+  /** [[ForkHandle.finish]]'s verdict on one unit: `results` are measured
+    * labels (or crashed ones at -1); `timedOut` are watchdog/deadline
+    * casualties — the in-flight label first, then the unstarted tail —
+    * which the caller records as cut + tripwired, never failed. */
+  final case class UnitOutcome(results: Seq[(String, Double, Seq[Double])],
+                               timedOut: Seq[String])
 
   def spawn(task: String, sfDir: String, warmups: Int, passes: Int): ForkHandle = {
     val javaBin = java.nio.file.Paths

@@ -51,7 +51,7 @@ object Verify {
     // oracle SQL FIRST (see scaladoc): a partial run must stay comparable
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson())
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = verifyOrder(SparkEntry.queries.keys.toSeq)
       .filter(n => only.forall(_.contains(n)))
     val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt)
     val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET", "780").toDouble
@@ -101,6 +101,54 @@ object Verify {
     System.err.println(f"[verify] ${done.get()}/${names.size} written in ${elapsed()}%.0fs " +
       s"(par=$par, budget=${budgetSecs}s)")
     spark.stop()
+  }
+
+  /** Verification order: gates with NO driver CORRECTNESS row ever run
+    * FIRST, then least-recently-verified, alphabetical only as the tie
+    * break within a round. Round 17's budget skip processed the queue
+    * alphabetically and ate the exact tail after `s7_snapshot_scan` — the
+    * 29 newest gates (the entire new sketch family among them) got no
+    * driver row while the best-evidenced gates were re-verified for the
+    * 17th time. Under this order, a budget truncation eats the gates with
+    * the MOST prior driver evidence, never the newest.
+    *
+    * Evidence source: the committed `CORRECTNESS_r{N}.json` artifacts in
+    * `dir` (the driver writes them to the repo root it runs from). A gate's
+    * "last verified round" is the highest N whose artifact mentions the
+    * quoted gate name; membership is a substring probe — names are exact
+    * JSON keys, quotes delimit them, so a name that prefixes another
+    * (`ann_recall` / `ann_recall_pq`) cannot false-match. Any read/parse
+    * problem degrades to "never seen" for the affected names — which only
+    * PROMOTES them, never hides one. */
+  private[graft] def verifyOrder(names: Seq[String], dir: String = "."): Seq[String] = {
+    val lastRound = lastVerifiedRound(names, dir)
+    names.sortBy(n => (lastRound.getOrElse(n, 0), n))
+  }
+
+  /** name → highest committed CORRECTNESS round mentioning it (absent =
+    * never driver-verified). Best-effort: unreadable files are skipped. */
+  private[graft] def lastVerifiedRound(names: Seq[String], dir: String): Map[String, Int] = {
+    val re = """CORRECTNESS_r(\d+)\.json""".r
+    val arts: Seq[(Int, java.nio.file.Path)] =
+      try {
+        val s = Files.list(Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator.asScala.flatMap { p =>
+            p.getFileName.toString match {
+              case re(n) => n.toIntOption.map(_ -> p)
+              case _ => None
+            }
+          }.toSeq
+        } finally s.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val seen = scala.collection.mutable.Map[String, Int]()
+    for ((round, p) <- arts.sortBy(_._1)) {
+      val content = try Files.readString(p) catch { case _: java.io.IOException => "" }
+      for (n <- names)
+        if (content.contains("\"" + n + "\"")) seen(n) = round
+    }
+    seen.toMap
   }
 
   /** SparkEntry.oracleSql as one JSON object. JSON string escape:

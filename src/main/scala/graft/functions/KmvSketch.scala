@@ -10,6 +10,54 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
+/** The KMV aggregation buffer: an ascending primitive `long[]` of the ≤k
+  * smallest distinct hashes seen (r17 ADVICE: the first cut was a
+  * `java.util.TreeSet[java.lang.Long]`, which boxed every hash and paid
+  * tree rebalancing on the per-row hot path of an aggregate positioned as
+  * the 100 TB COUNT(DISTINCT) replacement). A flat sorted array is the
+  * right structure for this access pattern:
+  *
+  *   - once saturated — the steady state, after the first k distinct rows
+  *     of a group — the overwhelming majority of inputs fail the single
+  *     primitive `h >= max` compare and cost O(1), no allocation;
+  *   - an admitted insert is binary search + one `System.arraycopy` shift
+  *     over ≤k contiguous longs (cache-friendly; k is 128-256 here, and
+  *     admissions decay as ~k/n);
+  *   - merge walks the other buffer ascending with the same early exit the
+  *     TreeSet version had: past a full buffer's max, no later element of
+  *     an ascending source can be admitted.
+  */
+final class KmvBuffer(val k: Int) {
+  /** Ascending; the first [[size]] slots are valid. */
+  val arr = new Array[Long](k)
+  var size = 0
+
+  def isFull: Boolean = size == k
+  def max: Long = arr(size - 1)
+
+  /** Insert h iff it belongs among the k smallest distinct values. */
+  def insert(h: Long): Unit = {
+    if (size == k && h >= arr(k - 1)) return // saturated fast path: O(1)
+    val i = java.util.Arrays.binarySearch(arr, 0, size, h)
+    if (i >= 0) return // already present (the sketch is a SET)
+    val at = -(i + 1)
+    // shift the tail right by one; a full buffer sheds its current max
+    val moved = math.min(size, k - 1) - at
+    if (moved > 0) System.arraycopy(arr, at, arr, at + 1, moved)
+    arr(at) = h
+    if (size < k) size += 1
+  }
+
+  /** Merge another buffer's (ascending) contents. */
+  def mergeFrom(other: KmvBuffer): Unit = {
+    var i = 0
+    while (i < other.size && !(size == k && other.arr(i) >= arr(k - 1))) {
+      insert(other.arr(i))
+      i += 1
+    }
+  }
+}
+
 /** KMV (k-minimum-values) distinct-cardinality sketch: the k smallest
   * DISTINCT hash values of a group, as an ascending `array<long>`.
   *
@@ -25,14 +73,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * again.
   *
   * A native Catalyst `TypedImperativeAggregate` (not collect_set + slice,
-  * not a window rank): the aggregation buffer is a bounded TreeSet of ≤k
-  * longs, so the PARTIAL phase runs map-side and each partition ships k
-  * longs per group to the exchange — the full distinct key set never
-  * shuffles, which is the entire point of sketching. (A `row_number ≤ k`
-  * window would shuffle every distinct hash; `collect_set` would hold
-  * unbounded per-group state.) Inserts into a full buffer first compare
-  * against the current max — O(1) rejection for the overwhelming majority
-  * of rows once the buffer saturates.
+  * not a window rank): the aggregation buffer is a bounded [[KmvBuffer]]
+  * of ≤k primitive longs, so the PARTIAL phase runs map-side and each
+  * partition ships k longs per group to the exchange — the full distinct
+  * key set never shuffles, which is the entire point of sketching. (A
+  * `row_number ≤ k` window would shuffle every distinct hash;
+  * `collect_set` would hold unbounded per-group state.) Inserts into a
+  * full buffer first compare against the current max — O(1) rejection for
+  * the overwhelming majority of rows once the buffer saturates.
   *
   * Determinism: the value is a pure set function of the input hashes —
   * no RNG, no order dependence — so a DuckDB oracle computes the
@@ -47,7 +95,7 @@ case class KmvBottomK(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  extends TypedImperativeAggregate[KmvBuffer]
   with UnaryLike[Expression] {
 
   require(k >= 2, s"kmv_bottom_k needs k >= 2, got $k")
@@ -62,59 +110,37 @@ case class KmvBottomK(
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_bottom_k"
 
-  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
-    new java.util.TreeSet[java.lang.Long]()
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) {
-      buf.add(h)
-    } else if (h < buf.last()) {
-      // strictly below the current max: admit, then re-trim to k.
-      // (TreeSet.add dedupes, so a re-seen hash never shrinks the set.)
-      if (buf.add(h)) buf.pollLast()
-    } // h >= max of a full buffer: cannot be among the k smallest
-  }
-
-  override def update(buf: java.util.TreeSet[java.lang.Long],
-                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) buf.insert(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[java.lang.Long],
-                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
-    // other iterates ascending; once it exceeds a full buffer's max, no
-    // later element of it can be admitted either
-    val it = other.iterator()
-    var continue = true
-    while (continue && it.hasNext) {
-      val h = it.next().longValue()
-      if (buf.size >= k && h >= buf.last()) continue = false
-      else insert(buf, h)
-    }
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.mergeFrom(other)
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
-    val out = new Array[Long](buf.size)
-    val it = buf.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def eval(buf: KmvBuffer): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buf.arr, buf.size))
 
-  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.size * 8)
-    val it = buf.iterator()
-    while (it.hasNext) bb.putLong(it.next().longValue())
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val buf = createAggregationBuffer()
     val bb = ByteBuffer.wrap(bytes)
-    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    // serialized form is ascending + distinct + ≤k long: fill directly
+    while (bb.remaining() >= 8 && buf.size < buf.k) {
+      buf.arr(buf.size) = bb.getLong()
+      buf.size += 1
+    }
     buf
   }
 

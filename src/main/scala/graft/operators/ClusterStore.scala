@@ -220,14 +220,7 @@ object ClusterStore {
     })
 
   private[operators] def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file._
-      // best-effort cleanup: swallow non-fatal errors so the hook never
-      // dies mid-walk and skips its remaining deletions
-      try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }))
+    TempDirs.registerForCleanup(root) // one JVM-wide hook, not one per dir
 
   /** Gated query: quality-max canonical selection CONSUMING the persisted
     * cluster map (building it first if this JVM hasn't). Same oracle as

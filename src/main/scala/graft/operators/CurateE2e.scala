@@ -325,11 +325,11 @@ object CurateE2e {
        |  SELECT * FROM documents WHERE doc_id % 20 <> 0
        |), ${CorpusClean.cleanedCtesSql("train0", qualityMin, n, thr)},
        |etoks AS (SELECT string_split(text, ' ') AS a FROM evals),
-       |esh AS (SELECT DISTINCT array_to_string(a[i.i:i.i+${deconN - 1}], ' ') AS shingle
-       |        FROM etoks, LATERAL unnest(range(1, len(a) - ${deconN - 2})) AS i(i)),
+       |esh AS (SELECT DISTINCT ${Dedup.shingleSliceSql(deconN)} AS shingle
+       |        FROM etoks, ${Dedup.shingleLateralSql(deconN)}),
        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS a FROM cleaned),
-       |tsh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${deconN - 1}], ' ') AS shingle
-       |        FROM ttoks, LATERAL unnest(range(1, len(a) - ${deconN - 2})) AS i(i)),
+       |tsh AS (SELECT DISTINCT doc_id, ${Dedup.shingleSliceSql(deconN)} AS shingle
+       |        FROM ttoks, ${Dedup.shingleLateralSql(deconN)}),
        |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e ON t.shingle = e.shingle),
        |decon AS MATERIALIZED (
        |  SELECT c.doc_id, c.text, c.quality_score FROM cleaned c

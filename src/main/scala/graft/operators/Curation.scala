@@ -185,11 +185,11 @@ object Curation {
     s"""WITH evals AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
        |train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
        |etoks AS (SELECT doc_id AS eval_id, string_split(text, ' ') AS a FROM evals),
-       |esh AS (SELECT DISTINCT eval_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |        FROM etoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |esh AS (SELECT DISTINCT eval_id, ${Dedup.shingleSliceSql(n)} AS shingle
+       |        FROM etoks, ${Dedup.shingleLateralSql(n)}),
        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS a FROM train),
-       |tsh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |        FROM ttoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |tsh AS (SELECT DISTINCT doc_id, ${Dedup.shingleSliceSql(n)} AS shingle
+       |        FROM ttoks, ${Dedup.shingleLateralSql(n)}),
        |stats AS (
        |  SELECT e.eval_id, CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_leaking_train_docs,
        |         CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_leaked_shingles
@@ -214,11 +214,11 @@ object Curation {
     s"""WITH eval AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
        |train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
        |etoks AS (SELECT string_split(text, ' ') AS a FROM eval),
-       |esh AS (SELECT DISTINCT array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |        FROM etoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |esh AS (SELECT DISTINCT ${Dedup.shingleSliceSql(n)} AS shingle
+       |        FROM etoks, ${Dedup.shingleLateralSql(n)}),
        |ttoks AS (SELECT doc_id, string_split(text, ' ') AS a FROM train),
-       |tsh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |        FROM ttoks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |tsh AS (SELECT DISTINCT doc_id, ${Dedup.shingleSliceSql(n)} AS shingle
+       |        FROM ttoks, ${Dedup.shingleLateralSql(n)}),
        |bad AS (SELECT DISTINCT t.doc_id FROM tsh t JOIN esh e ON t.shingle = e.shingle)
        |SELECT tr.doc_id, tr.n_chars FROM train tr
        |LEFT JOIN bad b ON tr.doc_id = b.doc_id

@@ -94,6 +94,19 @@ object Dedup {
   def hash60Sql(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
+  /** The word-n-gram shingle ARITHMETIC, written once (r17 ADVICE): the
+    * 1-based DuckDB slice over token array `a` at LATERAL position `i.i`.
+    * Every oracle that shingles — the dedup family, curation/decon, dup
+    * coverage, the KMV sketches — derives its fragment from this +
+    * [[shingleLateralSql]], so the window math cannot silently fork
+    * between families (or from the Spark side's TextFunctions twin). */
+  def shingleSliceSql(n: Int): String = s"array_to_string(a[i.i:i.i+${n - 1}], ' ')"
+
+  /** The matching LATERAL position generator: starts 1 .. len(a)−n+1
+    * (DuckDB `range`'s upper bound is exclusive). */
+  def shingleLateralSql(n: Int): String =
+    s"LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)"
+
   /** Session conf: set to `true` to hash shingles/tokens with the codegen'd
     * xxhash64 instead of [[hash60]] — several times less CPU per row, the
     * right choice for a real 100 TB run. Defaults to false because only
@@ -186,8 +199,8 @@ object Dedup {
     * split stage's) without name collisions. */
   def shingleCtesSql(relation: String, n: Int, prefix: String = ""): String =
     s"""${prefix}toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM $relation),
-       |${prefix}sh AS (SELECT DISTINCT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |       FROM ${prefix}toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |${prefix}sh AS (SELECT DISTINCT doc_id, ${shingleSliceSql(n)} AS shingle
+       |       FROM ${prefix}toks, ${shingleLateralSql(n)}),
        |${prefix}card AS (SELECT doc_id, COUNT(*) AS n_sh FROM ${prefix}sh GROUP BY 1),
        |${prefix}inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_common
        |          FROM ${prefix}sh a JOIN ${prefix}sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -287,16 +287,7 @@ object DedupIndex {
   private val builtIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def deleteRecursivelyOnExit(root: java.nio.file.Path): Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import java.nio.file._
-      // best-effort cleanup: Files.walk's stream rethrows as
-      // UncheckedIOException from forEach (e.g. a file vanishing in the
-      // shutdown race with other hooks) — swallow anything non-fatal so the
-      // hook never dies mid-walk and skips its remaining deletions
-      try Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }))
+    TempDirs.registerForCleanup(root) // one JVM-wide hook, not one per dir
 
   /** Build (memoized) the backlog index for `dir`'s documents table and
     * return its path. Thread-safe; at most one build per source dir. */

@@ -116,8 +116,8 @@ object DupCoverage {
        |pos AS (SELECT doc_id, i.i - 1 AS p, a[i.i] AS w
        |        FROM toks, LATERAL unnest(range(1, len(a) + 1)) AS i(i)),
        |starts AS (SELECT doc_id, i.i - 1 AS s,
-       |                  array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |           FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |                  ${Dedup.shingleSliceSql(n)} AS shingle
+       |           FROM toks, ${Dedup.shingleLateralSql(n)}),
        |dup AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM starts)
        |        GROUP BY shingle HAVING COUNT(*) >= 2),
        |covered AS (SELECT DISTINCT st.doc_id, st.s + o.o AS p
@@ -145,8 +145,8 @@ object DupCoverage {
     * same single-division double. */
   def oracle(n: Int = 8): String =
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT doc_id, array_to_string(a[i.i:i.i+${n - 1}], ' ') AS shingle
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i)),
+       |sh AS (SELECT doc_id, ${Dedup.shingleSliceSql(n)} AS shingle
+       |       FROM toks, ${Dedup.shingleLateralSql(n)}),
        |pdoc AS (SELECT doc_id, shingle, COUNT(*) AS k FROM sh GROUP BY 1, 2),
        |dup AS (SELECT shingle FROM pdoc GROUP BY shingle HAVING COUNT(*) >= 2),
        |tot AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_pos FROM pdoc GROUP BY doc_id),

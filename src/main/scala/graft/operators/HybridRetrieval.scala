@@ -99,26 +99,39 @@ object HybridRetrieval {
 
   /** RRF: micros-rounded long contributions per list, summed; final
     * (rrf desc, doc_id asc) cut. Query-bounded: 2·|Q|·kList rows in. */
-  private def fuse(lex: DataFrame, vec: DataFrame, k: Int,
-                   kRrf: Int): DataFrame = {
+  private[graft] def fuse(lex: DataFrame, vec: DataFrame, k: Int,
+                          kRrf: Int): DataFrame = {
     // Both lists are non-empty by construction (queries exist, the corpus
     // exists). A silently-EMPTY list degrades the fusion to single-list
     // RRF with no exception anywhere — observed once in a 162-query
     // 8-worker verify run, where the vector list vanished whole and the
-    // gate emitted pure lex ranks. Pin each list (the union reads it
-    // again) and fail LOUDLY on emptiness instead of fusing a lie.
+    // gate emitted pure lex ranks. Fail LOUDLY on emptiness — but LAZILY
+    // (r17 ADVICE: the first guard ran two eager limit(1).count() actions
+    // at construction time, executing the full upstream for
+    // schema/explain-only callers): each list's row count rides a 1-row
+    // global aggregate over the SAME tagged union the fusion consumes,
+    // and an assert_true FILTER over that row raises inside the consuming
+    // action. The guard row is broadcast-crossJoined in, so the assert
+    // evaluates (in the broadcast build) even when the fused side is
+    // empty — a both-lists-empty run still fails loudly.
     val lexP = graft.operators.Pinned.pin(lex)
     val vecP = graft.operators.Pinned.pin(vec)
-    require(lexP.limit(1).count() == 1,
-      "hybrid fusion: the lexical list is empty — upstream read failure")
-    require(vecP.limit(1).count() == 1,
-      "hybrid fusion: the vector list is empty — upstream read failure")
     def contrib(rank: org.apache.spark.sql.Column) =
       floor(lit(1e6) / (lit(kRrf.toDouble) + rank.cast("double")) + 0.5).cast("long")
-    val fused = lexP.select(col("query_id"), col("doc_id"), contrib(col("lrank")).as("c"))
-      .unionAll(vecP.select(col("query_id"), col("doc_id"), contrib(col("vrank")).as("c")))
+    val tagged = lexP.select(col("query_id"), col("doc_id"),
+        contrib(col("lrank")).as("c"), lit(0).as("li"))
+      .unionAll(vecP.select(col("query_id"), col("doc_id"),
+        contrib(col("vrank")).as("c"), lit(1).as("li")))
+    val guard = tagged.groupBy().agg(
+        sum(when(col("li") === 0, 1L).otherwise(0L)).as("n_lex"),
+        sum(when(col("li") === 1, 1L).otherwise(0L)).as("n_vec"))
+      .filter(assert_true(col("n_lex") > 0 && col("n_vec") > 0,
+        lit("hybrid fusion: a result list is empty — upstream read failure")).isNull)
+      .select(lit(1).as("fusion_guard"))
+    val fused = tagged
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("rrf_micros"))
+      .crossJoin(broadcast(guard))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_micros").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w).cast("long"))

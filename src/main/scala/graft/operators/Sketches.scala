@@ -51,14 +51,15 @@ object Sketches {
         s => Dedup.contentHash(docs)(s)))).as("h"))
 
   /** The shared DuckDB fragment of every sketch oracle: per-doc distinct
-    * word-n-gram shingles hashed to 60 bits, keyed by `grpExpr` — ONE copy
-    * (the [[Dedup.shingleCtesSql]] cannot-drift rule) so the shingling
-    * arithmetic can never fork between the four sketch oracles or from
-    * the Spark side. */
+    * word-n-gram shingles hashed to 60 bits, keyed by `grpExpr`. The
+    * shingle arithmetic is [[Dedup.shingleSliceSql]]/[[Dedup.shingleLateralSql]]
+    * — the ONE copy every shingling oracle derives from (r17 ADVICE: this
+    * fragment used to restate the window math and could silently fork from
+    * the dedup family's). */
   private def sketchShingleCtesSql(grpExpr: String, n: Int): String =
     s"""toks AS (SELECT doc_id, source, string_split(text, ' ') AS a FROM documents),
-       |sh AS (SELECT DISTINCT $grpExpr, ${Dedup.hash60Sql(s"array_to_string(a[i.i:i.i+${n - 1}], ' ')")} AS h
-       |       FROM toks, LATERAL unnest(range(1, len(a) - ${n - 2})) AS i(i))""".stripMargin
+       |sh AS (SELECT DISTINCT $grpExpr, ${Dedup.hash60Sql(Dedup.shingleSliceSql(n))} AS h
+       |       FROM toks, ${Dedup.shingleLateralSql(n)})""".stripMargin
 
   /** The estimator, spelled identically to [[estSql]]: exact when the
     * sketch holds the whole distinct set (k_used < k), else (k−1)·M/kth.
@@ -323,13 +324,8 @@ object Sketches {
 
   def buildStoreFor(spark: SparkSession, dir: String): String =
     builtStore.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft_kmv_store")
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        try java.nio.file.Files.walk(p)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => java.nio.file.Files.deleteIfExists(q))
-        catch { case scala.util.control.NonFatal(_) => () }
-      }))
+      val p = TempDirs.registerForCleanup(
+        java.nio.file.Files.createTempDirectory("graft_kmv_store"))
       writeStore(Tables.documents(spark, dir)
         .filter(col("doc_id") % DeltaMod =!= 0), p.toString)
       p.toString

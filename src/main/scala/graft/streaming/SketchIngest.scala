@@ -89,10 +89,19 @@ object SketchIngest {
     if (java.nio.file.Files.exists(marker))
       System.err.println(s"[sketch-ingest] batch $batchId already committed — skipping replay")
     else {
-      val cur = spark.read.parquet(currentGenPath(storeDir))
+      val prevGen = currentGenPath(storeDir)
+      val cur = spark.read.parquet(prevGen)
       Sketches.mergedSketches(cur, Sketches.sketchPerSource(batch, n, k), k)
         .write.mode("overwrite").parquet(s"$storeDir/gen-b$batchId")
       java.nio.file.Files.createFile(marker)
+      // the superseded generation is dead the moment the marker commits
+      // (readers serve the highest committed generation): prune it, or a
+      // long-lived store accumulates one full copy per committed batch
+      // (r17 ADVICE). A crash between marker and prune leaves at most one
+      // stale dir behind; the reader keys off the ledger, so it is never
+      // wrong either way.
+      graft.operators.TempDirs.deleteRecursively(
+        java.nio.file.Paths.get(prevGen))
     }
   }
 
@@ -123,13 +132,11 @@ object SketchIngest {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("source"))
-    val storeRoot = java.nio.file.Files.createTempDirectory("graft_sketch_stream")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try java.nio.file.Files.walk(storeRoot)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case scala.util.control.NonFatal(_) => () }
-    }))
+    // registered with the shared single-hook queue (r17 ADVICE: this used
+    // to park a fresh shutdown-hook thread per invocation, × every
+    // warmup/measured/scale pass)
+    val storeRoot = graft.operators.TempDirs.registerForCleanup(
+      java.nio.file.Files.createTempDirectory("graft_sketch_stream"))
     val storeDir = storeRoot.toString
     // the backlog sketch is memoized per (JVM, dir) — Sketches.buildStoreFor
     // sketches the SAME backlog residue the batch-append gate uses — and

@@ -287,9 +287,12 @@ class BenchLineSpec extends AnyFunSuite {
       u.labels.map(l => Bench.estimateLabel(l, prior, 2)).sum
     val ordered = Bench.scheduleUnits(
       Seq(cheapMust, dropA, trio, dropB, fat), est)
+    // the flagship trio is PINNED first (r17: the driver line lost q1/q2/q3
+    // to two fat gates that overran their estimates 10-18×); remaining
+    // musts sort fat-first
     assert(ordered.take(3).map(_.labels.head) ===
-      Seq("mmr_rerank", "q1_agg_orders", "s5_row_counts"),
-      "must units must sort fat-first")
+      Seq("q1_agg_orders", "mmr_rerank", "s5_row_counts"),
+      "flagship first, then must units fat-first")
     // droppables keep their incoming (rotation) order REGARDLESS of
     // estimate — dropA (est 216) stays ahead of dropB (est 2.4)
     assert(ordered.drop(3).map(_.labels.head) ===

@@ -587,9 +587,18 @@ object Bench {
     val capMax = math.max(WatchdogMinSecs, WatchdogBudgetFrac * budgetSecs)
     def estLabel(label: String): Double =
       math.min(estimateLabel(label, prior, execs(label)), capMax)
-    def capLabel(label: String): Double = math.min(
-      math.max(WatchdogMinSecs,
-        WatchdogEstFactor * estimateLabel(label, prior, execs(label))), capMax)
+    // "3× the prior floor" needs a PRIOR FLOOR: a floorless label (new
+    // gate, or its floor lost to a truncated driver record) gets only the
+    // budget-fraction ceiling. The first r18 full run killed two honest
+    // gates at the 60 s minimum — their warm floors had been evicted with
+    // the r17 driver record's 83 cuts, and their first execution in a
+    // fresh JVM pays a memoized store/codebook build the class-default
+    // estimate knows nothing about.
+    def capLabel(label: String): Double =
+      if (!prior.contains(label)) capMax
+      else math.min(
+        math.max(WatchdogMinSecs,
+          WatchdogEstFactor * estimateLabel(label, prior, execs(label))), capMax)
     // per-label kill deadlines for the worker's sequential task list; the
     // FIRST label's window also absorbs the post-GO session build and a
     // memo family's one-time shared build

@@ -286,8 +286,17 @@ object Bench {
 
   /** The committed `BENCH_r{N}.json` artifacts in `dir`, newest first. */
   private[graft] def benchArtifactsDescending(d: java.nio.file.Path): Seq[java.nio.file.Path] =
+    roundArtifacts(d, "BENCH_r").sortBy(-_._1).map(_._2)
+
+  /** Committed per-round driver artifacts `<stem>{N}.json` in `d` with
+    * their round numbers, unordered — the one copy of the repo-root
+    * artifact scan (Bench floors read `BENCH_r*`; Verify's evidence
+    * ordering reads `CORRECTNESS_r*`). Best-effort: an unreadable dir is
+    * no artifacts. */
+  private[graft] def roundArtifacts(d: java.nio.file.Path,
+                                    stem: String): Seq[(Int, java.nio.file.Path)] =
     try {
-      val re = """BENCH_r(\d+)\.json""".r
+      val re = (java.util.regex.Pattern.quote(stem) + """(\d+)\.json""").r
       val s = java.nio.file.Files.list(d)
       try {
         import scala.jdk.CollectionConverters._
@@ -296,7 +305,7 @@ object Bench {
             case re(n) => n.toIntOption.map(_ -> p)
             case _ => None
           }
-        }.toSeq.sortBy(-_._1).map(_._2)
+        }.toSeq
       } finally s.close()
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
@@ -668,16 +677,19 @@ object Bench {
               val out = h.finish(u.labels, remaining + 180, unitCaps(u))
               results ++= out.results
               if (out.timedOut.nonEmpty) {
-                // the in-flight label blew its watchdog window (>~3× its
-                // floor): it TRIPWIRES (named on the metric line) and is
-                // cut; the unit's unstarted tail is cut with it. Neither
-                // is a FAILURE — the budget they did not consume runs the
-                // rest of the suite, which is the watchdog's entire point.
+                // kill casualties are CUT, not failed — the budget they
+                // did not consume runs the rest of the suite, which is
+                // the watchdog's entire point. Only a label that blew its
+                // PER-LABEL cap (>~3× its floor by construction) also
+                // TRIPWIRES on the metric line; a whole-unit-deadline
+                // kill proves nothing about any single label's plan.
                 cut ++= out.timedOut
-                wdogKilled += out.timedOut.head
-                System.err.println(s"[bench] WATCHDOG killed " +
-                  s"${out.timedOut.head} (cap ${capLabel(out.timedOut.head).toInt}s); " +
-                  s"cut with unstarted tail: ${out.timedOut.mkString(",")}")
+                out.capKilled.foreach { l =>
+                  wdogKilled += l
+                  System.err.println(s"[bench] WATCHDOG killed $l " +
+                    s"(cap ${capLabel(l).toInt}s); cut with unstarted tail: " +
+                    out.timedOut.mkString(","))
+                }
               }
             }
             writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil, partial = true)
@@ -767,9 +779,10 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
       val tEnd = System.nanoTime() + (waitSecs * 1e9).toLong
       var idx = 0 // first label without a result line yet
       var windowStart = System.nanoTime()
-      var timedOut = false
+      var capKill = false     // the in-flight label blew its per-label cap
+      var deadlineKill = false // the whole-unit deadline passed
       var exited = false
-      while (!exited && !timedOut) {
+      while (!exited && !capKill && !deadlineKill) {
         exited = proc.waitFor(250, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (!exited) {
           val got = readResults()
@@ -777,23 +790,28 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
             idx += 1; windowStart = System.nanoTime()
           }
           val now = System.nanoTime()
-          val overCap = idx < labels.size && idx < caps.size &&
-            now - windowStart > (caps(idx) * 1e9).toLong
-          if (overCap || now > tEnd) timedOut = true
+          if (idx < labels.size && idx < caps.size &&
+            now - windowStart > (caps(idx) * 1e9).toLong) capKill = true
+          else if (now > tEnd) deadlineKill = true
         }
       }
+      val timedOut = capKill || deadlineKill
       if (timedOut) { proc.destroyForcibly(); proc.waitFor() }
       val got = readResults()
       if (timedOut) {
         val missing = labels.filterNot(got.contains)
         System.err.println(s"[bench] ${labels.mkString(",")}: " +
-          s"worker killed (${if (idx < labels.size && idx < caps.size)
+          s"worker killed (${if (capKill)
             f"label ${labels(idx)} over its ${caps(idx)}%.0fs watchdog cap"
           else f"whole-unit deadline ${waitSecs}%.0fs"}); " +
           s"${got.size}/${labels.size} results kept")
         ForkHandle.UnitOutcome(
           labels.collect { case l if got.contains(l) => (l, got(l)._1, got(l)._2) },
-          missing)
+          missing,
+          // the in-flight label may have landed its line in the race
+          // between the cap check and the kill — only a label with NO
+          // result is a cap casualty
+          capKilled = if (capKill) Some(labels(idx)).filter(missing.contains) else None)
       } else {
         if (proc.exitValue() != 0)
           System.err.println(s"[bench] ${labels.mkString(",")}: worker " +
@@ -809,11 +827,14 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
         ForkHandle.UnitOutcome(labels.map(l => (l, -1.0, Seq.empty[Double])), Seq.empty)
     } finally cleanup()
 
-  /** The result file's current contents (may be mid-append — a torn last
-    * line parses as no entry and is re-read whole on the next poll). */
+  /** The result file's current contents. The file may be mid-append when
+    * a kill lands: only NEWLINE-TERMINATED lines are trusted — a torn
+    * numeric tail like "mmr_rerank|1" would otherwise parse as a complete
+    * (and wildly low) measurement and poison the floor record. */
   private def readResults(): Map[String, (Double, Seq[Double])] =
     try {
-      java.nio.file.Files.readString(out).linesIterator.flatMap { line =>
+      val s = java.nio.file.Files.readString(out)
+      s.substring(0, s.lastIndexOf('\n') + 1).linesIterator.flatMap { line =>
         line.split('|') match {
           case Array(l, v, ps) => v.toDoubleOption.map(d => l -> (d,
             ps.split(',').flatMap(_.toDoubleOption).toSeq))
@@ -835,11 +856,17 @@ private[graft] object ForkHandle {
   val ReadyMarker = "[bench-worker] READY"
 
   /** [[ForkHandle.finish]]'s verdict on one unit: `results` are measured
-    * labels (or crashed ones at -1); `timedOut` are watchdog/deadline
-    * casualties — the in-flight label first, then the unstarted tail —
-    * which the caller records as cut + tripwired, never failed. */
+    * labels (or crashed ones at -1); `timedOut` are kill casualties — the
+    * in-flight label first, then the unstarted tail — which the caller
+    * records as cut, never failed. `capKilled` holds the in-flight label
+    * ONLY when its per-label watchdog cap fired: that label provably ran
+    * past ~3× its floor and tripwires. A whole-unit-deadline kill (labels
+    * individually under their caps, the unit dispatched too late to
+    * finish) leaves it empty — branding those as >3×-floor offenders
+    * would corrupt the adjudication record. */
   final case class UnitOutcome(results: Seq[(String, Double, Seq[Double])],
-                               timedOut: Seq[String])
+                               timedOut: Seq[String],
+                               capKilled: Option[String] = None)
 
   def spawn(task: String, sfDir: String, warmups: Int, passes: Int): ForkHandle = {
     val javaBin = java.nio.file.Paths

@@ -113,43 +113,48 @@ object Verify {
     * the MOST prior driver evidence, never the newest.
     *
     * Evidence source: the committed `CORRECTNESS_r{N}.json` artifacts in
-    * `dir` (the driver writes them to the repo root it runs from). A gate's
-    * "last verified round" is the highest N whose artifact mentions the
-    * quoted gate name; membership is a substring probe — names are exact
-    * JSON keys, quotes delimit them, so a name that prefixes another
-    * (`ann_recall` / `ann_recall_pq`) cannot false-match. Any read/parse
-    * problem degrades to "never seen" for the affected names — which only
-    * PROMOTES them, never hides one. */
+    * `dir` (the driver writes them to the repo root it runs from), parsed
+    * as JSON. A gate's "last verified round" is the highest N whose
+    * artifact holds a PASSING row for it — a failed or errored row is the
+    * opposite of evidence, and crediting it would sort the one gate that
+    * most needs a fresh driver row to the back of the queue. Any
+    * read/parse problem degrades to "never seen" for the affected names —
+    * which only PROMOTES them, never hides one. */
   private[graft] def verifyOrder(names: Seq[String], dir: String = "."): Seq[String] = {
     val lastRound = lastVerifiedRound(names, dir)
     names.sortBy(n => (lastRound.getOrElse(n, 0), n))
   }
 
-  /** name → highest committed CORRECTNESS round mentioning it (absent =
-    * never driver-verified). Best-effort: unreadable files are skipped. */
+  /** name → highest committed CORRECTNESS round with a passing row for it
+    * (absent = never driver-verified green). Best-effort: unreadable or
+    * unparsable files are skipped. Jackson rides Spark's classpath. */
   private[graft] def lastVerifiedRound(names: Seq[String], dir: String): Map[String, Int] = {
-    val re = """CORRECTNESS_r(\d+)\.json""".r
-    val arts: Seq[(Int, java.nio.file.Path)] =
-      try {
-        val s = Files.list(Paths.get(dir))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator.asScala.flatMap { p =>
-            p.getFileName.toString match {
-              case re(n) => n.toIntOption.map(_ -> p)
-              case _ => None
-            }
-          }.toSeq
-        } finally s.close()
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val wanted = names.toSet
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val seen = scala.collection.mutable.Map[String, Int]()
-    for ((round, p) <- arts.sortBy(_._1)) {
-      val content = try Files.readString(p) catch { case _: java.io.IOException => "" }
-      for (n <- names)
-        if (content.contains("\"" + n + "\"")) seen(n) = round
+    for ((round, p) <- Bench.roundArtifacts(Paths.get(dir), "CORRECTNESS_r").sortBy(_._1)) {
+      val root =
+        try mapper.readTree(Files.readString(p))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (root != null && root.isObject) {
+        val it = root.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          if (wanted.contains(e.getKey) && rowPassed(e.getValue)) seen(e.getKey) = round
+        }
+      }
     }
     seen.toMap
   }
+
+  /** A driver row counts as evidence iff nothing in it says failure: no
+    * match flag explicitly false, no non-null err. (Rows-only gates carry
+    * fewer flags; absent flags don't disqualify.) */
+  private def rowPassed(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    n != null && n.isObject &&
+      !Seq("rows_match", "schema_match", "hash_match").exists(f =>
+        n.has(f) && !n.path(f).asBoolean(true)) &&
+      !(n.has("err") && !n.path("err").isNull)
 
   /** SparkEntry.oracleSql as one JSON object. JSON string escape:
     * backslash, quote, and ALL control chars (<0x20) — a tab or CR in

@@ -110,10 +110,15 @@ object HybridRetrieval {
     // at construction time, executing the full upstream for
     // schema/explain-only callers): each list's row count rides a 1-row
     // global aggregate over the SAME tagged union the fusion consumes,
-    // and an assert_true FILTER over that row raises inside the consuming
-    // action. The guard row is broadcast-crossJoined in, so the assert
-    // evaluates (in the broadcast build) even when the fused side is
-    // empty — a both-lists-empty run still fails loudly.
+    // and an assert_true over that row raises inside the consuming
+    // action. The guard row enters the OUTPUT as a union-sentinel child
+    // (rank −1, filtered back out), not a join input: a join against the
+    // fused side is skippable when that side turns out empty (AQE
+    // empty-relation propagation — measured: a both-lists-empty run
+    // returned silently empty under the crossJoin form), while a union
+    // child always executes inside the consuming action. The assert rides
+    // the sentinel's rank column, so constant folding cannot pre-evaluate
+    // the −1 filter and prune the child away.
     val lexP = graft.operators.Pinned.pin(lex)
     val vecP = graft.operators.Pinned.pin(vec)
     def contrib(rank: org.apache.spark.sql.Column) =
@@ -122,21 +127,26 @@ object HybridRetrieval {
         contrib(col("lrank")).as("c"), lit(0).as("li"))
       .unionAll(vecP.select(col("query_id"), col("doc_id"),
         contrib(col("vrank")).as("c"), lit(1).as("li")))
-    val guard = tagged.groupBy().agg(
-        sum(when(col("li") === 0, 1L).otherwise(0L)).as("n_lex"),
-        sum(when(col("li") === 1, 1L).otherwise(0L)).as("n_vec"))
-      .filter(assert_true(col("n_lex") > 0 && col("n_vec") > 0,
-        lit("hybrid fusion: a result list is empty — upstream read failure")).isNull)
-      .select(lit(1).as("fusion_guard"))
-    val fused = tagged
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("c")).as("rrf_micros"))
-      .crossJoin(broadcast(guard))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_micros").desc, col("doc_id").asc)
-    fused.withColumn("rank", row_number().over(w).cast("long"))
+    val ranked = tagged
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf_micros"))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_micros"))
+    val sentinel = tagged.groupBy().agg(
+        sum(when(col("li") === 0, 1L).otherwise(0L)).as("n_lex"),
+        sum(when(col("li") === 1, 1L).otherwise(0L)).as("n_vec"))
+      .select(
+        lit(null).cast("long").as("query_id"),
+        when(assert_true(col("n_lex") > 0 && col("n_vec") > 0,
+          lit("hybrid fusion: a result list is empty — upstream read failure")).isNull,
+          lit(-1L)).as("rank"),
+        lit(null).cast("long").as("doc_id"),
+        lit(null).cast("long").as("rrf_micros"))
+    ranked.unionAll(sentinel)
+      .filter(col("rank") =!= -1L)
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -94,15 +94,38 @@ object SketchIngest {
       Sketches.mergedSketches(cur, Sketches.sketchPerSource(batch, n, k), k)
         .write.mode("overwrite").parquet(s"$storeDir/gen-b$batchId")
       java.nio.file.Files.createFile(marker)
-      // the superseded generation is dead the moment the marker commits
-      // (readers serve the highest committed generation): prune it, or a
-      // long-lived store accumulates one full copy per committed batch
-      // (r17 ADVICE). A crash between marker and prune leaves at most one
-      // stale dir behind; the reader keys off the ledger, so it is never
-      // wrong either way.
-      graft.operators.TempDirs.deleteRecursively(
-        java.nio.file.Paths.get(prevGen))
+      // superseded generations are pruned, or a long-lived store
+      // accumulates one full copy per committed batch (r17 ADVICE) — but
+      // with a ONE-GENERATION GRACE: the generation that was current
+      // until this commit (prevGen) survives, so a concurrent reader that
+      // resolved its path just before the commit finishes its scan;
+      // everything older is deleted. A reader would have to sit two full
+      // micro-batch intervals between path resolution and scan to lose a
+      // file — and the ledger keeps path RESOLUTION correct at any time.
+      pruneGenerationsBefore(storeDir, prevGen)
     }
+  }
+
+  /** Delete every committed generation dir strictly older than `keepGen`
+    * (the about-to-be-superseded one; the newly written generation is
+    * newer than both). Best-effort. */
+  private def pruneGenerationsBefore(storeDir: String, keepGen: String): Unit = {
+    val keep = java.nio.file.Paths.get(keepGen).getFileName.toString
+    def ord(name: String): Long =
+      if (name == "gen-init") -1L
+      else name.stripPrefix("gen-b").toLongOption.getOrElse(Long.MaxValue)
+    val root = java.nio.file.Paths.get(storeDir)
+    val gens =
+      try {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n == "gen-init" || n.startsWith("gen-b")).toList
+        } finally s.close()
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    gens.filter(g => ord(g) < ord(keep)).foreach(g =>
+      graft.operators.TempDirs.deleteRecursively(root.resolve(g)))
   }
 
   /** Production wiring: watch `watchDir` for document parquet, maintain

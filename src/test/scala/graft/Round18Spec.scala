@@ -26,10 +26,23 @@ class Round18Spec extends SparkSpec {
       // c/d never driver-verified -> first (alphabetical between them);
       // b last seen r1 beats a last seen r2
       assert(order === Seq("c_gate", "d_gate", "b_gate", "a_gate"))
-    } finally {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.operators.TempDirs.deleteRecursively(dir)
+  }
+
+  test("verifyOrder: a FAILED or errored driver row is anti-evidence, not evidence") {
+    // a gate that failed in the last round needs a fresh driver row MOST:
+    // crediting the failed row would sort it to the back of the queue —
+    // the exact inversion of the feature's goal
+    val dir = Files.createTempDirectory("graft_verify_failed")
+    try {
+      Files.writeString(dir.resolve("CORRECTNESS_r5.json"),
+        """{"good": {"rows_match": true, "schema_match": true, "hash_match": true, "err": null},
+          | "bad_hash": {"rows_match": true, "schema_match": true, "hash_match": false, "err": null},
+          | "bad_err": {"rows_match": true, "err": "py4j boom"}}""".stripMargin)
+      val order = Verify.verifyOrder(Seq("good", "bad_hash", "bad_err"), dir.toString)
+      assert(order === Seq("bad_err", "bad_hash", "good"),
+        "failed/errored rows must sort as never-verified; only the green row is evidence")
+    } finally graft.operators.TempDirs.deleteRecursively(dir)
   }
 
   test("verifyOrder: a name prefixing another is never credited by the longer key") {
@@ -42,10 +55,7 @@ class Round18Spec extends SparkSpec {
       val order = Verify.verifyOrder(Seq("ann_recall", "ann_recall_pq"), dir.toString)
       assert(order === Seq("ann_recall", "ann_recall_pq"),
         "ann_recall has no row of its own and must sort as never-verified")
-    } finally {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    } finally graft.operators.TempDirs.deleteRecursively(dir)
   }
 
   test("verifyOrder: no artifacts degrades to alphabetical (the old order)") {
@@ -88,6 +98,8 @@ class Round18Spec extends SparkSpec {
     assert(out.results === Seq(("a", 1.5, Seq(1.5))))
     assert(out.timedOut === Seq("b", "c"),
       "in-flight label first, unstarted tail after")
+    assert(out.capKilled === Some("b"),
+      "only a per-label cap kill may brand a label as a >3x-floor tripwire")
     assert(secs < 30.0, f"watchdog should fire at ~1s, took $secs%.1fs")
     assert(!proc.isAlive)
   }
@@ -149,6 +161,20 @@ class Round18Spec extends SparkSpec {
       Seq("query_id", "rank", "doc_id", "rrf_micros"))
     fused.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val e = intercept[Exception] { fused.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("hybrid fusion")),
+      s"expected the fusion guard's message, got: ${messages(e).mkString(" | ")}")
+    graft.operators.Pinned.release(spark)
+  }
+
+  test("hybrid fuse: BOTH lists empty still fails loudly (guard survives empty-relation pruning)") {
+    import spark.implicits._
+    val empty1 = Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "lrank")
+    val empty2 = Seq.empty[(Long, Long, Long)].toDF("query_id", "doc_id", "vrank")
+    val fused = graft.operators.HybridRetrieval.fuse(empty1, empty2, 5, 60)
     val e = intercept[Exception] { fused.collect() }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty

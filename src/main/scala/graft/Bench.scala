@@ -39,7 +39,7 @@ package graft
   *      unconditionally; the other must-units FAT-FIRST (descending
   *      estimate); droppables follow in the per-round rotation order.
   *      A per-label WATCHDOG (see runForkedSuite) kills any entry that
-  *      runs past ~3× its prior floor (clamped to 8% of the budget) —
+  *      runs past the per-entry ceiling (8% of the budget, ~130 s) —
   *      the r17 driver run let two contention-inflated entries eat ~30%
   *      of the budget and evict 83 labels including the trio.
   *      Tasks run must-entries first, then build phases, then
@@ -192,9 +192,10 @@ object Bench {
         f"round-over-round ($p%.2fs -> $v%.2fs) — re-measure isolated and " +
         "adjudicate (plan regression vs substrate) before citing this record")
     }
-    // watchdog-killed labels exceeded ~3× their floor BY CONSTRUCTION:
-    // they ride the line's tripwire list (unmeasured, so tripwireMovers
-    // cannot see them) and are already in `cut`
+    // watchdog-killed labels ran past the per-entry ceiling (~8% of the
+    // wall budget) BY CONSTRUCTION: they ride the line's tripwire list
+    // (unmeasured, so tripwireMovers cannot see them) and are already in
+    // `cut`
     val trippedNames = (tripped.map(_._1) ++ wdogKilled).distinct
     // the driver greps the sbt tail for the metric JSON and rounds 1-2
     // failed to parse it out of sbt's [info]-prefixed log noise — persist
@@ -581,10 +582,22 @@ object Bench {
         SparkEntry.iterativeHarnessQueries(label)) warmups + 1
       else warmups + passes
     // the per-entry WATCHDOG ceiling: no label may hold a worker longer
-    // than ~3× its prior floor (WatchdogEstFactor × the ×1.2 estimate),
-    // clamped to WatchdogBudgetFrac of the wall budget — the r17 driver
-    // run let two contention-inflated entries (10-18× their floors) eat
-    // ~30% of the budget and evict 83 labels including the flagship trio.
+    // than WatchdogBudgetFrac of the wall budget (~130 s at the default
+    // 1620) — the r17 driver run let two contention-inflated entries
+    // (10-40× their floors, 127-740 s of wall) eat ~30% of the budget and
+    // evict 83 labels including the flagship trio; the ceiling bounds any
+    // such entry at a pre-budgeted slice. The ceiling is deliberately NOT
+    // floor-relative: two r18 runs each false-killed an honest gate under
+    // a "3× its prior floor" cap, because warm floors structurally
+    // underprice a fork-cold execution — memoized store/codebook builds
+    // land on whichever family member touches the artifact first, which
+    // changes with the trim set, so last round's floor says little about
+    // this round's window. The suite's honest per-label window tops out
+    // ~55 s warm (store_maintenance_loop) and ~90 s cold, 2× under driver
+    // contention ≈ within the ceiling; the disaster class starts at 130+ s.
+    // Memo-family members get the build surcharge on top (any member may
+    // be the one that pays a shared build its floor never shows).
+    //
     // The same ceiling CLAMPS the dispatch estimate: the r17 driver run
     // also wrote its inflated numbers into bench.json as floors, and an
     // unclamped estimate (367.7 s × execs × 1.2 > the whole budget) would
@@ -596,25 +609,12 @@ object Bench {
     val capMax = math.max(WatchdogMinSecs, WatchdogBudgetFrac * budgetSecs)
     def estLabel(label: String): Double =
       math.min(estimateLabel(label, prior, execs(label)), capMax)
-    // "3× the prior floor" needs a PRIOR FLOOR: a floorless label (new
-    // gate, or its floor lost to a truncated driver record) gets only the
-    // budget-fraction ceiling. The first r18 full run killed two honest
-    // gates at the 60 s minimum — their warm floors had been evicted with
-    // the r17 driver record's 83 cuts, and their first execution in a
-    // fresh JVM pays a memoized store/codebook build the class-default
-    // estimate knows nothing about.
-    def capLabel(label: String): Double =
-      if (!prior.contains(label)) capMax
-      else math.min(
-        math.max(WatchdogMinSecs,
-          WatchdogEstFactor * estimateLabel(label, prior, execs(label))), capMax)
     // per-label kill deadlines for the worker's sequential task list; the
-    // FIRST label's window also absorbs the post-GO session build and a
-    // memo family's one-time shared build
+    // FIRST label's window also absorbs the post-GO session build
     def unitCaps(u: BenchUnit): Seq[Double] =
-      u.labels.zipWithIndex.map { case (l, i) =>
-        capLabel(l) + (if (i == 0) StartupMarginSecs +
-          (if (u.memo) FamilyBuildSurchargeSecs else 0.0) else 0.0)
+      u.labels.zipWithIndex.map { case (_, i) =>
+        capMax + (if (u.memo) FamilyBuildSurchargeSecs else 0.0) +
+          (if (i == 0) StartupMarginSecs else 0.0)
       }
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
@@ -680,14 +680,15 @@ object Bench {
                 // kill casualties are CUT, not failed — the budget they
                 // did not consume runs the rest of the suite, which is
                 // the watchdog's entire point. Only a label that blew its
-                // PER-LABEL cap (>~3× its floor by construction) also
-                // TRIPWIRES on the metric line; a whole-unit-deadline
-                // kill proves nothing about any single label's plan.
+                // PER-LABEL ceiling also TRIPWIRES on the metric line; a
+                // whole-unit-deadline kill proves nothing about any
+                // single label's plan.
                 cut ++= out.timedOut
                 out.capKilled.foreach { l =>
                   wdogKilled += l
+                  val cap = unitCaps(u).lift(u.labels.indexOf(l)).getOrElse(capMax)
                   System.err.println(s"[bench] WATCHDOG killed $l " +
-                    s"(cap ${capLabel(l).toInt}s); cut with unstarted tail: " +
+                    s"(ceiling ${cap.toInt}s); cut with unstarted tail: " +
                     out.timedOut.mkString(","))
                 }
               }
@@ -712,13 +713,11 @@ object Bench {
   private[graft] val FamilyBuildSurchargeSecs = 60.0
   private[graft] val ReadyTimeoutSecs = 180.0
 
-  /** Watchdog tuning. EstFactor × the ×1.2 estimate = 3× the prior floor
-    * (the VERDICT r17 ask); MinSecs keeps scheduling wobble on cheap gates
-    * from killing honest runs; BudgetFrac bounds what any single label may
-    * consume even when its floor (or its inflation) is huge — 8% of the
-    * default 1620 s budget ≈ 130 s, above every honest entry cost in the
-    * suite (fattest: ~20 s floor × 2 executions + margin). */
-  private[graft] val WatchdogEstFactor = 2.5
+  /** Watchdog tuning: the per-entry ceiling is BudgetFrac of the wall
+    * budget (8% of the default 1620 s ≈ 130 s — above every honest entry
+    * window in the suite, warm ≈55 s / fork-cold ≈90 s, with 2× driver
+    * contention headroom; the r17 disaster class starts at 130+ s),
+    * floored at MinSecs for tiny local budgets. */
   private[graft] val WatchdogMinSecs = 60.0
   private[graft] val WatchdogBudgetFrac = 0.08
 }
@@ -859,11 +858,11 @@ private[graft] object ForkHandle {
     * labels (or crashed ones at -1); `timedOut` are kill casualties — the
     * in-flight label first, then the unstarted tail — which the caller
     * records as cut, never failed. `capKilled` holds the in-flight label
-    * ONLY when its per-label watchdog cap fired: that label provably ran
-    * past ~3× its floor and tripwires. A whole-unit-deadline kill (labels
-    * individually under their caps, the unit dispatched too late to
-    * finish) leaves it empty — branding those as >3×-floor offenders
-    * would corrupt the adjudication record. */
+    * ONLY when its per-label watchdog ceiling fired: that label provably
+    * overran the per-entry budget slice and tripwires. A whole-unit-
+    * deadline kill (labels individually under their caps, the unit
+    * dispatched too late to finish) leaves it empty — branding those as
+    * runaway entries would corrupt the adjudication record. */
   final case class UnitOutcome(results: Seq[(String, Double, Seq[Double])],
                                timedOut: Seq[String],
                                capKilled: Option[String] = None)

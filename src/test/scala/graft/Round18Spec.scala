@@ -99,7 +99,7 @@ class Round18Spec extends SparkSpec {
     assert(out.timedOut === Seq("b", "c"),
       "in-flight label first, unstarted tail after")
     assert(out.capKilled === Some("b"),
-      "only a per-label cap kill may brand a label as a >3x-floor tripwire")
+      "only a per-label ceiling kill may brand a label as a runaway tripwire")
     assert(secs < 30.0, f"watchdog should fire at ~1s, took $secs%.1fs")
     assert(!proc.isAlive)
   }

@@ -36,10 +36,12 @@ package graft
   *      r16 ran 1812 s of sbt wall and survived the driver cap, so
   *      1620 + overhead lands ~160 s inside the proven-survivable
   *      point). The FLAGSHIP trio (q1/q2/q3) dispatches first
-  *      unconditionally; the other must-units FAT-FIRST (descending
-  *      estimate); droppables follow in the per-round rotation order.
+  *      unconditionally; the other must-units CHEAPEST-FIRST (ascending
+  *      estimate — r18: fat-first starved the cheap §2 must batches on a
+  *      contended window); droppables follow in the per-round rotation
+  *      order.
   *      A per-label WATCHDOG (see runForkedSuite) kills any entry that
-  *      runs past the per-entry ceiling (8% of the budget, ~130 s) —
+  *      runs past the per-entry ceiling (12% of the budget, ~194 s) —
   *      the r17 driver run let two contention-inflated entries eat ~30%
   *      of the budget and evict 83 labels including the trio.
   *      Tasks run must-entries first, then build phases, then
@@ -529,27 +531,36 @@ object Bench {
 
   /** Dispatch order: the FLAGSHIP unit (q1/q2/q3 — the SURVEY §2 contract
     * queries, ~8 s) unconditionally first, then the remaining must-units
-    * FAT-FIRST (descending estimate), then droppable units in their
-    * incoming (rotation) order. Fat-first exists because of two
-    * r17-measured failures: a stale-fat prior (mmr's 133 s r16 plan,
-    * already fixed to ~11 s) reached the queue front only when nothing fit
-    * and was CUT unmeasured, and the q1/q2/q3 flagship trio (est 33 s)
-    * hash-scrambled to the back and was cut at 11 s left. The flagship pin
-    * exists because fat-first then lost the trio a SECOND way on the r17
-    * driver line: two contention-inflated fat gates ran first, overran
-    * their estimates 10–18×, and the trio was cut from the exhausted tail
-    * — the one unit whose absence voids the round's baseline comparison
-    * must never depend on other units' estimates being honest. Fat units
-    * measure while budget is plentiful (stale estimates self-correct next
-    * round); cheap must units at the tail fit the final slivers. Pure —
-    * spec-covered. */
+    * CHEAPEST-FIRST (ascending estimate), then droppable-only units in
+    * their incoming (rotation) order.
+    *
+    * The flagship pin exists because the r17 driver line lost the trio to
+    * two contention-inflated fat gates that ran first and overran their
+    * estimates 10–18× — the one unit whose absence voids the round's
+    * baseline comparison must never depend on other units' estimates
+    * being honest.
+    *
+    * Must-units ran FAT-first through r18, on the theory that a stale-fat
+    * prior should measure while budget is plentiful and self-correct its
+    * floor. The r18 driver run showed the failure mode that matters more:
+    * on a contended window (~2–2.5× uniform inflation) the fat families
+    * drained the real budget while their estimates said otherwise, and
+    * the CHEAP must batches at the tail — s5/s7/o20, the §2 contract
+    * anchors — were starved: only 24 of the 55 must gates got a driver
+    * number. Cheapest-first maximizes the COUNT of must gates measured
+    * before exhaustion (the coverage contract); a fat must family hit by
+    * the squeeze at the tail is first TRIMMED to its must members
+    * (popFitting), so its droppable twins absorb the cut. The r17
+    * stale-fat worry is closed separately: estimates are clamped at the
+    * watchdog ceiling, so no prior can price a unit out of the queue.
+    * Pure — spec-covered. */
   private[graft] def scheduleUnits(units: Seq[BenchUnit],
                                    est: BenchUnit => Double): Seq[BenchUnit] = {
     val isMust = (u: BenchUnit) => u.labels.exists(l =>
       !SparkEntry.lowPriorityBench.contains(l))
     val (flagship, rest) = units.partition(_.labels.contains(FlagshipLabel))
     val (mustUnits, dropUnits) = rest.partition(isMust)
-    flagship ++ mustUnits.sortBy(-est(_)) ++ dropUnits
+    flagship ++ mustUnits.sortBy(est(_)) ++ dropUnits
   }
 
   /** The query whose unit [[scheduleUnits]] pins to the front of the
@@ -592,9 +603,10 @@ object Bench {
     // underprice a fork-cold execution — memoized store/codebook builds
     // land on whichever family member touches the artifact first, which
     // changes with the trim set, so last round's floor says little about
-    // this round's window. The suite's honest per-label window tops out
-    // ~55 s warm (store_maintenance_loop) and ~90 s cold, 2× under driver
-    // contention ≈ within the ceiling; the disaster class starts at 130+ s.
+    // this round's window. Sizing lives at [[WatchdogBudgetFrac]]: the
+    // ceiling covers 2× the ~90 s fork-cold max (the uniform driver-
+    // contention band) while still bounding the r17 disaster class
+    // (127-740 s entries) at a pre-budgeted ~12% slice each.
     // Memo-family members get the build surcharge on top (any member may
     // be the one that pays a shared build its floor never shows).
     //
@@ -610,11 +622,14 @@ object Bench {
     def estLabel(label: String): Double =
       math.min(estimateLabel(label, prior, execs(label)), capMax)
     // per-label kill deadlines for the worker's sequential task list; the
-    // FIRST label's window also absorbs the post-GO session build
+    // FIRST label's window also absorbs the post-GO SparkSession build —
+    // which under the exact driver contention the watchdog targets can
+    // run well past the 8 s ESTIMATION margin, so the kill window gets a
+    // dedicated, fatter allowance (r18 ADVICE)
     def unitCaps(u: BenchUnit): Seq[Double] =
       u.labels.zipWithIndex.map { case (_, i) =>
         capMax + (if (u.memo) FamilyBuildSurchargeSecs else 0.0) +
-          (if (i == 0) StartupMarginSecs else 0.0)
+          (if (i == 0) SessionBuildMarginSecs else 0.0)
       }
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
@@ -713,13 +728,25 @@ object Bench {
   private[graft] val FamilyBuildSurchargeSecs = 60.0
   private[graft] val ReadyTimeoutSecs = 180.0
 
+  /** KILL-window allowance for a unit's FIRST label, which absorbs the
+    * post-GO SparkSession build: ~5 s quiet, but under 2–2.5× driver
+    * contention it can exceed the 8 s [[StartupMarginSecs]] ESTIMATION
+    * margin and silently eat the label's cap (r18 ADVICE). Estimation
+    * keeps the honest 8 s; only the watchdog uses this fatter one. */
+  private[graft] val SessionBuildMarginSecs = 45.0
+
   /** Watchdog tuning: the per-entry ceiling is BudgetFrac of the wall
-    * budget (8% of the default 1620 s ≈ 130 s — above every honest entry
-    * window in the suite, warm ≈55 s / fork-cold ≈90 s, with 2× driver
-    * contention headroom; the r17 disaster class starts at 130+ s),
-    * floored at MinSecs for tiny local budgets. */
+    * budget (12% of the default 1620 s ≈ 194 s), floored at MinSecs for
+    * tiny local budgets. Sizing: the suite's honest per-label window tops
+    * out ≈55 s warm and ≈90 s fork-cold; the ceiling must cover 2× the
+    * COLD max (the driver-contention inflation band is 2–2.5×, uniform),
+    * i.e. ≈180 s — the r18 frac of 0.08 (≈130 s) only covered ~1.4× cold
+    * and would false-kill an honest fork-cold gate on a contended window
+    * (r18 ADVICE). The r17 disaster class this ceiling exists for ran
+    * 127–740 s per entry; 194 s still bounds any such entry at a
+    * pre-budgeted ~12% slice. */
   private[graft] val WatchdogMinSecs = 60.0
-  private[graft] val WatchdogBudgetFrac = 0.08
+  private[graft] val WatchdogBudgetFrac = 0.12
 }
 
 /** One forked BenchWorker JVM with the READY/GO handshake. The worker

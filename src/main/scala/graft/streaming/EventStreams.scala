@@ -198,7 +198,7 @@ object EventStreams {
         .orderBy(col("ts"), col("event_type"), col("value"))
         .as[(java.sql.Timestamp, Long, String, Double)].collect()
     require(evs.nonEmpty, s"no events under $dir")
-    val sentinelType = " flush"
+    val sentinelType = " flush"
     // one far-future event pushes the watermark past every real window
     val far = new java.sql.Timestamp(evs.last._1.getTime + 3L * 24 * 3600 * 1000)
     val batches = Replay.evenBatches(evs, nBatches) :+

@@ -96,21 +96,26 @@ object SketchIngest {
       java.nio.file.Files.createFile(marker)
       // superseded generations are pruned, or a long-lived store
       // accumulates one full copy per committed batch (r17 ADVICE) — but
-      // with a ONE-GENERATION GRACE: the generation that was current
-      // until this commit (prevGen) survives, so a concurrent reader that
-      // resolved its path just before the commit finishes its scan;
-      // everything older is deleted. A reader would have to sit two full
-      // micro-batch intervals between path resolution and scan to lose a
-      // file — and the ledger keeps path RESOLUTION correct at any time.
-      pruneGenerationsBefore(storeDir, prevGen)
+      // with a [[GenerationsKept]]-deep GRACE WINDOW: a concurrent reader
+      // that resolved its generation path keeps its files for
+      // GenerationsKept-1 further commits before the prune reaches them
+      // (r18 ADVICE: the old one-generation grace bounded a reader's scan
+      // to a single micro-batch interval). The ledger keeps path
+      // RESOLUTION correct at any time; the window only covers scans
+      // already in flight against a resolved path.
+      pruneOldGenerations(storeDir)
     }
   }
 
-  /** Delete every committed generation dir strictly older than `keepGen`
-    * (the about-to-be-superseded one; the newly written generation is
-    * newer than both). Best-effort. */
-  private def pruneGenerationsBefore(storeDir: String, keepGen: String): Unit = {
-    val keep = java.nio.file.Paths.get(keepGen).getFileName.toString
+  /** How many newest committed generations survive a prune — the newly
+    * written one plus a GenerationsKept-1-commit grace for in-flight
+    * readers. Deeper = more disk (one full store copy per generation);
+    * shallower = a long scan can lose files mid-read. */
+  private[graft] val GenerationsKept = 3
+
+  /** Delete every committed generation dir except the newest
+    * [[GenerationsKept]]. Best-effort. */
+  private def pruneOldGenerations(storeDir: String): Unit = {
     def ord(name: String): Long =
       if (name == "gen-init") -1L
       else name.stripPrefix("gen-b").toLongOption.getOrElse(Long.MaxValue)
@@ -124,7 +129,7 @@ object SketchIngest {
             .filter(n => n == "gen-init" || n.startsWith("gen-b")).toList
         } finally s.close()
       } catch { case scala.util.control.NonFatal(_) => Nil }
-    gens.filter(g => ord(g) < ord(keep)).foreach(g =>
+    gens.sortBy(ord).dropRight(GenerationsKept).foreach(g =>
       graft.operators.TempDirs.deleteRecursively(root.resolve(g)))
   }
 

@@ -270,10 +270,12 @@ class BenchLineSpec extends AnyFunSuite {
     assert(qLabels.last === "ivf_stream_append")
   }
 
-  test("scheduleUnits: must fat-first, droppables keep rotation order; batch estimates") {
-    // fat-first: a stale-fat must unit dispatches FIRST so it measures
-    // while budget is plentiful (r17: mmr's 133 s stale prior priced it
-    // at 328 s and it was cut unmeasured at the queue's tail)
+  test("scheduleUnits: must cheapest-first, droppables keep rotation order; batch estimates") {
+    // cheapest-first: the r18 driver window ran fat must families first
+    // and starved the cheap §2 must batches — only 24/55 must gates got a
+    // driver number. Ascending estimate maximizes the COUNT of must gates
+    // measured before a contended budget exhausts; a fat must family at
+    // the tail is trimmed to its must members, never silently lost whole.
     val fat = Bench.BenchUnit(Seq(("q:mmr_rerank", "mmr_rerank")))
     val trio = Bench.BenchUnit(Seq(("q:q1_agg_orders", "q1_agg_orders"),
       ("q:q2_net_demand", "q2_net_demand"), ("q:q3_supplier_orders", "q3_supplier_orders")))
@@ -286,13 +288,13 @@ class BenchLineSpec extends AnyFunSuite {
     def est(u: Bench.BenchUnit): Double =
       u.labels.map(l => Bench.estimateLabel(l, prior, 2)).sum
     val ordered = Bench.scheduleUnits(
-      Seq(cheapMust, dropA, trio, dropB, fat), est)
+      Seq(fat, dropA, trio, dropB, cheapMust), est)
     // the flagship trio is PINNED first (r17: the driver line lost q1/q2/q3
     // to two fat gates that overran their estimates 10-18×); remaining
-    // musts sort fat-first
+    // musts sort cheapest-first
     assert(ordered.take(3).map(_.labels.head) ===
-      Seq("q1_agg_orders", "mmr_rerank", "s5_row_counts"),
-      "flagship first, then must units fat-first")
+      Seq("q1_agg_orders", "s5_row_counts", "mmr_rerank"),
+      "flagship first, then must units cheapest-first")
     // droppables keep their incoming (rotation) order REGARDLESS of
     // estimate — dropA (est 216) stays ahead of dropB (est 2.4)
     assert(ordered.drop(3).map(_.labels.head) ===

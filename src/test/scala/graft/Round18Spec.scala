@@ -46,7 +46,7 @@ class Round18Spec extends SparkSpec {
   }
 
   test("verifyOrder: a name prefixing another is never credited by the longer key") {
-    // the membership probe is quote-delimited: an artifact containing only
+    // keys are matched exactly via JSON parsing: an artifact containing only
     // "ann_recall_pq" must not mark "ann_recall" as verified (and vice versa)
     val dir = Files.createTempDirectory("graft_verify_prefix")
     try {
@@ -64,17 +64,41 @@ class Round18Spec extends SparkSpec {
     finally Files.deleteIfExists(dir)
   }
 
-  test("verifyOrder over the real repo root is sorted by (last driver round, name)") {
+  test("verifyOrder over the real repo root is flagship-pinned then (last driver round, name)") {
     // state-independent property (the repo's CORRECTNESS_r{N} set grows
-    // every round): whatever the artifacts say, the queue must be sorted
-    // by last-verified round first, name second — so a budget truncation
-    // always eats the most-evidenced gates, never the newest
+    // every round): whatever the artifacts say, the queue must start with
+    // the six SURVEY §2 contract gates, then be sorted by last-verified
+    // round first, name second — so a budget truncation always eats the
+    // most-evidenced gates, never the newest and never the contract six
     val names = SparkEntry.queries.keys.toSeq
     val last = Verify.lastVerifiedRound(names, ".")
     val order = Verify.verifyOrder(names, ".")
-    val keys = order.map(n => (last.getOrElse(n, 0), n))
-    assert(keys === keys.sorted, "verify queue must be (lastRound, name)-sorted")
+    assert(order.take(Verify.FlagshipVerify.size) === Verify.FlagshipVerify,
+      "the §2 contract gates must head the queue every round")
+    val keys = order.drop(Verify.FlagshipVerify.size).map(n => (last.getOrElse(n, 0), n))
+    assert(keys === keys.sorted, "the rest must be (lastRound, name)-sorted")
     assert(order.sorted === names.sorted, "ordering must be a permutation")
+  }
+
+  test("verifyOrder: flagship gates are pinned ahead even of never-verified gates") {
+    // r18: the stalest-first rotation (correct cumulatively) left q1-q3/
+    // s5/s7/o20 riding a one-round-stale slice when the driver budget cut
+    // the queue — the contract six outrank even brand-new gates
+    val dir = Files.createTempDirectory("graft_verify_pin")
+    try {
+      Files.writeString(dir.resolve("CORRECTNESS_r7.json"),
+        """{"q1_agg_orders": {"rows_match": true}, "s5_row_counts": {"rows_match": true}}""")
+      val order = Verify.verifyOrder(
+        Seq("a_new_gate", "q1_agg_orders", "s5_row_counts", "z_new_gate"), dir.toString)
+      assert(order === Seq("q1_agg_orders", "s5_row_counts", "a_new_gate", "z_new_gate"),
+        "driver-verified-last-round flagship gates still precede never-verified ones")
+    } finally graft.operators.TempDirs.deleteRecursively(dir)
+  }
+
+  test("FlagshipVerify names registered queries and matches Bench's pinned trio") {
+    assert(Verify.FlagshipVerify.toSet.subsetOf(SparkEntry.queries.keySet))
+    assert(Verify.FlagshipVerify.contains(Bench.FlagshipLabel),
+      "the bench-pinned flagship must be inside the verify-pinned set")
   }
 
   // ------------------------------------------------------ bench watchdog

@@ -168,6 +168,37 @@ class SketchSpec extends SparkSpec {
     assert(after2 == after1)
   }
 
+  test("sketch ingest prune keeps a GenerationsKept-deep reader grace window") {
+    // r18 ADVICE: the one-generation grace bounded an in-flight reader's
+    // scan to a single micro-batch interval; the prune must keep the
+    // newest GenerationsKept generations and delete everything older
+    val docs = Seq((1L, "alpha beta gamma delta", "s1"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("sketch_prune_spec").toString
+    graft.streaming.SketchIngest.init(docs, dir)
+    def gens(): Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n == "gen-init" || n.startsWith("gen-b")).toSet
+      } finally s.close()
+    }
+    for (b <- 0L to 2L) {
+      val batch = Seq((10L + b, s"word$b more words here", "s1"))
+        .toDF("doc_id", "text", "source")
+      graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, b)
+    }
+    assert(gens() === Set("gen-b0", "gen-b1", "gen-b2"),
+      "after 3 commits: init pruned, the newest GenerationsKept survive")
+    graft.streaming.SketchIngest.mergeBatch(spark, dir)(
+      Seq((20L, "yet more new words", "s2")).toDF("doc_id", "text", "source"), 3L)
+    assert(gens() === Set("gen-b1", "gen-b2", "gen-b3"),
+      "each further commit slides the grace window by one")
+    assert(graft.streaming.SketchIngest.GenerationsKept >= 3,
+      "a reader must survive at least two commits between resolve and scan")
+  }
+
   test("sketch-only plan partial-aggregates map-side (the 100 TB shape)") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val sketchOnly = docs

@@ -553,20 +553,83 @@ object Bench {
     * (popFitting), so its droppable twins absorb the cut. The r17
     * stale-fat worry is closed separately: estimates are clamped at the
     * watchdog ceiling, so no prior can price a unit out of the queue.
+    *
+    * The ascending key is the TRIMMED unit's estimate — the cost of the
+    * must gates a squeezed window actually dispatches — not the full
+    * unit's: by full estimate a family carrying one cheap must gate and
+    * six droppable twins (imi_sq8: est ~310 full, ~45 trimmed) sorts to
+    * the very tail of the must block, and the r19 650 s simulation cut
+    * exactly those families whole, musts included, with seconds left.
     * Pure — spec-covered. */
   private[graft] def scheduleUnits(units: Seq[BenchUnit],
                                    est: BenchUnit => Double): Seq[BenchUnit] = {
-    val isMust = (u: BenchUnit) => u.labels.exists(l =>
-      !SparkEntry.lowPriorityBench.contains(l))
     val (flagship, rest) = units.partition(_.labels.contains(FlagshipLabel))
-    val (mustUnits, dropUnits) = rest.partition(isMust)
-    flagship ++ mustUnits.sortBy(est(_)) ++ dropUnits
+    val (mustUnits, dropUnits) = rest.partition(isMustUnit)
+    flagship ++ mustUnits.sortBy(u => est(trimToMust(u))) ++ dropUnits
   }
 
   /** The query whose unit [[scheduleUnits]] pins to the front of the
     * dispatch queue (its batch carries the q1/q2/q3 trio — BASELINE.md's
     * comparison surface). */
   private[graft] val FlagshipLabel = "q1_agg_orders"
+
+  /** A unit carrying at least one must gate (a label outside
+    * [[SparkEntry.lowPriorityBench]]) or a build phase. */
+  private[graft] def isMustUnit(u: BenchUnit): Boolean =
+    u.tasks.exists { case (s, l) =>
+      s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
+    }
+
+  /** The unit with its droppable members cut: must gates and build
+    * phases survive (phases are the one-time build costs the line keeps
+    * visible). For an all-must or all-droppable unit this is the unit
+    * itself / an empty unit respectively. */
+  private[graft] def trimToMust(u: BenchUnit): BenchUnit =
+    BenchUnit(u.tasks.filter { case (s, l) =>
+      s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
+    }, u.memo)
+
+  /** What to do with the unit at the queue head. */
+  private[graft] sealed trait UnitFit
+  private[graft] object UnitFit {
+    case object Full extends UnitFit
+    case object Trimmed extends UnitFit
+    case object Cut extends UnitFit
+  }
+
+  /** Budget-fit decision for one unit, given `left` seconds of budget and
+    * `reserve` — the summed TRIMMED estimates of every must unit still
+    * queued BEHIND this one. Policy (spec-covered):
+    *
+    *   - a unit may run FULL only if the queued musts still fit after it
+    *     (est ≤ left − reserve) — droppable members never spend budget a
+    *     queued must gate needs;
+    *   - a mixed unit that fails that test runs TRIMMED to its must
+    *     members if those fit the plain remainder (later units will trim
+    *     under the same rule, so the reservation is not double-charged
+    *     against the trimmed dispatch);
+    *   - an unmixed unit (nothing to trim: all-must batch or droppable-
+    *     only twin) runs FULL on the plain remainder — reservation
+    *     protects musts from DROPPABLE spending, not from other musts,
+    *     and by the time droppable-only units dispatch the must block is
+    *     exhausted (reserve 0);
+    *   - otherwise CUT.
+    *
+    * The r18 driver run measured 24/55 musts; the self-only trim of r18
+    * plus cheapest-first recovered 35/55 in a 650 s budget simulation;
+    * this reservation recovers the family musts that simulation still
+    * lost (trimmed family units are ~60-80 s fork-cold vs 120-310 s
+    * full). */
+  private[graft] def dispatchDecision(u: BenchUnit, left: Double,
+                                      reserve: Double,
+                                      est: BenchUnit => Double): UnitFit = {
+    val trimmed = trimToMust(u)
+    val mixed = trimmed.tasks.nonEmpty && trimmed.tasks.size < u.tasks.size
+    if (est(u) <= left - (if (isMustUnit(u)) reserve else 0.0)) UnitFit.Full
+    else if (mixed && est(trimmed) <= left) UnitFit.Trimmed
+    else if (!mixed && est(u) <= left) UnitFit.Full
+    else UnitFit.Cut
+  }
 
   /** Run `units` in forked workers, PIPELINED: while worker i measures,
     * worker i+1 is forked and parks at its READY/GO handshake with a
@@ -577,12 +640,13 @@ object Bench {
     *
     * Wall budget: before dispatching each unit, its estimated cost (sum
     * of member estimates — prior-round min × executions × 1.2 — plus
-    * [[StartupMarginSecs]], [[FamilyBuildSurchargeSecs]] for multi-task
-    * units, [[DefaultEstSecs]] per member with no prior) is checked
-    * against the remaining budget. A unit that does not fit is first
-    * TRIMMED to its must-entries (droppable members cut by name); if even
-    * that does not fit the whole unit is cut, and the scan continues — a
-    * later, cheaper unit may still fit. Returns (results, cutLabels). */
+    * [[StartupMarginSecs]], [[FamilyBuildEstSecs]] for memo families,
+    * [[DefaultEstSecs]] per member with no prior) is checked against the
+    * remaining budget MINUS the must-block reservation (see
+    * [[dispatchDecision]]). A unit that does not fit runs TRIMMED to its
+    * must-entries (droppable members cut by name); if even that does not
+    * fit the whole unit is cut, and the scan continues — a later,
+    * cheaper unit may still fit. Returns (results, cutLabels). */
   private def runForkedSuite(allUnits: Seq[BenchUnit], sfDir: String,
                              warmups: Int, passes: Int, budgetSecs: Double,
                              prior: Map[String, Double],
@@ -633,7 +697,7 @@ object Bench {
       }
     def estUnit(u: BenchUnit): Double =
       u.labels.map(estLabel).sum + StartupMarginSecs +
-        (if (u.memo) FamilyBuildSurchargeSecs else 0.0)
+        (if (u.memo) FamilyBuildEstSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
@@ -643,23 +707,29 @@ object Bench {
       while (queue.nonEmpty) {
         val u = queue.head; queue = queue.tail
         val left = budgetSecs - elapsed()
-        if (estUnit(u) <= left) return Some(u)
-        // trim to must-entries before giving up on the whole unit
-        val mustTasks = u.tasks.filter { case (s, l) =>
-          s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
+        // must-block RESERVATION: the remaining must units' trimmed cost.
+        // A unit may keep its droppable members only if every must gate
+        // still queued would fit afterward — the 650 s budget simulation
+        // (r19, SCALE.md) showed the self-only trim lets early full
+        // family units spend the budget their droppable siblings don't
+        // deserve, and the fat must families at the block's tail are cut
+        // WHOLE with seconds left (20 of 55 musts lost).
+        val reserve = queue.filter(isMustUnit).map(q => estUnit(trimToMust(q))).sum
+        dispatchDecision(u, left, reserve, estUnit) match {
+          case UnitFit.Full => return Some(u)
+          case UnitFit.Trimmed =>
+            val trimmed = trimToMust(u)
+            val dropped = u.labels.diff(trimmed.labels)
+            cut ++= dropped
+            System.err.println(s"[bench] TRIM unit to must-entries " +
+              f"(${estUnit(u)}%.0fs est, $left%.0fs left, $reserve%.0fs reserved " +
+              s"for queued musts), cutting " + dropped.mkString(","))
+            return Some(trimmed)
+          case UnitFit.Cut =>
+            cut ++= u.labels
+            System.err.println(f"[bench] CUT ${u.labels.mkString(",")} " +
+              f"(est ${estUnit(u)}%.0fs, $left%.0fs left of ${budgetSecs}%.0fs budget)")
         }
-        val trimmed = BenchUnit(mustTasks, u.memo)
-        if (mustTasks.nonEmpty && mustTasks.size < u.tasks.size &&
-          estUnit(trimmed) <= left) {
-          val dropped = u.labels.diff(trimmed.labels)
-          cut ++= dropped
-          System.err.println(s"[bench] TRIM unit to must-entries, cutting " +
-            dropped.mkString(","))
-          return Some(trimmed)
-        }
-        cut ++= u.labels
-        System.err.println(f"[bench] CUT ${u.labels.mkString(",")} " +
-          f"(est ${estUnit(u)}%.0fs, $left%.0fs left of ${budgetSecs}%.0fs budget)")
       }
       None
     }
@@ -719,9 +789,11 @@ object Bench {
 
   /** Startup overhead added to every unit estimate (handshake + GO + temp
     * files); the per-member estimate used when no prior-round floor
-    * exists; and the one-time memoized-build surcharge estimated for a
-    * family unit (the training/build cost its members' warm minutes do
-    * not show). */
+    * exists; and the WATCHDOG's per-label allowance for a memo family's
+    * one-time build (the training/build cost its members' warm floors
+    * never show — any member may be the one that pays it, so every
+    * member's KILL window gets it; estimates price the build separately
+    * at [[FamilyBuildEstSecs]]). */
   private[graft] val StartupMarginSecs = 8.0
   private[graft] val DefaultEstSecs = 20.0
   private[graft] val BatchDefaultEstSecs = 6.0
@@ -734,6 +806,18 @@ object Bench {
     * margin and silently eat the label's cap (r18 ADVICE). Estimation
     * keeps the honest 8 s; only the watchdog uses this fatter one. */
   private[graft] val SessionBuildMarginSecs = 45.0
+
+  /** ESTIMATED one-time memoized-build cost for a family unit. Distinct
+    * from [[FamilyBuildSurchargeSecs]] (the watchdog's per-label kill
+    * allowance, sized to never false-kill): the r19 full run measured
+    * every family's fork-cold build inside its first member's warmup at
+    * 7.5–37.9 s (median ~18); pricing estimates at the watchdog's 60
+    * refused ~460 s of feasible must work across the 11 families in the
+    * 650 s budget simulation (whole family units cut with their musts at
+    * 47 s left while their real trimmed cost fit). A modest underprice
+    * on the fattest build (imi_sq8, ~38 s) is bounded by the whole-unit
+    * deadline; a fat overprice structurally evicts must gates. */
+  private[graft] val FamilyBuildEstSecs = 30.0
 
   /** Watchdog tuning: the per-entry ceiling is BudgetFrac of the wall
     * budget (12% of the default 1620 s ≈ 194 s), floored at MinSecs for

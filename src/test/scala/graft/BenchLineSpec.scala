@@ -299,6 +299,20 @@ class BenchLineSpec extends AnyFunSuite {
     // estimate — dropA (est 216) stays ahead of dropB (est 2.4)
     assert(ordered.drop(3).map(_.labels.head) ===
       Seq("dedup_canonical", "bm25_topk"))
+    // the ascending key is the TRIMMED estimate: a family whose must gate
+    // is cheap sorts by that gate's cost, not by its fat droppable twins
+    // (the r19 650s simulation cut exactly the tail-sorted families whole)
+    val famCheapMust = Bench.BenchUnit(Seq(
+      ("q:imi_sq8_probe", "imi_sq8_probe"),               // must, cheap
+      ("q:imi_sq8_requantize", "imi_sq8_requantize")),    // droppable, fat
+      memo = true)
+    val prior2 = prior ++ Map("imi_sq8_probe" -> 3.3, "imi_sq8_requantize" -> 69.8)
+    def est2(u: Bench.BenchUnit): Double =
+      u.labels.map(l => Bench.estimateLabel(l, prior2, 2)).sum
+    val ordered2 = Bench.scheduleUnits(Seq(fat, famCheapMust, trio), est2)
+    assert(ordered2.map(_.labels.head) ===
+      Seq("q1_agg_orders", "imi_sq8_probe", "mmr_rerank"),
+      "trimmed est (~8) beats mmr's 319, though the family's full est is ~175")
     // no-prior estimates: batch members price at the cheap default,
     // non-batch at the conservative one (the r17 run-1 bug: a 9-gate
     // batch priced 188 s was cut from slivers its real ~45 s fit)
@@ -308,6 +322,55 @@ class BenchLineSpec extends AnyFunSuite {
       Bench.DefaultEstSecs)
     // with a prior, the estimate is floor × execs × 1.2 for both classes
     assert(Bench.estimateLabel("bm25_topk", Map("bm25_topk" -> 1.0), 2) === 2.4)
+  }
+
+  test("dispatchDecision: droppable members never spend budget queued musts need") {
+    // a mixed family (musts + droppable twins) may run FULL only when the
+    // remaining must block (trimmed) still fits afterward; otherwise it
+    // trims — the r19 650s-budget simulation lost 20/55 musts because the
+    // self-only trim let early full families starve the tail's musts
+    val mixed = Bench.BenchUnit(Seq(
+      ("q:ivf_probe_indexed", "ivf_probe_indexed"), // must
+      ("q:ivf_ann_topk", "ivf_ann_topk"),           // droppable
+      ("q:ivf_requantize", "ivf_requantize")),      // droppable
+      memo = true)
+    val est = (u: Bench.BenchUnit) => 10.0 * u.tasks.size
+    // plenty of budget: full
+    assert(Bench.dispatchDecision(mixed, left = 200, reserve = 100, est) ===
+      Bench.UnitFit.Full)
+    // full (30) would eat the 100s reserve's tail (left 120): trim (10 <= 120)
+    assert(Bench.dispatchDecision(mixed, left = 120, reserve = 100, est) ===
+      Bench.UnitFit.Trimmed)
+    // not even the trimmed musts fit: cut
+    assert(Bench.dispatchDecision(mixed, left = 5, reserve = 0, est) ===
+      Bench.UnitFit.Cut)
+    // an all-must batch ignores the reservation (musts don't starve musts)
+    val allMust = Bench.BenchUnit(Seq(("q:s5_row_counts", "s5_row_counts"),
+      ("q:o20_summary", "o20_summary")))
+    assert(Bench.dispatchDecision(allMust, left = 25, reserve = 100, est) ===
+      Bench.UnitFit.Full)
+    assert(Bench.dispatchDecision(allMust, left = 15, reserve = 0, est) ===
+      Bench.UnitFit.Cut)
+    // a droppable-only unit fits the plain remainder (reserve is 0 by the
+    // time the must block is exhausted, but must not apply regardless)
+    val dropOnly = Bench.BenchUnit(Seq(("q:bm25_topk", "bm25_topk")))
+    assert(Bench.dispatchDecision(dropOnly, left = 12, reserve = 500, est) ===
+      Bench.UnitFit.Full)
+    assert(Bench.dispatchDecision(dropOnly, left = 8, reserve = 0, est) ===
+      Bench.UnitFit.Cut)
+  }
+
+  test("trimToMust keeps must gates and build phases, cuts droppable twins") {
+    val fam = Bench.BenchUnit(Seq(
+      ("q:dedup_delta_lsh", "dedup_delta_lsh"),           // must
+      ("q:store_maintenance_loop", "store_maintenance_loop"), // droppable
+      ("phase:dedup_index_build", "dedup_index_build")),  // phase: kept
+      memo = true)
+    val t = Bench.trimToMust(fam)
+    assert(t.labels === Seq("dedup_delta_lsh", "dedup_index_build"))
+    assert(t.memo, "memo flag (and its build surcharge) must survive the trim")
+    assert(Bench.isMustUnit(fam) && Bench.isMustUnit(t))
+    assert(!Bench.isMustUnit(Bench.BenchUnit(Seq(("q:bm25_topk", "bm25_topk")))))
   }
 
   test("forkUnits: a family with a must-entry forms at the must position") {

@@ -573,21 +573,22 @@ object Bench {
     * comparison surface). */
   private[graft] val FlagshipLabel = "q1_agg_orders"
 
-  /** A unit carrying at least one must gate (a label outside
-    * [[SparkEntry.lowPriorityBench]]) or a build phase. */
-  private[graft] def isMustUnit(u: BenchUnit): Boolean =
-    u.tasks.exists { case (s, l) =>
-      s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
-    }
+  /** A task that survives a must-trim: a query outside
+    * [[SparkEntry.lowPriorityBench]], or a build phase (the one-time
+    * build costs the line keeps visible). The ONE copy of the predicate
+    * — [[isMustUnit]] and [[trimToMust]] must never diverge. */
+  private def isMustTask(spec: String, label: String): Boolean =
+    spec.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(label)
 
-  /** The unit with its droppable members cut: must gates and build
-    * phases survive (phases are the one-time build costs the line keeps
-    * visible). For an all-must or all-droppable unit this is the unit
-    * itself / an empty unit respectively. */
+  /** A unit carrying at least one must gate or build phase. */
+  private[graft] def isMustUnit(u: BenchUnit): Boolean =
+    u.tasks.exists { case (s, l) => isMustTask(s, l) }
+
+  /** The unit with its droppable members cut. For an all-must or
+    * all-droppable unit this is the unit itself / an empty unit
+    * respectively. */
   private[graft] def trimToMust(u: BenchUnit): BenchUnit =
-    BenchUnit(u.tasks.filter { case (s, l) =>
-      s.startsWith("phase:") || !SparkEntry.lowPriorityBench.contains(l)
-    }, u.memo)
+    BenchUnit(u.tasks.filter { case (s, l) => isMustTask(s, l) }, u.memo)
 
   /** What to do with the unit at the queue head. */
   private[graft] sealed trait UnitFit
@@ -657,7 +658,7 @@ object Bench {
         SparkEntry.iterativeHarnessQueries(label)) warmups + 1
       else warmups + passes
     // the per-entry WATCHDOG ceiling: no label may hold a worker longer
-    // than WatchdogBudgetFrac of the wall budget (~130 s at the default
+    // than WatchdogBudgetFrac of the wall budget (~194 s at the default
     // 1620) — the r17 driver run let two contention-inflated entries
     // (10-40× their floors, 127-740 s of wall) eat ~30% of the budget and
     // evict 83 labels including the flagship trio; the ceiling bounds any
@@ -713,7 +714,12 @@ object Bench {
         // (r19, SCALE.md) showed the self-only trim lets early full
         // family units spend the budget their droppable siblings don't
         // deserve, and the fat must families at the block's tail are cut
-        // WHOLE with seconds left (20 of 55 musts lost).
+        // WHOLE with seconds left (20 of 55 musts lost). Deliberately
+        // CONSERVATIVE: queued musts that cannot fit even trimmed still
+        // count, so a doomed fat must can force an unnecessary trim of
+        // feasible droppables — over-reserving costs droppable coverage
+        // on a squeezed window, under-reserving costs must gates, and
+        // musts are the contract.
         val reserve = queue.filter(isMustUnit).map(q => estUnit(trimToMust(q))).sum
         dispatchDecision(u, left, reserve, estUnit) match {
           case UnitFit.Full => return Some(u)
@@ -737,17 +743,33 @@ object Bench {
     var prestarted: Option[(BenchUnit, ForkHandle)] = None
     var running = true
     while (running) {
+      val wasPrestarted = prestarted.nonEmpty
       val cur = prestarted.orElse(
         popFitting().map(u => (u, ForkHandle.spawn(u.spec, sfDir, warmups, passes))))
       prestarted = None
       cur match {
         case None => running = false
         case Some((u, h)) =>
-          // a prestarted unit is re-checked: the budget may have moved on
-          if (elapsed() + estUnit(u) > budgetSecs + StartupMarginSecs) {
-            h.kill(); cut ++= u.labels
-            System.err.println(s"[bench] CUT ${u.labels.mkString(",")} " +
-              "(prestarted, budget exhausted)")
+          // a prestarted unit's dispatch decision is STALE: it was made
+          // before the in-flight unit's measurement, which can overrun
+          // its estimate 10-18× (r17). Re-decide with the CURRENT budget
+          // and reservation instead of the old plain budget check, which
+          // bypassed dispatchDecision and cut a mixed must unit WHOLE
+          // where a trim (or a reservation-respecting Full) was due —
+          // the exact starvation mode the reservation exists to close.
+          // On any non-Full verdict the spawned worker is killed and the
+          // unit requeued: popFitting re-decides from the same state, so
+          // the outcome is Trimmed or Cut with the standard bookkeeping
+          // (both terminal — no respawn loop), at the cost of one wasted
+          // JVM boot that had overlapped measurement anyway.
+          val staleReserve = queue.filter(isMustUnit).map(q => estUnit(trimToMust(q))).sum
+          if (wasPrestarted && dispatchDecision(u,
+            budgetSecs - elapsed() + StartupMarginSecs, staleReserve,
+            estUnit) != UnitFit.Full) {
+            h.kill()
+            queue = u :: queue
+            System.err.println(s"[bench] REQUEUE ${u.labels.mkString(",")} " +
+              "(prestarted, budget moved on — re-deciding)")
           } else {
             val remaining = budgetSecs - elapsed()
             if (!h.awaitReady(ReadyTimeoutSecs)) {

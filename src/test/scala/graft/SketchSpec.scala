@@ -149,23 +149,26 @@ class SketchSpec extends SparkSpec {
   test("streaming sketch ingest: committed batchIds skip; re-merging a batch is an algebraic no-op") {
     val docs = Seq((1L, "alpha beta gamma delta", "s1"), (2L, "one two three four", "s2"))
       .toDF("doc_id", "text", "source")
-    val dir = java.nio.file.Files.createTempDirectory("sketch_ingest_spec").toString
-    graft.streaming.SketchIngest.init(docs, dir)
-    val batch = Seq((3L, "five six seven eight", "s1")).toDF("doc_id", "text", "source")
-    graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 0L)
-    val after1 = Sketches.storeEstimates(
-      spark.read.parquet(graft.streaming.SketchIngest.currentGenPath(dir))).collect().toSeq
-    // ledger guard: same batchId replays whole -> no new generation
-    graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 0L)
-    assert(graft.streaming.SketchIngest.currentGenPath(dir).endsWith("gen-b0"))
-    // set algebra: the SAME ROWS under a NEW batchId write a new
-    // generation whose sketches are identical — re-delivery cannot move
-    // a KMV sketch
-    graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 1L)
-    assert(graft.streaming.SketchIngest.currentGenPath(dir).endsWith("gen-b1"))
-    val after2 = Sketches.storeEstimates(
-      spark.read.parquet(graft.streaming.SketchIngest.currentGenPath(dir))).collect().toSeq
-    assert(after2 == after1)
+    val root = java.nio.file.Files.createTempDirectory("sketch_ingest_spec")
+    val dir = root.toString
+    try {
+      graft.streaming.SketchIngest.init(docs, dir)
+      val batch = Seq((3L, "five six seven eight", "s1")).toDF("doc_id", "text", "source")
+      graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 0L)
+      val after1 = Sketches.storeEstimates(
+        spark.read.parquet(graft.streaming.SketchIngest.currentGenPath(dir))).collect().toSeq
+      // ledger guard: same batchId replays whole -> no new generation
+      graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 0L)
+      assert(graft.streaming.SketchIngest.currentGenPath(dir).endsWith("gen-b0"))
+      // set algebra: the SAME ROWS under a NEW batchId write a new
+      // generation whose sketches are identical — re-delivery cannot move
+      // a KMV sketch
+      graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, 1L)
+      assert(graft.streaming.SketchIngest.currentGenPath(dir).endsWith("gen-b1"))
+      val after2 = Sketches.storeEstimates(
+        spark.read.parquet(graft.streaming.SketchIngest.currentGenPath(dir))).collect().toSeq
+      assert(after2 == after1)
+    } finally graft.operators.TempDirs.deleteRecursively(root)
   }
 
   test("sketch ingest prune keeps a GenerationsKept-deep reader grace window") {
@@ -174,29 +177,32 @@ class SketchSpec extends SparkSpec {
     // newest GenerationsKept generations and delete everything older
     val docs = Seq((1L, "alpha beta gamma delta", "s1"))
       .toDF("doc_id", "text", "source")
-    val dir = java.nio.file.Files.createTempDirectory("sketch_prune_spec").toString
-    graft.streaming.SketchIngest.init(docs, dir)
-    def gens(): Set[String] = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(n => n == "gen-init" || n.startsWith("gen-b")).toSet
-      } finally s.close()
-    }
-    for (b <- 0L to 2L) {
-      val batch = Seq((10L + b, s"word$b more words here", "s1"))
-        .toDF("doc_id", "text", "source")
-      graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, b)
-    }
-    assert(gens() === Set("gen-b0", "gen-b1", "gen-b2"),
-      "after 3 commits: init pruned, the newest GenerationsKept survive")
-    graft.streaming.SketchIngest.mergeBatch(spark, dir)(
-      Seq((20L, "yet more new words", "s2")).toDF("doc_id", "text", "source"), 3L)
-    assert(gens() === Set("gen-b1", "gen-b2", "gen-b3"),
-      "each further commit slides the grace window by one")
-    assert(graft.streaming.SketchIngest.GenerationsKept >= 3,
-      "a reader must survive at least two commits between resolve and scan")
+    val root = java.nio.file.Files.createTempDirectory("sketch_prune_spec")
+    val dir = root.toString
+    try {
+      graft.streaming.SketchIngest.init(docs, dir)
+      def gens(): Set[String] = {
+        val s = java.nio.file.Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(n => n == "gen-init" || n.startsWith("gen-b")).toSet
+        } finally s.close()
+      }
+      for (b <- 0L to 2L) {
+        val batch = Seq((10L + b, s"word$b more words here", "s1"))
+          .toDF("doc_id", "text", "source")
+        graft.streaming.SketchIngest.mergeBatch(spark, dir)(batch, b)
+      }
+      assert(gens() === Set("gen-b0", "gen-b1", "gen-b2"),
+        "after 3 commits: init pruned, the newest GenerationsKept survive")
+      graft.streaming.SketchIngest.mergeBatch(spark, dir)(
+        Seq((20L, "yet more new words", "s2")).toDF("doc_id", "text", "source"), 3L)
+      assert(gens() === Set("gen-b1", "gen-b2", "gen-b3"),
+        "each further commit slides the grace window by one")
+      assert(graft.streaming.SketchIngest.GenerationsKept >= 3,
+        "a reader must survive at least two commits between resolve and scan")
+    } finally graft.operators.TempDirs.deleteRecursively(root)
   }
 
   test("sketch-only plan partial-aggregates map-side (the 100 TB shape)") {

@@ -36,10 +36,14 @@ package graft
   *      r16 ran 1812 s of sbt wall and survived the driver cap, so
   *      1620 + overhead lands ~160 s inside the proven-survivable
   *      point). The FLAGSHIP trio (q1/q2/q3) dispatches first
-  *      unconditionally; the other must-units CHEAPEST-FIRST (ascending
-  *      estimate — r18: fat-first starved the cheap §2 must batches on a
-  *      contended window); droppables follow in the per-round rotation
-  *      order.
+  *      unconditionally, then the pinned corpus_curate_e2e unit (see
+  *      [[PinnedSecondLabel]]); the other must-units CHEAPEST-FIRST
+  *      (ascending estimate — r18: fat-first starved the cheap §2 must
+  *      batches on a contended window); droppables follow in the
+  *      per-round rotation order. Estimates are WALL-priced from the
+  *      last full run's per-label wall record (r19: label estimates
+  *      underpriced real wall 2–4× and the reservation let droppable
+  *      siblings starve 3 must gates).
   *      A per-label WATCHDOG (see runForkedSuite) kills any entry that
   *      runs past the per-entry ceiling (12% of the budget, ~194 s) —
   *      the r17 driver run let two contention-inflated entries eat ~30%
@@ -140,10 +144,11 @@ object Bench {
     // below overwrite bench.json mid-run, so a late read would compare
     // this run against its own first half
     val prior = readPriorQueries()
+    val priorWall = readPriorWalls()
     val seed = roundSeed()
 
     val (results: Seq[(String, Double, Seq[Double])], cut: Seq[String],
-         wdogKilled: Seq[String]) =
+         wdogKilled: Seq[String], walls: Map[String, Double]) =
     if (fork) {
       // must-entries first, then droppable cost-twins in the per-round
       // rotation order — budget exhaustion (below) then trims exactly the
@@ -162,14 +167,16 @@ object Bench {
       // still cut 70 labels — the suite's honest cost at 2 executions
       // per label is the binding constraint, not protocol overhead).
       val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1620").toDouble
-      runForkedSuite(units, sfDir, warmups, passes, budget, prior, t0)
+      runForkedSuite(units, sfDir, warmups, passes, budget, prior, priorWall, t0)
     } else {
       val spark = GraftSession.builder("graft-bench").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
       val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p, warmups, passes))
       spark.stop()
-      (qs ++ ph, Seq.empty[String], Seq.empty[String])
+      // the single-JVM path records no walls: it exists for quick local
+      // iteration, and its in-process wall would mix neighbors' residue
+      (qs ++ ph, Seq.empty[String], Seq.empty[String], Map.empty[String, Double])
     }
 
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
@@ -204,7 +211,7 @@ object Bench {
     // the full record to bench.json (best-effort: a read-only cwd must not
     // void the measurement), and emit the compact line LAST on BOTH stdout
     // and stderr (sbt prefixes stdout with "[info] "; stderr passes bare)
-    writeRecord(results, cut, sfDir, fork, trippedNames, partial = false)
+    writeRecord(results, cut, sfDir, fork, trippedNames, walls, partial = false)
     val (compact, omitted) =
       compactLine(results.map(r => (r._1, r._2)), sfDir, trippedNames,
         seed, cut.size)
@@ -323,11 +330,28 @@ object Bench {
     * are JSON-escaped (`\"queries\":`), which the unescaped-quote regex
     * never matches. Non-positive entries (failed = -1) never form a floor. */
   private[graft] def queryMinsFrom(p: java.nio.file.Path): Map[String, Double] =
+    numsObjectFrom(p, "queries")
+
+  /** Per-label WALL seconds from the last full run's bench.json `"wall"`
+    * object — everything a label's slot really costs (session build on a
+    * unit's first label, warmups, settle, fork-cold memoized builds), the
+    * currency runForkedSuite's dispatch prices in. Local record only: the
+    * driver's compact line never carries walls (byte budget), so there is
+    * no artifact fallback. Absent on records written before r20 — the
+    * scheduler then falls back to measured-estimate × [[DefaultWallFactor]]. */
+  private[graft] def readPriorWalls(dir: String = "."): Map[String, Double] =
+    numsObjectFrom(java.nio.file.Paths.get(dir).resolve("bench.json"), "wall")
+
+  /** The positive numeric entries of the FIRST `"<key>":{...}` object in
+    * `p` (see [[queryMinsFrom]] for the decoy-resistance argument). */
+  private[graft] def numsObjectFrom(p: java.nio.file.Path,
+                                    key: String): Map[String, Double] =
     try {
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = java.nio.file.Files.readString(p)
-        """"queries"\s*:\s*\{""".r.findFirstMatchIn(s) match {
+        ("\"" + java.util.regex.Pattern.quote(key) + """"\s*:\s*\{""").r
+          .findFirstMatchIn(s) match {
           case None => Map.empty
           case Some(m) =>
             val j = s.indexOf('}', m.end)
@@ -423,14 +447,23 @@ object Bench {
 
   /** The full-precision record (bench.json). `partial=true` marks an
     * in-progress rewrite (a killed run leaves the completed prefix on
-    * disk, self-describing); the final write drops the flag. */
+    * disk, self-describing); the final write drops the flag. `walls` is
+    * the per-label WALL seconds the worker heartbeats reported (r19
+    * verdict ask #3: the corpus_curate_e2e cap-kill left zero forensic
+    * record — a killed label's wall is exactly the number that
+    * adjudicates watchdog disputes, and the wall-priced dispatch needs
+    * the data as next round's floor). */
   private def writeRecord(results: Seq[(String, Double, Seq[Double])],
                           cut: Seq[String], sfDir: String, fork: Boolean,
-                          tripped: Seq[String], partial: Boolean): Unit = {
+                          tripped: Seq[String], walls: Map[String, Double],
+                          partial: Boolean): Unit = {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val pp = results.map { case (k, _, ps) =>
       "\"" + k + "\":" + ps.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val ws = results.collect { case (k, _, _) if walls.contains(k) =>
+      "\"" + k + "\":" + walls(k)
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -441,6 +474,7 @@ object Bench {
         s""""tripwire":${tripped.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""cut":${cut.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         (if (partial) """"partial":true,""" else "") +
+        s""""wall":$ws,""" +
         s""""passes":$pp}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(recordPath), full + "\n")
     catch { case e: java.io.IOException => System.err.println(s"[bench] $recordPath write failed: $e") }
@@ -530,9 +564,10 @@ object Bench {
       else DefaultEstSecs)
 
   /** Dispatch order: the FLAGSHIP unit (q1/q2/q3 — the SURVEY §2 contract
-    * queries, ~8 s) unconditionally first, then the remaining must-units
-    * CHEAPEST-FIRST (ascending estimate), then droppable-only units in
-    * their incoming (rotation) order.
+    * queries, ~8 s) unconditionally first, then the [[PinnedSecondLabel]]
+    * unit (see there), then the remaining must-units CHEAPEST-FIRST
+    * (ascending estimate), then droppable-only units in their incoming
+    * (rotation) order.
     *
     * The flagship pin exists because the r17 driver line lost the trio to
     * two contention-inflated fat gates that ran first and overran their
@@ -563,15 +598,26 @@ object Bench {
     * Pure — spec-covered. */
   private[graft] def scheduleUnits(units: Seq[BenchUnit],
                                    est: BenchUnit => Double): Seq[BenchUnit] = {
-    val (flagship, rest) = units.partition(_.labels.contains(FlagshipLabel))
+    val (flagship, rest0) = units.partition(_.labels.contains(FlagshipLabel))
+    val (pinned, rest) = rest0.partition(_.labels.contains(PinnedSecondLabel))
     val (mustUnits, dropUnits) = rest.partition(isMustUnit)
-    flagship ++ mustUnits.sortBy(u => est(trimToMust(u))) ++ dropUnits
+    flagship ++ pinned ++ mustUnits.sortBy(u => est(trimToMust(u))) ++ dropUnits
   }
 
   /** The query whose unit [[scheduleUnits]] pins to the front of the
     * dispatch queue (its batch carries the q1/q2/q3 trio — BASELINE.md's
     * comparison surface). */
   private[graft] val FlagshipLabel = "q1_agg_orders"
+
+  /** Pinned SECOND, directly after the flagship trio (r19 verdict):
+    * corpus_curate_e2e went three driver rounds without a sane bench
+    * number — r17 contention-inflated 367.7 s, r18 budget-cut, r19
+    * watchdog cap-killed — despite a 12.4–17.6 s floor proven five ways
+    * (isolated min-of-3 by builder AND judge, quiet full runs, contended
+    * rehearsals). Dispatched second it runs in the freshest window with
+    * full budget: it cannot be starved by earlier units' overruns and
+    * cannot be tail-killed. */
+  private[graft] val PinnedSecondLabel = "corpus_curate_e2e"
 
   /** A task that survives a must-trim: a query outside
     * [[SparkEntry.lowPriorityBench]], or a build phase (the one-time
@@ -651,7 +697,10 @@ object Bench {
   private def runForkedSuite(allUnits: Seq[BenchUnit], sfDir: String,
                              warmups: Int, passes: Int, budgetSecs: Double,
                              prior: Map[String, Double],
-                             t0: Long): (Seq[(String, Double, Seq[Double])], Seq[String], Seq[String]) = {
+                             priorWall: Map[String, Double],
+                             t0: Long): (Seq[(String, Double, Seq[Double])],
+                                         Seq[String], Seq[String],
+                                         Map[String, Double]) = {
     def elapsed(): Double = (System.nanoTime() - t0) / 1e9
     def execs(label: String): Int =
       if (SparkEntry.replayHarnessQueries(label) ||
@@ -696,13 +745,45 @@ object Bench {
         capMax + (if (u.memo) FamilyBuildSurchargeSecs else 0.0) +
           (if (i == 0) SessionBuildMarginSecs else 0.0)
       }
+    // WALL-priced dispatch (r19 verdict ask #2): the r19 driver run cut 3
+    // must gates while 7 droppable family siblings got measured, because
+    // the reservation priced units in label ESTIMATES (measured secs ×
+    // execs × 1.2) while real per-unit wall runs 2–4× that (SCALE.md
+    // sim-4: warmup, session build, settle, fork-cold builds). A label's
+    // price is its WALL floor from the last full run's bench.json ×1.2;
+    // labels never wall-measured fall back to the measured estimate ×
+    // [[DefaultWallFactor]]. Clamped at the label's own kill ceiling —
+    // the same no-permanent-eviction argument as estLabel's clamp: a
+    // contention-tinted wall can delay a gate, never price it out forever.
+    def wallLabel(label: String, memo: Boolean): Double = {
+      val ceil = capMax + SessionBuildMarginSecs +
+        (if (memo) FamilyBuildSurchargeSecs else 0.0)
+      math.min(
+        priorWall.get(label).map(_ * 1.2)
+          .getOrElse(estLabel(label) * DefaultWallFactor), ceil)
+    }
+    // The memo-build term stays even though a first member's wall floor
+    // usually includes the build: the build lands on whichever member
+    // runs FIRST, and the trim set changes who that is round-over-round —
+    // a ≤FamilyBuildEstSecs over-reserve per family errs must-safe
+    // (over-reserving costs droppable coverage on a squeezed window;
+    // under-reserving costs must gates, and musts are the contract).
     def estUnit(u: BenchUnit): Double =
-      u.labels.map(estLabel).sum + StartupMarginSecs +
+      u.labels.map(l => wallLabel(l, u.memo)).sum + StartupMarginSecs +
         (if (u.memo) FamilyBuildEstSecs else 0.0)
 
     val results = scala.collection.mutable.ArrayBuffer[(String, Double, Seq[Double])]()
     val cut = scala.collection.mutable.ArrayBuffer[String]()
     val wdogKilled = scala.collection.mutable.ArrayBuffer[String]()
+    // label → wall seconds the worker reported (includes warmups, settle,
+    // and — on a unit's first label — the session build); next round's
+    // dispatch floors, and the forensic record a kill adjudication needs
+    val walls = scala.collection.mutable.Map[String, Double]()
+    def absorb(out: ForkHandle.UnitOutcome): Unit =
+      out.results.foreach { case (l, v, ps, w) =>
+        results += ((l, v, ps))
+        if (w > 0 && v >= 0) walls(l) = w
+      }
     var queue = scheduleUnits(allUnits, estUnit).toList
     def popFitting(): Option[BenchUnit] = {
       while (queue.nonEmpty) {
@@ -767,6 +848,10 @@ object Bench {
             budgetSecs - elapsed() + StartupMarginSecs, staleReserve,
             estUnit) != UnitFit.Full) {
             h.kill()
+            // head-requeue preserves the cheapest-first invariant the
+            // reservation math assumes (r19 ADVICE): u was popped AHEAD of
+            // everything still in `queue`, so putting it back at the head
+            // restores exactly the original schedule order
             queue = u :: queue
             System.err.println(s"[bench] REQUEUE ${u.labels.mkString(",")} " +
               "(prestarted, budget moved on — re-deciding)")
@@ -782,7 +867,7 @@ object Bench {
               prestarted = popFitting()
                 .map(u2 => (u2, ForkHandle.spawn(u2.spec, sfDir, warmups, passes)))
               val out = h.finish(u.labels, remaining + 180, unitCaps(u))
-              results ++= out.results
+              absorb(out)
               if (out.timedOut.nonEmpty) {
                 // kill casualties are CUT, not failed — the budget they
                 // did not consume runs the rest of the suite, which is
@@ -800,13 +885,53 @@ object Bench {
                 }
               }
             }
-            writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil, partial = true)
+            writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil,
+              walls.toMap, partial = true)
             System.err.println(f"[bench-partial] done=${results.size} " +
               f"cut=${cut.size} unitsLeft=${queue.size + prestarted.size} t=${elapsed()}%.0fs")
           }
       }
     }
-    (results.toSeq, cut.toSeq, wdogKilled.toSeq)
+    // TAIL RETRY for cap-killed labels (r19 verdict ask #4): a kill used
+    // to convert the gate's only chance into a cut. At queue drain, each
+    // cap-killed label gets ONE isolated re-run — fresh fork, no family
+    // siblings, so nothing it does not own can eat its kill window — if
+    // its wall-priced singleton still fits the remaining budget. The
+    // label keeps its tripwire mark either way (it DID blow a ceiling
+    // once; the driver record should say so), but a successful retry
+    // gives the round a measured value and adjudicates the kill in-run.
+    // A label that blows its cap twice stays cut — that is a plan signal.
+    for (label <- wdogKilled.toList if !results.exists(_._1 == label)) {
+      val spec = allUnits.flatMap(_.tasks).find(_._2 == label).map(_._1)
+        .getOrElse(s"q:$label")
+      // isolated, the label pays any memoized family build itself: the
+      // memo flag keeps both the estimate and the kill window honest
+      val wasMemo = allUnits.exists(u => u.memo && u.labels.contains(label))
+      val unit = BenchUnit(Seq((spec, label)), memo = wasMemo)
+      val left = budgetSecs - elapsed()
+      if (estUnit(unit) <= left) {
+        System.err.println(f"[bench] RETRY $label isolated after cap-kill " +
+          f"(est ${estUnit(unit)}%.0fs, $left%.0fs left)")
+        val h = ForkHandle.spawn(unit.spec, sfDir, warmups, passes)
+        if (!h.awaitReady(ReadyTimeoutSecs)) h.kill()
+        else {
+          h.go()
+          val out = h.finish(unit.labels, budgetSecs - elapsed() + 180,
+            unitCaps(unit))
+          out.results.find { case (l, v, _, _) => l == label && v >= 0 }
+            .foreach { case (l, v, _, _) =>
+              absorb(out)
+              cut -= l
+              System.err.println(f"[bench] RETRY $l measured $v%.2fs — " +
+                "cap-kill adjudicated in-run (tripwire mark kept)")
+            }
+        }
+        writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil,
+          walls.toMap, partial = true)
+      } else System.err.println(f"[bench] RETRY $label skipped " +
+        f"(est ${estUnit(unit)}%.0fs > $left%.0fs left)")
+    }
+    (results.toSeq, cut.toSeq, wdogKilled.toSeq, walls.toMap)
   }
 
   /** Startup overhead added to every unit estimate (handshake + GO + temp
@@ -853,6 +978,15 @@ object Bench {
     * pre-budgeted ~12% slice. */
   private[graft] val WatchdogMinSecs = 60.0
   private[graft] val WatchdogBudgetFrac = 0.12
+
+  /** Fallback wall-over-measured multiplier for labels with no wall floor
+    * on record (first run after r20, or a never-measured gate). SCALE.md
+    * sim-4 measured real per-unit wall at 2–4× measured secs across the
+    * suite (warmup passes, session build, settle, fork-cold builds);
+    * 2.5 sits in that band's lower half — the measured estimate already
+    * carries its own ×execs×1.2, so the residual gap is mostly the
+    * per-label scaffolding, not another full execution. */
+  private[graft] val DefaultWallFactor = 2.5
 }
 
 /** One forked BenchWorker JVM with the READY/GO handshake. The worker
@@ -861,9 +995,9 @@ object Bench {
   * soon as its JVM is up, and parks on stdin until GO — so the parent
   * can overlap the JVM boot with another worker's measurement while the
   * heavy SparkSession build waits until the measuring worker has exited.
-  * The worker writes "secs|p1,p2,..." to a temp file; a crash, non-zero
-  * exit, or hang past the deadline reports -1 (failed) without voiding
-  * the other measurements. */
+  * The worker writes "label|secs|p1,p2,...|wall" to a temp file; a crash,
+  * non-zero exit, or hang past the deadline reports -1 (failed) without
+  * voiding the other measurements. */
 private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
                                       ready: java.util.concurrent.CountDownLatch) {
   def awaitReady(timeoutSecs: Double): Boolean =
@@ -880,8 +1014,8 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
   }
 
   /** Wait for the worker under TWO deadlines and read its result file
-    * (one "label|minSecs|p1,p2,..." line per task, written as each task
-    * completes):
+    * (one "label|minSecs|p1,p2,...|wall" line per task, written as each
+    * task completes):
     *
     *   - the WHOLE-UNIT deadline (`deadlineSecs` — the remaining wall
     *     budget plus the caller's fixed grace, floored at a small 60 s so
@@ -938,7 +1072,8 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
           else f"whole-unit deadline ${waitSecs}%.0fs"}); " +
           s"${got.size}/${labels.size} results kept")
         ForkHandle.UnitOutcome(
-          labels.collect { case l if got.contains(l) => (l, got(l)._1, got(l)._2) },
+          labels.collect { case l if got.contains(l) =>
+            (l, got(l)._1, got(l)._2, got(l)._3) },
           missing,
           // the in-flight label may have landed its line in the race
           // between the cap check and the kill — only a label with NO
@@ -949,28 +1084,33 @@ private[graft] final class ForkHandle(proc: Process, out: java.nio.file.Path,
           System.err.println(s"[bench] ${labels.mkString(",")}: worker " +
             s"exit ${proc.exitValue()} (${got.size}/${labels.size} results recovered)")
         ForkHandle.UnitOutcome(labels.map(l => got.get(l) match {
-          case Some((v, ps)) => (l, v, ps)
-          case None => (l, -1.0, Seq.empty[Double])
+          case Some((v, ps, w)) => (l, v, ps, w)
+          case None => (l, -1.0, Seq.empty[Double], 0.0)
         }), Seq.empty)
       }
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] ${labels.mkString(",")}: fork failed: $e")
-        ForkHandle.UnitOutcome(labels.map(l => (l, -1.0, Seq.empty[Double])), Seq.empty)
+        ForkHandle.UnitOutcome(labels.map(l => (l, -1.0, Seq.empty[Double], 0.0)), Seq.empty)
     } finally cleanup()
 
   /** The result file's current contents. The file may be mid-append when
     * a kill lands: only NEWLINE-TERMINATED lines are trusted — a torn
     * numeric tail like "mmr_rerank|1" would otherwise parse as a complete
-    * (and wildly low) measurement and poison the floor record. */
-  private def readResults(): Map[String, (Double, Seq[Double])] =
+    * (and wildly low) measurement and poison the floor record. The r20
+    * line shape is "label|minSecs|p1,p2,...|wallSecs"; the two older
+    * shapes (no wall / no passes) still parse with wall 0 (= unrecorded). */
+  private def readResults(): Map[String, (Double, Seq[Double], Double)] =
     try {
       val s = java.nio.file.Files.readString(out)
       s.substring(0, s.lastIndexOf('\n') + 1).linesIterator.flatMap { line =>
         line.split('|') match {
+          case Array(l, v, ps, w) => v.toDoubleOption.map(d => l -> (d,
+            ps.split(',').flatMap(_.toDoubleOption).toSeq,
+            w.toDoubleOption.getOrElse(0.0)))
           case Array(l, v, ps) => v.toDoubleOption.map(d => l -> (d,
-            ps.split(',').flatMap(_.toDoubleOption).toSeq))
-          case Array(l, v) => v.toDoubleOption.map(d => l -> (d, Seq.empty[Double]))
+            ps.split(',').flatMap(_.toDoubleOption).toSeq, 0.0))
+          case Array(l, v) => v.toDoubleOption.map(d => l -> (d, Seq.empty[Double], 0.0))
           case _ => None
         }
       }.toMap
@@ -996,7 +1136,7 @@ private[graft] object ForkHandle {
     * deadline kill (labels individually under their caps, the unit
     * dispatched too late to finish) leaves it empty — branding those as
     * runaway entries would corrupt the adjudication record. */
-  final case class UnitOutcome(results: Seq[(String, Double, Seq[Double])],
+  final case class UnitOutcome(results: Seq[(String, Double, Seq[Double], Double)],
                                timedOut: Seq[String],
                                capKilled: Option[String] = None)
 
@@ -1036,9 +1176,9 @@ private[graft] object ForkHandle {
 
 /** Child entry point: measures one UNIT (";"-separated "q:<query>" /
   * "phase:<build phase>" specs — a singleton or a memo-sharing family) in
-  * a fresh JVM and appends one "label|minSecs|pass1,pass2,..." line per
-  * task to args(0) AS EACH TASK COMPLETES — a crash mid-family loses only
-  * the unmeasured tail, never finished measurements.
+  * a fresh JVM and appends one "label|minSecs|pass1,pass2,...|wallSecs"
+  * line per task to args(0) AS EACH TASK COMPLETES — a crash mid-family
+  * loses only the unmeasured tail, never finished measurements.
   *
   * Handshake: the worker prints [[ForkHandle.ReadyMarker]] as soon as
   * the JVM is up and parks on stdin; the SparkSession (the expensive,
@@ -1060,13 +1200,23 @@ object BenchWorker {
     val go = new java.io.BufferedReader(
       new java.io.InputStreamReader(System.in)).readLine()
     if (go == null || go.trim != "GO") return
+    // the wall clock starts BEFORE the session build: a task's wall is
+    // everything its slot really costs (first task absorbs the session
+    // build; each task its warmups + settle + any fork-cold memoized
+    // build) — the number the parent's wall-priced dispatch and any kill
+    // adjudication need, measured from the previous task boundary exactly
+    // like the parent's per-label watchdog windows
+    var taskStart = System.nanoTime()
     val spark = GraftSession.builder("graft-bench-worker").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def record(label: String, secs: Double, passTimes: Seq[Double]): Unit =
+    def record(label: String, secs: Double, passTimes: Seq[Double]): Unit = {
+      val wall = (System.nanoTime() - taskStart) / 1e9
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-        s"$label|$secs|${passTimes.mkString(",")}\n",
+        s"$label|$secs|${passTimes.mkString(",")}|$wall\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      taskStart = System.nanoTime()
+    }
     val specs = unitSpec.split(";").toSeq
     val qNames = specs.collect { case s if s.startsWith("q:") => s.drop(2) }
     val phaseNames = specs.collect { case s if s.startsWith("phase:") => s.drop(6) }

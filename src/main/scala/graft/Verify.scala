@@ -53,11 +53,15 @@ object Verify {
 
     val names = verifyOrder(SparkEntry.queries.keys.toSeq)
       .filter(n => only.forall(_.contains(n)))
-    // default 12 (was 8): the r18 driver window cleared only 58 gates in
-    // 780 s at ~13.4 s/gate under box contention — workers are mostly
-    // driver-side planning (single-threaded per query, parallel across),
-    // so more workers is near-free concurrency on a 32-core box
-    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "12").toInt)
+    // default 16 (was 12, before that 8): the r19 driver window cleared
+    // 125 of 162 gates in the 780 s budget at par 12 under box contention;
+    // the quiet rehearsal did all 162 in 193 s, so throughput — not plan
+    // cost — is the binding constraint, and workers are mostly driver-side
+    // planning (single-threaded per query, parallel across), near-free
+    // concurrency on a 32-core box. 16 buys the ~30% more throughput the
+    // full 162 needs inside the same contended budget (r19 verdict ask
+    // #6: drop the rotation, write all 162 rows every round).
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "16").toInt)
     val budgetSecs = sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET", "780").toDouble
     val deadline = t0 + (budgetSecs * 1e9).toLong
 
@@ -84,11 +88,22 @@ object Verify {
               // one task; the round-robin exchange keeps upstream
               // parallelism and only the (tiny, sf0.01) result funnels to
               // the single writer task. Values are partitioning-independent
-              // by construction (stable-rounded doubles, exact-micros sums)
-              // and the driver compare sorts rows, so the exchange cannot
-              // flip a gate.
-              SparkEntry.queries(n)(sess, sfDir).repartition(1).write
-                .mode("overwrite").parquet(s"$outDir/$n")
+              // by construction (stable-rounded doubles, exact-micros sums).
+              // The exchange discards any trailing orderBy, so the written
+              // ROW ORDER is then pinned with a sortWithinPartitions over
+              // every orderable output column (r19 ADVICE): the driver's
+              // compare sorts rows before hashing (empirically confirmed by
+              // the r19 driver round passing on repartitioned output), but
+              // a deterministic file needs no such assumption and makes
+              // run-over-run parquet diffs byte-stable.
+              val df = SparkEntry.queries(n)(sess, sfDir).repartition(1)
+              val sortCols = df.schema.fields.filter(f =>
+                org.apache.spark.sql.catalyst.expressions.RowOrdering
+                  .isOrderable(f.dataType))
+                .map(f => org.apache.spark.sql.functions.col(s"`${f.name}`"))
+              val pinned = if (sortCols.isEmpty) df
+                           else df.sortWithinPartitions(sortCols.toSeq: _*)
+              pinned.write.mode("overwrite").parquet(s"$outDir/$n")
               System.err.println(f"[verify] $n ok ${(System.nanoTime() - q0) / 1e9}%.1fs " +
                 f"(${done.incrementAndGet()}/${names.size}, t=${elapsed()}%.0fs)")
             } catch { case e: Throwable =>

@@ -198,6 +198,9 @@ object EventStreams {
         .orderBy(col("ts"), col("event_type"), col("value"))
         .as[(java.sql.Timestamp, Long, String, Double)].collect()
     require(evs.nonEmpty, s"no events under $dir")
+    // the LEADING SPACE is intentional (r19 ADVICE asked that it be
+    // documented): real event_types are non-padded identifiers, so
+    // " flush" cannot collide, and it sorts before every real type
     val sentinelType = " flush"
     // one far-future event pushes the watermark past every real window
     val far = new java.sql.Timestamp(evs.last._1.getTime + 3L * 24 * 3600 * 1000)

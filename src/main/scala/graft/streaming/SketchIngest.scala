@@ -118,7 +118,14 @@ object SketchIngest {
   private def pruneOldGenerations(storeDir: String): Unit = {
     def ord(name: String): Long =
       if (name == "gen-init") -1L
-      else name.stripPrefix("gen-b").toLongOption.getOrElse(Long.MaxValue)
+      // unparsable gen-b* names sort OLDEST (r19 ADVICE): MaxValue made a
+      // corrupt/foreign dir the "newest" generation forever — never pruned,
+      // permanently eating one of the GenerationsKept reader-grace slots
+      else name.stripPrefix("gen-b").toLongOption.getOrElse {
+        System.err.println(s"[sketch-ingest] unparsable generation dir '$name' " +
+          "— treating as oldest (prune candidate)")
+        Long.MinValue
+      }
     val root = java.nio.file.Paths.get(storeDir)
     val gens =
       try {

@@ -324,6 +324,62 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.estimateLabel("bm25_topk", Map("bm25_topk" -> 1.0), 2) === 2.4)
   }
 
+  test("scheduleUnits: corpus_curate_e2e is pinned second, right after the trio") {
+    // r19 verdict ask #1: three driver rounds without a sane bench number
+    // for corpus_curate_e2e (r17 contention-inflated, r18 budget-cut, r19
+    // cap-killed) despite a 12.4-17.6 s floor proven five ways. Pinned
+    // directly after b_tpch it runs in the freshest window with full
+    // budget, regardless of how fat its (possibly kill-tinted) estimate is.
+    val trio = Bench.BenchUnit(Seq(("q:q1_agg_orders", "q1_agg_orders"),
+      ("q:q2_net_demand", "q2_net_demand"), ("q:q3_supplier_orders", "q3_supplier_orders")))
+    val e2e = Bench.BenchUnit(Seq(("q:corpus_curate_e2e", "corpus_curate_e2e")))
+    val cheapMust = Bench.BenchUnit(Seq(("q:s5_row_counts", "s5_row_counts")))
+    val drop = Bench.BenchUnit(Seq(("q:bm25_topk", "bm25_topk")))
+    // a kill-tinted fat estimate must NOT push the pinned unit back
+    val prior = Map("corpus_curate_e2e" -> 194.0, "s5_row_counts" -> 1.4,
+      "q1_agg_orders" -> 4.4, "q2_net_demand" -> 2.8,
+      "q3_supplier_orders" -> 3.3, "bm25_topk" -> 1.0)
+    def est(u: Bench.BenchUnit): Double =
+      u.labels.map(l => Bench.estimateLabel(l, prior, 2)).sum
+    val ordered = Bench.scheduleUnits(Seq(drop, e2e, cheapMust, trio), est)
+    assert(ordered.map(_.labels.head) === Seq("q1_agg_orders",
+      "corpus_curate_e2e", "s5_row_counts", "bm25_topk"),
+      "flagship, then the pinned e2e unit, then musts cheapest-first")
+    assert(Bench.PinnedSecondLabel === "corpus_curate_e2e")
+  }
+
+  test("wall record: per-label walls land in bench.json and read back as floors") {
+    // r19 verdict asks #2/#3: the dispatch now prices units in WALL
+    // seconds (label estimates underpriced real wall 2-4x and starved 3
+    // must gates), fed by the "wall" object the last full run recorded.
+    val dir = java.nio.file.Files.createTempDirectory("graft_wall_spec")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        """{"metric":"total","value":50,"unit":"sec",""" +
+          """"queries":{"q1_agg_orders":2.6,"corpus_curate_e2e":12.4},""" +
+          """"failed":[],"sf":"sf0.1","tripwire":[],"cut":[],""" +
+          """"wall":{"q1_agg_orders":11.2,"corpus_curate_e2e":31.5,"bad_entry":-1.0},""" +
+          """"passes":{"q1_agg_orders":[2.6]}}""")
+      val walls = Bench.readPriorWalls(dir.toString)
+      assert(walls("q1_agg_orders") === 11.2)
+      assert(walls("corpus_curate_e2e") === 31.5)
+      assert(!walls.contains("bad_entry"), "non-positive walls never form a floor")
+      // the queries floor read is undisturbed by the wall object
+      val prior = Bench.readPriorQueries(dir.toString)
+      assert(prior("q1_agg_orders") === 2.6)
+      // a pre-r20 record without a wall object degrades to empty (the
+      // scheduler then falls back to estimate x DefaultWallFactor)
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        """{"metric":"total","value":50,"unit":"sec","queries":{"q1_agg_orders":2.6},"failed":[],"sf":"sf0.1"}""")
+      assert(Bench.readPriorWalls(dir.toString).isEmpty)
+      assert(Bench.DefaultWallFactor >= 2.0 && Bench.DefaultWallFactor <= 4.0,
+        "the fallback factor must sit in SCALE.md sim-4's measured 2-4x band")
+    } finally {
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("dispatchDecision: droppable members never spend budget queued musts need") {
     // a mixed family (musts + droppable twins) may run FULL only when the
     // remaining must block (trimmed) still fits afterward; otherwise it

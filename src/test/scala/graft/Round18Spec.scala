@@ -119,7 +119,7 @@ class Round18Spec extends SparkSpec {
     // what ends this test
     val out = h.finish(Seq("a", "b", "c"), 600.0, Seq(60.0, 1.0, 60.0))
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(out.results === Seq(("a", 1.5, Seq(1.5))))
+    assert(out.results === Seq(("a", 1.5, Seq(1.5), 0.0)))
     assert(out.timedOut === Seq("b", "c"),
       "in-flight label first, unstarted tail after")
     assert(out.capKilled === Some("b"),
@@ -132,16 +132,18 @@ class Round18Spec extends SparkSpec {
     val proc = new ProcessBuilder("sh", "-c", "exit 3").start()
     val (h, _) = handleFor(proc, "a|2.0|2.0\n")
     val out = h.finish(Seq("a", "b"), 600.0, Seq(60.0, 60.0))
-    assert(out.results === Seq(("a", 2.0, Seq(2.0)), ("b", -1.0, Seq.empty)))
+    assert(out.results === Seq(("a", 2.0, Seq(2.0), 0.0), ("b", -1.0, Seq.empty, 0.0)))
     assert(out.timedOut.isEmpty,
       "a crash is a real failure the driver must see as -1, never a cut")
   }
 
   test("finish: a clean worker returns every label and no timeouts") {
     val proc = new ProcessBuilder("true").start()
-    val (h, _) = handleFor(proc, "a|2.0|2.0\nb|0.5|0.5,0.7\n")
+    // b carries the r20 4-field wall shape; a is the pre-r20 3-field
+    // shape (wall 0 = unrecorded) — both must parse
+    val (h, _) = handleFor(proc, "a|2.0|2.0\nb|0.5|0.5,0.7|4.25\n")
     val out = h.finish(Seq("a", "b"), 600.0, Seq(60.0, 60.0))
-    assert(out.results === Seq(("a", 2.0, Seq(2.0)), ("b", 0.5, Seq(0.5, 0.7))))
+    assert(out.results === Seq(("a", 2.0, Seq(2.0), 0.0), ("b", 0.5, Seq(0.5, 0.7), 4.25)))
     assert(out.timedOut.isEmpty)
   }
 

@@ -174,9 +174,10 @@ object Bench {
       val qs = BenchCore.measure(spark, sfDir, names, warmups, passes)
       val ph = phases.map(p => BenchCore.measurePhase(spark, sfDir, p, warmups, passes))
       spark.stop()
-      // the single-JVM path records no walls: it exists for quick local
-      // iteration, and its in-process wall would mix neighbors' residue
-      (qs ++ ph, Seq.empty[String], Seq.empty[String], Map.empty[String, Double])
+      // the single-JVM path measures no walls (its in-process wall would
+      // mix neighbors' residue) but must PRESERVE the prior record's —
+      // see writeRecord's whole-map contract
+      (qs ++ ph, Seq.empty[String], Seq.empty[String], priorWall)
     }
 
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
@@ -462,8 +463,14 @@ object Bench {
     val pp = results.map { case (k, _, ps) =>
       "\"" + k + "\":" + ps.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val ws = results.collect { case (k, _, _) if walls.contains(k) =>
-      "\"" + k + "\":" + walls(k)
+    // `walls` is written WHOLE (callers pass prior-run floors merged
+    // with this run's measurements): a partial, budget-cut, or
+    // single-JVM run must never destroy the wall floors of labels it
+    // did not measure — readPriorWalls has no artifact fallback, so a
+    // lost floor would re-open the estimate-×-factor pricing hole for
+    // exactly one round per loss (self-review finding, r20)
+    val ws = walls.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -777,8 +784,10 @@ object Bench {
     val wdogKilled = scala.collection.mutable.ArrayBuffer[String]()
     // label → wall seconds the worker reported (includes warmups, settle,
     // and — on a unit's first label — the session build); next round's
-    // dispatch floors, and the forensic record a kill adjudication needs
-    val walls = scala.collection.mutable.Map[String, Double]()
+    // dispatch floors, and the forensic record a kill adjudication needs.
+    // Seeded with the prior record's floors: a label this run cuts keeps
+    // the floor the last run measured (writeRecord's whole-map contract)
+    val walls = scala.collection.mutable.Map[String, Double]() ++ priorWall
     def absorb(out: ForkHandle.UnitOutcome): Unit =
       out.results.foreach { case (l, v, ps, w) =>
         results += ((l, v, ps))
@@ -879,6 +888,12 @@ object Bench {
                 out.capKilled.foreach { l =>
                   wdogKilled += l
                   val cap = unitCaps(u).lift(u.labels.indexOf(l)).getOrElse(capMax)
+                  // the kill window it exhausted IS the label's observed
+                  // wall lower bound — record it (r19 ask #3: the
+                  // corpus_curate_e2e kill left zero forensic record),
+                  // unless a bigger real floor is already on record; a
+                  // successful tail retry overwrites it with a real wall
+                  if (walls.getOrElse(l, 0.0) < cap) walls(l) = cap
                   System.err.println(s"[bench] WATCHDOG killed $l " +
                     s"(ceiling ${cap.toInt}s); cut with unstarted tail: " +
                     out.timedOut.mkString(","))
@@ -909,9 +924,14 @@ object Bench {
       val wasMemo = allUnits.exists(u => u.memo && u.labels.contains(label))
       val unit = BenchUnit(Seq((spec, label)), memo = wasMemo)
       val left = budgetSecs - elapsed()
-      if (estUnit(unit) <= left) {
+      // the retry fork pays a full post-GO session build that a wall
+      // floor measured mid-unit never contains — price it like the kill
+      // window does (unitCaps grants label 0 the same allowance), so an
+      // end-of-budget retry cannot be dispatched into a doomed overrun
+      val retryEst = estUnit(unit) + SessionBuildMarginSecs
+      if (retryEst <= left) {
         System.err.println(f"[bench] RETRY $label isolated after cap-kill " +
-          f"(est ${estUnit(unit)}%.0fs, $left%.0fs left)")
+          f"(est $retryEst%.0fs, $left%.0fs left)")
         val h = ForkHandle.spawn(unit.spec, sfDir, warmups, passes)
         if (!h.awaitReady(ReadyTimeoutSecs)) h.kill()
         else {
@@ -929,7 +949,7 @@ object Bench {
         writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil,
           walls.toMap, partial = true)
       } else System.err.println(f"[bench] RETRY $label skipped " +
-        f"(est ${estUnit(unit)}%.0fs > $left%.0fs left)")
+        f"(est $retryEst%.0fs > $left%.0fs left)")
     }
     (results.toSeq, cut.toSeq, wdogKilled.toSeq, walls.toMap)
   }

@@ -94,8 +94,11 @@ object Verify {
               // every orderable output column (r19 ADVICE): the driver's
               // compare sorts rows before hashing (empirically confirmed by
               // the r19 driver round passing on repartitioned output), but
-              // a deterministic file needs no such assumption and makes
-              // run-over-run parquet diffs byte-stable.
+              // a deterministic file needs no such assumption. Row order is
+              // fully pinned for every CURRENT gate (all columns orderable,
+              // names unique and backtick-free — the full 162 passed
+              // check_oracle on this code); a future gate with map-typed
+              // columns would be stable only up to its orderable prefix.
               val df = SparkEntry.queries(n)(sess, sfDir).repartition(1)
               val sortCols = df.schema.fields.filter(f =>
                 org.apache.spark.sql.catalyst.expressions.RowOrdering

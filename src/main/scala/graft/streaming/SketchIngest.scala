@@ -116,16 +116,9 @@ object SketchIngest {
   /** Delete every committed generation dir except the newest
     * [[GenerationsKept]]. Best-effort. */
   private def pruneOldGenerations(storeDir: String): Unit = {
-    def ord(name: String): Long =
-      if (name == "gen-init") -1L
-      // unparsable gen-b* names sort OLDEST (r19 ADVICE): MaxValue made a
-      // corrupt/foreign dir the "newest" generation forever — never pruned,
-      // permanently eating one of the GenerationsKept reader-grace slots
-      else name.stripPrefix("gen-b").toLongOption.getOrElse {
-        System.err.println(s"[sketch-ingest] unparsable generation dir '$name' " +
-          "— treating as oldest (prune candidate)")
-        Long.MinValue
-      }
+    def ord(name: String): Option[Long] =
+      if (name == "gen-init") Some(-1L)
+      else name.stripPrefix("gen-b").toLongOption
     val root = java.nio.file.Paths.get(storeDir)
     val gens =
       try {
@@ -136,7 +129,19 @@ object SketchIngest {
             .filter(n => n == "gen-init" || n.startsWith("gen-b")).toList
         } finally s.close()
       } catch { case scala.util.control.NonFatal(_) => Nil }
-    gens.sortBy(ord).dropRight(GenerationsKept).foreach(g =>
+    // an UNPARSABLE gen-b* name is QUARANTINED: excluded from both the
+    // keep-count and the delete set. r19 ADVICE flagged that MaxValue
+    // ordering made a corrupt/foreign dir the "newest" generation forever
+    // (never pruned, permanently eating a reader-grace slot); but the
+    // self-review of the sort-oldest fix flagged the opposite hazard —
+    // recursively DELETING a directory the store does not own (an
+    // operator's gen-backup, a future format's gen-b12-v2). The store
+    // only prunes what it provably wrote.
+    val (owned, foreign) = gens.partition(n => ord(n).isDefined)
+    foreign.foreach(n => System.err.println(
+      s"[sketch-ingest] unparsable generation dir '$n' — quarantined " +
+        "(not counted against the grace window, never pruned)"))
+    owned.sortBy(n => ord(n).get).dropRight(GenerationsKept).foreach(g =>
       graft.operators.TempDirs.deleteRecursively(root.resolve(g)))
   }
 

@@ -203,13 +203,15 @@ class SketchSpec extends SparkSpec {
       assert(graft.streaming.SketchIngest.GenerationsKept >= 3,
         "a reader must survive at least two commits between resolve and scan")
       // r19 ADVICE: an unparsable gen-b* dir used to sort NEWEST forever —
-      // never pruned, permanently eating one reader-grace slot. It must
-      // sort oldest and be pruned by the next commit instead.
+      // never pruned, permanently eating one reader-grace slot. It is now
+      // QUARANTINED: it neither consumes a keep slot (the three real
+      // generations still slide) nor gets deleted (the store never
+      // recursively deletes a directory it cannot prove it wrote).
       java.nio.file.Files.createDirectory(root.resolve("gen-bcorrupt"))
       graft.streaming.SketchIngest.mergeBatch(spark, dir)(
         Seq((21L, "even newer words arrive", "s1")).toDF("doc_id", "text", "source"), 4L)
-      assert(gens() === Set("gen-b2", "gen-b3", "gen-b4"),
-        "a corrupt/foreign generation dir is pruned, not kept as newest")
+      assert(gens() === Set("gen-b2", "gen-b3", "gen-b4", "gen-bcorrupt"),
+        "a foreign dir is quarantined: no grace slot consumed, nothing foreign deleted")
     } finally graft.operators.TempDirs.deleteRecursively(root)
   }
 

@@ -916,7 +916,7 @@ object Bench {
     // once; the driver record should say so), but a successful retry
     // gives the round a measured value and adjudicates the kill in-run.
     // A label that blows its cap twice stays cut — that is a plan signal.
-    for (label <- wdogKilled.toList if !results.exists(_._1 == label)) {
+    for (label <- wdogKilled.toList if !results.exists(_._1 == label)) try {
       val spec = allUnits.flatMap(_.tasks).find(_._2 == label).map(_._1)
         .getOrElse(s"q:$label")
       // isolated, the label pays any memoized family build itself: the
@@ -950,6 +950,12 @@ object Bench {
           walls.toMap, partial = true)
       } else System.err.println(f"[bench] RETRY $label skipped " +
         f"(est $retryEst%.0fs > $left%.0fs left)")
+    } catch {
+      // the retry is best-effort salvage running AFTER every regular
+      // result is in hand — a surprise failure here (fork refusal, temp
+      // file I/O) must log and move on, never void the run's record
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] RETRY $label aborted: $e (label stays cut)")
     }
     (results.toSeq, cut.toSeq, wdogKilled.toSeq, walls.toMap)
   }

@@ -142,9 +142,12 @@ object Bench {
       else buildPhases.collect { case (p, q) if names.contains(q) => p }
     // prior floors are read ONCE, up front: the incremental partial writes
     // below overwrite bench.json mid-run, so a late read would compare
-    // this run against its own first half
+    // this run against its own first half. Wall floors for labels no
+    // longer in the suite are dropped here — the whole-map wall write
+    // would otherwise carry a renamed/retired gate's entry forever
     val prior = readPriorQueries()
-    val priorWall = readPriorWalls()
+    val priorWall = readPriorWalls().view.filterKeys(k =>
+      SparkEntry.queries.contains(k) || buildPhases.exists(_._1 == k)).toMap
     val seed = roundSeed()
 
     val (results: Seq[(String, Double, Seq[Double])], cut: Seq[String],
@@ -924,32 +927,44 @@ object Bench {
       val wasMemo = allUnits.exists(u => u.memo && u.labels.contains(label))
       val unit = BenchUnit(Seq((spec, label)), memo = wasMemo)
       val left = budgetSecs - elapsed()
-      // the retry fork pays a full post-GO session build that a wall
-      // floor measured mid-unit never contains — price it like the kill
-      // window does (unitCaps grants label 0 the same allowance), so an
-      // end-of-budget retry cannot be dispatched into a doomed overrun
-      val retryEst = estUnit(unit) + SessionBuildMarginSecs
-      if (retryEst <= left) {
+      // dispatch the retry only if even its WORST case fits the budget:
+      // its own kill window plus fork startup. The window the label just
+      // exhausted proves nothing about its quiet cost (contention is the
+      // usual culprit — that ambiguity is why the retry exists), so no
+      // floor-based estimate can be trusted here in either direction;
+      // bounding by the worst case instead guarantees a second kill
+      // still lands INSIDE the wall budget, never up to ~180 s past it
+      // (self-review r20: the driver cap is only proven survivable to
+      // 1812 s of sbt wall).
+      val retryWorst = unitCaps(unit).head + StartupMarginSecs
+      if (retryWorst <= left) {
         System.err.println(f"[bench] RETRY $label isolated after cap-kill " +
-          f"(est $retryEst%.0fs, $left%.0fs left)")
+          f"(worst-case $retryWorst%.0fs, $left%.0fs left)")
         val h = ForkHandle.spawn(unit.spec, sfDir, warmups, passes)
-        if (!h.awaitReady(ReadyTimeoutSecs)) h.kill()
-        else {
-          h.go()
-          val out = h.finish(unit.labels, budgetSecs - elapsed() + 180,
-            unitCaps(unit))
-          out.results.find { case (l, v, _, _) => l == label && v >= 0 }
-            .foreach { case (l, v, _, _) =>
-              absorb(out)
-              cut -= l
-              System.err.println(f"[bench] RETRY $l measured $v%.2fs — " +
-                "cap-kill adjudicated in-run (tripwire mark kept)")
-            }
+        try {
+          if (!h.awaitReady(ReadyTimeoutSecs)) h.kill()
+          else {
+            h.go()
+            val out = h.finish(unit.labels, budgetSecs - elapsed() + 180,
+              unitCaps(unit))
+            out.results.find { case (l, v, _, _) => l == label && v >= 0 }
+              .foreach { case (l, v, _, _) =>
+                absorb(out)
+                cut -= l
+                System.err.println(f"[bench] RETRY $l measured $v%.2fs — " +
+                  "cap-kill adjudicated in-run (tripwire mark kept)")
+              }
+          }
+        } catch {
+          // kill the spawned worker before handing the failure to the
+          // per-label catch below — an orphaned BenchWorker JVM would
+          // outlive this run and contend with whatever follows it
+          case scala.util.control.NonFatal(e) => h.kill(); throw e
         }
         writeRecord(results.toSeq, cut.toSeq, sfDir, fork = true, Nil,
           walls.toMap, partial = true)
       } else System.err.println(f"[bench] RETRY $label skipped " +
-        f"(est $retryEst%.0fs > $left%.0fs left)")
+        f"(worst-case $retryWorst%.0fs > $left%.0fs left)")
     } catch {
       // the retry is best-effort salvage running AFTER every regular
       // result is in hand — a surprise failure here (fork refusal, temp

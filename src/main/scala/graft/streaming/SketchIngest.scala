@@ -113,6 +113,10 @@ object SketchIngest {
     * shallower = a long scan can lose files mid-read. */
   private[graft] val GenerationsKept = 3
 
+  /** Quarantined foreign-dir paths already warned about (once per JVM). */
+  private val warnedForeign =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Delete every committed generation dir except the newest
     * [[GenerationsKept]]. Best-effort. */
   private def pruneOldGenerations(storeDir: String): Unit = {
@@ -138,9 +142,13 @@ object SketchIngest {
     // operator's gen-backup, a future format's gen-b12-v2). The store
     // only prunes what it provably wrote.
     val (owned, foreign) = gens.partition(n => ord(n).isDefined)
-    foreign.foreach(n => System.err.println(
-      s"[sketch-ingest] unparsable generation dir '$n' — quarantined " +
-        "(not counted against the grace window, never pruned)"))
+    // warn ONCE per dir per JVM: a quarantined dir is permanent, and the
+    // prune runs on every committed batch — an unconditional warning
+    // would repeat for the lifetime of a long-lived ingest
+    foreign.foreach(n => if (warnedForeign.add(s"$storeDir/$n"))
+      System.err.println(
+        s"[sketch-ingest] unparsable generation dir '$n' — quarantined " +
+          "(not counted against the grace window, never pruned)"))
     owned.sortBy(n => ord(n).get).dropRight(GenerationsKept).foreach(g =>
       graft.operators.TempDirs.deleteRecursively(root.resolve(g)))
   }

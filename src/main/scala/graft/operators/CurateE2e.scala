@@ -147,14 +147,31 @@ object CurateE2e {
   private def cleanAndDecon(docs: DataFrame, eval: DataFrame, qualityMin: Double,
                             n: Int, thr: Double, deconN: Int): DataFrame = {
     val kept = CorpusClean(docs, qualityMin, n, thr)
-    val cleaned = kept.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
-    cleaned.join(
-      Curation.contaminatedIds(cleaned, eval, deconN), Seq("doc_id"), "left_anti")
+    // pinned: `cleaned` feeds BOTH the decon shingle probe and the
+    // anti-join left side — unpinned, the whole clean prefix (including
+    // the shingle self-join) executed once per reference (r20 profile:
+    // decon_ids_only ≈ clean + a full second clean execution)
+    val cleaned = Pinned.pin(
+      kept.join(docs.select(col("doc_id"), col("text")), Seq("doc_id")))
+    // pinned: every DAG variant reads the shipped prefix 2–3× (the extra
+    // stage's scoring input + the split tail's fingerprint scan + the
+    // quality_score re-join) — the single most re-evaluated joint of the
+    // composed plan before r20
+    Pinned.pin(cleaned.join(
+      Curation.contaminatedIds(cleaned, eval, deconN), Seq("doc_id"), "left_anti"))
   }
 
   /** The split tail over the shipped corpus (empty cluster map — see
     * [[curate]]'s proof). */
-  private def splitShipped(decon: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+  private def splitShipped(decon0: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    // the split tail reads the shipped frame twice (the fingerprint scan
+    // and the quality_score re-join); pin unless the caller already did
+    // (curate passes cleanAndDecon's pinned frame through unchanged, the
+    // filtered variants hand a fresh anti-join result)
+    val decon =
+      if (decon0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Pinned.pin(decon0)
+      else decon0
     val spark = decon.sparkSession
     val noClusters = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

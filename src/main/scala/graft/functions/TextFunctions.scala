@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Tokenize on single spaces (matching DuckDB string_split for oracle
-    * parity), dropping empty tokens. */
+    * parity), dropping empty tokens. Since r20 the codegen'd
+    * [[TokensNonEmpty]] kernel — value-identical to
+    * `filter(split(text, " "), t => t =!= "")`, whose interpreted
+    * higher-order `filter` dominated the scan-fused text passes. */
   def tokens(text: Column): Column =
-    filter(split(text, " "), t => t =!= "")
+    ShingleExprs.tokensNonEmpty(text)
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -22,22 +25,21 @@ object TextFunctions {
   def tokenCountSql(textCol: String): String =
     s"len(list_filter(string_split($textCol, ' '), t -> t <> ''))"
 
-  /** Word n-gram shingles: join of each n-length sliding window.
-    * Guarded: Spark's sequence(1, k) with k < 1 yields a DESCENDING
-    * sequence (e.g. [1,0]), not an empty array. */
+  /** Word n-gram shingles: join of each n-length sliding window. */
   def wordShingles(text: Column, n: Int): Column =
     shinglesOfTokens(split(text, " "), n)
 
   /** The token-array form of [[wordShingles]] — the one shared sliding-
     * window builder (callers pick the token source: raw split, or the
-    * empty-filtered [[tokens]]). */
-  def shinglesOfTokens(toks: Column, n: Int): Column = {
-    val count = size(toks) - lit(n - 1)
-    when(count >= 1,
-      transform(sequence(lit(1), count),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * empty-filtered [[tokens]]). Since r20 this is the codegen'd
+    * [[ShinglesOfTokenArray]] kernel; the prior declarative form —
+    * `when(count >= 1, transform(sequence(1, count), i =>
+    * array_join(slice(toks, i, n), " "))).otherwise(empty)` (with the
+    * sequence guarded: sequence(1, k) for k < 1 DESCENDS, not empties) —
+    * is value-identical but ran as interpreted higher-order functions,
+    * which the r20 profile measured at ~1.2 s per corpus pass at sf0.1. */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
+    ShingleExprs.shinglesOfTokenArray(toks, n)
 
   /** Count of characters matching a regex character class. */
   def charClassCount(text: Column, clazz: String): Column =
@@ -59,13 +61,14 @@ object TextFunctions {
   /** Fraction of tokens that are stopwords — a fluency proxy. */
   def stopwordRatio(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
     val toks = tokens(text)
-    size(array_intersect_keepdup(toks, stopwords)) / greatest(size(toks), lit(1))
+    array_intersect_keepdup_count(toks, stopwords).cast("int") / greatest(size(toks), lit(1))
   }
 
   /** Count tokens ∈ vocabulary, keeping duplicates (array_intersect dedups,
-    * which would undercount repeated stopwords). */
-  private def array_intersect_keepdup(toks: Column, vocab: Seq[String]): Column =
-    filter(toks, t => t.isInCollection(vocab))
+    * which would undercount repeated stopwords). Codegen'd kernel since
+    * r20 (was an interpreted higher-order filter). */
+  private def array_intersect_keepdup_count(toks: Column, vocab: Seq[String]): Column =
+    ShingleExprs.countTokensIn(toks, vocab)
 
   /** Composite quality score in [0,1]: length sweet-spot, punctuation
     * presence, stopword fluency, low digit noise. Heuristic mirror of the
@@ -106,7 +109,7 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "las", "de", "y", "es", "un", "una", "que"))
 
   def langScore(text: Column, lexicon: Seq[String]): Column =
-    size(filter(tokens(lower(text)), t => t.isInCollection(lexicon)))
+    ShingleExprs.countTokensIn(tokens(lower(text)), lexicon)
 
   /** Predicted language: highest lexicon hit-count; CJK codepoint presence
     * short-circuits to zh; all-zero scores → "und". Ties resolve in

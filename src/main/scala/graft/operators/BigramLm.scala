@@ -41,8 +41,10 @@ object BigramLm {
     * tokens (a doc with no bigram window has no transition to score). */
   def logProbs(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
     val toks = Pinned.pin(docs.select(col("doc_id"), TF.tokens(col("text")).as("ts")))
-    val uni = toks.select(explode(col("ts")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // pinned: three readers (the N scalar and both w1/w2 count joins) —
+    // unpinned, each re-ran the vocabulary aggregation over the token stage
+    val uni = Pinned.pin(toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
     val db = Pinned.pin(toks
       .select(col("doc_id"), explode(TF.shinglesOfTokens(col("ts"), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("k")))
@@ -88,9 +90,14 @@ object BigramLm {
     * with the count joins now LEFT joins (coalesced to 0). */
   def refLogProbs(docs: DataFrame, ref: DataFrame,
                   lambda: Double = 0.75): DataFrame = {
-    val refToks = ref.select(TF.tokens(col("text")).as("ts"))
-    val uni = refToks.select(explode(col("ts")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    // pinned: the reference slice is tokenized ONCE; unpinned, the unigram
+    // and bigram count builds each re-tokenized it, and every broadcast
+    // build below re-ran its whole lineage (3 re-tokenizations of the
+    // reference per run in the r20 plan audit)
+    val refToks = Pinned.pin(ref.select(TF.tokens(col("text")).as("ts")))
+    // pinned: three readers (the N+V scalar and both w1/w2 count joins)
+    val uni = Pinned.pin(refToks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w")))
     val gb = refToks
       .select(explode(TF.shinglesOfTokens(col("ts"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))

@@ -65,11 +65,17 @@ object Curation {
     * small by definition). Single-sourced so [[decontaminate]] and
     * CurateE2e's composed pipeline cannot drift. */
   def contaminatedIds(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    // per-doc-distinct kernel shingles on both sides: value-identical
+    // (the eval set is corpus-distinct'd anyway; the train side's
+    // duplicates were folded by the final DISTINCT doc_id) and the
+    // in-row dedup shrinks the broadcast-join input for free
     val evalShingles = eval
-      .select(explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .select(explode(graft.functions.ShingleExprs
+        .wordShinglesDistinct(col("text"), n)).as("shingle"))
       .distinct()
     train
-      .select(col("doc_id"), explode(TextFunctions.wordShingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), explode(graft.functions.ShingleExprs
+        .wordShinglesDistinct(col("text"), n)).as("shingle"))
       .join(broadcast(evalShingles), Seq("shingle"))
       .select(col("doc_id")).distinct()
   }

@@ -76,8 +76,11 @@ object Dedup {
     * id the way the old corpus-wide distinct did; feed a deduplicated
     * frame (e.g. [[exact]]'s canonical output) if ids can repeat. */
   def shingleArrays(docs: DataFrame, n: Int): DataFrame =
+    // one-pass codegen kernel == array_distinct(wordShingles(text, n)) —
+    // the declarative HOF form ran interpreted and cost ~2.5 s/corpus
+    // pass at sf0.1 (ShingleKernels doc, r20 guide-§1 profile)
     docs.select(col("doc_id"),
-      array_distinct(TextFunctions.wordShingles(col("text"), n)).as("sharr"))
+      graft.functions.ShingleExprs.wordShinglesDistinct(col("text"), n).as("sharr"))
       .filter(size(col("sharr")) > 0)
 
   /** Cross-engine 60-bit string hash: the first 15 hex chars of md5,
@@ -141,9 +144,12 @@ object Dedup {
     * so the oracle is untouched. Empty-shingle docs are excluded, as the
     * row form excluded them implicitly (no rows → no group). */
   def hashedShingleArrays(docs: DataFrame, n: Int): DataFrame =
+    // one-pass codegen kernel == array_distinct(transform(wordShingles,
+    // contentHash)) — hashes each window's byte range directly, no
+    // interpreted lambda chain (ShingleKernels doc)
     docs.select(col("doc_id"),
-      array_distinct(transform(TextFunctions.wordShingles(col("text"), n),
-        s => contentHash(docs)(s))).as("harr"))
+      graft.functions.ShingleExprs.hashedShinglesDistinct(col("text"), n,
+        fast = docs.sparkSession.conf.get(FastHashConf, "false").toBoolean).as("harr"))
       .filter(size(col("harr")) > 0)
 
   /** Exact n-gram Jaccard near-dup pairs (candidates = docs sharing ≥1

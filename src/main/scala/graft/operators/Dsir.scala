@@ -62,8 +62,12 @@ object Dsir {
     // side re-tokenizes only its small slice
     val db = Pinned.pin(bucketed(docs, buckets)
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k")))
-    val raw = db.groupBy(col("b")).agg(sum(col("k")).as("c_r"))
-    val tgt = bucketed(target, buckets).groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    // both count tables are pinned: each has two readers (its N scalar and
+    // the scoring join), and tgt's lineage re-tokenizes the target slice —
+    // unpinned, the scalar action and the join each paid that tokenize
+    val raw = Pinned.pin(db.groupBy(col("b")).agg(sum(col("k")).as("c_r")))
+    val tgt = Pinned.pin(
+      bucketed(target, buckets).groupBy(col("b")).agg(count(lit(1)).as("c_t")))
     // two driver scalars (the adjudicated UnigramLm pattern)
     val nR = Option(raw.agg(sum(col("c_r"))).first().get(0))
       .map(_.asInstanceOf[Long].toDouble).getOrElse(0.0)

@@ -98,13 +98,17 @@ object Mmr {
       .filter(col("rk") <= kList)
       .select(col("query_id"), col("neighbor_id"), col("rel_micros"),
         col("ne")))
-    val sims = cands.select(col("query_id"), col("neighbor_id").as("id1"),
+    // pinned: every one of the k−1 unrolled greedy steps joins this
+    // |Q|·kList² frame — unpinned, each step re-ran the candidate
+    // self-join + cosines and the logical plan carried a copy per step
+    // (9,000 explain lines before r20; the steps' own inputs after)
+    val sims = Pinned.pin(cands.select(col("query_id"), col("neighbor_id").as("id1"),
         col("ne").as("e1"))
       .join(cands.select(col("query_id"), col("neighbor_id").as("id2"),
         col("ne").as("e2")), Seq("query_id"))
       .filter(col("id1") =!= col("id2"))
       .select(col("query_id"), col("id1"), col("id2"),
-        cosMicros(col("e1"), col("e2")).as("sim_micros"))
+        cosMicros(col("e1"), col("e2")).as("sim_micros")))
     mmrSelect(cands.select(col("query_id"), col("neighbor_id"),
       col("rel_micros")), sims, k)
   }

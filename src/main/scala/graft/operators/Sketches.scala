@@ -47,8 +47,8 @@ object Sketches {
       // fast path preserves the error bound; only the default keeps the
       // gates oracle-checkable (the same trade every hashed-shingle
       // pipeline documents at Dedup.FastHashConf)
-      explode(array_distinct(transform(TextFunctions.wordShingles(col("text"), n),
-        s => Dedup.contentHash(docs)(s)))).as("h"))
+      explode(graft.functions.ShingleExprs.hashedShinglesDistinct(col("text"), n,
+        fast = docs.sparkSession.conf.get(Dedup.FastHashConf, "false").toBoolean)).as("h"))
 
   /** The shared DuckDB fragment of every sketch oracle: per-doc distinct
     * word-n-gram shingles hashed to 60 bits, keyed by `grpExpr`. The

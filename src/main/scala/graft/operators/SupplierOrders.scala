@@ -51,7 +51,13 @@ object SupplierOrders {
   }
 
   def apply(lineitem: DataFrame, part: DataFrame, supplier: DataFrame): DataFrame = {
-    val stats = NetDemand.pairStats(lineitem)
+    // pinned: the demand branch and the price-rank branch both read this
+    // aggregate, but their pruned subtrees differ (different ReadSchema),
+    // so ReuseExchange does NOT fire — unpinned, the r20 plan audit showed
+    // TWO full lineitem scans (PLANS.md q3 nodes 3 and 31). The cached
+    // frame is |sku × warehouse|-bounded at any SF; the fact table is
+    // scanned once.
+    val stats = Pinned.pin(NetDemand.pairStats(lineitem))
     val nd = NetDemand.fromStats(stats, part, supplier).filter(col("net_demand") > 0)
     val best = rankedSuppliers(
       stats.select(col("l_suppkey").as("po_suppkey"), col("l_partkey").as("po_partkey"),

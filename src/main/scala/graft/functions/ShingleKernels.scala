@@ -148,6 +148,32 @@ private[graft] object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  /** Hashed NON-EMPTY tokens, multiplicity and order kept — the twin of
+    * `transform(tokens(text), t => contentHash(t))` (the SimHash input). */
+  def hashedTokens(text: UTF8String, fast: Boolean): ArrayData = {
+    val b = text.getBytes
+    val (starts, ends, t) = tokenBounds(b)
+    var cnt = 0
+    var i = 0
+    while (i < t) { if (ends(i) > starts(i)) cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    var j = 0
+    i = 0
+    while (i < t) {
+      if (ends(i) > starts(i)) {
+        out(j) =
+          if (fast)
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+              b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + starts(i),
+              ends(i) - starts(i), 42L) & Mask60
+          else md5Hash60(b, starts(i), ends(i))
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Count of array elements ∈ `vocab` (duplicates kept) — the twin of
     * `size(filter(toks, t => t.isInCollection(vocab)))`. */
   def countTokensIn(arr: ArrayData, vocab: java.util.HashSet[UTF8String]): Int = {
@@ -228,6 +254,23 @@ case class HashedShinglesDistinct(child: Expression, n: Int, fast: Boolean)
     copy(child = newChild)
 }
 
+/** `transform(tokens(text), t => contentHash(t))` as one
+  * codegen-participating per-row kernel call (multiplicity kept). */
+case class HashedTokens(child: Expression, fast: Boolean) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.hashedTokens(input.asInstanceOf[UTF8String], fast)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleKernels.hashedTokens($c, $fast);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedTokens =
+    copy(child = newChild)
+}
+
 /** `filter(split(text, " "), t => t <> "")` as one codegen-participating
   * per-row kernel call. */
 case class TokensNonEmpty(child: Expression) extends UnaryExpression {
@@ -302,6 +345,9 @@ object ShingleExprs {
 
   def tokensNonEmpty(text: Column): Column =
     column(TokensNonEmpty(expression(text)))
+
+  def hashedTokens(text: Column, fast: Boolean): Column =
+    column(HashedTokens(expression(text), fast))
 
   def countTokensIn(arr: Column, vocab: Seq[String]): Column =
     column(CountTokensIn(expression(arr), vocab))

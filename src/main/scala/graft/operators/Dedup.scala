@@ -423,9 +423,11 @@ object Dedup {
     * shuffle of every token in the corpus). Identical math; token-less
     * docs excluded, as the aggregate form excluded them implicitly. */
   def simhash(docs: DataFrame): DataFrame =
+    // hashed-token kernel == transform(tokens, contentHash) — the HOF
+    // form paid an interpreted md5 chain per token occurrence (r20)
     docs.select(col("doc_id"),
-      transform(TextFunctions.tokens(col("text")),
-        t => contentHash(docs)(t)).as("tharr"))
+      graft.functions.ShingleExprs.hashedTokens(col("text"),
+        fast = docs.sparkSession.conf.get(FastHashConf, "false").toBoolean).as("tharr"))
       .filter(size(col("tharr")) > 0)
       .select(col("doc_id"),
         graft.functions.SimHash60.simhash60(col("tharr")).as("simhash"))

@@ -40,6 +40,39 @@ object Mmr {
     * `sims`:  (query_id, id1, id2, sim_micros) among the candidates.
     * Returns (query_id, pick, neighbor_id, rel_micros, maxsim_micros). */
   def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int = K): DataFrame = {
+    // the k greedy steps run inside ONE codegen'd kernel call per query
+    // ([[graft.functions.MmrGreedy]]) over the collected per-query
+    // candidate/sim arrays — both query-bounded BY CONSTRUCTION
+    // (|Q|·kList and |Q|·kList² rows). The r15 unrolled-stage form
+    // (each step: anti-join + two joins + max-agg + rank window + union,
+    // pinned per step) computed the identical integer selection but paid
+    // ~4 exchanges per step at every data scale — 6.8 s for 8 queries at
+    // sf0.1, pure stage-count ([[mmrSelectUnrolled]] preserves it for the
+    // equivalence spec). Both groupBys ride the same query_id hash
+    // partitioning; the kernel's argmax/tie/eligibility rules replicate
+    // the unrolled form's exactly (see MmrGreedy's scaladoc).
+    val ca = cands.groupBy(col("query_id")).agg(
+      collect_list(struct(col("neighbor_id"), col("rel_micros"))).as("ca"))
+    val sa = sims.groupBy(col("query_id")).agg(
+      collect_list(struct(col("id1"), col("id2"), col("sim_micros"))).as("sa"))
+    val emptySims = array().cast("array<struct<id1:bigint,id2:bigint,sim_micros:bigint>>")
+    ca.join(sa, Seq("query_id"), "left")
+      .select(col("query_id"),
+        explode(graft.functions.MmrGreedy.mmrGreedy(
+          col("ca"), coalesce(col("sa"), emptySims), k, LambdaTenths)).as("p"))
+      .select(col("query_id"), col("p.pick").as("pick"),
+        col("p.neighbor_id").as("neighbor_id"),
+        col("p.rel_micros").as("rel_micros"),
+        col("p.maxsim_micros").as("maxsim_micros"))
+      .orderBy(col("query_id"), col("pick"))
+  }
+
+  /** The r15 unrolled-DataFrame-stage form of [[mmrSelect]] — kept as the
+    * reference implementation the equivalence spec compares the kernel
+    * against (and as the shape a deployment without custom expressions
+    * would run). */
+  private[graft] def mmrSelectUnrolled(cands: DataFrame, sims: DataFrame,
+                                       k: Int = K): DataFrame = {
     val first = pickTop(cands
       .withColumn("maxsim_micros", lit(0L))
       .withColumn("score", col("rel_micros") * LambdaTenths), 1)
@@ -98,17 +131,15 @@ object Mmr {
       .filter(col("rk") <= kList)
       .select(col("query_id"), col("neighbor_id"), col("rel_micros"),
         col("ne")))
-    // pinned: every one of the k−1 unrolled greedy steps joins this
-    // |Q|·kList² frame — unpinned, each step re-ran the candidate
-    // self-join + cosines and the logical plan carried a copy per step
-    // (9,000 explain lines before r20; the steps' own inputs after)
-    val sims = Pinned.pin(cands.select(col("query_id"), col("neighbor_id").as("id1"),
+    // single reader since the kernel rewrite (collect_list) — derives
+    // from the pinned cands, so the self-join inputs are cached
+    val sims = cands.select(col("query_id"), col("neighbor_id").as("id1"),
         col("ne").as("e1"))
       .join(cands.select(col("query_id"), col("neighbor_id").as("id2"),
         col("ne").as("e2")), Seq("query_id"))
       .filter(col("id1") =!= col("id2"))
       .select(col("query_id"), col("id1"), col("id2"),
-        cosMicros(col("e1"), col("e2")).as("sim_micros")))
+        cosMicros(col("e1"), col("e2")).as("sim_micros"))
     mmrSelect(cands.select(col("query_id"), col("neighbor_id"),
       col("rel_micros")), sims, k)
   }

@@ -605,8 +605,10 @@ object Similarity {
   /** Dot of an embedding column against a literal plan-side vector (plane /
     * centroid) — the shared projection primitive of the LSH and IVF paths. */
   private def litDot(e: Column, v: Array[Double]): Column =
-    aggregate(zip_with(e, array(v.map(lit).toIndexedSeq: _*),
-      (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
+    // codegen kernel == aggregate(zip_with(e, lit(v), *), 0d, +) — the
+    // HOF form ran interpreted in the centroid-assignment hot loop
+    // (C dots per row per Lloyd iteration / probe; r20)
+    graft.functions.VecExprs.litDot(e, v)
 
   /** Cosine of an embedding column against a literal vector. */
   private def litCosine(e: Column, v: Array[Double]): Column =
@@ -858,31 +860,29 @@ object Similarity {
   def sq8Encode(e: Column, mn: Array[Double], mx: Array[Double]): Column = {
     val scales = mn.indices.map(d =>
       if (mx(d) > mn(d)) 255.0 / (mx(d) - mn(d)) else 0.0).toArray
-    transform(e, (x, i) =>
-      greatest(lit(0), least(lit(255),
-        floor((x.cast("double") - element_at(lit(mn), i + 1))
-          * element_at(lit(scales), i + 1) + 0.5).cast("int"))))
+    // codegen kernel == the per-element transform (same floor/clamp/cast
+    // order; r20 — the HOF form ran interpreted per vector)
+    graft.functions.VecExprs.sq8Encode(e, mn, scales)
   }
 
   /** SQ8 decode (reconstruction): mn_d + code_d · (mx_d − mn_d)/255. */
   def sq8Decode(codes: Column, mn: Array[Double], mx: Array[Double]): Column = {
     val inv = mn.indices.map(d =>
       if (mx(d) > mn(d)) (mx(d) - mn(d)) / 255.0 else 0.0).toArray
-    transform(codes, (c, i) =>
-      element_at(lit(mn), i + 1)
-        + c.cast("double") * element_at(lit(inv), i + 1))
+    graft.functions.VecExprs.sq8Decode(codes, mn, inv)
   }
 
   /** Cosine between a full-precision float vector and a decoded double
     * vector — the asymmetric-distance form (queries stay full precision,
     * the index stores codes). Composed builtins evaluating left-to-right:
     * bit-identical to DuckDB's `list_cosine_similarity` over DOUBLE[]. */
-  private def mixedCosine(q: Column, dec: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (p, v) => p.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(q, dec) / (sqrt(dot(q, q)) * sqrt(dot(dec, dec)))
-  }
+  private def mixedCosine(q: Column, dec: Column): Column =
+    // fused kernels == the aggregate(zip_with(...)) composites, same
+    // left-to-right accumulation (r20: the HOF form ran interpreted per
+    // candidate pair)
+    graft.functions.VecExprs.mixedDot(q, dec) /
+      (sqrt(graft.functions.FloatVecDot.dot(q, q)) *
+        sqrt(graft.functions.VecExprs.doubleDot(dec, dec)))
 
   /** Gated query `ann_sq8_topk`: brute top-k under asymmetric SQ8 —
     * full-precision queries against the quantized-then-decoded corpus.

@@ -72,7 +72,9 @@ object HybridRetrieval {
   private def lexList(docs: DataFrame, numQueries: Int, kList: Int,
                       k1: Double, b: Double): DataFrame = {
     val tf = Bm25.tfStage(docs)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // pinned: two readers (the corpus-mass scalar and the scoring join) —
+    // unpinned, each re-ran the doc-length aggregation over the tf stage
+    val dl = Pinned.pin(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val consts = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum(col("dl")).as("mass")))

@@ -14,23 +14,25 @@ import org.apache.spark.sql.functions._
   * argmax pair everywhere (greedy left-to-right), repeats.
   *
   * Distribution shape, per iteration:
-  *   - pair counting is one explode + hash-agg SHUFFLE over the dict —
-  *     VOCABULARY-sized, never corpus-sized (the corpus is touched once,
-  *     to build the dict);
-  *   - the argmax is `orderBy.limit(1)` (TakeOrderedAndProject) — ONE row
-  *     to the driver per iteration, the same O(model) collect budget as
-  *     the IVF centroids;
-  *   - the merge is a per-row codegen'd string replace, no shuffle;
-  *   - dict state round-trips through a parquet generation dir each
-  *     iteration (write state_i+1, read it back, drop state_i) — the
-  *     plan stays CONSTANT-depth across iterations. The persist/unpersist
-  *     rotation the loop first shipped with does NOT bound an iterative
-  *     plan: lineage still nests one generation per merge and every
-  *     cached generation retains its ancestors' InMemoryRelations —
-  *     measured here as 8 merges = 8.5 s but 30 merges = OOM of an 8 GiB
-  *     driver at sf0.001. Materialize-and-reread is the same cure the
-  *     BM25 dict swap and MLlib's periodic checkpointing apply, and the
-  *     per-iteration cost is vocabulary-sized I/O.
+  *   - the ONLY corpus-sized stage is the word-frequency dict build (one
+  *     scan + hash agg + deterministic top-`dictCap` cut) — that part
+  *     stays distributed at any scale;
+  *   - the dict itself is ≤ `dictCap` = 2,000 rows BY CONSTRUCTION, so
+  *     collecting it is the same O(model) driver budget as the IVF
+  *     centroid reads, and the merge loop runs ON THE COLLECTED DICT in
+  *     plain Scala — this is exactly how production BPE trainers
+  *     (Sennrich's subword-nmt, HuggingFace tokenizers, SentencePiece)
+  *     structure it: a distributed word-count reduce, then in-memory
+  *     training over the bounded frequency table. The loop this shipped
+  *     with first ran each of the 30 iterations as Spark jobs over a
+  *     2,000-row table (pair-count shuffle + argmax collect + merge
+  *     projection, with the state round-tripping through a parquet
+  *     generation dir to keep the plan constant-depth) — ~0.3 s of pure
+  *     per-job overhead per iteration, 9–10 s per training run at ANY
+  *     scale factor, none of it data-sized. It is kept as
+  *     [[runTrainingDistributed]]: the equivalence witness
+  *     (Round11Spec's driver≡distributed test) and the fallback form if
+  *     `dictCap` ever became unbounded.
   * The learned merge table itself is driver-sized BY DESIGN (it IS the
   * model, like the quantizer) — numMerges rows.
   *
@@ -103,23 +105,77 @@ object BpeTrain {
     * consume the SAME 30-merge training run, exactly as a production
     * tokenizer is trained once and applied everywhere — memoizing saves
     * two redundant training loops per Verify pass. Values are (merges,
-    * final-state parquet path); the state dir lives for the JVM. */
+    * final-state rows (seq, freq) — ≤ DictCap of them). */
   private val trainedCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Int, String, String, String, Long)], String)]()
+    String, (Seq[(Int, String, String, String, Long)], Seq[(String, Long)])]()
 
   private def trainedFor(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    val (merges, statePath) = trainedCache.computeIfAbsent(dir, _ =>
+    val (merges, state) = trainedCache.computeIfAbsent(dir, _ =>
       runTraining(Tables.documents(spark, dir), NumMerges, DictCap))
-    (merges, spark.read.parquet(statePath))
+    import spark.implicits._
+    (merges, state.toDF("seq", "freq"))
   }
 
-  /** The loop, also returning the FINAL state's parquet path — every
-    * dict word's segmentation under the learned table (what
-    * [[segmentsFromDir]] gates). The state dir is alive for the JVM;
-    * removed on exit. */
-  private def runTraining(docs: DataFrame, numMerges: Int, dictCap: Int)
-      : (Seq[(Int, String, String, String, Long)], String) = {
+  /** The loop, also returning the FINAL state (seq, freq) — every dict
+    * word's segmentation under the learned table (what
+    * [[segmentsFromDir]] gates). One distributed stage (the dict build +
+    * its bounded collect), then the greedy loop in memory — semantics
+    * proven identical to [[runTrainingDistributed]] (which computes every
+    * step in Spark SQL) by Round11Spec, and to DuckDB's unrolled chain by
+    * the three gates. The in-memory steps replicate the SQL exactly:
+    * overlapping-adjacent pair counts weighted by freq, argmax on
+    * (cnt DESC, lft ASC, rgt ASC) — pure-ASCII symbols, so Java and
+    * UTF8String orderings agree — and the two-level-separator
+    * non-overlapping left-to-right literal replace (java.lang.String
+    * .replace ≡ Spark's StringReplace ≡ DuckDB's replace). */
+  private[graft] def runTraining(docs: DataFrame, numMerges: Int, dictCap: Int)
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) = {
+    val dict = wordDict(docs, dictCap).collect()
+    var seqs = dict.map(_.getString(0).toCharArray.mkString("  "))
+    val freqs = dict.map(_.getLong(1))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (!exhausted && rank <= numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < seqs.length) {
+        val t = seqs(i).split("  ")
+        var j = 0
+        while (j < t.length - 1) {
+          val key = (t(j), t(j + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + freqs(i))
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) exhausted = true // every word fully merged
+      else {
+        var (bl, br, bc) = ("", "", Long.MinValue)
+        counts.foreach { case ((l, r), c) =>
+          if (c > bc || (c == bc && (l < bl || (l == bl && r < br)))) {
+            bl = l; br = r; bc = c
+          }
+        }
+        merges += ((rank, bl, br, bl + br, bc))
+        val pat = s" $bl  $br "
+        val rep = s" $bl$br "
+        seqs = seqs.map(s => (" " + s + " ").replace(pat, rep).trim)
+        rank += 1
+      }
+    }
+    (merges.toSeq, seqs.zip(freqs).toSeq)
+  }
+
+  /** The fully-distributed form of [[runTraining]] — each iteration's
+    * pair count, argmax and merge as Spark SQL over a parquet-round-
+    * tripped generation dir (constant-depth plans; the persist rotation
+    * it shipped with before that OOM'd an 8 GiB driver at 30 merges).
+    * Kept as the equivalence witness for the in-memory loop and the form
+    * that generalizes if the dict cap were ever lifted. */
+  private[graft] def runTrainingDistributed(docs: DataFrame, numMerges: Int, dictCap: Int)
+      : (Seq[(Int, String, String, String, Long)], Seq[(String, Long)]) = {
     val spark = docs.sparkSession
     val tmp = java.nio.file.Files.createTempDirectory("graft_bpe_train")
     ClusterStore.deleteRecursivelyOnExit(tmp)
@@ -142,7 +198,9 @@ object BpeTrain {
         rank += 1
       }
     }
-    (merges.toSeq, s"$tmp/state_${rank - 1}")
+    val state = spark.read.parquet(s"$tmp/state_${rank - 1}")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (merges.toSeq, state)
   }
 
   /** Gated query `text_bpe_segments`: the trained tokenizer APPLIED —

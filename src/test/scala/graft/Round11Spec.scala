@@ -279,6 +279,18 @@ class Round11Spec extends SparkSpec {
     assert(merges.map(m => (m._2, m._3)) === Seq(("a", "b"), ("c", "d")))
   }
 
+  test("BPE in-memory training ≡ the distributed Spark-SQL loop, merges and final state") {
+    // the r20 optimization moved the 30-round greedy loop onto the
+    // collected ≤DictCap dict; this pins it step-for-step against the
+    // fully-distributed form on real gate data (sf0.001 corpus) — merge
+    // table AND final segmentation state must be identical
+    val docs = Tables.documents(spark, sf)
+    val (mFast, sFast) = graft.operators.BpeTrain.runTraining(docs, 30, 2000)
+    val (mDist, sDist) = graft.operators.BpeTrain.runTrainingDistributed(docs, 30, 2000)
+    assert(mFast === mDist)
+    assert(sFast.sortBy(_._1) === sDist.sortBy(_._1))
+  }
+
   test("BPE segments: the final state is each word tokenized by the learned table") {
     import spark.implicits._
     // the default 30-round budget exhausts this corpus: training runs

@@ -69,13 +69,12 @@ object HybridRetrieval {
   }
 
   /** The per-query BM25 more-like-this list: (query_id, doc_id, lrank). */
-  private def lexList(docs: DataFrame, numQueries: Int, kList: Int,
-                      k1: Double, b: Double): DataFrame = {
+  private[graft] def lexList(docs: DataFrame, numQueries: Int, kList: Int,
+                             k1: Double, b: Double): DataFrame = {
     val tf = Bm25.tfStage(docs)
     // pinned: two readers (the corpus-mass scalar and the scoring join) —
     // unpinned, each re-ran the doc-length aggregation over the tf stage
     val dl = Pinned.pin(tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl")))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val consts = docs.agg(count(lit(1)).as("n"))
       .crossJoin(dl.agg(sum(col("dl")).as("mass")))
 
@@ -86,7 +85,13 @@ object HybridRetrieval {
       tf.filter(col("doc_id") < numQueries)
         .select(col("doc_id").as("query_id"), col("term")))
     val qtermSet = qterms.select(col("term")).distinct()
-    val qt = df.join(broadcast(qtermSet), Seq("term"))
+    // df only for the query terms: the broadcast semi-join runs BELOW the
+    // aggregation (per-term row counts are invariant under filtering
+    // terms), so the df shuffle carries query-term rows, not the full
+    // vocabulary — the guide §2.3 fewer-bytes form of the previous
+    // aggregate-everything-then-join shape
+    val qt = tf.join(broadcast(qtermSet), Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = Bm25.scoredRows(
       tf.join(broadcast(qtermSet), Seq("term")), dl, qt, consts, k1, b)
     val lexW = Window.partitionBy(col("query_id"))
@@ -100,9 +105,57 @@ object HybridRetrieval {
   }
 
   /** RRF: micros-rounded long contributions per list, summed; final
-    * (rrf desc, doc_id asc) cut. Query-bounded: 2·|Q|·kList rows in. */
+    * (rrf desc, doc_id asc) cut. Query-bounded: 2·|Q|·kList rows in.
+    *
+    * The per-doc sum + rank window run inside ONE codegen'd kernel call
+    * per query ([[graft.functions.RrfFuse]]) over the collected tagged
+    * contribution array (≤ 2·kList entries per query BY CONSTRUCTION) —
+    * the r20 unrolled form (kept as [[fuseUnrolled]], the equivalence
+    * witness) computed the identical integer fusion but paid a
+    * groupBy(query, doc) exchange + a rank-window exchange + a second
+    * full traversal of both pinned lists for the emptiness sentinel, at
+    * every data scale: measured 0.8–1.4 s on 320 LOCAL rows, pure stage
+    * latency, ×5 hybrid gates. The sentinel now rides the same grouped
+    * frame (per-query list counts summed globally — identical totals,
+    * identical assert), so each list executes exactly once. */
   private[graft] def fuse(lex: DataFrame, vec: DataFrame, k: Int,
                           kRrf: Int): DataFrame = {
+    def contrib(rank: org.apache.spark.sql.Column) =
+      floor(lit(1e6) / (lit(kRrf.toDouble) + rank.cast("double")) + 0.5).cast("long")
+    val tagged = lex.select(col("query_id"), col("doc_id"),
+        contrib(col("lrank")).as("c"), lit(0).as("li"))
+      .unionAll(vec.select(col("query_id"), col("doc_id"),
+        contrib(col("vrank")).as("c"), lit(1).as("li")))
+    val grouped = Pinned.pin(tagged.groupBy(col("query_id")).agg(
+      collect_list(struct(col("doc_id"), col("c"))).as("ta"),
+      sum(when(col("li") === 0, 1L).otherwise(0L)).as("n_lex"),
+      sum(when(col("li") === 1, 1L).otherwise(0L)).as("n_vec")))
+    val ranked = grouped
+      .select(col("query_id"),
+        explode(graft.functions.RrfFuse.rrfFuse(col("ta"), k)).as("p"))
+      .select(col("query_id"), col("p.rank").as("rank"),
+        col("p.doc_id").as("doc_id"), col("p.rrf_micros").as("rrf_micros"))
+    // the lazily-raising emptiness guard (see fuseUnrolled's doc) — same
+    // assert over the same global counts, now aggregated from the pinned
+    // per-query rows instead of a second pass over the tagged union
+    val sentinel = grouped.groupBy().agg(
+        sum(col("n_lex")).as("n_lex"), sum(col("n_vec")).as("n_vec"))
+      .select(
+        lit(null).cast("long").as("query_id"),
+        when(assert_true(col("n_lex") > 0 && col("n_vec") > 0,
+          lit("hybrid fusion: a result list is empty — upstream read failure")).isNull,
+          lit(-1L)).as("rank"),
+        lit(null).cast("long").as("doc_id"),
+        lit(null).cast("long").as("rrf_micros"))
+    ranked.unionAll(sentinel)
+      .filter(col("rank") =!= -1L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The unrolled DataFrame-stage form of [[fuse]] — kept as the
+    * equivalence witness (HybridFuseSpec). */
+  private[graft] def fuseUnrolled(lex: DataFrame, vec: DataFrame, k: Int,
+                                  kRrf: Int): DataFrame = {
     // Both lists are non-empty by construction (queries exist, the corpus
     // exists). A silently-EMPTY list degrades the fusion to single-list
     // RRF with no exception anywhere — observed once in a 162-query

@@ -33,6 +33,37 @@ class HybridSemanticSpec extends SparkSpec {
     assert(out.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq == Seq(2L, 1L, 3L))
   }
 
+  test("RRF kernel fuse ≡ the unrolled groupBy+window form, gate data and corners") {
+    // the r20 optimization runs the per-doc sum + rank cut inside one
+    // kernel call per query; this pins it against the unrolled form on
+    // real gate lists AND on hand-built corners (doc in both lists,
+    // rrf ties → doc_id asc, fewer docs than k)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val lex = HybridRetrieval.lexList(docs, 8, 20, 1.2, 0.75)
+    val vec = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vrank"))
+    assert(rows(HybridRetrieval.fuse(lex, vec, 10, 60)) ===
+      rows(HybridRetrieval.fuseUnrolled(lex, vec, 10, 60)))
+    graft.operators.Pinned.release(spark)
+
+    // corners: docs 1,2 in both lists; lex(3) and vec(4) get the SAME
+    // contribution (rank 3 in one list each) → tie breaks doc_id asc;
+    // query 1 has fewer docs than k
+    val lexC = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L), (1L, 9L, 1L))
+      .toDF("query_id", "doc_id", "lrank")
+    val vecC = Seq((0L, 2L, 1L), (0L, 1L, 2L), (0L, 4L, 3L), (1L, 9L, 1L))
+      .toDF("query_id", "doc_id", "vrank")
+    for (k <- Seq(2, 10)) {
+      assert(rows(HybridRetrieval.fuse(lexC, vecC, k, 60)) ===
+        rows(HybridRetrieval.fuseUnrolled(lexC, vecC, k, 60)), s"k=$k")
+      graft.operators.Pinned.release(spark)
+    }
+  }
+
   test("hybrid_rrf matches its own oracle's shape on sf0.001") {
     val out = HybridRetrieval.fromDir(spark, sf)
     val rows = out.collect()

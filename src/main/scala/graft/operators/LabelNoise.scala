@@ -92,7 +92,7 @@ object LabelNoise {
   def ivfFromDir(spark: SparkSession, dir: String, k: Int = 10,
                  numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val dim = Similarity.embeddingDim(e)
+    val dim = Similarity.dimForDir(dir, e)
     require(dim == Similarity.LshOracleDim,
       s"embeddings under $dir are $dim-wide but ivfOracle generates " +
         s"${Similarity.LshOracleDim}-dim centroids — regenerate the oracle with dim=$dim")

@@ -71,9 +71,11 @@ object SemanticDedup {
   def fromDir(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // same precheck as the IVF gates: a dim mismatch must fail with a clear
-    // error here, not as an opaque gate hash mismatch downstream
-    Similarity.requireOracleDim(e, dir)
-    prune(e)
+    // error here, not as an opaque gate hash mismatch downstream — and the
+    // memoized dim feeds the quantizer directly (prune(e) would re-run the
+    // eager one-row dim read per call)
+    val dim = Similarity.requireOracleDim(e, dir)
+    pruneWith(e, Similarity.hashCentroids(dim, 16))
   }
 
   /** Gated query `semantic_dedup_trained`: the same prune under the

@@ -602,6 +602,16 @@ object Similarity {
   def embeddingDim(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding"))).first().getInt(0)
 
+  /** [[embeddingDim]] memoized per source dir (the width is a property
+    * of the dataset, like the memoized index stores): the unmemoized
+    * read ran an EAGER one-row job at query-CONSTRUCTION time in every
+    * FromDir entry point — the recall composites paid it 4–5×
+    * sequentially per call (guide §5: driver-side work in query paths).
+    * Now one job per (JVM, dir). */
+  private val dirDims = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[operators] def dimForDir(dir: String, e: DataFrame): Int =
+    dirDims.computeIfAbsent(dir, _ => Integer.valueOf(embeddingDim(e))).intValue()
+
   /** Dot of an embedding column against a literal plan-side vector (plane /
     * centroid) — the shared projection primitive of the LSH and IVF paths. */
   private def litDot(e: Column, v: Array[Double]): Column =
@@ -675,7 +685,7 @@ object Similarity {
   def lshAnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
                     k: Int = 10, tables: Int = 4, bits: Int = 8): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val dim = embeddingDim(e)
+    val dim = dimForDir(dir, e)
     // fail HERE with the cause, not downstream as an opaque oracle hash
     // mismatch: the gate's DuckDB twin hard-codes LshOracleDim planes
     require(dim == LshOracleDim,
@@ -716,7 +726,7 @@ object Similarity {
   def ivfAnnFromDir(spark: SparkSession, dir: String, numQueries: Int = 8,
                     k: Int = 10, numCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val dim = embeddingDim(e)
+    val dim = dimForDir(dir, e)
     // fail HERE with the cause, not downstream as an opaque oracle hash
     // mismatch: the gate's DuckDB twin hard-codes LshOracleDim centroids
     require(dim == LshOracleDim,
@@ -2397,7 +2407,7 @@ object Similarity {
         requireOracleDim(e, dir), numCentroids))
 
   private[operators] def requireOracleDim(e: DataFrame, dir: String): Int = {
-    val dim = embeddingDim(e)
+    val dim = dimForDir(dir, e)
     require(dim == LshOracleDim,
       s"embeddings under $dir are $dim-wide but the DuckDB oracle generates " +
         s"$LshOracleDim-dim centroids — regenerate the oracle with dim=$dim")
